@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query; ``queries()`` exposes every
+implemented operator from SURVEY.md §2 as (spark, sf_dir) -> DataFrame;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each (omitted only for
+genuinely non-SQL-expressible ops, e.g. KDF-backed masking).
+
+Query implementations live in ``arc_maskdata_pipeline_plugin_spark.plans.*``;
+this module is a thin adapter over the registry.
 """
 
 from __future__ import annotations
@@ -13,26 +15,37 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Importing these modules populates the registry.
+from arc_maskdata_pipeline_plugin_spark.plans import relational  # noqa: F401
+
+try:  # masking / dedup / text / similarity registries (added incrementally)
+    from arc_maskdata_pipeline_plugin_spark.plans import dedup  # noqa: F401
+except ImportError:
+    pass
+try:
+    from arc_maskdata_pipeline_plugin_spark.plans import text  # noqa: F401
+except ImportError:
+    pass
+try:
+    from arc_maskdata_pipeline_plugin_spark.plans import similarity  # noqa: F401
+except ImportError:
+    pass
+try:
+    from arc_maskdata_pipeline_plugin_spark.plans import masking_queries  # noqa: F401
+except ImportError:
+    pass
+
+from arc_maskdata_pipeline_plugin_spark.plans.registry import REGISTRY
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1-style pricing summary) on sf0.001."""
+    return REGISTRY["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: q.fn for name, q in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

@@ -1,0 +1,70 @@
+"""Named-query registry.
+
+Every implemented operator from SURVEY.md §2 (and the large-scale extensions)
+is exposed as a named query: a callable ``(spark, sf_dir) -> DataFrame`` plus,
+when SQL-expressible, an ANSI-SQL oracle string DuckDB can run over the same
+parquet tables. The driver hashes both results order-insensitively, so:
+
+* every computed column is aliased IDENTICALLY in the Spark code and the SQL;
+* float aggregates go through exact decimal arithmetic and are cast to DOUBLE
+  at the end, so both engines produce bit-identical values regardless of
+  aggregation order (doubles summed in different orders are NOT bit-stable).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class NamedQuery:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+
+
+REGISTRY: dict[str, NamedQuery] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a (spark, sf_dir) -> DataFrame callable to the registry."""
+
+    def deco(fn):
+        REGISTRY[name] = NamedQuery(name=name, fn=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema table. Parquet scan → Catalyst gets pushdown/pruning.
+
+    ``events.parquet`` is written with nanosecond timestamps, which the Spark
+    vectorized parquet reader rejects; read them as long and truncate to
+    microseconds (same truncation DuckDB applies when it casts NS → US).
+    """
+    if name == "events":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:  # noqa: BLE001 — conf may be unsettable on shared sessions
+            pass
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def dec(col: str | F.Column, p: int = 12, s: int = 2) -> F.Column:
+    """Exact-decimal view of a 2-decimal double column (see module docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({p},{s})")
+
+
+def as_double(c: F.Column) -> F.Column:
+    return c.cast("double")

@@ -1,0 +1,42 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+# Reference-parity test env (reference: build.sbt:21-30) — set before any
+# engine import so codec registration sees it.
+os.environ.setdefault(
+    "ETL_CONF_MASK_DATA_PASSPHRASE",
+    "q7VqMTbj7e5dUWESfc8UjZr2r7pyq5cHP8MVkUEjyv74cHsqUt734vg6qQmHaz7a",
+)
+os.environ.setdefault("ETL_CONF_MASK_DATA_CODEC", "PBKDF2WithHmacSHA512")
+os.environ.setdefault("ETL_CONF_MASK_DATA_PBKDF2_ITERATIONS", "1024")
+os.environ.setdefault("ETL_CONF_MASK_DATA_SCRYPT_CPU", "1024")
+os.environ.setdefault("ETL_CONF_MASK_DATA_SCRYPT_MEMORY", "8")
+os.environ.setdefault("ETL_CONF_MASK_DATA_SCRYPT_PARALLELISM", "1")
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MEDIUM = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from arc_maskdata_pipeline_plugin_spark import get_spark
+
+    spark = get_spark("tests", master="local[4]", shuffle_partitions=8)
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_small():
+    return SF_SMALL
+
+
+@pytest.fixture(scope="session")
+def sf_medium():
+    return SF_MEDIUM

@@ -1,0 +1,135 @@
+"""Local mirror of the driver's correctness gate.
+
+For every query in ``__spark_entry__.queries()``: run the Spark DataFrame and
+the DuckDB oracle SQL side-by-side on the same parquet tables, then compare
+row count, column names, and an order-insensitive value canonicalization.
+Run as a script:  python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+from datetime import date, datetime
+from decimal import Decimal
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duckdb_run(sql: str, sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con.execute(sql).fetchdf()
+
+
+def _canon_cell(v):
+    """Canonicalize one cell for order-insensitive comparison."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, (np.floating,)):
+        v = float(v)
+    if isinstance(v, (np.integer,)):
+        v = int(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        # exact: hash the bit pattern (we design queries to be bit-stable)
+        return repr(v)
+    if isinstance(v, Decimal):
+        return f"dec:{v}"
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)) or isinstance(v, np.ndarray):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return "b:" + v.hex()
+    if pd.isna(v):
+        return "NULL"
+    return str(v)
+
+
+def canonical_rows(pdf) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    rows = [tuple(_canon_cell(v) for v in row) for row in pdf[cols].itertuples(index=False, name=None)]
+    return sorted(rows)
+
+
+def compare_query(name: str, fn, oracle: str | None, spark, sf_dir: str) -> dict:
+    sdf = fn(spark, sf_dir)
+    spdf = sdf.toPandas()
+    out = {"name": name, "rows": len(spdf), "cols": sorted(spdf.columns)}
+    if oracle is None:
+        out["status"] = "rows-only"
+        return out
+    opdf = duckdb_run(oracle, sf_dir)
+    out["oracle_rows"] = len(opdf)
+    if len(spdf) != len(opdf):
+        out["status"] = "ROWCOUNT-MISMATCH"
+        return out
+    if sorted(spdf.columns) != sorted(opdf.columns):
+        out["status"] = "SCHEMA-MISMATCH"
+        out["oracle_cols"] = sorted(opdf.columns)
+        return out
+    s_rows, o_rows = canonical_rows(spdf), canonical_rows(opdf)
+    if s_rows == o_rows:
+        out["status"] = "MATCH"
+    else:
+        out["status"] = "VALUE-MISMATCH"
+        diffs = [(a, b) for a, b in zip(s_rows, o_rows) if a != b]
+        out["n_diff_rows"] = len(diffs)
+        out["first_diff"] = diffs[0] if diffs else None
+    return out
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+    from arc_maskdata_pipeline_plugin_spark import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            res = compare_query(name, fn, oracles.get(name), spark, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            res = {"name": name, "status": "ERROR", "error": repr(e)[:500]}
+        ok = res["status"] in ("MATCH", "rows-only")
+        if not ok:
+            failed.append(name)
+        print(("PASS " if ok else "FAIL ") + str(res))
+    print(f"\n{len(qs) - len(failed)}/{len(qs) if not only else len(only)} ok; failed: {failed}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
