@@ -1,0 +1,79 @@
+"""Sink stages. Thin wrappers over ``df.write`` / ``df.writeStream``.
+
+At scale: ``partition_by`` maps to hive-style directory partitioning (the
+unit of partition pruning for downstream readers); ``num_partitions``
+controls output file count (repartition before write — at 100 TB, small-file
+storms are as fatal as skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .base import PipelineContext, PipelineStage
+
+
+class ParquetLoad(PipelineStage):
+    stage_type = "ParquetLoad"
+
+    def __init__(
+        self,
+        name: str,
+        input_view: str,
+        output_uri: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+        num_partitions: int | None = None,
+        **kw,
+    ):
+        super().__init__(name, **kw)
+        self.input_view = input_view
+        self.output_uri = output_uri
+        self.mode = mode
+        self.partition_by = partition_by or []
+        self.num_partitions = num_partitions
+
+    def run(self, ctx: PipelineContext) -> DataFrame:
+        df = ctx.spark.table(self.input_view)
+        out = df.repartition(self.num_partitions) if self.num_partitions else df
+        writer = out.write.mode(self.mode)
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self.output_uri)
+        self.stage_detail.update(inputView=self.input_view, outputURI=self.output_uri)
+        return df
+
+
+class DelimitedLoad(PipelineStage):
+    stage_type = "DelimitedLoad"
+
+    def __init__(
+        self,
+        name: str,
+        input_view: str,
+        output_uri: str,
+        header: bool = True,
+        delimiter: str = ",",
+        mode: str = "overwrite",
+        num_partitions: int | None = None,
+        **kw,
+    ):
+        super().__init__(name, **kw)
+        self.input_view = input_view
+        self.output_uri = output_uri
+        self.header = header
+        self.delimiter = delimiter
+        self.mode = mode
+        self.num_partitions = num_partitions
+
+    def run(self, ctx: PipelineContext) -> DataFrame:
+        df = ctx.spark.table(self.input_view)
+        out = df.repartition(self.num_partitions) if self.num_partitions else df
+        (
+            out.write.mode(self.mode)
+            .option("header", self.header)
+            .option("sep", self.delimiter)
+            .csv(self.output_uri)
+        )
+        self.stage_detail.update(inputView=self.input_view, outputURI=self.output_uri)
+        return df
