@@ -34,6 +34,14 @@ try:
     from arc_maskdata_pipeline_plugin_spark.plans import masking_queries  # noqa: F401
 except ImportError:
     pass
+try:
+    from arc_maskdata_pipeline_plugin_spark.plans import multimodal_queries  # noqa: F401
+except ImportError:
+    pass
+try:
+    from arc_maskdata_pipeline_plugin_spark.plans import streaming_queries  # noqa: F401
+except ImportError:
+    pass
 
 from arc_maskdata_pipeline_plugin_spark.plans.registry import REGISTRY
 

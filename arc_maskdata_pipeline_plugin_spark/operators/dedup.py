@@ -1,0 +1,237 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design notes (the whole point of these ops is 100 TB dedup):
+
+* Everything is built-in-expression based — shingling, hashing, banding all
+  happen JVM-side; no Python in the hot path.
+* MinHash: signatures are one ``groupBy(doc)`` with K min-aggregates (one
+  shuffle); LSH banding turns the O(n²) pair space into an equi-join on band
+  keys — the canonical scale path. Band-bucket skew (a viral shingle) is
+  handled by AQE skew-join splitting (enabled in the session factory).
+* Hash family: ``md5(seed || shingle)`` with lexicographic MIN — identical
+  strings in any engine, so the DuckDB oracle can reproduce it bit-for-bit.
+  (xxhash64 would be ~3× faster but is Spark-private; swap via ``hash_fn``
+  when oracle parity isn't needed.)
+* SimHash here is a hex-digit variant: per md5 hex position, take the
+  majority digit value over tokens → 32-symbol signature ≈ 128-bit simhash
+  at 4-bit granularity. Hamming-near docs collide on prefix bands.
+* Embedding near-dup: dot products via an ordered fold (``aggregate`` over
+  ``zip_with``) so floating-point summation order is deterministic and
+  engine-identical — a parallel SUM over unnested elements would not be.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(df: DataFrame, id_col: str = "doc_id", text: str = "text", k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document (one row per (doc, shingle))."""
+    tokens = F.split(F.trim(F.col(text)), r"\s+")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Group by content hash; keep groups of size > 1 with the canonical
+    (min-id) survivor. At scale: one shuffle on a 128-bit key."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text))), r"\s+", " ")
+    return (
+        df.select(F.col(id_col), F.md5(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Survivor set: one row per distinct content, deterministic keeper."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text))), r"\s+", " ")
+    w = df.select("*", F.md5(norm).alias("_ch"))
+    keep = w.groupBy("_ch").agg(F.min(id_col).alias(id_col))
+    return w.join(keep, [id_col, "_ch"], "inner").drop("_ch")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    shingled: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    """K min-hashes per doc in ONE aggregation (K min() columns, map-side
+    partial agg) — not K passes."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Band the signature, self-join on (band_index, band_key) → candidate
+    pairs. Distinct output (a pair can collide in several bands)."""
+    n_bands = num_hashes // band_size
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = signatures.select(
+        F.col(id_col), F.explode(band_entries).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    shingled: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for pairs sharing ≥1 shingle.
+    The shingle equi-join bounds the pair space (docs sharing nothing never
+    meet); counts are exact integers → threshold comparison is engine-stable."""
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jac = (
+        F.col("n_common").cast("double")
+        / (F.col("s1.n") + F.col("s2.n") - F.col("n_common")).cast("double")
+    )
+    return (
+        inter.join(s1, F.col("d1") == F.col(f"s1.{id_col}"))
+        .join(s2, F.col("d2") == F.col(f"s2.{id_col}"))
+        .select("d1", "d2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (hex-digit majority variant)
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", positions: int = 16
+) -> DataFrame:
+    """Per md5-hex position p, the per-doc mean digit value over tokens;
+    signature symbol = 1 if mean ≥ 7.5 else 0 → ``positions``-bit signature
+    string. Docs with small Hamming distance share band prefixes."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text)), r"\s+")).alias("tok"),
+    ).withColumn("th", F.md5(F.col("tok")))
+    aggs = []
+    for p in range(1, positions + 1):
+        dv = F.expr(f"locate(substring(th, {p}, 1), '0123456789abcdef') - 1")
+        aggs.append(F.avg(dv.cast("double")).alias(f"m{p}"))
+    means = toks.groupBy(id_col).agg(*aggs)
+    bits = F.concat(
+        *[
+            F.when(F.col(f"m{p}") >= 7.5, F.lit("1")).otherwise(F.lit("0"))
+            for p in range(1, positions + 1)
+        ]
+    )
+    return means.select(F.col(id_col), bits.alias("simhash"))
+
+
+def simhash_buckets(sim: DataFrame, id_col: str = "doc_id", prefix: int = 8) -> DataFrame:
+    """Group docs by signature prefix → near-dup candidate buckets."""
+    return (
+        sim.groupBy(F.substring("simhash", 1, prefix).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    v = F.col(vec)
+    return df.withColumn("_norm", F.sqrt(_dot(v, v)))
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold. Brute-force (n² dot products) — correct
+    baseline; use LSH bucketing (similarity.py) as the scale path."""
+    a = with_norm(df.select(id_col, vec)).alias("a")
+    b = with_norm(df.select(id_col, vec)).alias("b")
+    cos = _dot(F.col(f"a.{vec}"), F.col(f"b.{vec}")) / (F.col("a._norm") * F.col("b._norm"))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("v1"),
+            F.col(f"b.{id_col}").alias("v2"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,102 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``knn_bruteforce`` — exact top-k by cosine: broadcast the (small) query
+  set against the corpus, rank per query. The corpus side streams — no n²
+  shuffle; cost is (|queries| × |corpus|) dot products, all JVM-side.
+* ``ann_lsh`` — random-hyperplane LSH: hyperplane components are derived
+  deterministically from md5 (portable to the DuckDB oracle, seedable), docs
+  and queries hash to sign-pattern buckets, candidates come from the bucket
+  equi-join. This is the 100 TB path: bucket join instead of cross join.
+* IVF variant (kmeans-partitioned) would use Spark ML KMeans — intentionally
+  not implemented via the oracle path (iterative, not SQL-expressible).
+
+Dot products use an ordered fold (see dedup.py) so results are bit-identical
+across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _dot, with_norm
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (ties → lower id)."""
+    c = with_norm(corpus.select(id_col, vec)).alias("c")
+    q = with_norm(queries.select(id_col, vec)).alias("q")
+    cos = _dot(F.col(f"q.{vec}"), F.col(f"c.{vec}")) / (
+        F.col("q._norm") * F.col("c._norm")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        F.col(f"q.{id_col}").alias("query_id"),
+        F.col(f"c.{id_col}").alias("neighbor_id"),
+        cos.alias("cosine"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def plane_weights(num_planes: int = 8, dim: int = 64, seed: str = "lsh") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, d) = first hex
+    digit of md5('{seed}:{p}:{d}') − 7.5. Reproducible in any engine (or
+    plain Python, as here) — the weights become literals in the plan."""
+    import hashlib
+
+    return [
+        [int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[0], 16) - 7.5 for d in range(dim)]
+        for p in range(num_planes)
+    ]
+
+
+def hyperplane_sign_bits(vec_col, num_planes: int = 8, dim: int = 64, seed: str = "lsh"):
+    """Sign-pattern bucket string for a vector under deterministic planes."""
+    bits = []
+    for ws in plane_weights(num_planes, dim, seed):
+        warr = F.array(*[F.lit(w) for w in ws])
+        proj = F.aggregate(
+            F.zip_with(vec_col, warr, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def ann_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    k: int = 5,
+    num_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket."""
+    bucket = hyperplane_sign_bits(F.col(vec), num_planes, dim)
+    c = with_norm(corpus.select(id_col, vec)).withColumn("bucket", bucket).alias("c")
+    q = with_norm(queries.select(id_col, vec)).withColumn("bucket", bucket).alias("q")
+    cos = _dot(F.col(f"q.{vec}"), F.col(f"c.{vec}")) / (
+        F.col("q._norm") * F.col("c._norm")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("c.bucket") == F.col("q.bucket"))
+        .select(
+            F.col(f"q.{id_col}").alias("query_id"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,116 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is built-in Spark SQL expressions (JVM-side, whole-stage
+codegen) — no Python UDFs: at 100 TB a per-row Python hop on `documents`
+would dominate the job. Each op is a ``DataFrame → DataFrame`` transform.
+
+Ops: tokenization stats, quality scoring (length/punct/stopword ratios),
+language-scoring (stopword-list hits per language), document fingerprinting
+(normalized md5 + hex-digit rolling fingerprint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small multilingual stopword lists (public, commonly-known function words).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "por"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "ein", "eine", "von"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "est", "pour"],
+}
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def with_token_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """Token count + char stats. A BPE-ish proxy: word tokens plus a
+    4-chars-per-token subword estimate (standard rule of thumb)."""
+    tk = tokens_col(text)
+    n_tokens = F.size(tk)
+    return df.withColumns(
+        {
+            "n_tokens": n_tokens,
+            "n_chars_actual": F.length(F.col(text)),
+            "est_bpe_tokens": F.ceil(F.length(F.col(text)) / F.lit(4)).cast("int"),
+            "avg_token_len": (
+                F.length(F.regexp_replace(F.trim(F.col(text)), r"\s+", ""))
+                .cast("double") / n_tokens
+            ),
+        }
+    )
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return num.cast("double") / den.cast("double")
+
+
+def with_quality_score(df: DataFrame, text: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score, all exact-arithmetic
+    (integer counts, one final double division) so results are engine-stable."""
+    c = F.col(text)
+    n_chars = F.length(c)
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()-]", ""))
+    n_space = F.length(F.regexp_replace(c, r"[^ ]", ""))
+    tk = tokens_col(text)
+    n_tokens = F.size(tk)
+    n_stop = F.size(F.filter(tk, lambda t: t.isin(*STOPWORDS["en"])))
+    return df.withColumns(
+        {
+            "n_tokens": n_tokens,
+            "alpha_ratio": _ratio(n_alpha, n_chars),
+            "punct_ratio": _ratio(n_punct, n_chars),
+            "space_ratio": _ratio(n_space, n_chars),
+            "stopword_ratio": _ratio(n_stop, n_tokens),
+            "quality_score": (
+                _ratio(n_alpha, n_chars)
+                + F.least(_ratio(n_stop, n_tokens) * 2, F.lit(0.4))
+                - _ratio(n_punct, n_chars)
+            ),
+        }
+    )
+
+
+def with_language_scores(df: DataFrame, text: str = "text") -> DataFrame:
+    """Stopword-list language scoring: per language, the fraction of tokens in
+    that language's stopword list; ``lang_pred`` = argmax (ties → 'und').
+    N-gram-free heuristic chosen because it is expressible identically in the
+    DuckDB oracle; swap in fastText/cld3 off-Spark when available."""
+    tk = tokens_col(text)
+    n_tokens = F.size(tk)
+    out = df
+    score_cols = []
+    def _hits_in(words):
+        return F.size(F.filter(tk, lambda t: F.lower(t).isin(*words)))
+
+    for lang, words in STOPWORDS.items():
+        col_name = f"score_{lang}"
+        hits = _hits_in(words)
+        out = out.withColumn(col_name, _ratio(hits, n_tokens))
+        score_cols.append(col_name)
+    best = F.greatest(*[F.col(c) for c in score_cols])
+    pred = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return out.withColumn("lang_pred", F.when(best > 0, pred).otherwise(F.lit("und")))
+
+
+def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
+    """Deterministic document fingerprints:
+    * ``fp_md5`` — md5 of whitespace-normalized lowercase text (exact-dup key);
+    * ``fp_prefix64`` — first 16 hex chars as a BIGINT (cheap 64-bit handle
+      for joins/sharding; hex→int is portable across engines)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text))), r"\s+", " ")
+    fp = F.md5(norm)
+    return df.withColumns(
+        {
+            "fp_md5": fp,
+            "fp_prefix64": F.conv(F.substring(fp, 1, 15), 16, 10).cast("bigint"),
+        }
+    )

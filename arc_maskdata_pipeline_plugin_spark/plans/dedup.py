@@ -1,0 +1,160 @@
+"""Deduplication queries over ``documents`` / ``embeddings`` (oracle-checked).
+
+The MinHash/SimHash hash family is md5-string based specifically so the
+DuckDB oracle reproduces Spark bit-for-bit (operators/dedup.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    cosine_pairs,
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_buckets,
+    word_shingles,
+)
+from .registry import T, register
+
+NUM_HASHES = 8
+BAND_SIZE = 2
+
+# shared oracle CTE: distinct 3-word shingles per doc
+_SHINGLES_CTE = r"""
+toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                               i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingle
+  FROM toks
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS keep_id
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) > 1
+""",
+)
+def dedup_exact(spark, sf_dir):
+    return exact_duplicates(T(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle() -> str:
+    mins = ", ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(NUM_HASHES)
+    )
+    n_bands = NUM_HASHES // BAND_SIZE
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || ".join(f"h{b * BAND_SIZE + j}" for j in range(BAND_SIZE)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_rows})
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+@register("dedup_minhash_pairs", oracle=_minhash_oracle())
+def dedup_minhash_pairs(spark, sf_dir):
+    sh = word_shingles(T(spark, sf_dir, "documents"))
+    sig = minhash_signatures(sh, num_hashes=NUM_HASHES)
+    return lsh_candidate_pairs(sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) AS jaccard
+FROM inter
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5
+""",
+)
+def dedup_jaccard_pairs(spark, sf_dir):
+    sh = word_shingles(T(spark, sf_dir, "documents"))
+    return jaccard_pairs(sh, threshold=0.5)
+
+
+def _simhash_oracle(positions: int = 16, prefix: int = 8) -> str:
+    means = ", ".join(
+        f"AVG(CAST(strpos('0123456789abcdef', substr(th, {p}, 1)) - 1 AS DOUBLE)) AS m{p}"
+        for p in range(1, positions + 1)
+    )
+    bits = " || ".join(
+        f"CASE WHEN m{p} >= 7.5 THEN '1' ELSE '0' END" for p in range(1, positions + 1)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+),
+th AS (SELECT doc_id, md5(tok) AS th FROM toks),
+means AS (SELECT doc_id, {means} FROM th GROUP BY doc_id),
+sig AS (SELECT doc_id, {bits} AS simhash FROM means)
+SELECT substr(simhash, 1, {prefix}) AS bucket,
+       COUNT(*) AS n_docs,
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+FROM sig
+GROUP BY 1
+HAVING COUNT(*) > 1
+"""
+
+
+@register("dedup_simhash_buckets", oracle=_simhash_oracle())
+def dedup_simhash_buckets(spark, sf_dir):
+    sig = simhash(T(spark, sf_dir, "documents"), positions=16)
+    buckets = simhash_buckets(sig, prefix=8)
+    return buckets.select(
+        "bucket",
+        "n_docs",
+        F.array_join(F.transform("doc_ids", lambda x: x.cast("string")), ",").alias("doc_ids"),
+    )
+
+
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "dedup_embedding_pairs",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= 0.4
+""",
+)
+def dedup_embedding_pairs(spark, sf_dir):
+    return cosine_pairs(T(spark, sf_dir, "embeddings"), threshold=0.4)

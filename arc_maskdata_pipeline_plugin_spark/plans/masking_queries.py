@@ -1,0 +1,105 @@
+"""Masking queries for the driver contract.
+
+KDF-backed mask results are not reproducible in DuckDB (no Argon2/scrypt/
+PBKDF2 there), so those entries are rows-only checks — except the fake-value
+substitution, which is md5-indexed built-ins and therefore fully
+oracle-checked.
+
+The callables register the mask UDFs with the fast ``HmacSHA512`` codec and a
+fixed passphrase: the driver environment carries no masking env vars, and the
+bench at sf0.1 masks ~150k customer rows — per-row PBKDF2 at reference cost
+would be a multi-minute benchmark artifact, which is exactly the problem the
+HmacSHA512 codec exists to solve (one KDF stretch per executor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..codecs.hmac_sha512 import HmacSHA512
+from ..functions.fake import LOCALIZED_LISTS, fake_email, fake_name
+from ..functions.masking import register_udfs
+from .registry import T, register
+
+# Fixed engine-test passphrase (64 chars — passes reference validation rules).
+_TEST_PASSPHRASE = b"engine-test-passphrase-0123456789abcdefghijklmnopqrstuvwxyz-0123"
+
+_registered_sessions: set[str] = set()
+
+
+def _ensure_udfs(spark):
+    key = spark.sparkContext.applicationId
+    if key not in _registered_sessions:
+        register_udfs(spark, codec=HmacSHA512(), passphrase=_TEST_PASSPHRASE)
+        _registered_sessions.add(key)
+
+
+@register("q_mask_customers", oracle=None)  # KDF not reproducible in DuckDB
+def q_mask_customers(spark, sf_dir):
+    _ensure_udfs(spark)
+    c = T(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("_mask_customer_in")
+    return spark.sql(
+        """
+        SELECT
+          c_custkey,
+          mask_string(16, true, c_name) AS name_masked,
+          mask_string_alphabet(12, '0123456789', true, c_name) AS account_digits,
+          mask_string_alphabet_format(16, '0123456789', 'xxx-xxxx-xxxx', true, c_name) AS phone_fake,
+          CAST(mask_decimal(CAST(100.0 AS DECIMAL(5,1)), true,
+               CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS acctbal_masked,
+          c_mktsegment
+        FROM _mask_customer_in
+        """
+    )
+
+
+@register("q_mask_order_dates", oracle=None)
+def q_mask_order_dates(spark, sf_dir):
+    _ensure_udfs(spark)
+    o = T(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_mask_orders_in")
+    # date + timestamp masking, incl. the reference's date_trunc composition
+    # (MaskDataPluginSuite.scala:133-136)
+    return spark.sql(
+        """
+        SELECT
+          o_orderkey,
+          mask_date(365, true, CAST(o_orderdate AS DATE)) AS orderdate_masked,
+          mask_timestamp(30, true, date_trunc('HOUR', o_orderdate)) AS ordertime_masked
+        FROM _mask_orders_in
+        """
+    )
+
+
+def _fake_oracle() -> str:
+    lists = LOCALIZED_LISTS["en-US"]
+
+    def sql_list(items):
+        return "[" + ", ".join(f"'{x}'" for x in items) + "]"
+
+    def idx(offset, n):
+        return f"(CAST(('0x' || substr(md5(c_name), {offset}, 8)) AS BIGINT) % {n} + 1)"
+
+    first = f"list_extract({sql_list(lists['first_name'])}, {idx(1, 20)})"
+    last = f"list_extract({sql_list(lists['last_name'])}, {idx(9, 20)})"
+    domain = f"list_extract({sql_list(lists['free_email'])}, {idx(17, 3)})"
+    return f"""
+SELECT c_custkey,
+       {first} AS fake_first,
+       {last} AS fake_last,
+       lower({first}) || '.' || lower({last}) || '@' || {domain} AS fake_email
+FROM customer
+"""
+
+
+@register("q_fake_substitution", oracle=_fake_oracle())
+def q_fake_substitution(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    first, last = fake_name(F.col("c_name"))
+    return c.select(
+        "c_custkey",
+        first.alias("fake_first"),
+        last.alias("fake_last"),
+        fake_email(F.col("c_name")).alias("fake_email"),
+    )

@@ -1,0 +1,87 @@
+"""Similarity-search queries over ``embeddings`` (oracle-checked).
+
+Brute-force exact kNN is the correctness baseline; hyperplane-LSH ANN is the
+scale path. Both use ordered-fold dot products (engine-stable floats) and the
+LSH planes are md5-derived literals shared between Spark and the oracle.
+"""
+
+from __future__ import annotations
+
+from ..operators.similarity import ann_lsh, knn_bruteforce, plane_weights
+from .registry import T, register
+
+K = 5
+N_QUERIES = 10  # query set = vec_id < 10
+NUM_PLANES = 6
+DIM = 64
+
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v)"
+)
+
+_KNN_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DOT.format(a='q.embedding', b='c.embedding')} / (q.nrm * c.nrm) AS cosine
+  FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) t WHERE rank <= {K}
+"""
+
+
+@register("sim_knn_bruteforce", oracle=_KNN_ORACLE)
+def sim_knn_bruteforce(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    return knn_bruteforce(e, queries, k=K)
+
+
+def _sql_weights(ws: list[float]) -> str:
+    return "[" + ", ".join(repr(w) for w in ws) + "]"
+
+
+def _ann_oracle() -> str:
+    planes = plane_weights(NUM_PLANES, DIM)
+    bits = " || ".join(
+        "CASE WHEN "
+        + _DOT.format(a="embedding", b=_sql_weights(ws))
+        + " >= 0 THEN '1' ELSE '0' END"
+        for ws in planes
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm,
+         {bits} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DOT.format(a='q.embedding', b='c.embedding')} / (q.nrm * c.nrm) AS cosine
+  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) t WHERE rank <= {K}
+"""
+
+
+@register("sim_ann_lsh", oracle=_ann_oracle())
+def sim_ann_lsh(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    return ann_lsh(e, queries, k=K, num_planes=NUM_PLANES, dim=DIM)

@@ -1,0 +1,116 @@
+"""Text-analysis queries over ``documents`` (oracle-checked).
+
+Each query pairs the Spark operator (operators/text.py) with equivalent
+DuckDB SQL. Ratios are integer-count divisions cast to double — exact in both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.text import (
+    STOPWORDS,
+    with_fingerprint,
+    with_language_scores,
+    with_quality_score,
+    with_token_stats,
+)
+from .registry import T, register
+
+
+@register(
+    "text_token_stats",
+    oracle=r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       CAST(CEIL(length(text) / 4.0) AS INTEGER) AS est_bpe_tokens,
+       CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+         / len(string_split_regex(trim(text), '\s+')) AS avg_token_len
+FROM documents
+""",
+)
+def text_token_stats(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return with_token_stats(d).select("doc_id", "n_tokens", "est_bpe_tokens", "avg_token_len")
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_EN = _sql_list(STOPWORDS["en"])
+
+_QUALITY_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS n_punct,
+         string_split_regex(trim(text), '\s+') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       len(tk) AS n_tokens,
+       CAST(n_alpha AS DOUBLE) / nc AS alpha_ratio,
+       CAST(n_punct AS DOUBLE) / nc AS punct_ratio,
+       CAST(len(list_filter(tk, x -> list_contains({_EN}, x))) AS DOUBLE) / len(tk) AS stopword_ratio,
+       CAST(n_alpha AS DOUBLE) / nc
+         + LEAST(CAST(len(list_filter(tk, x -> list_contains({_EN}, x))) AS DOUBLE) / len(tk) * 2, 0.4)
+         - CAST(n_punct AS DOUBLE) / nc AS quality_score
+FROM t
+"""
+
+
+@register("text_quality_scores", oracle=_QUALITY_ORACLE)
+def text_quality_scores(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return with_quality_score(d).select(
+        "doc_id", "n_tokens", "alpha_ratio", "punct_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+def _lang_oracle() -> str:
+    score_exprs = []
+    for lang, words in STOPWORDS.items():
+        score_exprs.append(
+            f"CAST(len(list_filter(tk, x -> list_contains({_sql_list(words)}, lower(x)))) AS DOUBLE)"
+            f" / len(tk) AS score_{lang}"
+        )
+    langs = list(STOPWORDS)
+    best = "GREATEST(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+s AS (SELECT doc_id, lang, {", ".join(score_exprs)} FROM t)
+SELECT doc_id, lang, score_en, score_es, score_de, score_fr,
+       CASE WHEN {best} > 0 THEN {case} ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+
+@register("text_language_scores", oracle=_lang_oracle())
+def text_language_scores(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return with_language_scores(d).select(
+        "doc_id", "lang", "score_en", "score_es", "score_de", "score_fr", "lang_pred"
+    )
+
+
+@register(
+    "text_fingerprints",
+    oracle=r"""
+WITH n AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
+  FROM documents
+)
+SELECT doc_id, fp_md5,
+       CAST(('0x' || substr(fp_md5, 1, 15)) AS BIGINT) AS fp_prefix64
+FROM n
+""",
+)
+def text_fingerprints(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return with_fingerprint(d).select("doc_id", "fp_md5", "fp_prefix64")

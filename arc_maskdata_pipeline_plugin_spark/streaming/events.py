@@ -1,0 +1,100 @@
+"""Streaming operators over the ``events`` table.
+
+Scale design: a production deployment points ``read_events_stream`` at a
+growing directory (or Kafka via ``spark.readStream.format("kafka")``) — the
+operators below are source-agnostic. Watermarks bound aggregation state (the
+100 TB consideration: unbounded keys × unbounded windows = OOM); windows are
+epoch-aligned tumbling so results equal the batch group-by, which is how the
+tests verify streaming output against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _as_stream_dir(path: str) -> str:
+    """Spark's file-stream source requires a *directory*; stage a symlink dir
+    for a bare file path (read-only source data stays untouched)."""
+    if os.path.isdir(path):
+        return path
+    key = hashlib.md5(path.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_stream", key)
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over events.parquet (nanos ts → micros, like the
+    batch reader in plans.registry.T)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001
+        pass
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def masked_event_stream(stream: DataFrame) -> DataFrame:
+    """Stateless masking projection on a stream (mask UDFs must be registered
+    on the session). Identical code path to batch — the point of the design."""
+    return stream.selectExpr(
+        "event_id",
+        "ts",
+        "mask_string_alphabet(8, '0123456789', true, CAST(user_id AS STRING)) AS user_pseudonym",
+        "event_type",
+        "value",
+    )
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "7 days",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(10,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(df: DataFrame, name: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a memory
+    sink; returns the materialized result table."""
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return df.sparkSession.table(name)

@@ -25,9 +25,14 @@ HEADLINE = [
     "q_rollup_sales",
     "q_events_hourly",
     "q_mask_customers",
+    "q_fake_substitution",
     "dedup_minhash_pairs",
+    "dedup_jaccard_pairs",
     "text_quality_scores",
+    "text_fingerprints",
     "sim_knn_bruteforce",
+    "sim_ann_lsh",
+    "q_multimodal_features",
 ]
 
 

@@ -1,0 +1,80 @@
+"""Dedup-operator behavior on synthetic data with KNOWN duplicates (the
+oracle-parity suite proves engine equivalence; this proves the semantics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from arc_maskdata_pipeline_plugin_spark.operators.dedup import (
+    drop_exact_duplicates,
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    word_shingles,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The quick  brown fox jumps over the lazy dog"),  # exact after norm
+        (3, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (4, "completely different content about spark engines and shuffles"),
+        (5, "completely different content about spark engines and shuffles"),  # exact
+        (6, "unrelated short text"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs):
+    groups = {r.keep_id: r.n_copies for r in exact_duplicates(docs).collect()}
+    assert groups == {1: 2, 4: 2}  # (1,2) normalize equal; (4,5) identical
+
+
+def test_drop_exact_duplicates_keeps_min_id(docs):
+    kept = sorted(r.doc_id for r in drop_exact_duplicates(docs).collect())
+    assert kept == [1, 3, 4, 6]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sh = word_shingles(docs)
+    sig = minhash_signatures(sh, num_hashes=8)
+    pairs = {(r.d1, r.d2) for r in lsh_candidate_pairs(sig, num_hashes=8).collect()}
+    assert (4, 5) in pairs  # identical shingle sets always collide
+    # shingling is case-sensitive (normalization is the caller's choice, like
+    # exact_duplicates' norm) — 1 vs 2 differ only in "The"/"the" and should
+    # still band together with high probability at jaccard 0.75
+    assert (1, 2) in pairs
+    assert (1, 6) not in pairs
+
+
+def test_jaccard_exactness(docs):
+    sh = word_shingles(docs)
+    pairs = {(r.d1, r.d2): r.jaccard for r in jaccard_pairs(sh, threshold=0.1).collect()}
+    assert pairs[(4, 5)] == 1.0
+    # docs 1/2: 7 shingles each, 6 shared ("The quick brown" ≠ "the quick brown")
+    assert pairs[(1, 2)] == pytest.approx(6 / 8)
+    # docs 1/3: only the final shingle contains the changed last word → 6/8
+    assert pairs[(1, 3)] == pytest.approx(6 / 8)
+    assert (1, 6) not in pairs
+
+
+def test_streaming_mask_projection(spark, sf_small):
+    from arc_maskdata_pipeline_plugin_spark.codecs.hmac_sha512 import HmacSHA512
+    from arc_maskdata_pipeline_plugin_spark.functions.masking import register_udfs
+    from arc_maskdata_pipeline_plugin_spark.streaming import (
+        masked_event_stream,
+        read_events_stream,
+        run_available_now,
+    )
+
+    register_udfs(spark, codec=HmacSHA512(), passphrase=b"x" * 64)
+    stream = read_events_stream(spark, sf_small)
+    assert stream.isStreaming
+    masked = masked_event_stream(stream)
+    out = run_available_now(masked.groupBy("user_pseudonym").count(), "t_masked_stream")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(len(r.user_pseudonym) == 8 and r.user_pseudonym.isdigit() for r in rows)
