@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 # Importing these modules populates the registry.
 from arc_maskdata_pipeline_plugin_spark.plans import relational  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import relational2  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import relational3  # noqa: F401
 
 try:  # masking / dedup / text / similarity registries (added incrementally)
     from arc_maskdata_pipeline_plugin_spark.plans import dedup  # noqa: F401

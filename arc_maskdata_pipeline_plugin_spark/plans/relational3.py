@@ -1,0 +1,299 @@
+"""Relational coverage, part 3: nation-flow joins, product profit, exact
+distinct aggregation + sketch variant, explode/lateral word count, UNION
+set-op, cheapest-supplier-per-part (window-over-join, the partsupp-free
+TPC-H Q2 analogue).
+
+The reference reaches all of these through Spark SQL via its ``SQLTransform``
+host stage (reference: src/test/.../MaskDataPluginSuite.scala:52-66); here each
+is a named DataFrame plan written for 100 TB:
+
+* fact-fact joins shuffle on their natural key (l_orderkey); every dim join is
+  an explicit ``F.broadcast`` — no shuffle for nation/supplier/part at scale;
+* distinct aggregation is expressed as groupBy (partial-agg friendly) rather
+  than ``dropDuplicates().count()`` on the driver;
+* the sketch variant uses HLL (``approx_count_distinct``) — the scale path
+  when exact distincts would shuffle 100 TB of keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import T, as_double, dec, register
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7-style: revenue flow between two supplier/customer nations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l.l_shipdate) AS l_year,
+         CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_volume_shipping(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    s = T(spark, sf_dir, "supplier")
+    c = T(spark, sf_dir, "customer")
+    n1 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    # one fact-fact shuffle (lineitem ⋈ orders on orderkey); supplier/customer/
+    # nation are broadcast dims, so the nation filter prunes rows map-side.
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == n1.s_nk)
+        .join(F.broadcast(n2), c.c_nationkey == n2.c_nk)
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            (dec("l_extendedprice") * (one - dec("l_discount", 3, 2))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(as_double(F.sum("volume")).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9-style: profit by nation and order-year for matching part types
+# (no partsupp table in the schema → profit = discounted revenue)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q9_product_type_profit",
+    oracle="""
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         EXTRACT(year FROM o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))) AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%bolt%'
+) profit
+GROUP BY nation, o_year
+""",
+)
+def q9_product_type_profit(spark, sf_dir):
+    p = T(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    l = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    o = T(spark, sf_dir, "orders")
+    n = T(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(3,2)")
+    # part is filtered before the join → broadcast the filtered dim; the only
+    # shuffle is lineitem ⋈ orders on the order key.
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (dec("l_extendedprice") * (one - dec("l_discount", 3, 2))).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(as_double(F.sum("amount")).alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct aggregation (shuffle-heavy at scale; partial-agg on the
+# distinct key first) + HLL sketch variant for the 100 TB path
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_distinct_users_by_type",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS distinct_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def q_distinct_users_by_type(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register("q_approx_distinct_users", oracle=None)  # sketch ≠ DuckDB's sketch → rows-only
+def q_approx_distinct_users(spark, sf_dir):
+    """HLL path: at 100 TB an exact distinct shuffles every key; the sketch is
+    mergeable map-side and ships KBs per partition instead."""
+    e = T(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explode / lateral view: top words over documents (UDTF-shaped surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_word_counts",
+    oracle="""
+SELECT word, COUNT(*) AS n
+FROM (
+  SELECT LOWER(UNNEST(string_split_regex(text, '[^a-zA-Z]+'))) AS word
+  FROM documents
+) t
+WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 50
+""",
+)
+def q_word_counts(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.col("text"), "[^a-zA-Z]+")).alias("raw")
+    ).select(F.lower("raw").alias("word"))
+    return (
+        words.filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNION (distinct) set-op across heterogeneous sources
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_union_account_holders",
+    oracle="""
+SELECT n_name, kind, COUNT(*) AS n
+FROM (
+  SELECT c_nationkey AS nk, 'customer' AS kind FROM customer WHERE c_acctbal > 9000
+  UNION
+  SELECT s_nationkey AS nk, 'supplier' AS kind FROM supplier WHERE s_acctbal > 9000
+) u
+JOIN nation ON nk = n_nationkey
+GROUP BY n_name, kind
+""",
+)
+def q_union_account_holders(spark, sf_dir):
+    c = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nk"), F.lit("customer").alias("kind"))
+    )
+    s = (
+        T(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nk"), F.lit("supplier").alias("kind"))
+    )
+    n = T(spark, sf_dir, "nation")
+    return (
+        c.union(s)
+        .distinct()
+        .join(F.broadcast(n), F.col("nk") == F.col("n_nationkey"))
+        .groupBy("n_name", "kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cheapest supplier per part (TPC-H Q2 analogue without partsupp): window
+# min-rank over a join — the idiomatic Spark replacement for a correlated
+# MIN subquery (one shuffle on the window key, no self-join).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_cheapest_supplier",
+    oracle="""
+WITH unit AS (
+  -- row-level double division: IEEE-754, bit-identical in both engines
+  SELECT l_partkey, l_suppkey,
+         CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE) AS unit_price
+  FROM lineitem
+  WHERE l_quantity > 0
+),
+ranked AS (
+  SELECT l_partkey, l_suppkey, unit_price,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY unit_price, l_suppkey) AS rk
+  FROM unit
+)
+SELECT r.l_partkey AS p_partkey, p.p_name, s.s_name, r.unit_price
+FROM ranked r
+JOIN part p ON p.p_partkey = r.l_partkey
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rk = 1 AND p.p_size >= 40
+ORDER BY p_partkey
+LIMIT 100
+""",
+)
+def q2_cheapest_supplier(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    p = T(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    s = T(spark, sf_dir, "supplier")
+    unit = l.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice").cast("double") / F.col("l_quantity").cast("double")).alias(
+            "unit_price"
+        ),
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    ranked = unit.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        ranked.join(F.broadcast(p), ranked.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), ranked.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "s_name",
+            as_double(F.col("unit_price")).alias("unit_price"),
+        )
+        .orderBy("p_partkey")
+        .limit(100)
+    )

@@ -12,7 +12,36 @@ from __future__ import annotations
 import uuid
 
 from ..streaming import read_events_stream, run_available_now, windowed_event_counts
-from .registry import register
+from .registry import T, register
+
+
+@register(
+    "q_sessionize_events",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS INTEGER) AS n_events
+FROM numbered
+GROUP BY user_id, session_seq
+""",
+)
+def q_sessionize_events(spark, sf_dir):
+    from ..streaming.sessions import sessionize_batch
+
+    e = T(spark, sf_dir, "events")
+    return sessionize_batch(e, gap_minutes=30)
 
 
 @register(
