@@ -31,17 +31,26 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(df: DataFrame, id_col: str = "doc_id", text: str = "text", k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per document (one row per (doc, shingle))."""
+def word_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """k-word shingles per document (one row per (doc, shingle)).
+
+    ``distinct=False`` skips the dedup shuffle — correct whenever the consumer
+    is multiset-insensitive (MIN-aggregation for MinHash signatures), which
+    lets the downstream groupBy be the ONLY shuffle, with map-side partial
+    aggregation collapsing each partition to one row per doc."""
     tokens = F.split(F.trim(F.col(text)), r"\s+")
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(tokens) - (k - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
     )
-    return (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
-        .distinct()
-    )
+    out = df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 # ---------------------------------------------------------------------------
@@ -81,12 +90,29 @@ def minhash_signatures(
     shingled: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
 ) -> DataFrame:
     """K min-hashes per doc in ONE aggregation (K min() columns, map-side
-    partial agg) — not K passes."""
+    partial agg) — not K passes. Feed it NON-distinct shingles
+    (``word_shingles(..., distinct=False)``): MIN is multiset-insensitive, so
+    the dedup shuffle is pure waste here."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return shingled.groupBy(id_col).agg(*aggs)
+
+
+def _pairs_within(ids) -> F.Column:
+    """All ordered pairs (d1 < d2) from a SORTED id array, as struct array —
+    pure JVM expression, no Python."""
+    n = F.size(ids)
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), n - i - 1),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
 
 
 def lsh_candidate_pairs(
@@ -95,8 +121,14 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
 ) -> DataFrame:
-    """Band the signature, self-join on (band_index, band_key) → candidate
-    pairs. Distinct output (a pair can collide in several bands)."""
+    """Band the signature, bucket by (band_index, band_key), enumerate pairs
+    within each bucket. Group-then-enumerate instead of a self-join: a
+    self-join would evaluate the whole upstream signature pipeline (scan →
+    shingle → K×md5 → agg) once PER SIDE — this shape computes it once and
+    adds a single (band,key) shuffle. Distinct output (a pair can collide in
+    several bands). A viral bucket is quadratic in either shape — that's the
+    LSH candidate semantics — but here its pairs are generated in one task
+    from one array instead of through a shuffled join."""
     n_bands = num_hashes // band_size
     band_entries = F.array(
         *[
@@ -112,16 +144,14 @@ def lsh_candidate_pairs(
     bands = signatures.select(
         F.col(id_col), F.explode(band_entries).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        buckets.select(F.explode(_pairs_within(F.col("ids"))).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .distinct()
     )
 
@@ -135,14 +165,24 @@ def jaccard_pairs(
     shingled: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for pairs sharing ≥1 shingle.
-    The shingle equi-join bounds the pair space (docs sharing nothing never
-    meet); counts are exact integers → threshold comparison is engine-stable."""
-    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = shingled.alias("a")
-    b = shingled.alias("b")
+    Shingle-bucket grouping bounds the pair space (docs sharing nothing never
+    meet) and — unlike a shingle self-join — evaluates the shingling pipeline
+    once for the intersection counts instead of once per join side. Counts
+    are exact integers → the threshold comparison is engine-stable. The size
+    table is O(n_docs) rows → broadcast to both pair-side joins.
+
+    Accepts NON-distinct shingles: set semantics come from ``collect_set`` /
+    ``countDistinct`` inside the aggregations, so no standalone dedup shuffle
+    is spent upstream."""
+    sizes = shingled.groupBy(id_col).agg(F.countDistinct("shingle").alias("n"))
+    buckets = (
+        shingled.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        buckets.select(F.explode(_pairs_within(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     s1 = sizes.alias("s1")
@@ -152,8 +192,8 @@ def jaccard_pairs(
         / (F.col("s1.n") + F.col("s2.n") - F.col("n_common")).cast("double")
     )
     return (
-        inter.join(s1, F.col("d1") == F.col(f"s1.{id_col}"))
-        .join(s2, F.col("d2") == F.col(f"s2.{id_col}"))
+        inter.join(F.broadcast(s1), F.col("d1") == F.col(f"s1.{id_col}"))
+        .join(F.broadcast(s2), F.col("d2") == F.col(f"s2.{id_col}"))
         .select("d1", "d2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -18,7 +18,7 @@ from ..operators.dedup import (
     simhash_buckets,
     word_shingles,
 )
-from .registry import T, register
+from .registry import T, register, spread
 
 NUM_HASHES = 8
 BAND_SIZE = 2
@@ -47,7 +47,7 @@ HAVING COUNT(*) > 1
 """,
 )
 def dedup_exact(spark, sf_dir):
-    return exact_duplicates(T(spark, sf_dir, "documents"))
+    return exact_duplicates(spread(T(spark, sf_dir, "documents")))
 
 
 def _minhash_oracle() -> str:
@@ -73,7 +73,8 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.
 
 @register("dedup_minhash_pairs", oracle=_minhash_oracle())
 def dedup_minhash_pairs(spark, sf_dir):
-    sh = word_shingles(T(spark, sf_dir, "documents"))
+    # distinct=False: MIN-agg is multiset-insensitive → skip the dedup shuffle
+    sh = word_shingles(spread(T(spark, sf_dir, "documents")), distinct=False)
     sig = minhash_signatures(sh, num_hashes=NUM_HASHES)
     return lsh_candidate_pairs(sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
 
@@ -97,7 +98,8 @@ WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5
 """,
 )
 def dedup_jaccard_pairs(spark, sf_dir):
-    sh = word_shingles(T(spark, sf_dir, "documents"))
+    # distinct=False: jaccard_pairs dedupes via collect_set/countDistinct
+    sh = word_shingles(spread(T(spark, sf_dir, "documents")), distinct=False)
     return jaccard_pairs(sh, threshold=0.5)
 
 
@@ -127,7 +129,7 @@ HAVING COUNT(*) > 1
 
 @register("dedup_simhash_buckets", oracle=_simhash_oracle())
 def dedup_simhash_buckets(spark, sf_dir):
-    sig = simhash(T(spark, sf_dir, "documents"), positions=16)
+    sig = simhash(spread(T(spark, sf_dir, "documents")), positions=16)
     buckets = simhash_buckets(sig, prefix=8)
     return buckets.select(
         "bucket",
@@ -157,4 +159,4 @@ WHERE {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= 0.4
 """,
 )
 def dedup_embedding_pairs(spark, sf_dir):
-    return cosine_pairs(T(spark, sf_dir, "embeddings"), threshold=0.4)
+    return cosine_pairs(spread(T(spark, sf_dir, "embeddings")), threshold=0.4)

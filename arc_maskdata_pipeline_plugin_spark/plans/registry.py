@@ -60,6 +60,24 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Ensure map-side parallelism for CPU-heavy expression pipelines.
+
+    The driver's testdata files are single-row-group parquet, and Spark cannot
+    split a parquet file below row-group granularity — so a scan feeding an
+    expensive expression chain (shingling, md5 families, KDFs, vector math)
+    would run on ONE core. A round-robin ``repartition`` costs one tiny
+    shuffle (the raw column bytes) and unlocks every core for the expensive
+    map work. Gated on the actual scan partition count: on a real cluster a
+    100 TB scan already has thousands of splits and this is a no-op.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dec(col: str | F.Column, p: int = 12, s: int = 2) -> F.Column:
     """Exact-decimal view of a 2-decimal double column (see module docstring)."""
     c = F.col(col) if isinstance(col, str) else col
