@@ -99,3 +99,92 @@ def resize_stub(df: DataFrame, payload_col: str = "payload", max_dim: int = 256)
     the same Arrow batch loop; here it passes bytes through and records the
     requested dimension (keeps pipeline shape honest for downstream stages)."""
     return df.withColumn("resize_max_dim", F.lit(max_dim))
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_offset", IntegerType()),
+        StructField("frame_len", IntegerType()),
+    ]
+)
+
+
+def fake_video_meta(payload: bytes) -> tuple[int, int]:
+    """DETERMINISTIC FAKE video header parse (stub for ffprobe): frame count
+    and frame stride derived from byte length."""
+    n = len(payload)
+    n_frames = n % 30 + 1
+    stride = max(n // n_frames, 1)
+    return n_frames, stride
+
+
+def sample_video_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_k: int = 5,
+) -> DataFrame:
+    """Frame sampling over binary video payloads: one input row → N output
+    rows (every k-th frame), the canonical 1→many multimodal batch shape.
+    Arrow-batched ``mapInPandas``; the per-frame byte ranges are computed from
+    the stubbed header so the real decoder slots in without plan changes.
+
+    Scale note: output rows ≈ input rows × frames/k, so the exploded frame
+    set inherits the input partitioning — no shuffle; downstream per-frame
+    feature extraction stays embarrassingly parallel."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, offs, lens = [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                n_frames, stride = fake_video_meta(p)
+                for f in range(0, n_frames, every_k):
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    offs.append(f * stride)
+                    lens.append(stride)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_offset": pd.Series(offs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_s", StringType()),  # formatted, engine-stable
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Audio feature stub (decode → duration/sample-rate): deterministic fake
+    in place of a real codec; duration emitted as a formatted string so the
+    oracle comparison is float-free."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = pdf[payload_col].map(len)
+            sr = (n % 3).map({0: 16000, 1: 22050, 2: 44100}).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": n.astype("int32"),
+                    "sample_rate": sr,
+                    "duration_s": [f"{v:.4f}" for v in (n * 256 / sr)],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_SCHEMA)

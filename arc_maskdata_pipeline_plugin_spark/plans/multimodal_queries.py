@@ -26,3 +26,52 @@ FROM p
 def q_multimodal_features(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     return extract_image_features(attach_binary_payload(d))
+
+
+@register(
+    "q_multimodal_frame_sample",
+    oracle="""
+WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+meta AS (
+  SELECT doc_id, n, n % 30 + 1 AS n_frames,
+         greatest(n // (n % 30 + 1), 1) AS stride
+  FROM p
+)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(f * stride AS INTEGER) AS frame_offset,
+       CAST(stride AS INTEGER) AS frame_len
+FROM meta, UNNEST(range(0, n_frames, 5)) AS t(f)
+""",
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling (1 row → N frames) through Arrow-batched
+    mapInPandas; deterministic fake header so DuckDB reproduces the ranges."""
+    from ..operators.multimodal import sample_video_frames
+
+    d = T(spark, sf_dir, "documents")
+    return sample_video_frames(attach_binary_payload(d), every_k=5)
+
+
+@register(
+    "q_multimodal_audio",
+    oracle="""
+WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+m AS (
+  SELECT doc_id, n,
+         CASE n % 3 WHEN 0 THEN 16000 WHEN 1 THEN 22050 ELSE 44100 END AS sr
+  FROM p
+)
+SELECT doc_id,
+       CAST(n AS INTEGER) AS n_bytes,
+       CAST(sr AS INTEGER) AS sample_rate,
+       printf('%.4f', CAST(n AS DOUBLE) * 256 / sr) AS duration_s
+FROM m
+""",
+)
+def q_multimodal_audio(spark, sf_dir):
+    """Audio decode/feature stub over binary payloads (mapInPandas)."""
+    from ..operators.multimodal import extract_audio_features
+
+    d = T(spark, sf_dir, "documents")
+    return extract_audio_features(attach_binary_payload(d))

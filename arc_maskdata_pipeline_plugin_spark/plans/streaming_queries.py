@@ -59,3 +59,38 @@ def q_stream_event_counts(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     counts = windowed_event_counts(stream, window="10 minutes", watermark="7 days")
     return run_available_now(counts, f"stream_counts_{uuid.uuid4().hex[:8]}")
+
+
+@register(
+    "q_stream_dedup_user_types",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def q_stream_dedup_user_types(spark, sf_dir):
+    """Streaming deduplication: ``dropDuplicates`` on a watermarked stream
+    keeps the first event per (user_id, event_type); projecting only the keys
+    makes the result set order-free — exactly the batch DISTINCT, which the
+    oracle checks. State note: dedup state is bounded by the watermark
+    (``dropDuplicates`` with event-time column evicts keys older than it) —
+    the 100 TB consideration for an unbounded key space."""
+    stream = read_events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "7 days")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    import tempfile
+
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
