@@ -97,3 +97,38 @@ def range_join_pairs(
         & (F.col("ts_b") >= F.col("ts_a"))
         & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {max_gap_seconds} SECONDS"))
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated shuffle join: split each hot key's left rows across
+    ``n_salts`` shuffle partitions, replicate the right side once per salt.
+
+    The classic remedy when ONE key carries a disproportionate share of a
+    100 TB fact table and a single reducer becomes the stragglers' straggler:
+    shuffle cost rises by ×``n_salts`` on the (smaller) right side, while the
+    hot key's work fans out over ``n_salts`` tasks. Results are identical to
+    a plain join for every ``how`` that doesn't need to observe unmatched
+    RIGHT rows (inner/left) — each right row meets each left row exactly
+    once, because a left row holds exactly one salt value.
+
+    AQE's skew-join handles most cases adaptively (enabled in the session
+    factory); explicit salting remains the tool when skew is known up front
+    or the join sits below operators AQE won't split."""
+    salt = F.pmod(F.xxhash64(F.col(left_key), F.monotonically_increasing_id()), F.lit(n_salts))
+    l_salted = left.withColumn("_salt", salt)
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    joined = l_salted.join(
+        r_salted,
+        (F.col(left_key) == F.col(right_key)) & (l_salted["_salt"] == r_salted["_salt"]),
+        how,
+    )
+    return joined.drop("_salt")

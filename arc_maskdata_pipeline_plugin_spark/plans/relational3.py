@@ -297,3 +297,36 @@ def q2_cheapest_supplier(spark, sf_dir):
         .orderBy("p_partkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-mitigated join: salting demo (results identical to the plain join,
+# which is exactly what the oracle checks)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_salted_join_revenue",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def q_salted_join_revenue(spark, sf_dir):
+    from ..operators.joins import salted_join
+
+    l = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    one = F.lit(1).cast("decimal(3,2)")
+    joined = salted_join(l, o, "l_orderkey", "o_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        as_double(
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount", 3, 2)))
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

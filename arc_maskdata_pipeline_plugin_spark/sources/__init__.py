@@ -1,0 +1,10 @@
+"""Source/sink stages (re-exported from ``operators``).
+
+The extract/load implementations live beside the other pipeline stages in
+``operators.extract`` / ``operators.load``; this package exposes them under
+the layout documented in the README so ``from …sources import
+DelimitedExtract`` works as advertised.
+"""
+
+from ..operators.extract import DelimitedExtract, JSONExtract, ParquetExtract  # noqa: F401
+from ..operators.load import DelimitedLoad, ParquetLoad  # noqa: F401
