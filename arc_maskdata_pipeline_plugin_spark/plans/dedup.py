@@ -160,3 +160,58 @@ WHERE {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= 0.4
 )
 def dedup_embedding_pairs(spark, sf_dir):
     return cosine_pairs(spread(T(spark, sf_dir, "embeddings")), threshold=0.4)
+
+
+def _clusters_oracle() -> str:
+    """Connected components as a DuckDB recursive CTE over the same LSH pair
+    graph: component(v) = MIN(reachable node) — the fixpoint the iterative
+    Spark operator (operators/clusters.py) converges to."""
+    mins = ", ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(NUM_HASHES)
+    )
+    n_bands = NUM_HASHES // BAND_SIZE
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || ".join(f"h{b * BAND_SIZE + j}" for j in range(BAND_SIZE)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+walk(node, comp) AS (
+  SELECT DISTINCT a, a FROM e
+  UNION
+  SELECT e.a, w.comp FROM e JOIN walk w ON e.b = w.node
+),
+cc AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node)
+SELECT component, COUNT(*) AS n_members,
+       array_to_string(list_sort(list(node)), ',') AS members
+FROM cc
+GROUP BY component
+"""
+
+
+@register("dedup_clusters", oracle=_clusters_oracle())
+def dedup_clusters_q(spark, sf_dir):
+    """Transitive near-dup clusters from the MinHash-LSH pair graph —
+    iterative label propagation (operators/clusters.py) checked against the
+    oracle's recursive-CTE fixpoint."""
+    from ..operators.clusters import dedup_clusters
+
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    out = dedup_clusters(pairs)
+    return out.select(
+        "component",
+        "n_members",
+        F.array_join(F.transform("members", lambda x: x.cast("string")), ",").alias(
+            "members"
+        ),
+    )

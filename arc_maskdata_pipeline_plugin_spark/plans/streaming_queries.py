@@ -94,3 +94,32 @@ def q_stream_dedup_user_types(spark, sf_dir):
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "q_stream_static_enrich",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q_stream_static_enrich(spark, sf_dir):
+    """Stream-static join: enrich a live event stream with a broadcast dim
+    table (the static side is re-resolved per micro-batch — Spark's native
+    dimension-refresh pattern), then a streaming aggregate. Batch-equivalent
+    because the aggregation is complete-mode over the whole drained stream."""
+    import tempfile
+
+    stream = read_events_stream(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream.join(F.broadcast(cust), stream.user_id == cust.c_custkey)
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(10,2)")).cast("double").alias("total_value"),
+    )
+    return run_available_now(agg, f"stream_enrich_{uuid.uuid4().hex[:8]}")
