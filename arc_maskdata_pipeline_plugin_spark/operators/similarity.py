@@ -7,8 +7,9 @@
   deterministically from md5 (portable to the DuckDB oracle, seedable), docs
   and queries hash to sign-pattern buckets, candidates come from the bucket
   equi-join. This is the 100 TB path: bucket join instead of cross join.
-* IVF variant (kmeans-partitioned) would use Spark ML KMeans — intentionally
-  not implemented via the oracle path (iterative, not SQL-expressible).
+* ``ann_ivf`` — inverted-file ANN with a deterministic coarse quantizer
+  (KMeans-trained centroids slot in without changing the assignment/probe
+  machinery; determinism keeps the scale path oracle-checkable).
 
 Dot products use an ordered fold (see dedup.py) so results are bit-identical
 across engines.
@@ -97,6 +98,81 @@ def ann_lsh(
             cos.alias("cosine"),
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ann_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probes: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into cells around coarse
+    centroids; a query scores only the ``n_probes`` nearest cells.
+
+    Centroids here are seeded deterministically (the vectors with
+    ``id < n_cells``) instead of KMeans-trained — the quantizer's TRAINING is
+    pluggable (swap in ``pyspark.ml.clustering.KMeans`` centroids in
+    production); the assignment/probe/re-rank machinery — which is the part
+    that must scale — is identical and, being deterministic, oracle-checkable.
+
+    Scale shape: assignment is one broadcast-join pass over the corpus (cells
+    table is tiny); candidate generation shuffles on ``cell``, so each query
+    touches ``n_probes`` partitions instead of the whole corpus — the IVF
+    trade: recall for a |corpus|/n_cells × n_probes candidate bound.
+    """
+    c = with_norm(corpus.select(id_col, vec)).alias("c")
+    cents = (
+        with_norm(corpus.filter(F.col(id_col) < n_cells).select(id_col, vec))
+        .select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec).alias("cvec"),
+            F.col("_norm").alias("cnrm"),
+        )
+        .alias("cents")
+    )
+    sim_to_cent = _dot(F.col(f"c.{vec}"), F.col("cents.cvec")) / (
+        F.col("c._norm") * F.col("cents.cnrm")
+    )
+    w_assign = Window.partitionBy(f"c.{id_col}").orderBy(
+        F.desc("sim"), F.asc("cent_id")
+    )
+    assign = (
+        c.crossJoin(F.broadcast(cents))
+        .select(F.col(f"c.{id_col}").alias("m_vec_id"), "cent_id", sim_to_cent.alias("sim"))
+        .withColumn("rn", F.row_number().over(Window.partitionBy("m_vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))))
+        .filter(F.col("rn") == 1)
+        .select("m_vec_id", F.col("cent_id").alias("cell"))
+    )
+    q = with_norm(queries.select(id_col, vec)).alias("q")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(f"q.{id_col}").alias("p_query_id"),
+            "cent_id",
+            (
+                _dot(F.col(f"q.{vec}"), F.col("cents.cvec"))
+                / (F.col("q._norm") * F.col("cents.cnrm"))
+            ).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(Window.partitionBy("p_query_id").orderBy(F.desc("sim"), F.asc("cent_id"))))
+        .filter(F.col("rn") <= n_probes)
+        .select("p_query_id", F.col("cent_id").alias("cell"))
+    )
+    cand = probes.join(assign, "cell").select(
+        F.col("p_query_id").alias("query_id"), F.col("m_vec_id").alias("neighbor_id")
+    )
+    cos = _dot(F.col(f"q.{vec}"), F.col(f"c.{vec}")) / (F.col("q._norm") * F.col("c._norm"))
+    scored = (
+        cand.join(F.broadcast(q), F.col("query_id") == F.col(f"q.{id_col}"))
+        .join(c, F.col("neighbor_id") == F.col(f"c.{id_col}"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -85,3 +85,68 @@ def sim_ann_lsh(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < N_QUERIES)
     return ann_lsh(e, queries, k=K, num_planes=NUM_PLANES, dim=DIM)
+
+
+N_CELLS = 16
+N_PROBES = 4
+
+
+def _ivf_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm FROM e
+  WHERE vec_id < {N_CELLS}
+),
+assign AS (
+  SELECT vec_id AS m_vec_id, cent_id AS cell FROM (
+    SELECT e.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DOT.format(a='e.embedding', b='c.cvec')} / (e.nrm * c.cnrm) DESC,
+                      c.cent_id) AS rn
+    FROM e JOIN cents c ON TRUE
+  ) t WHERE rn = 1
+),
+probes AS (
+  SELECT qid AS p_query_id, cent_id AS cell FROM (
+    SELECT q.vec_id AS qid, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_DOT.format(a='q.embedding', b='c.cvec')} / (q.nrm * c.cnrm) DESC,
+                      c.cent_id) AS rn
+    FROM e q JOIN cents c ON q.vec_id < {N_QUERIES}
+  ) t WHERE rn <= {N_PROBES}
+),
+cand AS (
+  SELECT p.p_query_id AS query_id, a.m_vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON p.cell = a.cell
+  WHERE p.p_query_id <> a.m_vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_DOT.format(a='q.embedding', b='c.embedding')} / (q.nrm * c.nrm) AS cosine
+  FROM cand
+  JOIN e q ON cand.query_id = q.vec_id
+  JOIN e c ON cand.neighbor_id = c.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) t WHERE rank <= {K}
+"""
+
+
+@register("sim_ann_ivf", oracle=_ivf_oracle())
+def sim_ann_ivf(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import ann_ivf
+
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    return ann_ivf(e, queries, k=K, n_cells=N_CELLS, n_probes=N_PROBES)
