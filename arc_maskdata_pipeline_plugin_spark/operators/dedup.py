@@ -165,37 +165,58 @@ def jaccard_pairs(
     shingled: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for pairs sharing ≥1 shingle.
-    Shingle-bucket grouping bounds the pair space (docs sharing nothing never
-    meet) and — unlike a shingle self-join — evaluates the shingling pipeline
-    once for the intersection counts instead of once per join side. Counts
-    are exact integers → the threshold comparison is engine-stable. The size
-    table is O(n_docs) rows → broadcast to both pair-side joins.
 
-    Accepts NON-distinct shingles: set semantics come from ``collect_set`` /
-    ``countDistinct`` inside the aggregations, so no standalone dedup shuffle
-    is spent upstream."""
-    sizes = shingled.groupBy(id_col).agg(F.countDistinct("shingle").alias("n"))
+    ONE linear lineage, zero joins, one scan: per-doc shingle SET + size in
+    one aggregation → re-explode carrying (doc, n) → bucket per shingle →
+    enumerate pairs WITH both sizes attached → count co-occurrences → Jaccard
+    from (n1, n2, n_common) directly. A formulation with a shingle self-join
+    (or size-lookup joins) evaluates the shingling pipeline once per use —
+    3 scans and 11 shuffles at last audit vs 3 shuffles here; at 100 TB the
+    rescans are the bill. Shingle buckets bound the pair space (docs sharing
+    nothing never meet); counts are exact integers → the threshold comparison
+    is engine-stable.
+
+    Accepts NON-distinct shingles (set semantics from ``collect_set``)."""
+    doc_sets = shingled.groupBy(id_col).agg(F.collect_set("shingle").alias("shs"))
+    doc_sized = doc_sets.select(
+        F.col(id_col), F.size("shs").alias("n"), F.explode("shs").alias("shingle")
+    )
     buckets = (
-        shingled.groupBy("shingle")
-        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
+        doc_sized.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct(id_col, "n"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    sz = F.size(F.col("ms"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), sz - i - 1),
+                lambda y: F.struct(
+                    x[id_col].alias("d1"),
+                    x["n"].alias("n1"),
+                    y[id_col].alias("d2"),
+                    y["n"].alias("n2"),
+                ),
+            ),
+        )
     )
     inter = (
-        buckets.select(F.explode(_pairs_within(F.col("ids"))).alias("p"))
-        .groupBy(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.d1").alias("d1"),
+            F.col("p.n1").alias("n1"),
+            F.col("p.d2").alias("d2"),
+            F.col("p.n2").alias("n2"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    s1 = sizes.alias("s1")
-    s2 = sizes.alias("s2")
     jac = (
         F.col("n_common").cast("double")
-        / (F.col("s1.n") + F.col("s2.n") - F.col("n_common")).cast("double")
+        / (F.col("n1") + F.col("n2") - F.col("n_common")).cast("double")
     )
-    return (
-        inter.join(F.broadcast(s1), F.col("d1") == F.col(f"s1.{id_col}"))
-        .join(F.broadcast(s2), F.col("d2") == F.col(f"s2.{id_col}"))
-        .select("d1", "d2", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return inter.select("d1", "d2", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 
