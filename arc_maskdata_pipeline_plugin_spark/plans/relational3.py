@@ -330,3 +330,120 @@ def q_salted_join_revenue(spark, sf_dir):
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13-style: customer distribution by order count (left outer join +
+# two-level aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+""",
+)
+def q13_customer_distribution(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14-style: promo revenue share (conditional aggregation over a join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+SELECT
+  CAST(SUM(CASE WHEN p_name LIKE 'red%' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+""",
+)
+def q14_promo_revenue(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
+    )
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_name")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = dec("l_extendedprice") * (one - dec("l_discount", 3, 2))
+    promo = F.when(F.col("p_name").like("red%"), rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            as_double(F.sum(promo)).alias("promo_revenue"),
+            as_double(F.sum(rev)).alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18-style: large-volume customers (HAVING over join, semi-filter by
+# aggregated subquery)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 220
+)
+SELECT c_name, c_custkey, o_orderkey,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(o_totalprice AS DOUBLE) AS total_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_name, c_custkey, o_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d'), CAST(o_totalprice AS DOUBLE)
+""",
+)
+def q18_large_volume_customers(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 220)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = T(spark, sf_dir, "orders")
+    return (
+        l.join(big, l.l_orderkey == big.big_orderkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_totalprice").cast("double").alias("total_price"),
+        )
+        .agg(as_double(F.sum(dec("l_quantity"))).alias("sum_qty"))
+    )

@@ -1,0 +1,88 @@
+"""Masking throughput per codec — the metric BASELINE.md says to record.
+
+Masks ``c_name`` over the sf0.01 customer table with each available codec at
+the REFERENCE TEST cost parameters (reference build.sbt:21-30), plus the fast
+HMAC mode (single passphrase stretch + per-value HMAC-SHA512 — the documented
+production fast path). Writes MASK_THROUGHPUT.md.
+
+Run:  python tools/mask_bench.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault(
+    "ETL_CONF_MASK_DATA_PASSPHRASE",
+    "q7VqMTbj7e5dUWESfc8UjZr2r7pyq5cHP8MVkUEjyv74cHsqUt734vg6qQmHaz7a",
+)
+# reference test cost (build.sbt:26-29)
+os.environ.setdefault("ETL_CONF_MASK_DATA_PBKDF2_ITERATIONS", "131072")
+os.environ.setdefault("ETL_CONF_MASK_DATA_SCRYPT_CPU", "32768")
+os.environ.setdefault("ETL_CONF_MASK_DATA_SCRYPT_MEMORY", "16")
+os.environ.setdefault("ETL_CONF_MASK_DATA_SCRYPT_PARALLELISM", "2")
+
+CODECS = ["HmacSHA512", "PBKDF2WithHmacSHA512", "SCrypt", "Argon2"]
+
+
+def main():
+    from arc_maskdata_pipeline_plugin_spark import get_spark
+    from arc_maskdata_pipeline_plugin_spark.codecs import available_codecs
+    from arc_maskdata_pipeline_plugin_spark.functions.masking import register_udfs
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("mask-bench")
+    df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_name"
+    )
+    # spread across cores: KDF cost is per-row CPU, the scan is one row group
+    df = df.repartition(spark.sparkContext.defaultParallelism)
+    n = df.count()
+    avail = set(available_codecs())
+    lines = [
+        "# MASK_THROUGHPUT — rows/s per codec (reference TEST cost params)",
+        "",
+        f"`mask_string(16, true, c_name)` over {n} rows of `{sf_dir}/customer`,",
+        "local[32], Arrow pandas UDFs. Reference cost params from build.sbt:21-30;",
+        "production Argon2id defaults are ~4x the test cost.",
+        "",
+        "| codec | params | elapsed s | rows/s |",
+        "|---|---|---|---|",
+    ]
+    from arc_maskdata_pipeline_plugin_spark.codecs import MaskDataCodecError, get_codec as _gc
+
+    for codec in CODECS:
+        if codec not in avail:
+            lines.append(f"| {codec} | (not available in container) | — | — |")
+            continue
+        try:  # probe one hash — Argon2 registers but needs argon2-cffi at use
+            _gc(codec).hash("probe", True, b"p" * 64)
+        except MaskDataCodecError as e:
+            lines.append(f"| {codec} | (unusable: {str(e).split('.')[0]}) | — | — |")
+            continue
+        os.environ["ETL_CONF_MASK_DATA_CODEC"] = codec
+        register_udfs(spark)
+        masked = df.selectExpr("mask_string(16, true, c_name) AS m")
+        masked.limit(10).collect()  # warm workers + codec init
+        t0 = time.perf_counter()
+        masked.filter("m IS NOT NULL").count()
+        el = time.perf_counter() - t0
+        from arc_maskdata_pipeline_plugin_spark.codecs import get_codec
+
+        params = get_codec(codec).params()
+        lines.append(f"| {codec} | {params} | {el:.2f} | {n / el:,.0f} |")
+        print(lines[-1], file=sys.stderr)
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "MASK_THROUGHPUT.md"
+    )
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
