@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from arc_maskdata_pipeline_plugin_spark.plans import relational  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import relational2  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import relational3  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import relational4  # noqa: F401
 
 try:  # masking / dedup / text / similarity registries (added incrementally)
     from arc_maskdata_pipeline_plugin_spark.plans import dedup  # noqa: F401
