@@ -7,8 +7,23 @@ through the Spark catalog's temp-view namespace.
 """
 
 from .base import PipelineContext, PipelineStage, StageError  # noqa: F401
-from .extract import DelimitedExtract, JSONExtract, ParquetExtract  # noqa: F401
-from .load import DelimitedLoad, ParquetLoad  # noqa: F401
+from .extract import (  # noqa: F401
+    AvroExtract,
+    BinaryFileExtract,
+    DelimitedExtract,
+    JDBCExtract,
+    JSONExtract,
+    ORCExtract,
+    ParquetExtract,
+    TextExtract,
+)
+from .load import (  # noqa: F401
+    DelimitedLoad,
+    JSONLoad,
+    ORCLoad,
+    ParquetLoad,
+    TextLoad,
+)
 from .mask import MaskDataTransform  # noqa: F401
 from .sql import SQLTransform  # noqa: F401
 from .typing import TypingTransform  # noqa: F401

@@ -124,3 +124,189 @@ class JSONExtract(PipelineStage):
         ctx.register_view(df, self.output_view)
         self.stage_detail.update(inputURI=self.input_uri, outputView=self.output_view)
         return df
+
+
+class ORCExtract(PipelineStage):
+    stage_type = "ORCExtract"
+
+    def __init__(
+        self,
+        name: str,
+        input_uri: str,
+        output_view: str,
+        num_partitions: int | None = None,
+        streaming: bool = False,
+        **kw,
+    ):
+        super().__init__(name, **kw)
+        self.input_uri = input_uri
+        self.output_view = output_view
+        self.num_partitions = num_partitions
+        self.streaming = streaming
+
+    def run(self, ctx: PipelineContext) -> DataFrame:
+        reader = ctx.spark.readStream if self.streaming else ctx.spark.read
+        df = reader.orc(self.input_uri)
+        if self.num_partitions:
+            df = df.repartition(self.num_partitions)
+        ctx.register_view(df, self.output_view)
+        self.stage_detail.update(inputURI=self.input_uri, outputView=self.output_view)
+        return df
+
+
+class TextExtract(PipelineStage):
+    """Line-per-row (or whole-file-per-row) text source.
+
+    ``whole_text=True`` gives one row per file — the right granularity for
+    document-corpus ingestion where a file IS a document; line mode splits at
+    newlines and is splittable, so a 100 TB corpus parallelizes by block.
+    """
+
+    stage_type = "TextExtract"
+
+    def __init__(
+        self,
+        name: str,
+        input_uri: str,
+        output_view: str,
+        whole_text: bool = False,
+        line_sep: str | None = None,
+        streaming: bool = False,
+        **kw,
+    ):
+        super().__init__(name, **kw)
+        self.input_uri = input_uri
+        self.output_view = output_view
+        self.whole_text = whole_text
+        self.line_sep = line_sep
+        self.streaming = streaming
+
+    def run(self, ctx: PipelineContext) -> DataFrame:
+        reader = ctx.spark.readStream if self.streaming else ctx.spark.read
+        reader = reader.format("text").option("wholetext", self.whole_text)
+        if self.line_sep is not None:
+            reader = reader.option("lineSep", self.line_sep)
+        df = reader.load(self.input_uri)
+        ctx.register_view(df, self.output_view)
+        self.stage_detail.update(inputURI=self.input_uri, outputView=self.output_view)
+        return df
+
+
+class BinaryFileExtract(PipelineStage):
+    """Opaque-binary source for multimodal ingestion (images/audio/video).
+
+    Spark's built-in ``binaryFile`` format yields
+    ``(path, modificationTime, length, content: binary)`` — the schema the
+    multimodal operators (operators/multimodal.py) expect as input. At scale
+    the directory listing is distributed, each file is one row, and
+    ``pathGlobFilter`` prunes by extension server-side; pair with
+    ``spark.sql.files.maxPartitionBytes`` so a few giant media files don't
+    serialize into one task.
+    """
+
+    stage_type = "BinaryFileExtract"
+
+    def __init__(
+        self,
+        name: str,
+        input_uri: str,
+        output_view: str,
+        path_glob_filter: str | None = None,
+        recursive: bool = False,
+        **kw,
+    ):
+        super().__init__(name, **kw)
+        self.input_uri = input_uri
+        self.output_view = output_view
+        self.path_glob_filter = path_glob_filter
+        self.recursive = recursive
+
+    def run(self, ctx: PipelineContext) -> DataFrame:
+        reader = ctx.spark.read.format("binaryFile")
+        if self.path_glob_filter:
+            reader = reader.option("pathGlobFilter", self.path_glob_filter)
+        if self.recursive:
+            reader = reader.option("recursiveFileLookup", True)
+        df = reader.load(self.input_uri)
+        ctx.register_view(df, self.output_view)
+        self.stage_detail.update(inputURI=self.input_uri, outputView=self.output_view)
+        return df
+
+
+class AvroExtract(PipelineStage):
+    """Avro source. Spark ships the `avro` format in the external
+    spark-avro module; when the jar is absent, fail with a clear message
+    instead of Spark's ClassNotFound chain."""
+
+    stage_type = "AvroExtract"
+
+    def __init__(self, name: str, input_uri: str, output_view: str, **kw):
+        super().__init__(name, **kw)
+        self.input_uri = input_uri
+        self.output_view = output_view
+
+    def run(self, ctx: PipelineContext) -> DataFrame:
+        try:
+            df = ctx.spark.read.format("avro").load(self.input_uri)
+        except Exception as exc:  # noqa: BLE001
+            raise RuntimeError(
+                "AvroExtract requires the spark-avro module on the classpath "
+                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
+            ) from exc
+        ctx.register_view(df, self.output_view)
+        self.stage_detail.update(inputURI=self.input_uri, outputView=self.output_view)
+        return df
+
+
+class JDBCExtract(PipelineStage):
+    """JDBC source. ``partition_column``/``num_partitions``/bounds map to
+    Spark's parallel JDBC reads — without them the whole table funnels
+    through ONE connection, which at 100 TB is not a plan."""
+
+    stage_type = "JDBCExtract"
+
+    def __init__(
+        self,
+        name: str,
+        jdbc_url: str,
+        table: str,
+        output_view: str,
+        partition_column: str | None = None,
+        lower_bound: int | None = None,
+        upper_bound: int | None = None,
+        num_partitions: int | None = None,
+        fetch_size: int = 10000,
+        properties: dict | None = None,
+        **kw,
+    ):
+        super().__init__(name, **kw)
+        self.jdbc_url = jdbc_url
+        self.table = table
+        self.output_view = output_view
+        self.partition_column = partition_column
+        self.lower_bound = lower_bound
+        self.upper_bound = upper_bound
+        self.num_partitions = num_partitions
+        self.fetch_size = fetch_size
+        self.properties = properties or {}
+
+    def run(self, ctx: PipelineContext) -> DataFrame:
+        reader = (
+            ctx.spark.read.format("jdbc")
+            .option("url", self.jdbc_url)
+            .option("dbtable", self.table)
+            .option("fetchsize", self.fetch_size)
+        )
+        if self.partition_column is not None:
+            reader = (
+                reader.option("partitionColumn", self.partition_column)
+                .option("lowerBound", self.lower_bound)
+                .option("upperBound", self.upper_bound)
+                .option("numPartitions", self.num_partitions or 8)
+            )
+        for k, v in self.properties.items():
+            reader = reader.option(k, v)
+        df = reader.load()
+        ctx.register_view(df, self.output_view)
+        self.stage_detail.update(table=self.table, outputView=self.output_view)
+        return df

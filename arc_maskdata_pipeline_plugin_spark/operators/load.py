@@ -77,3 +77,88 @@ class DelimitedLoad(PipelineStage):
         )
         self.stage_detail.update(inputView=self.input_view, outputURI=self.output_uri)
         return df
+
+
+class JSONLoad(PipelineStage):
+    stage_type = "JSONLoad"
+
+    def __init__(
+        self,
+        name: str,
+        input_view: str,
+        output_uri: str,
+        mode: str = "overwrite",
+        num_partitions: int | None = None,
+        **kw,
+    ):
+        super().__init__(name, **kw)
+        self.input_view = input_view
+        self.output_uri = output_uri
+        self.mode = mode
+        self.num_partitions = num_partitions
+
+    def run(self, ctx: PipelineContext) -> DataFrame:
+        df = ctx.spark.table(self.input_view)
+        out = df.repartition(self.num_partitions) if self.num_partitions else df
+        out.write.mode(self.mode).json(self.output_uri)
+        self.stage_detail.update(inputView=self.input_view, outputURI=self.output_uri)
+        return df
+
+
+class ORCLoad(PipelineStage):
+    stage_type = "ORCLoad"
+
+    def __init__(
+        self,
+        name: str,
+        input_view: str,
+        output_uri: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+        num_partitions: int | None = None,
+        **kw,
+    ):
+        super().__init__(name, **kw)
+        self.input_view = input_view
+        self.output_uri = output_uri
+        self.mode = mode
+        self.partition_by = partition_by or []
+        self.num_partitions = num_partitions
+
+    def run(self, ctx: PipelineContext) -> DataFrame:
+        df = ctx.spark.table(self.input_view)
+        out = df.repartition(self.num_partitions) if self.num_partitions else df
+        writer = out.write.mode(self.mode)
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.orc(self.output_uri)
+        self.stage_detail.update(inputView=self.input_view, outputURI=self.output_uri)
+        return df
+
+
+class TextLoad(PipelineStage):
+    """Single-string-column text sink (one line per row)."""
+
+    stage_type = "TextLoad"
+
+    def __init__(
+        self,
+        name: str,
+        input_view: str,
+        output_uri: str,
+        mode: str = "overwrite",
+        num_partitions: int | None = None,
+        **kw,
+    ):
+        super().__init__(name, **kw)
+        self.input_view = input_view
+        self.output_uri = output_uri
+        self.mode = mode
+        self.num_partitions = num_partitions
+
+    def run(self, ctx: PipelineContext) -> DataFrame:
+        df = ctx.spark.table(self.input_view)
+        out = df.repartition(self.num_partitions) if self.num_partitions else df
+        out.write.mode(self.mode).text(self.output_uri)
+        self.stage_detail.update(inputView=self.input_view, outputURI=self.output_uri)
+        return df

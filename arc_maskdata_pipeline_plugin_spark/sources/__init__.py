@@ -6,5 +6,20 @@ the layout documented in the README so ``from …sources import
 DelimitedExtract`` works as advertised.
 """
 
-from ..operators.extract import DelimitedExtract, JSONExtract, ParquetExtract  # noqa: F401
-from ..operators.load import DelimitedLoad, ParquetLoad  # noqa: F401
+from ..operators.extract import (  # noqa: F401
+    AvroExtract,
+    BinaryFileExtract,
+    DelimitedExtract,
+    JDBCExtract,
+    JSONExtract,
+    ORCExtract,
+    ParquetExtract,
+    TextExtract,
+)
+from ..operators.load import (  # noqa: F401
+    DelimitedLoad,
+    JSONLoad,
+    ORCLoad,
+    ParquetLoad,
+    TextLoad,
+)
