@@ -123,3 +123,61 @@ def q_stream_static_enrich(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(10,2)")).cast("double").alias("total_value"),
     )
     return run_available_now(agg, f"stream_enrich_{uuid.uuid4().hex[:8]}")
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+""",
+)
+def q_stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join with event-time range + watermarks on BOTH
+    sides — the canonical Structured Streaming two-stream correlation
+    (click → purchase attribution within an hour).
+
+    State-size note (the 100 TB concern): the range condition plus the two
+    watermarks bound the join state — each side buffers only rows younger
+    than (watermark + join window), so state is O(arrival rate × window),
+    not O(stream length). With ``availableNow`` and a watermark that
+    outlasts the test data, every qualifying pair is emitted, which makes
+    the result exactly the batch self-join the oracle runs.
+    """
+    from pyspark.sql import functions as F
+
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 days")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 days")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            c_user = p_user AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL 60 MINUTES
+            """
+        ),
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+    return run_available_now(
+        joined, f"stream_ss_join_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )

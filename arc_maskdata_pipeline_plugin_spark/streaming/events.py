@@ -84,14 +84,15 @@ def windowed_event_counts(
     )
 
 
-def run_available_now(df: DataFrame, name: str) -> DataFrame:
+def run_available_now(df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a memory
-    sink; returns the materialized result table."""
+    sink; returns the materialized result table. ``complete`` suits
+    aggregations; joins/projections need ``append``."""
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
         q = (
             df.writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
