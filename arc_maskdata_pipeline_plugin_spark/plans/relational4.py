@@ -294,16 +294,15 @@ def q17_small_quantity_revenue(spark, sf_dir):
         .filter((F.col("p_brand") == "Brand#5") & (F.col("p_type") == "ECONOMY"))
         .select("p_partkey")
     )
-    # the correlation domain is exactly the filtered parts, so compute the
-    # per-part average once over lineitems of those parts (one scan, reused)
+    # the correlated per-part AVG is a window over the partkey partition:
+    # ONE lineitem scan and ONE shuffle (by l_partkey), instead of the
+    # aggregate-then-rejoin plan that reads the 100 TB fact table twice
     li = T(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     ).join(F.broadcast(p), F.col("l_partkey") == p.p_partkey).drop("p_partkey")
-    avgs = li.groupBy("l_partkey").agg(
-        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
-    ).withColumnRenamed("l_partkey", "a_partkey")
+    w = Window.partitionBy("l_partkey")
     return (
-        li.join(F.broadcast(avgs), F.col("l_partkey") == F.col("a_partkey"))
+        li.withColumn("half_avg", F.lit(0.5) * F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(
             (as_double(F.sum(dec("l_extendedprice"))) / F.lit(7.0)).alias("avg_yearly")

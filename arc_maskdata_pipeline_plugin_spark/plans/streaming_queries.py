@@ -181,3 +181,55 @@ def q_stream_stream_join(spark, sf_dir):
     return run_available_now(
         joined, f"stream_ss_join_{uuid.uuid4().hex[:8]}", output_mode="append"
     )
+
+
+@register(
+    "q_session_window_native",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) >= 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS seq
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, seq
+""",
+)
+def q_session_window_native(spark, sf_dir):
+    """Native ``session_window`` aggregation (Spark's built-in gap-session
+    operator, batch mode; the same expression works on a watermarked stream).
+    Spark merges an event into the current session iff gap < 30 min, so the
+    oracle's new-session predicate is ``diff >= gap``; session_end is
+    last-event + gap by definition. One shuffle on (user_id) — the session
+    merge happens inside the aggregation, no window-function second pass.
+    """
+    from pyspark.sql import functions as F
+
+    e = T(spark, sf_dir, "events").select("user_id", "ts", "value")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(10,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", fmt).alias("session_start"),
+            F.date_format("sw.end", fmt).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
