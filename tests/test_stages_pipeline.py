@@ -228,3 +228,41 @@ def test_pattern_translation():
         java_to_strptime("EEE MMM dd uuuu HH:mm:ss 'GMT'Z '(X)'")
         == "%a %b %d %Y %H:%M:%S GMT%z (X)"
     )
+
+
+def test_mask_missing_treatments_key_errors():
+    """Reference parity: mask metadata without 'treatments' is a stage error
+    (MaskDataTransform.scala:131)."""
+    import pytest
+    from pyspark.sql import types as Tp
+    from arc_maskdata_pipeline_plugin_spark.operators.mask import compile_mask_expressions
+
+    schema = Tp.StructType(
+        [Tp.StructField("c", Tp.StringType(), metadata={"mask": {"nope": 1}})]
+    )
+    with pytest.raises(ValueError, match="missing treatments key"):
+        compile_mask_expressions(schema, "v")
+
+
+def test_mask_non_object_metadata_errors():
+    """Reference parity: non-object 'mask' metadata is a stage error
+    (MaskDataTransform.scala:134)."""
+    import pytest
+    from pyspark.sql import types as Tp
+    from arc_maskdata_pipeline_plugin_spark.operators.mask import compile_mask_expressions
+
+    schema = Tp.StructType(
+        [Tp.StructField("c", Tp.StringType(), metadata={"mask": "mask_string"})]
+    )
+    with pytest.raises(ValueError, match="invalid type"):
+        compile_mask_expressions(schema, "v")
+
+
+def test_inject_parameters_missing_param_errors():
+    """Reference parity: SQLUtils.injectParameters with allowMissing=false
+    fails on an unreplaced ${param}."""
+    import pytest
+    from arc_maskdata_pipeline_plugin_spark.operators.sql import inject_parameters
+
+    with pytest.raises(Exception):
+        inject_parameters("f(${value}, ${other})", {"value": "c"})

@@ -76,6 +76,35 @@ def main():
         params = get_codec(codec).params()
         lines.append(f"| {codec} | {params} | {el:.2f} | {n / el:,.0f} |")
         print(lines[-1], file=sys.stderr)
+    # Amortized fast-path throughput: the tiny-input numbers above are
+    # dominated by fixed job overhead (~1s); the steady-state number a 100 TB
+    # masking job sees needs enough rows to amortize it.
+    big = "/root/testdata/sf0.1/lineitem.parquet"
+    if "HmacSHA512" in avail and os.path.exists(big):
+        os.environ["ETL_CONF_MASK_DATA_CODEC"] = "HmacSHA512"
+        register_udfs(spark)
+        bdf = (
+            spark.read.parquet(big)
+            .selectExpr("CAST(l_orderkey AS STRING) AS v")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .cache()
+        )
+        bn = bdf.count()
+        masked = bdf.selectExpr("mask_string(16, true, v) AS m")
+        masked.limit(10).collect()
+        t0 = time.perf_counter()
+        masked.write.format("noop").mode("overwrite").save()
+        el = time.perf_counter() - t0
+        lines += [
+            "",
+            f"Amortized fast path: HmacSHA512 over {bn:,} rows of sf0.1 lineitem "
+            f"(cached input, noop sink): {el:.2f} s = **{bn / el:,.0f} rows/s** "
+            "(per-core scaling: ÷32 local threads ≈ "
+            f"{bn / el / 32:,.0f} rows/s/core — the number that multiplies out "
+            "on a 1000-executor cluster).",
+        ]
+        print(lines[-1], file=sys.stderr)
+        bdf.unpersist()
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "MASK_THROUGHPUT.md"
     )
