@@ -39,6 +39,11 @@ HEADLINE = [
     "sim_knn_bruteforce",
     "sim_ann_lsh",
     "q_multimodal_features",
+    # breadth additions (round 1): hardest TPC-H shapes + UDAF + IVF ANN
+    "q8_market_share",
+    "q21_sole_returning_supplier",
+    "q_udaf_group_quantiles",
+    "sim_ann_ivf",
 ]
 
 
