@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -94,11 +95,56 @@ def extract_image_features(
     return df.select(id_col, payload_col).mapInPandas(batches, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", max_dim: int = 256
+) -> DataFrame:
+    """Resize over binary payloads: the real decode→resample→re-encode is
+    STUBBED (no PIL in this container) with a deterministic byte-subsample
+    that shrinks the payload proportionally to the dimension reduction — the
+    Spark-side shape (binary in → binary out + new dims, Arrow-batched,
+    partition-local, no shuffle) is exactly what the real kernel needs.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, ws, hs = [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(p)
+                _, w, h, _ = fake_decode(p)
+                scale = min(max_dim / max(w, h), 1.0)
+                nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+                # proportional byte subsample stands in for re-encoding
+                target_len = max(int(len(p) * scale * scale), 1)
+                step = max(len(p) // target_len, 1)
+                ids.append(doc_id)
+                payloads.append(p[::step])
+                ws.append(nw)
+                hs.append(nh)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, RESIZE_SCHEMA)
+
+
+# backwards-compatible alias for the earlier placeholder name
 def resize_stub(df: DataFrame, payload_col: str = "payload", max_dim: int = 256) -> DataFrame:
-    """Resize placeholder: real implementation would decode→resample→encode in
-    the same Arrow batch loop; here it passes bytes through and records the
-    requested dimension (keeps pipeline shape honest for downstream stages)."""
-    return df.withColumn("resize_max_dim", F.lit(max_dim))
+    return resize_images(df, payload_col=payload_col, max_dim=max_dim)
 
 
 FRAME_SCHEMA = StructType(

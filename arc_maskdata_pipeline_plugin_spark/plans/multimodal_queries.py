@@ -75,3 +75,49 @@ def q_multimodal_audio(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents")
     return extract_audio_features(attach_binary_payload(d))
+
+
+@register(
+    "q_multimodal_resize",
+    oracle="""
+WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+d AS (
+  SELECT doc_id, n,
+         n % 640 + 1 AS w,
+         (n * 7) % 480 + 1 AS h
+  FROM p
+), s AS (
+  SELECT doc_id, n, w, h,
+         least(256.0 / greatest(w, h), 1.0) AS scale
+  FROM d
+), t AS (
+  SELECT doc_id, n, scale,
+         greatest(CAST(floor(w * scale) AS INTEGER), 1) AS width,
+         greatest(CAST(floor(h * scale) AS INTEGER), 1) AS height,
+         greatest(CAST(floor(n * scale * scale) AS INTEGER), 1) AS target_len
+  FROM s
+)
+SELECT doc_id, width, height,
+       CAST((n + greatest(n // target_len, 1) - 1) // greatest(n // target_len, 1)
+            AS INTEGER) AS resized_len
+FROM t
+""",
+)
+def q_multimodal_resize(spark, sf_dir):
+    """Binary-in → binary-out resize through Arrow (mapInPandas): the
+    deterministic stub shrinks payload bytes proportionally to the dimension
+    reduction; DuckDB reproduces the arithmetic (incl. the stride-subsample
+    length = ceil(n/step)) from byte lengths, proving the binary round-trip
+    through Arrow batches end-to-end."""
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import resize_images
+
+    d = T(spark, sf_dir, "documents")
+    resized = resize_images(attach_binary_payload(d), max_dim=256)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.octet_length("payload").cast("int").alias("resized_len"),
+    )
