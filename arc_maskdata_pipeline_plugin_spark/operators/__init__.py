@@ -18,6 +18,7 @@ from .extract import (  # noqa: F401
     TextExtract,
 )
 from .load import (  # noqa: F401
+    CompactParquet,
     DelimitedLoad,
     JSONLoad,
     ORCLoad,

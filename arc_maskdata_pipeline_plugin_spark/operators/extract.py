@@ -77,6 +77,7 @@ class ParquetExtract(PipelineStage):
         output_view: str,
         num_partitions: int | None = None,
         streaming: bool = False,
+        merge_schema: bool = False,
         **kw,
     ):
         super().__init__(name, **kw)
@@ -84,9 +85,14 @@ class ParquetExtract(PipelineStage):
         self.output_view = output_view
         self.num_partitions = num_partitions
         self.streaming = streaming
+        # schema drift is a fact of life for a years-old 100 TB dataset;
+        # mergeSchema unions footers across files (costlier listing, so opt-in)
+        self.merge_schema = merge_schema
 
     def run(self, ctx: PipelineContext) -> DataFrame:
         reader = ctx.spark.readStream if self.streaming else ctx.spark.read
+        if self.merge_schema:
+            reader = reader.option("mergeSchema", True)
         df = reader.parquet(self.input_uri)
         if self.num_partitions:
             df = df.repartition(self.num_partitions)

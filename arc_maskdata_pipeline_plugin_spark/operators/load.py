@@ -162,3 +162,60 @@ class TextLoad(PipelineStage):
         out.write.mode(self.mode).text(self.output_uri)
         self.stage_detail.update(inputView=self.input_view, outputURI=self.output_uri)
         return df
+
+
+class CompactParquet(PipelineStage):
+    """Small-files compaction: rewrite a parquet dataset into ~target-sized
+    files.
+
+    At 100 TB, streaming sinks and over-parallel writers leave millions of
+    KB-sized files; every downstream scan then pays per-file open/footer cost
+    and the driver pays listing memory. Compaction = read → repartition to
+    ceil(bytes / target) → rewrite. Partitioned layouts are preserved by
+    repartitioning on the partition columns so each output directory gets
+    coherent files.
+    """
+
+    stage_type = "CompactParquet"
+
+    def __init__(
+        self,
+        name: str,
+        input_uri: str,
+        output_uri: str,
+        target_file_mb: int = 512,
+        partition_by: list[str] | None = None,
+        **kw,
+    ):
+        super().__init__(name, **kw)
+        self.input_uri = input_uri
+        self.output_uri = output_uri
+        self.target_file_mb = target_file_mb
+        self.partition_by = partition_by or []
+
+    def run(self, ctx: PipelineContext) -> DataFrame:
+        import math
+
+        spark = ctx.spark
+        df = spark.read.parquet(self.input_uri)
+        # size the output from the source bytes (parquet-compressed), not row
+        # counts — compression ratio varies too much across schemas; Catalyst
+        # already computed the relation size for this scan
+        total_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        n_files = max(math.ceil(total_bytes / (self.target_file_mb * 1024 * 1024)), 1)
+        out = (
+            df.repartition(n_files, *self.partition_by)
+            if self.partition_by
+            else df.repartition(n_files)
+        )
+        writer = out.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self.output_uri)
+        self.stage_detail.update(
+            inputURI=self.input_uri,
+            outputURI=self.output_uri,
+            estimatedBytes=total_bytes,
+            targetFiles=n_files,
+        )
+        return df

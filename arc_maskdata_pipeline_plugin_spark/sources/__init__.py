@@ -17,6 +17,7 @@ from ..operators.extract import (  # noqa: F401
     TextExtract,
 )
 from ..operators.load import (  # noqa: F401
+    CompactParquet,
     DelimitedLoad,
     JSONLoad,
     ORCLoad,

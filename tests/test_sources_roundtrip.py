@@ -92,3 +92,37 @@ def test_binary_file_extract(spark, ctx, tmp_path):
     assert bytes(rows[0].content) == payload
     assert rows[0].length == len(payload)
     assert set(out.columns) == {"path", "modificationTime", "length", "content"}
+
+
+def test_parquet_merge_schema(spark, ctx, tmp_path):
+    """Schema drift across files: mergeSchema unions the footers."""
+    from arc_maskdata_pipeline_plugin_spark.sources import ParquetExtract
+
+    uri = str(tmp_path / "drift")
+    spark.createDataFrame([(1, "a")], "id INT, name STRING").write.parquet(uri + "/p1")
+    spark.createDataFrame([(2, "b", 9.5)], "id INT, name STRING, score DOUBLE")\
+        .write.parquet(uri + "/p2")
+    out = ParquetExtract(
+        "r", input_uri=uri + "/p*", output_view="drifted", merge_schema=True
+    ).execute(ctx)
+    assert set(out.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in out.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+
+def test_compact_parquet(spark, ctx, tmp_path):
+    """Compaction collapses a many-small-files dataset into few files."""
+    from arc_maskdata_pipeline_plugin_spark.sources import CompactParquet
+
+    src = str(tmp_path / "fragmented")
+    spark.range(0, 10_000).repartition(64).write.parquet(src)
+    import glob
+    assert len(glob.glob(src + "/*.parquet")) >= 32
+
+    dst = str(tmp_path / "compacted")
+    stage = CompactParquet("c", input_uri=src, output_uri=dst, target_file_mb=512)
+    stage.execute(ctx)
+    files = glob.glob(dst + "/*.parquet")
+    assert 1 <= len(files) <= 4, files
+    assert spark.read.parquet(dst).count() == 10_000
+    assert stage.stage_detail["targetFiles"] >= 1
