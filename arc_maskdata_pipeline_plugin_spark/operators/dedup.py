@@ -120,6 +120,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature, bucket by (band_index, band_key), enumerate pairs
     within each bucket. Group-then-enumerate instead of a self-join: a
@@ -149,10 +150,50 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        # Viral-bucket guard for skewed corpora: boilerplate text puts ~every
+        # doc in one bucket → quadratic pair explosion AND a single straggler
+        # task holding the whole bucket array. A band key shared by millions
+        # of docs is boilerplate, not near-duplication, so production dedup
+        # drops those buckets. Not silent: use ``lsh_dropped_buckets`` with
+        # the same arguments to audit what was excluded.
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     return (
         buckets.select(F.explode(_pairs_within(F.col("ids"))).alias("p"))
         .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .distinct()
+    )
+
+
+def lsh_dropped_buckets(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Audit companion to ``lsh_candidate_pairs(max_bucket_size=...)``:
+    the (band, key, n_docs) rows that the cap excluded, so a cap is never a
+    silent coverage hole."""
+    n_bands = num_hashes // band_size
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = signatures.select(
+        F.col(id_col), F.explode(band_entries).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    return (
+        bands.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket_size)
     )
 
 

@@ -78,3 +78,33 @@ def test_streaming_mask_projection(spark, sf_small):
     rows = out.collect()
     assert len(rows) > 0
     assert all(len(r.user_pseudonym) == 8 and r.user_pseudonym.isdigit() for r in rows)
+
+
+def test_lsh_viral_bucket_cap(spark):
+    """max_bucket_size drops viral buckets from pair generation, and the
+    audit companion reports exactly what was dropped."""
+    import pandas as pd
+    from arc_maskdata_pipeline_plugin_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_dropped_buckets,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    # 20 copies of identical boilerplate (one viral bucket family) + 2 near-dups
+    rows = [(i, "the same boilerplate text repeated again and again") for i in range(20)]
+    rows += [(100, "a unique document about spark engines"),
+             (101, "a unique document about spark engines!")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    sigs = minhash_signatures(word_shingles(df, distinct=False))
+
+    uncapped = lsh_candidate_pairs(sigs)
+    capped = lsh_candidate_pairs(sigs, max_bucket_size=5)
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_cap < n_un  # the 20-doc clique's 190 pairs are gone
+    # the small near-dup pair survives the cap
+    assert capped.filter("d1 = 100 AND d2 = 101").count() == 1
+
+    dropped = lsh_dropped_buckets(sigs, max_bucket_size=5)
+    assert dropped.count() > 0
+    assert dropped.agg({"n_docs": "max"}).collect()[0][0] == 20
