@@ -1,0 +1,81 @@
+"""Physical-plan invariants as regression tests.
+
+PLAN_AUDIT.md documents the plans; these tests FREEZE the properties that
+matter at 100 TB, so a refactor that silently loses a broadcast, gains a
+shuffle, or drops a pushdown fails CI instead of shipping a 10× regression.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tools.plan_audit import audit
+
+QUERIES = entry_mod.queries()
+SF = "/root/testdata/sf0.001"
+
+
+def props(name, spark):
+    return audit(name, QUERIES[name], spark, SF)
+
+
+def test_q1_single_shuffle(spark):
+    """Scan → partial agg → exchange → final agg: exactly one shuffle."""
+    a = props("q1_pricing_summary", spark)
+    assert a["exchanges"] == 1
+    assert a["scans"] == 1 and a["pushed_filters"] == 1
+
+
+def test_q8_no_sort_merge_join(spark):
+    """Every dimension side of the 8-table join stays broadcast."""
+    a = props("q8_market_share", spark)
+    assert a["sort_merge_joins"] == 0
+    assert a["broadcasts"] >= 4
+
+
+def test_mask_projection_no_shuffle(spark):
+    """Masking is a pure projection — zero exchanges, Arrow-batched Python."""
+    a = props("q_mask_customers", spark)
+    assert a["exchanges"] == 0
+    assert a["python_ops"] >= 1
+
+
+def test_jaccard_no_joins_bounded_shuffles(spark):
+    """The one-linear-lineage Jaccard: no join operators, ≤4 shuffles, 1 scan."""
+    a = props("dedup_jaccard_pairs", spark)
+    assert a["scans"] == 1
+    assert a["sort_merge_joins"] == 0 and a["broadcasts"] == 0
+    assert a["exchanges"] <= 4
+
+
+def test_minhash_single_scan(spark):
+    """Signature pipeline computed once (group-then-enumerate, not self-join)."""
+    a = props("dedup_minhash_pairs", spark)
+    assert a["scans"] == 1
+    assert a["sort_merge_joins"] == 0
+
+
+def test_text_ops_stay_jvm_side(spark):
+    """Quality scoring is whole-stage-codegen JVM work: no Python, no shuffle."""
+    a = props("text_quality_scores", spark)
+    assert a["python_ops"] == 0
+    assert a["exchanges"] == 0
+
+
+def test_multimodal_stays_partition_local(spark):
+    """mapInPandas feature extraction adds no shuffle."""
+    a = props("q_multimodal_features", spark)
+    assert a["exchanges"] == 0
+    assert a["python_ops"] == 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q3_shipping_priority", "q14_promo_revenue", "q19_disjunctive_revenue"],
+)
+def test_filters_reach_every_scan(spark, name):
+    """Filtered fact queries: every parquet scan carries pushed filters."""
+    a = props(name, spark)
+    assert a["pushed_filters"] >= 1
+    assert a["scans"] >= 1
