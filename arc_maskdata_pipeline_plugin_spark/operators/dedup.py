@@ -115,6 +115,33 @@ def _pairs_within(ids) -> F.Column:
     )
 
 
+def signature_bands(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Explode a minhash signature into its LSH band rows
+    (id, band, key) — the shared banding step for batch pair generation
+    (``lsh_candidate_pairs``) and incremental dedup against a persisted
+    band store (``incremental_dedup_new_docs``)."""
+    n_bands = num_hashes // band_size
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.explode(band_entries).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -130,21 +157,7 @@ def lsh_candidate_pairs(
     several bands). A viral bucket is quadratic in either shape — that's the
     LSH candidate semantics — but here its pairs are generated in one task
     from one array instead of through a shuffled join."""
-    n_bands = num_hashes // band_size
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat(
-                    *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
-                ).alias("key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    bands = signatures.select(
-        F.col(id_col), F.explode(band_entries).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bands = signature_bands(signatures, id_col, num_hashes, band_size)
     buckets = (
         bands.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
@@ -175,26 +188,55 @@ def lsh_dropped_buckets(
     """Audit companion to ``lsh_candidate_pairs(max_bucket_size=...)``:
     the (band, key, n_docs) rows that the cap excluded, so a cap is never a
     silent coverage hole."""
-    n_bands = num_hashes // band_size
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat(
-                    *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
-                ).alias("key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    bands = signatures.select(
-        F.col(id_col), F.explode(band_entries).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bands = signature_bands(signatures, id_col, num_hashes, band_size)
     return (
         bands.groupBy("band", "key")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > max_bucket_size)
     )
+
+
+def incremental_dedup_new_docs(
+    new_docs: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Daily-ingest dedup: drop new documents that near-duplicate the EXISTING
+    corpus, without touching the corpus itself.
+
+    ``corpus_bands`` is the persisted band store (id, band, key) built once
+    by ``signature_bands`` over the historical corpus (and ideally bucketed
+    on (band, key) at rest — see ``operators.joins.write_bucketed``). Each
+    increment then:
+
+      1. shingles + signs ONLY the new batch (cost ∝ batch, not corpus);
+      2. semi-joins its band rows against the store on (band, key) — with a
+         bucketed store this is a co-located probe, and the new batch is the
+         small broadcastable side;
+      3. returns (survivors, survivor_bands) — append survivor_bands to the
+         store to complete the increment.
+
+    Within-batch duplicates are NOT handled here (run the batch operators on
+    the survivors if needed); this isolates the corpus-vs-batch concern that
+    dominates at 100 TB.
+    """
+    sigs = minhash_signatures(
+        word_shingles(new_docs, id_col=id_col, text=text, distinct=False),
+        id_col=id_col,
+        num_hashes=num_hashes,
+    )
+    new_bands = signature_bands(sigs, id_col, num_hashes, band_size)
+    dup_ids = (
+        new_bands.join(corpus_bands.select("band", "key"), ["band", "key"], "semi")
+        .select(id_col)
+        .distinct()
+    )
+    survivors = new_docs.join(dup_ids, id_col, "left_anti")
+    survivor_bands = new_bands.join(dup_ids, id_col, "left_anti")
+    return survivors, survivor_bands
 
 
 # ---------------------------------------------------------------------------

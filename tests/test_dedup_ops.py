@@ -108,3 +108,45 @@ def test_lsh_viral_bucket_cap(spark):
     dropped = lsh_dropped_buckets(sigs, max_bucket_size=5)
     assert dropped.count() > 0
     assert dropped.agg({"n_docs": "max"}).collect()[0][0] == 20
+
+
+def test_incremental_dedup_against_corpus(spark):
+    """New batch vs persisted corpus band store: near-dups of corpus docs are
+    dropped, fresh docs survive, and the returned survivor bands extend the
+    store so the next increment sees them."""
+    from arc_maskdata_pipeline_plugin_spark.operators.dedup import (
+        incremental_dedup_new_docs,
+        minhash_signatures,
+        signature_bands,
+        word_shingles,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river"),
+            (2, "completely different content about distributed query engines"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    store = signature_bands(
+        minhash_signatures(word_shingles(corpus, distinct=False))
+    )
+
+    batch = spark.createDataFrame(
+        [
+            # near-dup of corpus doc 1 (shares most shingles)
+            (10, "the quick brown fox jumps over the lazy dog near the river!"),
+            # genuinely new
+            (11, "a brand new article describing minhash banding at scale"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    survivors, survivor_bands = incremental_dedup_new_docs(batch, store)
+    ids = [r.doc_id for r in survivors.collect()]
+    assert ids == [11]
+    # survivor bands cover exactly the surviving doc
+    assert {r.doc_id for r in survivor_bands.collect()} == {11}
+    # appending them makes the next identical batch fully deduped
+    store2 = store.union(survivor_bands)
+    survivors2, _ = incremental_dedup_new_docs(batch, store2)
+    assert survivors2.count() == 0
