@@ -530,3 +530,43 @@ def q_udaf_group_quantiles(spark, sf_dir):
         )
 
     return l.groupBy("l_returnflag", "l_linestatus").applyInPandas(quantiles, schema)
+
+
+# ---------------------------------------------------------------------------
+# Analytic window functions: ntile / percent_rank / cume_dist / lag / lead
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_analytics",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS price,
+       ntile(4)      OVER w AS quartile,
+       percent_rank() OVER w AS pr,
+       cume_dist()   OVER w AS cd,
+       lag(CAST(o_totalprice AS DOUBLE))  OVER w AS prev_price,
+       lead(CAST(o_totalprice AS DOUBLE)) OVER w AS next_price
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def q_window_analytics(spark, sf_dir):
+    """Ranking/distribution analytics over a total order (price with orderkey
+    tiebreak → deterministic across engines). percent_rank/cume_dist are pure
+    rank arithmetic in double — identical in both engines; one shuffle on
+    the partition key."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    price = as_double(F.col("o_totalprice"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        price.alias("price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.lag(price).over(w).alias("prev_price"),
+        F.lead(price).over(w).alias("next_price"),
+    )
