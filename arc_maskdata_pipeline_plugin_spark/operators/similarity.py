@@ -103,31 +103,19 @@ def ann_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def ann_ivf(
+def ivf_centroids(
     corpus: DataFrame,
-    queries: DataFrame,
     id_col: str = "vec_id",
     vec: str = "embedding",
-    k: int = 5,
     n_cells: int = 16,
-    n_probes: int = 4,
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: partition the corpus into cells around coarse
-    centroids; a query scores only the ``n_probes`` nearest cells.
-
-    Centroids here are seeded deterministically (the vectors with
-    ``id < n_cells``) instead of KMeans-trained — the quantizer's TRAINING is
-    pluggable (swap in ``pyspark.ml.clustering.KMeans`` centroids in
-    production); the assignment/probe/re-rank machinery — which is the part
-    that must scale — is identical and, being deterministic, oracle-checkable.
-
-    Scale shape: assignment is one broadcast-join pass over the corpus (cells
-    table is tiny); candidate generation shuffles on ``cell``, so each query
-    touches ``n_probes`` partitions instead of the whole corpus — the IVF
-    trade: recall for a |corpus|/n_cells × n_probes candidate bound.
-    """
-    c = with_norm(corpus.select(id_col, vec)).alias("c")
-    cents = (
+    """Coarse quantizer centroids, seeded deterministically (the vectors with
+    ``id < n_cells``) instead of KMeans-trained — the TRAINING is pluggable
+    (swap in ``pyspark.ml.clustering.KMeans`` centroids in production); the
+    assignment/probe machinery that must scale is identical and, being
+    deterministic, oracle-checkable. Persist this tiny frame alongside the
+    assignment store — probes must use the SAME centroids as assignment."""
+    return (
         with_norm(corpus.filter(F.col(id_col) < n_cells).select(id_col, vec))
         .select(
             F.col(id_col).alias("cent_id"),
@@ -136,18 +124,65 @@ def ann_ivf(
         )
         .alias("cents")
     )
+
+
+def ivf_assignments(
+    corpus: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid → (vec_id, cell).
+
+    One broadcast pass over the corpus. At 100 TB this runs ONCE at ingest
+    and lands as a store partitioned/bucketed by ``cell`` (see
+    ``operators.joins.write_bucketed``), so query-time probing touches only
+    the probed cells' files instead of re-quantizing the corpus per query.
+    """
+    c = with_norm(corpus.select(id_col, vec)).alias("c")
     sim_to_cent = _dot(F.col(f"c.{vec}"), F.col("cents.cvec")) / (
         F.col("c._norm") * F.col("cents.cnrm")
     )
-    w_assign = Window.partitionBy(f"c.{id_col}").orderBy(
-        F.desc("sim"), F.asc("cent_id")
-    )
-    assign = (
+    return (
         c.crossJoin(F.broadcast(cents))
         .select(F.col(f"c.{id_col}").alias("m_vec_id"), "cent_id", sim_to_cent.alias("sim"))
         .withColumn("rn", F.row_number().over(Window.partitionBy("m_vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))))
         .filter(F.col("rn") == 1)
         .select("m_vec_id", F.col("cent_id").alias("cell"))
+    )
+
+
+def ann_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probes: int = 4,
+    assignments: DataFrame | None = None,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into cells around coarse
+    centroids; a query scores only the ``n_probes`` nearest cells.
+
+    Pass precomputed ``assignments``/``cents`` (from ``ivf_assignments`` /
+    ``ivf_centroids``, persisted at ingest) to skip quantization entirely —
+    the production shape. Without them, both are computed inline (the
+    oracle-checked path).
+
+    Scale shape: assignment is one broadcast-join pass over the corpus (cells
+    table is tiny); candidate generation shuffles on ``cell``, so each query
+    touches ``n_probes`` partitions instead of the whole corpus — the IVF
+    trade: recall for a |corpus|/n_cells × n_probes candidate bound.
+    """
+    c = with_norm(corpus.select(id_col, vec)).alias("c")
+    if cents is None:
+        cents = ivf_centroids(corpus, id_col, vec, n_cells)
+    assign = (
+        assignments
+        if assignments is not None
+        else ivf_assignments(corpus, cents, id_col, vec)
     )
     q = with_norm(queries.select(id_col, vec)).alias("q")
     probes = (

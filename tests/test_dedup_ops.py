@@ -150,3 +150,35 @@ def test_incremental_dedup_against_corpus(spark):
     store2 = store.union(survivor_bands)
     survivors2, _ = incremental_dedup_new_docs(batch, store2)
     assert survivors2.count() == 0
+
+
+def test_ivf_precomputed_store_matches_inline(spark, tmp_path):
+    """IVF with a persisted assignment store (the at-ingest production shape)
+    returns exactly the inline-quantized result."""
+    from arc_maskdata_pipeline_plugin_spark.operators.similarity import (
+        ann_ivf,
+        ivf_assignments,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id % 37 = 0")
+
+    inline = ann_ivf(emb, queries, k=3, n_cells=8, n_probes=3)
+
+    cents = ivf_centroids(emb, n_cells=8)
+    store_path = str(tmp_path / "ivf_assign")
+    ivf_assignments(emb, cents).write.partitionBy("cell").parquet(store_path)
+    store = spark.read.parquet(store_path)
+    from_store = ann_ivf(
+        emb, queries, k=3, n_cells=8, n_probes=3, assignments=store, cents=cents
+    )
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 12))
+            for r in df.collect()
+        )
+
+    assert rows(inline) == rows(from_store)
+    assert len(rows(inline)) > 0
