@@ -570,3 +570,103 @@ def q_window_analytics(spark, sf_dir):
         F.lag(price).over(w).alias("prev_price"),
         F.lead(price).over(w).alias("next_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample with gap filling (dense hourly grid, zeros for holes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_time_resample",
+    oracle="""
+WITH bounds AS (
+  SELECT time_bucket(INTERVAL '1 hour', MIN(ts)) AS lo,
+         time_bucket(INTERVAL '1 hour', MAX(ts)) AS hi
+  FROM events
+), grid AS (
+  SELECT g.h AS hour, t.event_type
+  FROM bounds, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS g(h)
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+), counts AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(grid.hour, '%Y-%m-%d %H:%M:%S') AS hour, grid.event_type,
+       COALESCE(counts.n, 0) AS n_events
+FROM grid LEFT JOIN counts USING (hour, event_type)
+""",
+)
+def q_time_resample(spark, sf_dir):
+    """Dense hourly resample: build the full (hour × event_type) grid with
+    sequence+explode, left-join the actual counts, zero-fill the holes —
+    the gap-filling shape every monitoring/feature pipeline needs, with no
+    driver-side loop (the grid is generated ON the cluster).
+
+    Scale note: the grid is |hours| × |types| — tiny relative to events —
+    and the only shuffle over the fact table is the counting aggregation;
+    the grid join broadcasts."""
+    e = T(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = e.agg(
+        F.min(hour).alias("lo"), F.max(hour).alias("hi")
+    )
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    counts = (
+        e.select(hour.alias("hour"), "event_type")
+        .groupBy("hour", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.join(F.broadcast(grid), ["hour", "event_type"], "right")
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Single-pass table profile (the data-quality summary every pipeline runs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_profile_orders",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT o_orderstatus) AS n_statuses,
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_priorities,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS min_price,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS max_price,
+       strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_order,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order
+FROM orders
+""",
+)
+def q_profile_orders(spark, sf_dir):
+    """One-pass profile: counts, distincts, null tallies, ranges — the
+    pre-flight data-quality summary. All in a single aggregation (one
+    shuffle); distinct counts are exact here, swap in
+    ``approx_count_distinct`` when the key space is 100 TB-sized."""
+    o = T(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_priorities"),
+        as_double(F.min(dec("o_totalprice", 14, 2))).alias("min_price"),
+        as_double(F.max(dec("o_totalprice", 14, 2))).alias("max_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
+    )
