@@ -114,3 +114,75 @@ FROM n
 def text_fingerprints(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     return with_fingerprint(d).select("doc_id", "fp_md5", "fp_prefix64")
+
+
+@register(
+    "text_chunks",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+)
+SELECT doc_id,
+       CAST((s - 1) // 40 AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(tk, s, s + 49), ' ') AS chunk_text,
+       CAST(len(list_slice(tk, s, s + 49)) AS INTEGER) AS n_tokens
+FROM t, UNNEST(generate_series(1, greatest(len(tk), 1), 40)) AS g(s)
+""",
+)
+def text_chunks(spark, sf_dir):
+    """Context-window chunking: split each document into 50-token chunks with
+    10-token overlap (stride 40) — the training-prep step between cleaning
+    and tokenization. Pure JVM array expressions (split → sequence →
+    transform/slice → posexplode): partition-local, zero shuffle, and the
+    1→N explosion inherits the scan's parallelism."""
+    from pyspark.sql import functions as F
+
+    d = T(spark, sf_dir, "documents")
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(tokens), F.lit(1)), F.lit(40))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - 1) / F.lit(40)).cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(tokens, s, 50)).alias("chunk_text"),
+            F.size(F.slice(tokens, s, 50)).cast("int").alias("n_tokens"),
+        ),
+    )
+    return d.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens"
+    )
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+SELECT event_id, user_id, event_type
+FROM events
+WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 4) <
+      CASE event_type
+        WHEN 'click'    THEN '1000'
+        WHEN 'view'     THEN '2000'
+        WHEN 'purchase' THEN '8000'
+        ELSE '4000'
+      END
+""",
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling for training-data mixes: keep a row
+    iff the md5 of its id falls below a per-stratum hex threshold
+    ('1000'/16^4 ≈ 6.25%, '8000' = 50%, …). Hash-threshold sampling is the
+    production form: reproducible across runs AND engines (no RNG state),
+    stable under repartitioning, and joins/unions of samples stay consistent
+    because membership is a pure function of the id. Fully pushed down —
+    a filter on the scan, no shuffle."""
+    from pyspark.sql import functions as F
+
+    e = T(spark, sf_dir, "events")
+    threshold = (
+        F.when(F.col("event_type") == "click", "1000")
+        .when(F.col("event_type") == "view", "2000")
+        .when(F.col("event_type") == "purchase", "8000")
+        .otherwise("4000")
+    )
+    bucket = F.substring(F.md5(F.col("event_id").cast("string")), 1, 4)
+    return e.filter(bucket < threshold).select("event_id", "user_id", "event_type")
