@@ -622,8 +622,10 @@ def q_time_resample(spark, sf_dir):
         .groupBy("hour", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # broadcast the aggregated counts (bounded by |hours|×|types|, same as
+    # the grid) — a left join can only broadcast its non-row-preserving side
     return (
-        counts.join(F.broadcast(grid), ["hour", "event_type"], "right")
+        grid.join(F.broadcast(counts), ["hour", "event_type"], "left")
         .select(
             F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
             "event_type",
