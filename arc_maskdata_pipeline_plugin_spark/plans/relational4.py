@@ -672,3 +672,110 @@ def q_profile_orders(spark, sf_dir):
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Window frames: first_value / last_value / nth_value with explicit bounds
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_frames",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(first_value(o_totalprice) OVER w AS DOUBLE) AS cheapest_so_far,
+       CAST(last_value(o_totalprice)
+            OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS DOUBLE) AS most_expensive,
+       CAST(nth_value(o_totalprice, 2)
+            OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS DOUBLE) AS second_cheapest
+FROM orders
+WHERE o_custkey < 30
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def q_window_frames(spark, sf_dir):
+    """Explicit ROWS frames: running first_value vs whole-partition
+    last/nth_value (the default frame trap — last_value over the default
+    frame is just the current row; the full frame must be spelled out).
+    Total order via (price, orderkey) tiebreak keeps both engines identical."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
+    base = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        as_double(F.first(price).over(running)).alias("cheapest_so_far"),
+        as_double(F.last(price).over(full)).alias("most_expensive"),
+        as_double(F.nth_value(price, 2).over(full)).alias("second_cheapest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Datetime scalar surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_datetime_functions",
+    oracle="""
+SELECT o_orderkey,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+       CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS qtr,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mth,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow_sun1,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+       CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT)
+         AS days_since_epoch_start
+FROM orders
+WHERE o_orderkey % 97 = 0
+""",
+)
+def q_datetime_functions(spark, sf_dir):
+    """Datetime scalar parity: extract fields, quarter, day-of-week (Spark's
+    dayofweek is 1=Sunday; DuckDB's is 0=Sunday — normalized explicitly),
+    month-end, interval arithmetic, day difference. All JVM-side built-ins
+    inside one codegen stage."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.month(d).alias("mth"),
+        F.dayofweek(d).alias("dow_sun1"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(d + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(d, F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_epoch_start"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT ALL
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_intersect_all_priorities",
+    oracle="""
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def q_intersect_all_priorities(spark, sf_dir):
+    """Multiset intersection (bag semantics — each value kept min(m, n)
+    times), completing the set-op family with EXCEPT ALL and UNION."""
+    o = T(spark, sf_dir, "orders")
+    open_p = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    done_p = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return open_p.intersectAll(done_p)
