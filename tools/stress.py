@@ -1,0 +1,188 @@
+"""Scale stress harness: synthesize inputs ~100× the sf0.1 fixtures ON the
+cluster (spark.range — no driver materialization) and measure the operators
+whose design is scale-critical. Writes STRESS.md.
+
+This is the evidence the small-SF bench can't give: behavior when the data
+no longer fits one task — skewed keys actually skew, window state actually
+spills, the broadcast/shuffle choice actually matters.
+
+Run:  python tools/stress.py            (~3-5 min on local[32])
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+RESULTS: list[tuple[str, int, float, str]] = []
+
+
+def timed(label: str, rows: int, fn, note: str = ""):
+    t0 = time.perf_counter()
+    out = fn()
+    el = time.perf_counter() - t0
+    RESULTS.append((label, rows, el, note))
+    print(f"# {label}: {el:.2f}s ({rows:,} rows, {rows/el:,.0f} rows/s)", file=sys.stderr)
+    return out
+
+
+def main():
+    from arc_maskdata_pipeline_plugin_spark import get_spark
+
+    spark = get_spark("stress")
+    sc = spark.sparkContext
+
+    # ---- synthetic events: 20M rows, 1M users, 30 days -------------------
+    n_events = 20_000_000
+    events = (
+        spark.range(0, n_events, 1, sc.defaultParallelism * 4)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 1_000_000).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + (F.col("id") * 2654435761 % (30 * 86400))
+            ).alias("ts"),
+            (F.col("id") % 5).cast("int").alias("etype"),
+            (F.col("id") % 997).cast("double").alias("value"),
+        )
+    )
+
+    timed(
+        "windowed hourly aggregation",
+        n_events,
+        lambda: events.groupBy(F.date_trunc("hour", "ts"), "etype")
+        .agg(F.count(F.lit(1)), F.sum("value"))
+        .write.format("noop").mode("overwrite").save(),
+        "1 shuffle, map-side partial agg",
+    )
+
+    timed(
+        "sessionize (30-min gap, 1M users)",
+        n_events,
+        lambda: __import__(
+            "arc_maskdata_pipeline_plugin_spark.streaming.sessions",
+            fromlist=["sessionize_batch"],
+        ).sessionize_batch(
+            events.select("user_id", "ts", F.col("event_id")), gap_minutes=30
+        ).write.format("noop").mode("overwrite").save(),
+        "window over user_id: state ∝ partition, not stream",
+    )
+
+    timed(
+        "exact distinct users per type",
+        n_events,
+        lambda: events.groupBy("etype")
+        .agg(F.countDistinct("user_id"))
+        .write.format("noop").mode("overwrite").save(),
+        "2-phase distinct",
+    )
+    timed(
+        "HLL distinct users per type",
+        n_events,
+        lambda: events.groupBy("etype")
+        .agg(F.approx_count_distinct("user_id"))
+        .write.format("noop").mode("overwrite").save(),
+        "sketch path — no per-key shuffle",
+    )
+
+    # ---- broadcast join: 20M fact × 100k dim -----------------------------
+    dim = spark.range(0, 100_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 50).alias("segment")
+    )
+    timed(
+        "fact × 100k-dim broadcast join + agg",
+        n_events,
+        lambda: events.join(F.broadcast(dim), "user_id")
+        .groupBy("segment")
+        .agg(F.sum("value"))
+        .write.format("noop").mode("overwrite").save(),
+        "zero fact shuffle before agg",
+    )
+
+    # ---- skew: 10M rows, 30% on ONE key ----------------------------------
+    n_skew = 10_000_000
+    skewed = spark.range(0, n_skew, 1, sc.defaultParallelism * 4).select(
+        F.when(F.col("id") % 10 < 3, F.lit(7)).otherwise(F.col("id") % 100_000).alias("k"),
+        F.col("id").alias("v"),
+    )
+    sdim = spark.range(0, 100_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("attr")
+    )
+    from arc_maskdata_pipeline_plugin_spark.operators.joins import salted_join
+
+    timed(
+        "skewed join (30% one key), plain + AQE",
+        n_skew,
+        lambda: skewed.join(sdim, "k").groupBy("attr").count()
+        .write.format("noop").mode("overwrite").save(),
+        "AQE skew-join splitting",
+    )
+    timed(
+        "skewed join, salted (16 salts)",
+        n_skew,
+        lambda: salted_join(
+            skewed, sdim.withColumnRenamed("k", "rk"),
+            left_key="k", right_key="rk", n_salts=16,
+        )
+        .groupBy("attr").count()
+        .write.format("noop").mode("overwrite").save(),
+        "explicit salting path",
+    )
+
+    # ---- minhash signatures over 200k synthetic docs ---------------------
+    n_docs = 200_000
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(30)),
+        lambda i: F.concat(F.lit("w"), ((F.col("id") * 31 + i * 7) % 5000).cast("string")),
+    )
+    docs = spark.range(0, n_docs, 1, sc.defaultParallelism * 2).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text")
+    )
+    from arc_maskdata_pipeline_plugin_spark.operators.dedup import (
+        minhash_signatures,
+        word_shingles,
+    )
+
+    timed(
+        "minhash signatures (200k docs × 28 shingles)",
+        n_docs,
+        lambda: minhash_signatures(word_shingles(docs, distinct=False))
+        .write.format("noop").mode("overwrite").save(),
+        "1 scan, 1 shuffle (map-side MIN)",
+    )
+
+    # ---- report ----------------------------------------------------------
+    lines = [
+        "# STRESS — synthetic ~100× scale-up measurements (local[32])",
+        "",
+        "Inputs generated on-cluster with `spark.range` (no driver data); all",
+        "sinks are `noop` so timings measure compute+shuffle, not disk. Run",
+        "`python tools/stress.py` to regenerate.",
+        "",
+        "| operation | input rows | sec | rows/s | note |",
+        "|---|---|---|---|---|",
+    ]
+    for label, rows, el, note in RESULTS:
+        lines.append(f"| {label} | {rows:,} | {el:.2f} | {rows/el:,.0f} | {note} |")
+    lines += [
+        "",
+        "Reading the skew pair: AQE's runtime skew-split and the explicit",
+        "salted join should land in the same range — the salted path exists",
+        "for engines/configs where AQE is unavailable and as the deterministic",
+        "fallback when a single key exceeds what one task can hold.",
+    ]
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "STRESS.md"
+    )
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
