@@ -87,16 +87,29 @@ def drop_exact_duplicates(df: DataFrame, id_col: str = "doc_id", text: str = "te
 
 
 def minhash_signatures(
-    shingled: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """K min-hashes per doc in ONE aggregation (K min() columns, map-side
     partial agg) — not K passes. Feed it NON-distinct shingles
     (``word_shingles(..., distinct=False)``): MIN is multiset-insensitive, so
-    the dedup shuffle is pure waste here."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    the dedup shuffle is pure waste here.
+
+    ``hash_fn``: "md5" is the DuckDB-reproducible default (the oracle
+    checks it); "xxhash64" is the production fast path — same banding
+    machinery, ~3× cheaper per shingle at 100 TB (see STRESS.md)."""
+    if hash_fn == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     return shingled.groupBy(id_col).agg(*aggs)
 
 
