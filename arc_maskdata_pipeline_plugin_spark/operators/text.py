@@ -114,3 +114,30 @@ def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
             "fp_prefix64": F.conv(F.substring(fp, 1, 15), 16, 10).cast("bigint"),
         }
     )
+
+
+def with_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    chunk_size: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Context-window chunking: one row per (doc, chunk) with
+    ``chunk_size``-token windows every ``stride`` tokens (overlap =
+    chunk_size - stride). Pure JVM array expressions — partition-local 1→N
+    explode, zero shuffle; the training-prep step between cleaning and
+    tokenization."""
+    tokens = F.split(F.trim(F.col(text)), r"\s+")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(tokens), F.lit(1)), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - 1) / F.lit(stride)).cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(tokens, s, chunk_size)).alias("chunk_text"),
+            F.size(F.slice(tokens, s, chunk_size)).cast("int").alias("n_tokens"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col, "c.chunk_idx", "c.chunk_text", "c.n_tokens"
+    )

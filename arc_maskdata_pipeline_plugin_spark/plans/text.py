@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators.text import (
     STOPWORDS,
+    with_chunks,
     with_fingerprint,
     with_language_scores,
     with_quality_score,
@@ -130,27 +131,11 @@ FROM t, UNNEST(generate_series(1, greatest(len(tk), 1), 40)) AS g(s)
 """,
 )
 def text_chunks(spark, sf_dir):
-    """Context-window chunking: split each document into 50-token chunks with
-    10-token overlap (stride 40) — the training-prep step between cleaning
-    and tokenization. Pure JVM array expressions (split → sequence →
-    transform/slice → posexplode): partition-local, zero shuffle, and the
-    1→N explosion inherits the scan's parallelism."""
-    from pyspark.sql import functions as F
-
+    """Context-window chunking: 50-token windows, 10-token overlap
+    (operators/text.py::with_chunks); property-tested against a pure-Python
+    reference chunker on random documents."""
     d = T(spark, sf_dir, "documents")
-    tokens = F.split(F.trim(F.col("text")), r"\s+")
-    starts = F.sequence(F.lit(1), F.greatest(F.size(tokens), F.lit(1)), F.lit(40))
-    chunks = F.transform(
-        starts,
-        lambda s: F.struct(
-            ((s - 1) / F.lit(40)).cast("int").alias("chunk_idx"),
-            F.concat_ws(" ", F.slice(tokens, s, 50)).alias("chunk_text"),
-            F.size(F.slice(tokens, s, 50)).cast("int").alias("n_tokens"),
-        ),
-    )
-    return d.select("doc_id", F.explode(chunks).alias("c")).select(
-        "doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens"
-    )
+    return with_chunks(d, chunk_size=50, stride=40)
 
 
 @register(

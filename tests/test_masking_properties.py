@@ -108,3 +108,44 @@ def test_nulls_are_null():
     assert mask_string_value(CODEC, PASS, 16, string.ascii_letters, None, True, None) is None
     assert mask_date_value(CODEC, PASS, 10, True, None) is None
     assert mask_decimal_value(CODEC, PASS, Decimal("10"), True, None) is None
+
+
+# ---------------------------------------------------------------------------
+# Text chunking vs a pure-Python reference on random documents
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcdefg", min_size=1, max_size=5),
+            min_size=0,
+            max_size=130,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_text_chunking_matches_python_reference(spark, docs_tokens):
+    """Spark's sequence/slice chunking (operators/text.py::with_chunks) must
+    equal the obvious Python chunker (50-token windows, stride 40) for any
+    token count including 0."""
+    from arc_maskdata_pipeline_plugin_spark.operators.text import with_chunks
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+        for r in with_chunks(df, chunk_size=50, stride=40).collect()
+    )
+
+    want = []
+    for i, toks in enumerate(docs_tokens):
+        # split(trim(x), \s+) on an empty/whitespace string yields [""]
+        eff = " ".join(toks).strip().split() or [""]
+        n = len(eff)
+        for ci, s0 in enumerate(range(0, max(n, 1), 40)):
+            window = eff[s0 : s0 + 50]
+            want.append((i, ci, " ".join(window), len(window)))
+    assert got == sorted(want)
