@@ -171,3 +171,34 @@ def q_stratified_sample(spark, sf_dir):
     )
     bucket = F.substring(F.md5(F.col("event_id").cast("string")), 1, 4)
     return e.filter(bucket < threshold).select("event_id", "user_id", "event_type")
+
+
+@register(
+    "q_train_val_test_split",
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id,
+         CASE
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccd' THEN 'val'
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999' THEN 'test'
+           ELSE 'train'
+         END AS split
+  FROM documents
+)
+SELECT doc_id, split FROM assigned
+""",
+)
+def q_train_val_test_split(spark, sf_dir):
+    """Deterministic 3-way split (~5% val / ~5% test / 90% train) by hash
+    threshold on the document id: reproducible across runs, engines, and
+    repartitioning, with no RNG state to coordinate — membership is a pure
+    function of the id, so a re-run or a late-arriving shard lands in the
+    same split. Thresholds are hex prefixes of md5 ('0ccd'/16^4 ≈ 5%).
+    Pure projection: no shuffle."""
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(bucket < "0ccd", "val")
+        .when(bucket < "1999", "test")
+        .otherwise("train")
+    )
+    return T(spark, sf_dir, "documents").select("doc_id", split.alias("split"))
