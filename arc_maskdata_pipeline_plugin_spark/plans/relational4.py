@@ -779,3 +779,26 @@ def q_intersect_all_priorities(spark, sf_dir):
     open_p = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
     done_p = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
     return open_p.intersectAll(done_p)
+
+
+# ---------------------------------------------------------------------------
+# Sketch quantiles (approx_percentile — the scale path next to exact
+# percentile_cont, as approx_count_distinct is to countDistinct)
+# ---------------------------------------------------------------------------
+
+
+@register("q_approx_quantiles", oracle=None)  # GK sketch not reproducible in DuckDB
+def q_approx_quantiles(spark, sf_dir):
+    """Approximate quantiles via Spark's Greenwald-Khanna sketch: one pass,
+    mergeable partial state, memory bounded by 1/accuracy instead of by the
+    value count — the 100 TB alternative to exact percentiles (which sort
+    each group). Deterministic for a fixed accuracy, but the sketch is
+    Spark-specific, so the driver records a rows-only check (the exact twin
+    `q_percentiles_by_type` is fully oracle-checked)."""
+    e = T(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)").alias(
+            "p50_95_99"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
