@@ -154,8 +154,21 @@ def mask_decimal_value(codec, passphrase, range_: Decimal, deterministic, value)
 
 
 def _const(series: pd.Series):
-    """Literal args arrive as constant Series; pull the scalar once."""
-    return series.iloc[0] if len(series) else None
+    """Literal args arrive as constant Series; pull the scalar once.
+
+    These UDFs accept LITERAL arguments only (matching how the reference's
+    pipelines call them — treatment params are config constants). A real
+    per-row column here would silently apply the first row's value to the
+    whole Arrow batch, so a non-constant Series is rejected loudly.
+    """
+    if not len(series):
+        return None
+    if series.nunique(dropna=False) > 1:
+        raise ValueError(
+            "mask_* UDF parameter must be a literal (constant per batch); "
+            f"got {series.nunique(dropna=False)} distinct values in one batch"
+        )
+    return series.iloc[0]
 
 
 def register_udfs(

@@ -121,6 +121,12 @@ def salted_join(
     AQE's skew-join handles most cases adaptively (enabled in the session
     factory); explicit salting remains the tool when skew is known up front
     or the join sits below operators AQE won't split."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: right/full/"
+            "semi would observe the replicated right side (n_salts copies of "
+            "unmatched right rows) and return wrong results"
+        )
     salt = F.pmod(F.xxhash64(F.col(left_key), F.monotonically_increasing_id()), F.lit(n_salts))
     l_salted = left.withColumn("_salt", salt)
     r_salted = right.withColumn(

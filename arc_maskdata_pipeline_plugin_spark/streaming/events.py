@@ -111,19 +111,24 @@ def stream_masked_to_parquet(
     parquet, drained with ``availableNow``.
 
     ``foreachBatch`` is the pattern for sinks that need batch-writer features
-    (dynamic partitioning, compaction, merge); exactly-once comes from the
-    checkpoint's batch-id tracking — a replayed batch re-runs the same
-    deterministic write. The masking projection is the SAME code path as
-    batch (a stateless selectExpr), which is the engine's core design claim:
-    one masking definition, both execution modes.
+    (dynamic partitioning, compaction, merge). foreachBatch alone is only
+    at-least-once: a crash between the write and the checkpoint commit replays
+    the batch. The write is therefore made IDEMPOTENT — each batch lands in a
+    ``batch_id=N`` subdirectory with ``overwrite``, so a replayed batch
+    replaces its own output instead of appending duplicates, and the
+    replay-safe composition is effectively exactly-once. Readers see
+    ``batch_id`` as an ordinary discovered partition column under
+    ``output_dir``. The masking projection is the SAME code path as batch (a
+    stateless selectExpr), which is the engine's core design claim: one
+    masking definition, both execution modes.
     """
     masked = masked_event_stream(stream)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
-            batch_df.write.mode("append")
+            batch_df.write.mode("overwrite")
             .partitionBy(*partition_by)
-            .parquet(output_dir)
+            .parquet(os.path.join(output_dir, f"batch_id={batch_id}"))
         )
 
     q = (

@@ -57,14 +57,24 @@ def sessionize_batch(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
+    order_col: str | None = "event_id",
 ) -> DataFrame:
-    """Batch sessionization via lag + cumulative session counter."""
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    """Batch sessionization via lag + cumulative session counter.
+
+    ``order_col`` is the same-timestamp tiebreaker for the window ordering;
+    it defaults to ``event_id`` but is only used when the frame actually has
+    that column — pass an explicit column for other tiebreakers, or rely on
+    ``ts_col`` alone when none exists.
+    """
+    if order_col is not None and order_col not in events.columns:
+        order_col = None
+    order_cols = [ts_col] if order_col is None else [ts_col, order_col]
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
     gap_us = gap_minutes * 60 * 1_000_000
     with_flag = events.select(
         user_col,
         ts_col,
-        "event_id",
+        *([] if order_col is None else [order_col]),
         F.when(
             F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w)) > gap_us,
             1,

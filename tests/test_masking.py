@@ -186,3 +186,17 @@ def test_udf_mask_decimal_cast_back(masked_session):
     ).collect()[0]
     assert isinstance(row.m, Decimal)
     assert abs(row.m - Decimal("23.45")) <= Decimal("2.5")
+
+
+def test_mask_udf_rejects_per_row_parameter(masked_session):
+    spark = masked_session
+    """mask_* parameters are literals; a real column must raise, not silently
+    broadcast the first row's value over the batch (ADVICE r01)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    # single partition so one Arrow batch actually sees distinct param values
+    df = spark.range(0, 4, 1, 1).selectExpr("CAST(id + 4 AS INT) AS len", "CAST(id AS STRING) AS v")
+    df.createOrReplaceTempView("t_perrow_param")
+    with pytest.raises(PythonException, match="must be a literal"):
+        spark.sql("SELECT mask_string(len, true, v) AS m FROM t_perrow_param").collect()

@@ -24,3 +24,15 @@ def test_salted_join_left_outer(spark):
     rows = salted_join(left, right, "k", "rk", n_salts=4, how="left").collect()
     assert len(rows) == 2
     assert {r.rv for r in rows} == {"X", None}
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    import pytest
+
+    from arc_maskdata_pipeline_plugin_spark.operators.joins import salted_join
+
+    l = spark.range(5).withColumnRenamed("id", "k")
+    r = spark.range(5).withColumnRenamed("id", "rk")
+    for how in ("right", "full", "left_semi"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(l, r, "k", "rk", how=how)

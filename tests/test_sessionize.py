@@ -71,3 +71,18 @@ def test_sessionize_stream_matches_batch(spark, events, tmp_path):
     assert (1, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 1, 0, 10), 2) in batch
     assert streamed <= batch
     assert (1, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 1, 0, 10), 2) in streamed
+
+
+def test_sessionize_batch_without_event_id_column(spark):
+    import datetime as dt
+
+    from arc_maskdata_pipeline_plugin_spark.streaming.sessions import sessionize_batch
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0)),
+        (1, dt.datetime(2024, 1, 1, 0, 10)),
+        (1, dt.datetime(2024, 1, 1, 2, 0)),
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts"])  # no event_id
+    got = sessionize_batch(events, gap_minutes=30).collect()
+    assert {(r.n_events) for r in got} == {2, 1}

@@ -20,8 +20,10 @@ def test_stream_masked_parquet_sink(spark, tmp_path):
     stream_masked_to_parquet(read_events_stream(spark, SF), out, ckpt)
 
     landed = spark.read.parquet(out)
-    # partitioned layout → event_type is a partition column
+    # partitioned layout → batch_id (idempotency key) and event_type are
+    # discovered partition columns
     assert "event_type" in landed.columns
+    assert "batch_id" in landed.columns
     src = spark.read.parquet(f"{SF}/events.parquet")
     assert landed.count() == src.count()
 
@@ -37,3 +39,11 @@ def test_stream_masked_parquet_sink(spark, tmp_path):
     # masked, not cleartext: pseudonym is 8 digits, not the original id
     sample = next(iter(got.values()))
     assert len(sample) == 8 and sample.isdigit()
+
+    # replay safety: re-draining from a FRESH checkpoint replays every batch;
+    # the batch_id-keyed overwrite must leave the landed data unchanged
+    # (foreachBatch alone is at-least-once — idempotent writes make it safe).
+    stream_masked_to_parquet(read_events_stream(spark, SF), out, str(tmp_path / "ckpt2"))
+    replayed = spark.read.parquet(out)
+    assert replayed.count() == src.count()
+    assert {r.event_id: r.user_pseudonym for r in replayed.collect()} == want
