@@ -20,7 +20,10 @@ os.environ.setdefault(
     "ETL_CONF_MASK_DATA_PASSPHRASE",
     "q7VqMTbj7e5dUWESfc8UjZr2r7pyq5cHP8MVkUEjyv74cHsqUt734vg6qQmHaz7a",
 )
-# reference test cost (build.sbt:26-29)
+# reference test cost (build.sbt:22-29)
+os.environ.setdefault("ETL_CONF_MASK_DATA_ARGON2_PARALLELISM", "2")
+os.environ.setdefault("ETL_CONF_MASK_DATA_ARGON2_MEMORY", "16384")
+os.environ.setdefault("ETL_CONF_MASK_DATA_ARGON2_ITERATIONS", "1")
 os.environ.setdefault("ETL_CONF_MASK_DATA_PBKDF2_ITERATIONS", "131072")
 os.environ.setdefault("ETL_CONF_MASK_DATA_SCRYPT_CPU", "32768")
 os.environ.setdefault("ETL_CONF_MASK_DATA_SCRYPT_MEMORY", "16")
@@ -59,23 +62,40 @@ def main():
         if codec not in avail:
             lines.append(f"| {codec} | (not available in container) | — | — |")
             continue
-        try:  # probe one hash — Argon2 registers but needs argon2-cffi at use
+        try:  # probe one hash (also warms codec init)
             _gc(codec).hash("probe", True, b"p" * 64)
         except MaskDataCodecError as e:
             lines.append(f"| {codec} | (unusable: {str(e).split('.')[0]}) | — | — |")
             continue
         os.environ["ETL_CONF_MASK_DATA_CODEC"] = codec
         register_udfs(spark)
-        masked = df.selectExpr("mask_string(16, true, c_name) AS m")
-        masked.limit(10).collect()  # warm workers + codec init
+        # The pure-Python Argon2id fallback (no argon2-cffi in container) runs
+        # seconds per hash at test cost; measure a bounded sample so the tool
+        # stays runnable and report the honestly-scaled rate.
+        from arc_maskdata_pipeline_plugin_spark.codecs.argon2 import _HAVE_ARGON2
+
+        pure_argon2 = codec == "Argon2" and not _HAVE_ARGON2
+        bench_df, bench_n = df, n
+        if pure_argon2:
+            bench_n = 64
+            bench_df = df.limit(bench_n).repartition(32).cache()
+            bench_df.count()
+        masked = bench_df.selectExpr("mask_string(16, true, c_name) AS m")
+        if not pure_argon2:
+            masked.limit(10).collect()  # warm workers + codec init
         t0 = time.perf_counter()
         masked.filter("m IS NOT NULL").count()
         el = time.perf_counter() - t0
         from arc_maskdata_pipeline_plugin_spark.codecs import get_codec
 
         params = get_codec(codec).params()
-        lines.append(f"| {codec} | {params} | {el:.2f} | {n / el:,.0f} |")
+        note = " — pure-py RFC 9106 fallback, 64-row sample" if pure_argon2 else ""
+        rate = bench_n / el
+        rate_s = f"{rate:,.0f}" if rate >= 10 else f"{rate:.2f}"
+        lines.append(f"| {codec} | {params}{note} | {el:.2f} | {rate_s} |")
         print(lines[-1], file=sys.stderr)
+        if pure_argon2:
+            bench_df.unpersist()
     # Amortized fast-path throughput: the tiny-input numbers above are
     # dominated by fixed job overhead (~1s); the steady-state number a 100 TB
     # masking job sees needs enough rows to amortize it.
