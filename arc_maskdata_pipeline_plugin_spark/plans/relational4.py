@@ -498,38 +498,28 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 )
 def q_udaf_group_quantiles(spark, sf_dir):
     """Custom UDAF via ``applyInPandas``: the engine's pattern for grouped
-    aggregates Spark can't express natively (SURVEY.md §2c). Each group
-    arrives as ONE Arrow batch in a pandas DataFrame; the shuffle is the
-    same single hash-partition a built-in aggregate pays.
-
-    Scale note: applyInPandas materializes each whole group on one executor
-    — correct here (few, large groups would be the hazard; these groups are
-    bounded by flag×status cardinality = 6). For high-cardinality keys use
-    built-ins or two-phase sketches instead.
+    aggregates Spark can't express natively (SURVEY.md §2c). This is the
+    EXACT opt-in of ``operators.quantiles.grouped_quantiles`` — the default
+    surface is the GK sketch; exact materializes each whole group on one
+    executor, safe here because groups are bounded by flag×status
+    cardinality = 6 (see the operator docstring for the skewed-group OOM
+    bound).
 
     Interpolated quantiles over the integer-valued l_quantity are
     float-exact in both engines (frac * (b - a) on integers), so the oracle
     hash-matches bit-for-bit.
     """
-    import numpy as np
-    import pandas as pd
+    from ..operators.quantiles import grouped_quantiles
 
-    l = T(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_linestatus", "l_quantity"
+    l = T(spark, sf_dir, "lineitem")
+    return grouped_quantiles(
+        l,
+        keys=["l_returnflag", "l_linestatus"],
+        value_col="l_quantity",
+        probabilities=[0.25, 0.50, 0.75],
+        out_cols=["q25", "median", "q75"],
+        exact=True,
     )
-    schema = (
-        "l_returnflag string, l_linestatus string, "
-        "q25 double, median double, q75 double, n bigint"
-    )
-
-    def quantiles(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
-        q25, med, q75 = np.percentile(pdf["l_quantity"], [25, 50, 75])
-        return pd.DataFrame(
-            [[key[0], key[1], q25, med, q75, len(pdf)]],
-            columns=["l_returnflag", "l_linestatus", "q25", "median", "q75", "n"],
-        )
-
-    return l.groupBy("l_returnflag", "l_linestatus").applyInPandas(quantiles, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -789,16 +779,20 @@ def q_intersect_all_priorities(spark, sf_dir):
 
 @register("q_approx_quantiles", oracle=None)  # GK sketch not reproducible in DuckDB
 def q_approx_quantiles(spark, sf_dir):
-    """Approximate quantiles via Spark's Greenwald-Khanna sketch: one pass,
-    mergeable partial state, memory bounded by 1/accuracy instead of by the
-    value count — the 100 TB alternative to exact percentiles (which sort
-    each group). Deterministic for a fixed accuracy, but the sketch is
-    Spark-specific, so the driver records a rows-only check (the exact twin
+    """DEFAULT grouped-quantile path (``operators.quantiles.grouped_quantiles``):
+    Spark's Greenwald-Khanna sketch — one pass, mergeable partial state,
+    memory bounded by 1/accuracy instead of by the value count — the 100 TB
+    alternative to exact percentiles (which materialize each group).
+    Deterministic for a fixed accuracy, but the sketch is Spark-specific, so
+    the driver records a rows-only check (the exact twin
     `q_percentiles_by_type` is fully oracle-checked)."""
+    from ..operators.quantiles import grouped_quantiles
+
     e = T(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)").alias(
-            "p50_95_99"
-        ),
-        F.count(F.lit(1)).alias("n"),
+    return grouped_quantiles(
+        e,
+        keys=["event_type"],
+        value_col="value",
+        probabilities=[0.5, 0.95, 0.99],
+        out_cols=["p50", "p95", "p99"],
     )
