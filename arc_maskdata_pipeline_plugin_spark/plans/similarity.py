@@ -150,3 +150,22 @@ def sim_ann_ivf(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < N_QUERIES)
     return ann_ivf(e, queries, k=K, n_cells=N_CELLS, n_probes=N_PROBES)
+
+
+@register("sim_ann_ivf_trained", oracle=None)  # KMeans centroids ≠ SQL-reproducible
+def sim_ann_ivf_trained(spark, sf_dir):
+    """IVF with KMeans-trained centroids — the production recall path. The
+    quantizer isn't SQL-expressible (iterative Lloyd's), so the driver
+    records a rows-only check; recall ≥ the deterministic quantizer is
+    asserted in tests/test_similarity_recall.py against brute-force ground
+    truth."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import ann_ivf, ivf_centroids_kmeans
+
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    cents = ivf_centroids_kmeans(e, n_cells=N_CELLS)
+    return ann_ivf(
+        e, queries, k=K, n_cells=N_CELLS, n_probes=N_PROBES, cents=cents
+    )

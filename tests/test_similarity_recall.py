@@ -1,0 +1,66 @@
+"""IVF recall: KMeans-trained centroids must not lose to the deterministic
+first-n quantizer at the same (n_cells, n_probes) budget.
+
+Ground truth = brute-force exact kNN. Recall@k is averaged over the query
+set. The deterministic quantizer exists to keep the scale machinery
+oracle-checkable; the trained quantizer is the production path and the whole
+point of training is recall — so this is the regression gate for it."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arc_maskdata_pipeline_plugin_spark.operators.similarity import (
+    ann_ivf,
+    ivf_centroids,
+    ivf_centroids_kmeans,
+    knn_bruteforce,
+)
+from arc_maskdata_pipeline_plugin_spark.plans.registry import T
+
+SF = "/root/testdata/sf0.001"
+K, N_CELLS, N_PROBES = 5, 16, 4
+# Query set DISJOINT from the deterministic quantizer's seed vectors
+# (vec_id < n_cells): a query that IS a centroid pulls its true neighbors
+# into its own cell, inflating the deterministic quantizer's recall — the
+# comparison is only meaningful on queries neither quantizer has seen.
+Q_LO, Q_HI = 100, 110
+
+
+def _neighbor_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def _recall(got, truth):
+    return sum(len(got.get(q, set()) & t) / len(t) for q, t in truth.items()) / len(truth)
+
+
+def test_trained_ivf_recall_at_least_deterministic(spark):
+    e = T(spark, SF, "embeddings").cache()
+    queries = e.filter((F.col("vec_id") >= Q_LO) & (F.col("vec_id") < Q_HI))
+    truth = _neighbor_sets(knn_bruteforce(e, queries, k=K))
+
+    det = _neighbor_sets(
+        ann_ivf(e, queries, k=K, n_cells=N_CELLS, n_probes=N_PROBES)
+    )
+    trained_cents = ivf_centroids_kmeans(e, n_cells=N_CELLS)
+    trn = _neighbor_sets(
+        ann_ivf(e, queries, k=K, n_cells=N_CELLS, n_probes=N_PROBES, cents=trained_cents)
+    )
+    e.unpersist()
+
+    r_det, r_trn = _recall(det, truth), _recall(trn, truth)
+    # the trained quantizer must be at least as good, and genuinely useful
+    assert r_trn >= r_det, (r_trn, r_det)
+    assert r_trn >= 0.5, r_trn
+
+
+def test_trained_centroids_same_shape_as_deterministic(spark):
+    e = T(spark, SF, "embeddings")
+    det = ivf_centroids(e, n_cells=4)
+    trn = ivf_centroids_kmeans(e, n_cells=4, max_iter=2)
+    assert [f.name for f in det.schema.fields] == [f.name for f in trn.schema.fields]
+    assert trn.count() == 4
