@@ -54,18 +54,31 @@ def fake_decode(payload: bytes) -> tuple[int, int, int, str]:
     return n, width, height, mode
 
 
-def decode_image_real(payload: bytes):
+def decode_image_real(payload: bytes) -> tuple[int, int, int, str]:
+    """REAL image decode: PIL when importable (every format), else the
+    stdlib codecs in ``operators.imaging`` — full pixel decode for PNG,
+    header walk for JPEG/GIF. Raises ValueError on unrecognized payloads
+    (this is the honest path: garbage bytes are an error, not a guess)."""
+    payload = bytes(payload)
     try:
         import io
 
-        from PIL import Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "real image decode requires Pillow, which is not installed in "
-            "this container; use fake_decode-backed extract_image_features"
-        ) from e
-    img = Image.open(io.BytesIO(payload))
-    return len(payload), img.width, img.height, img.mode
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload))
+        return len(payload), img.width, img.height, img.mode
+    except ImportError:
+        pass
+    from .imaging import parse_image_header, png_decode
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        arr, mode = png_decode(payload)  # full decode — validates the stream
+        return len(payload), arr.shape[1], arr.shape[0], mode
+    header = parse_image_header(payload)
+    if header is None:
+        raise ValueError("unrecognized image payload (not PNG/JPEG/GIF)")
+    w, h, mode = header
+    return len(payload), w, h, mode
 
 
 def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -74,14 +87,44 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
 
 
+def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Render a REAL grayscale PNG per row — width=(id%16)+1,
+    height=(id%12)+1, deterministic gradient pixels — via the stdlib encoder
+    in ``operators.imaging``. Dimensions are pure id arithmetic, so a SQL
+    oracle can verify what the real decoder reads back; the payload is a
+    genuine zlib-compressed PNG stream, not a marker."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from .imaging import png_encode
+
+    @pandas_udf(BinaryType())
+    def render(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = i % 16 + 1, i % 12 + 1
+            yy, xx = np.mgrid[0:h, 0:w]
+            out.append(png_encode(((xx * 17 + yy * 31 + i) % 256).astype(np.uint8)))
+        return pd.Series(out)
+
+    return df.withColumn("payload", render(F.col(id_col)))
+
+
 def extract_image_features(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder=fake_decode,
 ) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads."""
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``decoder`` defaults to the deterministic fake (oracle-reproducible);
+    pass ``decode_image_real`` for actual PNG/JPEG/GIF decoding."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [fake_decode(p) for p in pdf[payload_col]]
+            feats = [decoder(p) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),

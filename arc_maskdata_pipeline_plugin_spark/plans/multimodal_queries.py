@@ -29,6 +29,36 @@ def q_multimodal_features(spark, sf_dir):
 
 
 @register(
+    "q_multimodal_real_png",
+    oracle="""
+SELECT doc_id,
+       CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 12 + 1 AS INTEGER) AS height,
+       'L' AS mode
+FROM documents
+""",
+)
+def q_multimodal_real_png(spark, sf_dir):
+    """REAL image decode, oracle-checked: each doc renders a genuine PNG
+    (stdlib zlib encoder, dimensions = id arithmetic) and the REAL decoder
+    (PIL when present, else the stdlib PNG pixel decoder in
+    operators/imaging.py) reads the dimensions back out of the compressed
+    stream. n_bytes is excluded — zlib output length isn't SQL arithmetic —
+    so the oracle verifies exactly the decoded properties."""
+    from ..operators.multimodal import (
+        attach_png_payload,
+        decode_image_real,
+        extract_image_features,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    feats = extract_image_features(
+        attach_png_payload(d.select("doc_id")), decoder=decode_image_real
+    )
+    return feats.select("doc_id", "width", "height", "mode")
+
+
+@register(
     "q_multimodal_frame_sample",
     oracle="""
 WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
