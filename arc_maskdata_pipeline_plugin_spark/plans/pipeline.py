@@ -80,10 +80,17 @@ class Pipeline:
 
     @classmethod
     def from_config(cls, config: str | dict | list) -> Pipeline:
-        """Accepts a JSON string, a dict with a ``stages`` list, or the list
-        itself. Validation errors accumulate across stages before raising."""
+        """Accepts a HOCON or JSON string (Arc configs are HOCON — the
+        reference's own test configs parse here, see tests/test_hocon.py), a
+        dict with a ``stages`` list, or the list itself. Validation errors
+        accumulate across stages before raising."""
         if isinstance(config, str):
-            config = json.loads(config)
+            try:
+                config = json.loads(config)
+            except json.JSONDecodeError:
+                from .hocon import loads as hocon_loads
+
+                config = hocon_loads(config)
         if isinstance(config, dict):
             config = config.get("stages", [])
         stages, errors = [], []
