@@ -44,7 +44,35 @@ HEADLINE = [
     "q21_sole_returning_supplier",
     "q_udaf_group_quantiles",
     "sim_ann_ivf",
+    # round 2: real PNG encode->decode round trip through mapInPandas
+    "q_multimodal_real_png",
 ]
+
+
+def _previous_round_queries() -> tuple[str, dict]:
+    """Per-query timings from the latest BENCH_r{N}.json, for regression
+    tracking (VERDICT r01 next-round #8)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, path)
+    if best is None:
+        return "", {}
+    try:
+        with open(best[1]) as f:
+            doc = json.load(f)
+        # the driver wraps our JSON line under "parsed"
+        queries = doc.get("queries") or doc.get("parsed", {}).get("queries", {})
+        return f"r{best[0]:02d}", queries
+    except (OSError, json.JSONDecodeError):
+        return "", {}
 
 
 def main():
@@ -68,18 +96,54 @@ def main():
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: warm {timings[name]}s / cold {cold[name]}s ({n} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_total": round(sum(cold.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+
+    # regression table vs the previous round's recorded bench (sf0.1 only —
+    # other SF dirs aren't comparable to the driver's records)
+    regressions = {}
+    uniform_slowdown = None
+    prev_round, prev = ("", {}) if sf != "0.1" else _previous_round_queries()
+    if prev:
+        ratios = {
+            name: t / prev[name]
+            for name, t in timings.items()
+            if prev.get(name, 0) > 0
+        }
+        # A PLAN regression is query-specific; co-tenant CPU noise moves every
+        # query by a similar factor. Normalize by the median ratio so the
+        # flags isolate genuinely-changed plans.
+        med = sorted(ratios.values())[len(ratios) // 2] if ratios else 1.0
+        uniform_slowdown = round(med, 2) if med > 1.25 else None
+        print(
+            f"# regression check vs BENCH_{prev_round} (flag >1.3x; median ratio "
+            f"{med:.2f}x{' — uniform, likely environmental' if uniform_slowdown else ''}):",
+            file=sys.stderr,
         )
-    )
+        for name, ratio in ratios.items():
+            adj = ratio / med if uniform_slowdown else ratio
+            flag = "  <-- REGRESSION" if adj > 1.3 else ""
+            if adj > 1.3 or adj < 0.77:
+                print(
+                    f"#   {name}: {prev[name]}s -> {timings[name]}s "
+                    f"({ratio:.2f}x raw, {adj:.2f}x vs median){flag}",
+                    file=sys.stderr,
+                )
+            if adj > 1.3:
+                regressions[name] = round(adj, 2)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_total": round(sum(cold.values()), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if prev:
+        out["vs_prev_round"] = prev_round
+        out["regressions_gt_1_3x"] = regressions
+        if uniform_slowdown:
+            out["uniform_slowdown_x"] = uniform_slowdown
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
