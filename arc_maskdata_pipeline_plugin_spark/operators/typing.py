@@ -70,8 +70,19 @@ def typed_column(field: FieldSpec) -> Column:
         col = F.when(col.isin(field.nullable_values), F.lit(None)).otherwise(col)
 
     t = field.type
-    if t in ("string", "time"):
-        out = col  # no native time type → format-checked string (SURVEY §1)
+    if t == "string":
+        out = col
+    elif t == "time":
+        # No native TimeType in Spark: Arc types "time" as a format-VALIDATED
+        # string (reference schema: TestUtils.scala:294-305, formatter
+        # HH:mm:ss). Parse against the formatters (invalid → NULL, matching
+        # the cast-failure semantics of the other types) and emit the
+        # canonical HH:mm:ss rendering.
+        formatters = field.formatters or ["HH:mm:ss"]
+        patterns = [java_to_spark_pattern(f) or f for f in formatters]
+        attempts = [F.try_to_timestamp(col, F.lit(p)) for p in patterns]
+        parsed = F.coalesce(*attempts) if len(attempts) > 1 else attempts[0]
+        out = F.date_format(parsed, "HH:mm:ss")
     elif t == "integer":
         out = col.cast("int")
     elif t == "long":

@@ -266,3 +266,22 @@ def test_inject_parameters_missing_param_errors():
 
     with pytest.raises(Exception):
         inject_parameters("f(${value}, ${other})", {"value": "c"})
+
+
+def test_typing_time_column_validation(spark):
+    """Arc's string-typed 'time' columns (TestUtils.scala:294-305): parsed
+    against the formatter, canonicalized, invalid -> NULL."""
+    from arc_maskdata_pipeline_plugin_spark.operators.typing import (
+        FieldSpec,
+        typed_column,
+    )
+
+    df = spark.createDataFrame(
+        [("12:34:56",), ("23:45:16",), ("9:05:01",), ("not a time",), (None,)],
+        ["timeDatum"],
+    )
+    spec = FieldSpec(name="timeDatum", type="time", formatters=["HH:mm:ss"])
+    got = [r.timeDatum for r in df.select(typed_column(spec)).collect()]
+    assert got[0] == "12:34:56" and got[1] == "23:45:16"
+    # H-vs-HH leniency follows Spark's parser; the invalid string must be NULL
+    assert got[3] is None and got[4] is None
