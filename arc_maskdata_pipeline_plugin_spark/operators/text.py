@@ -141,3 +141,87 @@ def with_chunks(
     return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
         id_col, "c.chunk_idx", "c.chunk_text", "c.n_tokens"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing, repetition detection, quality filtering (round 2) —
+# standard training-data pipeline passes; all pure JVM expressions.
+# ---------------------------------------------------------------------------
+
+# Patterns deliberately restricted to syntax Java regex and RE2 (DuckDB)
+# interpret identically: no backreferences, no lookaround.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"https?://[^\s]+", "<URL>"),                                # before email (@ in URLs)
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    (r"\+[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(df: DataFrame, text: str = "text", out_col: str = "scrubbed") -> DataFrame:
+    """Redact emails/URLs/IPs/phones with typed placeholder tokens.
+
+    A chained ``regexp_replace`` projection: zero shuffle, fully
+    whole-stage-codegen, applied in pattern order (URL first so the email
+    rule never fires inside a URL). At 100 TB this is a map-only pass that
+    pipelines with any downstream filter."""
+    c = F.col(text)
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return df.withColumn(out_col, c)
+
+
+def with_repetition_stats(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Per-document repetition features: distinct-word ratio and the share of
+    the single most frequent word — the cheap screens for boilerplate/spam
+    (a la Gopher's repetition rules).
+
+    Shape: explode → two-level aggregate, ONE shuffle keyed on (doc, word)
+    then a map-side-combinable per-doc rollup — no join back to the corpus,
+    so it scales as a pure aggregation over total token count."""
+    words = df.select(
+        F.col(id_col), F.explode(tokens_col(text)).alias("w")
+    )
+    per_word = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_word.groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("n").alias("top_word_n"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_distinct",
+            _ratio(F.col("n_distinct"), F.col("n_words")).alias("distinct_ratio"),
+            _ratio(F.col("top_word_n"), F.col("n_words")).alias("top_word_share"),
+        )
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_stopword_ratio: float = 0.0,
+    min_alpha_ratio: float = 0.5,
+    max_punct_ratio: float = 0.2,
+) -> DataFrame:
+    """Gopher-style composite document filter: per-rule boolean flags plus the
+    conjunction, built on ``with_quality_score``'s exact-arithmetic features.
+    Emits flags rather than dropping rows so audits can count WHY documents
+    fail — drop with ``.filter("passes")`` when materializing."""
+    scored = with_quality_score(df, text)
+    flags = {
+        "len_ok": (F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens),
+        "stopword_ok": F.col("stopword_ratio") >= min_stopword_ratio,
+        "alpha_ok": F.col("alpha_ratio") >= min_alpha_ratio,
+        "punct_ok": F.col("punct_ratio") <= max_punct_ratio,
+    }
+    out = scored.withColumns(flags)
+    passes = F.lit(True)
+    for name in flags:
+        passes = passes & F.col(name)
+    return out.withColumn("passes", passes)

@@ -202,3 +202,116 @@ def q_train_val_test_split(spark, sf_dir):
         .otherwise("train")
     )
     return T(spark, sf_dir, "documents").select("doc_id", split.alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# Round 2: PII scrubbing / repetition / quality filter
+# ---------------------------------------------------------------------------
+
+# The documents table is clean word-soup, so the PII query INJECTS a
+# deterministic email/URL/IP/phone per doc (pure id arithmetic, identical
+# SQL in both engines) and verifies the scrubber removes all of it.
+_PII_TEXT_SPARK = (
+    "concat('Contact u', CAST(doc_id AS STRING), '@mail', CAST(doc_id % 7 AS STRING), "
+    "'.com or https://site', CAST(doc_id % 5 AS STRING), '.example/p?id=', "
+    "CAST(doc_id AS STRING), ' from 10.0.', CAST(doc_id % 256 AS STRING), "
+    "'.1 call +1 (555) 010-', CAST(doc_id % 10 AS STRING), CAST(doc_id % 10 AS STRING), "
+    "CAST(doc_id % 10 AS STRING), CAST(doc_id % 10 AS STRING), ' ', text)"
+)
+
+_PII_TEXT_SQL = (
+    "'Contact u' || doc_id || '@mail' || (doc_id % 7) || "
+    "'.com or https://site' || (doc_id % 5) || '.example/p?id=' || doc_id || "
+    "' from 10.0.' || (doc_id % 256) || '.1 call +1 (555) 010-' || (doc_id % 10) "
+    "|| (doc_id % 10) || (doc_id % 10) || (doc_id % 10) || ' ' || text"
+)
+
+
+def _pii_oracle() -> str:
+    from ..operators.text import PII_PATTERNS
+
+    expr = _PII_TEXT_SQL
+    for pat, repl in PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{repl}', 'g')"
+    return f"SELECT doc_id, {expr} AS scrubbed FROM documents"
+
+
+@register("q_pii_scrub", oracle=_pii_oracle())
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails/URLs/IPs/phones → typed tokens) as a chained
+    regexp_replace projection — zero shuffle, codegen'd, RE2-compatible
+    patterns so DuckDB replays the identical rewrite."""
+    from pyspark.sql import functions as F
+
+    from ..operators.text import scrub_pii
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_TEXT_SPARK).alias("text")
+    )
+    return scrub_pii(d).select("doc_id", "scrubbed")
+
+
+@register(
+    "q_repetition_stats",
+    oracle=r"""
+WITH words AS (
+  SELECT doc_id, w
+  FROM documents, UNNEST(string_split_regex(trim(text), '\s+')) AS t(w)
+), per_word AS (
+  SELECT doc_id, w, COUNT(*) AS n FROM words GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_words,
+       COUNT(*) AS n_distinct,
+       CAST(COUNT(*) AS DOUBLE) / SUM(n) AS distinct_ratio,
+       CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_word_share
+FROM per_word GROUP BY doc_id
+""",
+)
+def q_repetition_stats(spark, sf_dir):
+    """Boilerplate/spam screen: distinct-word ratio + top-word share per doc
+    (explode → (doc,word) count → per-doc rollup; one shuffle + map-side
+    combine)."""
+    from ..operators.text import with_repetition_stats
+
+    return with_repetition_stats(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_quality_filter",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS n_punct,
+         string_split_regex(trim(text), '\s+') AS tk
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         len(tk) AS n_tokens,
+         CAST(n_alpha AS DOUBLE) / nc AS alpha_ratio,
+         CAST(n_punct AS DOUBLE) / nc AS punct_ratio,
+         CAST(len(list_filter(tk, x -> list_contains({_EN}, x))) AS DOUBLE) / len(tk) AS stopword_ratio
+  FROM t
+)
+SELECT doc_id,
+       n_tokens >= 5 AND n_tokens <= 100000 AS len_ok,
+       stopword_ratio >= 0.05 AS stopword_ok,
+       alpha_ratio >= 0.5 AS alpha_ok,
+       punct_ratio <= 0.2 AS punct_ok,
+       (n_tokens >= 5 AND n_tokens <= 100000) AND stopword_ratio >= 0.05
+         AND alpha_ratio >= 0.5 AND punct_ratio <= 0.2 AS passes
+FROM f
+""",
+)
+def q_quality_filter(spark, sf_dir):
+    """Gopher-style composite quality filter with per-rule audit flags."""
+    from ..operators.text import quality_filter
+
+    return quality_filter(
+        T(spark, sf_dir, "documents"), min_stopword_ratio=0.05
+    ).select(
+        "doc_id", "len_ok", "stopword_ok", "alpha_ok", "punct_ok", "passes"
+    )

@@ -182,3 +182,46 @@ def test_ivf_precomputed_store_matches_inline(spark, tmp_path):
 
     assert rows(inline) == rows(from_store)
     assert len(rows(inline)) > 0
+
+
+def test_scrub_pii_tokens(spark):
+    from arc_maskdata_pipeline_plugin_spark.operators.text import scrub_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@sub.example.co.uk today"),
+        (2, "see https://a.example/path?q=1&u=bob@x.com for info"),
+        (3, "server 192.168.0.1 phone +61 (2) 9999-1234 end"),
+        (4, "clean text stays untouched"),
+    ]
+    got = {r.doc_id: r.scrubbed for r in
+           scrub_pii(spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert got[1] == "mail me at <EMAIL> today"
+    # URL rule runs first, so the embedded email never fires separately
+    assert got[2] == "see <URL> for info"
+    assert got[3] == "server <IP> phone <PHONE> end"
+    assert got[4] == "clean text stays untouched"
+
+
+def test_quality_filter_flags(spark):
+    from arc_maskdata_pipeline_plugin_spark.operators.text import quality_filter
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "x"),                                  # too short
+        (3, "!!! ??? ;;; ,,, ... !!! ??? ;;;"),    # punctuation soup
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in quality_filter(df, min_stopword_ratio=0.05).collect()}
+    assert got[1].passes
+    assert not got[2].len_ok and not got[2].passes
+    assert not got[3].alpha_ok and not got[3].punct_ok and not got[3].passes
+
+
+def test_repetition_stats_values(spark):
+    from arc_maskdata_pipeline_plugin_spark.operators.text import with_repetition_stats
+
+    df = spark.createDataFrame([(1, "a a a b"), (2, "w x y z")], ["doc_id", "text"])
+    got = {r.doc_id: r for r in with_repetition_stats(df).collect()}
+    assert got[1].n_words == 4 and got[1].n_distinct == 2
+    assert got[1].top_word_share == 0.75 and got[1].distinct_ratio == 0.5
+    assert got[2].top_word_share == 0.25 and got[2].distinct_ratio == 1.0
