@@ -77,11 +77,18 @@ def connected_components(
     """Assign each node in the pair graph its component id = the minimum node
     id reachable from it. Returns (node, component).
 
-    Alternates large-star / small-star rounds until the edge set is stable
-    (checked with an ``exceptAll`` probe — catches edges that changed, not
-    just count drift). At fixpoint the edge list is a star forest
-    (node → component-min); singleton-free by construction since every input
-    node arrives via a pair.
+    Alternates large-star / small-star rounds until the edge set is stable.
+    Stability is detected with an order-insensitive FINGERPRINT — one tiny
+    aggregate (count + bit_xor of xxhash64(u,v)) per round — instead of a wide
+    ``exceptAll`` diff: the fingerprint probe is a map+reduce over the
+    already-checkpointed frame where the diff is two extra shuffled anti-join
+    passes per round (wall-clock on the 1M-node stress is dominated by the
+    star rounds themselves, so the probe choice is about not ADDING shuffles,
+    ~even locally but strictly less work at cluster scale). A changed edge
+    set escaping detection needs a 64-bit XOR collision in every round it
+    differs — negligible next to the approximate nature of the upstream
+    candidate generation. At fixpoint the edge list is a star forest
+    (node → component-min).
 
     Raises ``RuntimeError`` if ``max_iter`` rounds pass without convergence —
     a silently split cluster is a correctness bug, not a degraded answer.
@@ -99,17 +106,25 @@ def connected_components(
         .distinct()
     )
 
+    def _fingerprint(df: DataFrame) -> tuple:
+        # bit_xor: order-insensitive, overflow-free under ANSI mode; edge
+        # lists are distinct so XOR self-cancellation cannot occur.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
     converged = False
+    prev_fp = _fingerprint(edges)
     for _ in range(max_iter):
         stars = _small_star(_large_star(edges)).localCheckpoint()
-        changed = (
-            stars.exceptAll(edges).limit(1).count()
-            + edges.exceptAll(stars).limit(1).count()
-        )
+        fp = _fingerprint(stars)
         edges = stars
-        if changed == 0:
+        if fp == prev_fp:
             converged = True
             break
+        prev_fp = fp
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "

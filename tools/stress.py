@@ -165,6 +165,31 @@ def main():
         "production hash: same banding, cheaper per shingle",
     )
 
+    # ---- connected components: star rounds vs worst-case chains ----------
+    # 1M-node edge list = 10k chains of length 100 (diameter 99 — the shape
+    # that breaks O(diameter) label propagation) plus 100k random pairs.
+    from arc_maskdata_pipeline_plugin_spark.operators.clusters import (
+        connected_components,
+    )
+
+    n_edges = 1_090_000
+    chains = (
+        spark.range(0, 990_000, 1, sc.defaultParallelism)
+        .filter((F.col("id") % 100) != 99)  # break between chains
+        .select(F.col("id").alias("d1"), (F.col("id") + 1).alias("d2"))
+    )
+    rand = spark.range(0, 100_000, 1, sc.defaultParallelism).select(
+        (F.xxhash64("id") % 1_000_000).alias("d1"),
+        (F.xxhash64("id", F.lit(1)) % 1_000_000).alias("d2"),
+    )
+    timed(
+        "connected components (1M nodes, 100-hop chains + random)",
+        n_edges,
+        lambda: connected_components(chains.union(rand))
+        .write.format("noop").mode("overwrite").save(),
+        "large/small-star rounds: O(log n) fixpoint incl. diameter-99 chains",
+    )
+
     # ---- report ----------------------------------------------------------
     lines = [
         "# STRESS — synthetic ~100× scale-up measurements (local[32])",
