@@ -180,12 +180,21 @@ def ivf_assignments(
     sim_to_cent = _dot(F.col(f"c.{vec}"), F.col("cents.cvec")) / (
         F.col("c._norm") * F.col("cents.cnrm")
     )
+    # argmax via max_by hash-aggregate, NOT a row_number window: the window
+    # shape sort-shuffles corpus×n_cells rows, while max_by partial-aggregates
+    # map-side so only corpus-many rows reach the shuffle — the difference
+    # between O(corpus·cells) and O(corpus) shuffle bytes at 100 TB. Ordering
+    # key (sim, -cent_id) reproduces the window's tiebreak (max sim, then MIN
+    # cent_id) exactly, so the DuckDB oracle still hash-matches.
     return (
         c.crossJoin(F.broadcast(cents))
-        .select(F.col(f"c.{id_col}").alias("m_vec_id"), "cent_id", sim_to_cent.alias("sim"))
-        .withColumn("rn", F.row_number().over(Window.partitionBy("m_vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))))
-        .filter(F.col("rn") == 1)
-        .select("m_vec_id", F.col("cent_id").alias("cell"))
+        .select(
+            F.col(f"c.{id_col}").alias("m_vec_id"), "cent_id", sim_to_cent.alias("sim")
+        )
+        .groupBy("m_vec_id")
+        .agg(
+            F.expr("max_by(cent_id, struct(sim, -cent_id))").alias("cell")
+        )
     )
 
 
