@@ -315,3 +315,64 @@ def q_quality_filter(spark, sf_dir):
     ).select(
         "doc_id", "len_ok", "stopword_ok", "alpha_ok", "punct_ok", "passes"
     )
+
+
+@register(
+    "q_scd2_customer_merge",
+    oracle="""
+WITH cur AS (
+  SELECT c_custkey, c_name, c_acctbal, '2024-01-01' AS eff_date,
+         TRUE AS _from_current
+  FROM customer
+), chg AS (
+  SELECT c_custkey,
+         'renamed ' || c_custkey AS c_name,
+         c_acctbal + 10.0 AS c_acctbal,
+         '2024-06-15' AS eff_date,
+         FALSE AS _from_current
+  FROM customer WHERE c_custkey % 3 = 0
+), uni AS (
+  SELECT c_custkey, c_name, c_acctbal, eff_date, _from_current FROM cur
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal, eff_date, _from_current FROM chg
+), v AS (
+  SELECT *,
+         lead(eff_date) OVER (
+           PARTITION BY c_custkey
+           ORDER BY eff_date ASC, _from_current DESC) AS nxt
+  FROM uni
+)
+SELECT c_custkey, c_name,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+       eff_date,
+       COALESCE(nxt, '9999-12-31') AS valid_to,
+       nxt IS NULL AS is_current
+FROM v
+""",
+)
+def q_scd2_customer_merge(spark, sf_dir):
+    """SCD type-2 merge (operators/scd.py): customer as the current
+    dimension slice, a deterministic change batch (every 3rd key is renamed and
+    gains 10.0 balance), full validity-interval history out. The oracle
+    replays the same union/lead plan in ANSI SQL — note it skips the
+    attribute-hash no-op screen because every generated change IS a real
+    change (screen behavior is unit-tested separately, incl. replay
+    idempotence)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.scd import scd2_merge
+
+    c = T(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        F.lit("2024-01-01").alias("eff_date"),
+    )
+    changes = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("renamed "), F.col("c_custkey").cast("string")).alias("c_name"),
+        (F.col("c_acctbal").cast("double") + 10.0).alias("c_acctbal"),
+        F.lit("2024-06-15").alias("eff_date"),
+    )
+    return scd2_merge(current, changes, "c_custkey", ["c_name", "c_acctbal"])
