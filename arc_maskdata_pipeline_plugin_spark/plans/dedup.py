@@ -215,3 +215,57 @@ def dedup_clusters_q(spark, sf_dir):
             "members"
         ),
     )
+
+
+def _survivors_oracle() -> str:
+    """Survivor set after cluster resolution: every doc except non-canonical
+    cluster members (same recursive-CTE fixpoint as dedup_clusters)."""
+    mins = ", ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(NUM_HASHES)
+    )
+    n_bands = NUM_HASHES // BAND_SIZE
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || ".join(f"h{b * BAND_SIZE + j}" for j in range(BAND_SIZE)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+walk(node, comp) AS (
+  SELECT DISTINCT a, a FROM e
+  UNION
+  SELECT e.a, w.comp FROM e JOIN walk w ON e.b = w.node
+),
+cc AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node)
+SELECT d.doc_id, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM cc WHERE node <> component)
+"""
+
+
+@register("dedup_survivors", oracle=_survivors_oracle())
+def dedup_survivors_q(spark, sf_dir):
+    """END-TO-END dedup: MinHash-LSH pairs → star-rounds connected components
+    → drop every non-canonical cluster member (canonical = min doc id), keep
+    the rest of the corpus untouched. The anti-join runs corpus-vs-losers —
+    losers is post-LSH tiny, so Spark broadcasts it and the corpus never
+    shuffles: the right 100 TB shape for the final filter of a dedup
+    pipeline."""
+    from ..operators.clusters import connected_components
+
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    cc = connected_components(pairs)
+    losers = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return docs.join(losers, "doc_id", "left_anti")

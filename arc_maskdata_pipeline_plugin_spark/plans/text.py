@@ -376,3 +376,54 @@ def q_scd2_customer_merge(spark, sf_dir):
         F.lit("2024-06-15").alias("eff_date"),
     )
     return scd2_merge(current, changes, "c_custkey", ["c_name", "c_acctbal"])
+
+
+@register(
+    "q_sequence_packing",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(COALESCE(cum_before, 0) // 2048 AS BIGINT) AS pack_id,
+       CAST(COALESCE(cum_before, 0) % 2048 AS BIGINT) AS pack_offset
+FROM c
+""",
+)
+def q_sequence_packing(spark, sf_dir):
+    """Greedy sequential sample packing (the concat-and-split training-data
+    shape): docs are concatenated per source stream in doc_id order and cut
+    into 2048-token packs; each doc gets (pack_id, pack_offset) from a
+    running token total. One window per source stream — streams parallelize
+    across the cluster; at 100 TB you key the stream by (source, shard) so
+    no single window serializes, which changes nothing downstream because
+    pack ids only need to be unique per stream."""
+    from pyspark.sql import Window
+
+    from ..operators.text import tokens_col
+
+    BUDGET = 2048
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens_col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(cum_before / BUDGET).alias("pack_id"),
+        (cum_before % BUDGET).alias("pack_offset"),
+    )
