@@ -79,3 +79,50 @@ def test_filters_reach_every_scan(spark, name):
     a = props(name, spark)
     assert a["pushed_filters"] >= 1
     assert a["scans"] >= 1
+
+
+def test_pii_scrub_zero_shuffle(spark):
+    """Chained regexp redaction is a pure projection."""
+    a = props("q_pii_scrub", spark)
+    assert a["exchanges"] == 0 and a["python_ops"] == 0
+    assert a["scans"] == 1
+
+
+def test_sequence_packing_single_window_shuffle(spark):
+    """Running-total packing: one shuffle (the per-source window), no joins."""
+    a = props("q_sequence_packing", spark)
+    assert a["exchanges"] == 1
+    assert a["sort_merge_joins"] == 0 and a["broadcasts"] == 0
+
+
+def test_embedding_passes_projection_only(spark):
+    for q in ("q_embedding_normalize", "q_embedding_quantize_int8"):
+        a = props(q, spark)
+        assert a["exchanges"] == 0, q
+        assert a["python_ops"] == 0, q
+
+
+def test_ivf_assignment_uses_partial_max_by(spark):
+    """Assignment must partial-aggregate map-side (max_by), never sort-shuffle
+    corpus×n_cells rows through a row_number window."""
+    import __spark_entry__ as m
+    from arc_maskdata_pipeline_plugin_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_centroids,
+    )
+    from arc_maskdata_pipeline_plugin_spark.plans.registry import T
+
+    e = T(spark, SF, "embeddings")
+    plan = (
+        ivf_assignments(e, ivf_centroids(e))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+
+
+def test_scd2_merge_bounded_shuffles(spark):
+    """SCD2: key-join screen + window — no broadcast of the dimension side."""
+    a = props("q_scd2_customer_merge", spark)
+    assert a["sort_merge_joins"] <= 1
+    assert a["exchanges"] <= 4
