@@ -177,7 +177,8 @@ class _Parser:
             elif self.s[self.i : self.i + 2] == "${":
                 parts.append(self._substitution())
             else:
-                parts.append(self._unquoted_run())
+                num = self._try_number()
+                parts.append(self._unquoted_run() if num is None else num)
             # whitespace between parts stays significant for concatenation;
             # capture it raw
             ws_start = self.i
@@ -196,6 +197,22 @@ class _Parser:
                 self._deep_merge(merged, p)
             return merged
         return _Concat([p for p in parts])
+
+    _NUMBER = None  # set after class body (regex)
+
+    def _try_number(self):
+        """Number token (incl. exponents like 1e+16, whose '+' the unquoted
+        rules would otherwise reject). Only taken when the whole token is
+        numeric and ends at a value boundary."""
+        m = _Parser._NUMBER.match(self.s, self.i)
+        if not m:
+            return None
+        self.i = m.end()
+        raw = m.group(0)
+        try:
+            return int(raw)
+        except ValueError:
+            return float(raw)
 
     def _unquoted_run(self):
         start = self.i
@@ -234,8 +251,16 @@ class _Parser:
                 mapping = {'"': '"', "\\": "\\", "/": "/", "b": "\b", "f": "\f",
                            "n": "\n", "r": "\r", "t": "\t"}
                 if esc == "u":
-                    out.append(chr(int(self.s[self.i + 2 : self.i + 6], 16)))
+                    cp = int(self.s[self.i + 2 : self.i + 6], 16)
                     self.i += 6
+                    # JSON encodes astral chars as surrogate pairs of two
+                    # \uXXXX escapes — recombine them
+                    if 0xD800 <= cp <= 0xDBFF and self.s[self.i : self.i + 2] == "\\u":
+                        lo = int(self.s[self.i + 2 : self.i + 6], 16)
+                        if 0xDC00 <= lo <= 0xDFFF:
+                            self.i += 6
+                            cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)
+                    out.append(chr(cp))
                     continue
                 if esc not in mapping:
                     raise self._err(f"bad escape \\{esc}")
@@ -288,6 +313,13 @@ class _Parser:
                 _Parser._deep_merge(dst[k], v)
             else:
                 dst[k] = v
+
+
+import re as _re
+
+_Parser._NUMBER = _re.compile(
+    r"[-+]?[0-9]+(?:\.[0-9]+)?(?:[eE][-+]?[0-9]+)?(?=[ \t]*(?:[\n,\]}#]|//|$))"
+)
 
 
 def _lookup(root, path: str):

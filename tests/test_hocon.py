@@ -158,3 +158,50 @@ def test_pipeline_hocon_end_to_end(spark, tmp_path):
     ctx = PipelineContext(spark=spark, environment="test")
     out = p.run(ctx)
     assert {(r.id, r.name) for r in out.collect()} == {("1", "ALICE"), ("2", "BOB")}
+
+
+# ---------------------------------------------------------------------------
+# Property: the parser is a JSON superset — any JSON document parses to the
+# same value json.loads gives (hypothesis-generated).
+# ---------------------------------------------------------------------------
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_scalars = st.one_of(
+    st.booleans(),
+    st.integers(min_value=-(10**12), max_value=10**12),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), min_codepoint=32),
+        max_size=20,
+    ),
+    st.none(),
+)
+_json_vals = st.recursive(
+    _scalars,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=4),
+        st.dictionaries(
+            st.text(
+                alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+                min_size=1,
+                max_size=8,
+            ),
+            inner,
+            max_size=4,
+        ),
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.dictionaries(st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1, max_size=8), _json_vals, max_size=4))
+def test_hocon_parses_arbitrary_json(doc):
+    text = json.dumps(doc)
+    assert loads(text) == json.loads(text)

@@ -45,3 +45,56 @@ def test_new_key_insert(spark):
     out = {r.k: r for r in scd2_merge(current, changes, "k", ["name", "bal"]).collect()}
     assert out[9].is_current and out[9].valid_to == HIGH_DATE
     assert out[1].is_current
+
+
+# ---------------------------------------------------------------------------
+# Property: the declarative plan equals a pure-Python reference merge on
+# randomized current/change sets.
+# ---------------------------------------------------------------------------
+
+
+def _py_scd2(current, changes):
+    """Reference merge: per key, keep the current version plus real changes
+    (attrs differ from current), order by (eff_date, from_current desc),
+    chain validity."""
+    cur_by_key = {}
+    for k, name, bal, eff in current:
+        cur_by_key[k] = (name, bal, eff)
+    versions = {}
+    for k, name, bal, eff in current:
+        versions.setdefault(k, []).append((eff, True, name, bal))
+    for k, name, bal, eff in changes:
+        if k in cur_by_key and cur_by_key[k][:2] == (name, bal):
+            continue
+        versions.setdefault(k, []).append((eff, False, name, bal))
+    out = set()
+    for k, vs in versions.items():
+        vs.sort(key=lambda v: (v[0], not v[1]))
+        for i, (eff, _fc, name, bal) in enumerate(vs):
+            nxt = vs[i + 1][0] if i + 1 < len(vs) else None
+            out.add((k, name, bal, eff, nxt or "9999-12-31", nxt is None))
+    return out
+
+
+def test_scd2_matches_python_reference_randomized(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        keys = list(range(12))
+        current = [
+            (k, f"n{rng.randrange(5)}", float(rng.randrange(3)), "2024-01-01")
+            for k in keys
+            if rng.random() < 0.8
+        ]
+        changes = [
+            (k, f"n{rng.randrange(5)}", float(rng.randrange(3)), "2024-06-15")
+            for k in rng.sample(keys, 8)
+        ]
+        cur_df = _cur(spark, current) if current else None
+        chg_df = _cur(spark, changes)
+        got = {
+            (r.k, r.name, r.bal, r.eff_date, r.valid_to, r.is_current)
+            for r in scd2_merge(cur_df, chg_df, "k", ["name", "bal"]).collect()
+        }
+        assert got == _py_scd2(current, changes), f"trial {trial}"
