@@ -44,8 +44,10 @@ HEADLINE = [
     "q21_sole_returning_supplier",
     "q_udaf_group_quantiles",
     "sim_ann_ivf",
-    # round 2: real PNG encode->decode round trip through mapInPandas
+    # round 2: real PNG encode->decode round trip through mapInPandas;
+    # production-hash minhash next to the md5 oracle path
     "q_multimodal_real_png",
+    "dedup_minhash_pairs_fast",
 ]
 
 
