@@ -427,3 +427,101 @@ def q_sequence_packing(spark, sf_dir):
         F.floor(cum_before / BUDGET).alias("pack_id"),
         (cum_before % BUDGET).alias("pack_offset"),
     )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+WITH a AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer
+), b AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN 'renamed ' || c_custkey ELSE c_name END AS c_name,
+         c_acctbal
+  FROM customer WHERE c_custkey % 7 <> 0
+)
+SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+       CASE
+         WHEN a.c_custkey IS NULL THEN 'insert'
+         WHEN b.c_custkey IS NULL THEN 'delete'
+         ELSE 'update'
+       END AS op,
+       b.c_name AS new_name,
+       a.c_name AS old_name
+FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey
+WHERE a.c_custkey IS NULL OR b.c_custkey IS NULL
+   OR a.c_name <> b.c_name OR a.c_acctbal <> b.c_acctbal
+""",
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Change-data-feed generation: diff two dimension snapshots into
+    insert/update/delete ops (the inverse of the SCD2 sink — produces the
+    change batches it consumes). One full-outer join hash-shuffled on the
+    key, filtered to actual differences; the deterministic 'new' snapshot
+    (every 5th renamed, every 7th dropped) lets DuckDB replay it exactly."""
+    from pyspark.sql import functions as F
+
+    c = T(spark, sf_dir, "customer")
+    a = c.select("c_custkey", "c_name", "c_acctbal").alias("a")
+    b = (
+        c.filter(F.col("c_custkey") % 7 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 5 == 0,
+                F.concat(F.lit("renamed "), F.col("c_custkey").cast("string")),
+            )
+            .otherwise(F.col("c_name"))
+            .alias("c_name"),
+            "c_acctbal",
+        )
+        .alias("b")
+    )
+    j = a.join(b, F.col("a.c_custkey") == F.col("b.c_custkey"), "full_outer")
+    return j.filter(
+        F.col("a.c_custkey").isNull()
+        | F.col("b.c_custkey").isNull()
+        | (F.col("a.c_name") != F.col("b.c_name"))
+        | (F.col("a.c_acctbal") != F.col("b.c_acctbal"))
+    ).select(
+        F.coalesce(F.col("a.c_custkey"), F.col("b.c_custkey")).alias("c_custkey"),
+        F.when(F.col("a.c_custkey").isNull(), "insert")
+        .when(F.col("b.c_custkey").isNull(), "delete")
+        .otherwise("update")
+        .alias("op"),
+        F.col("b.c_name").alias("new_name"),
+        F.col("a.c_name").alias("old_name"),
+    )
+
+
+@register(
+    "q_latest_event_per_user",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(ts) AS last_ts,
+       arg_max(event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
+               lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_type
+FROM events
+GROUP BY user_id
+""",
+)
+def q_latest_event_per_user(spark, sf_dir):
+    """Latest-record-per-key via max_by — ONE hash aggregate with map-side
+    combine instead of the row_number-window idiom (which sort-shuffles the
+    whole fact table). The ordering key is a sortable
+    '<microsecond-ts>|<zero-padded event_id>' string so the winner is
+    deterministic under timestamp ties AND identical in DuckDB (whose
+    arg_max lacks struct ordering keys)."""
+    from pyspark.sql import functions as F
+
+    e = T(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_ts"),
+        F.expr(
+            "max_by(event_type, concat(date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS'), "
+            "'|', lpad(CAST(event_id AS STRING), 12, '0')))"
+        ).alias("last_type"),
+    )
