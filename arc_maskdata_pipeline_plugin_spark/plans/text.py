@@ -525,3 +525,51 @@ def q_latest_event_per_user(spark, sf_dir):
             "'|', lpad(CAST(event_id AS STRING), 12, '0')))"
         ).alias("last_type"),
     )
+
+
+def _qgram_sql(col: str, q: int = 3) -> str:
+    # identical tokenization to operators/fuzzy.py::_qgram_expr, DuckDB syntax
+    return (
+        f"list_transform(range(1, greatest(length(' ' || lower({col}) || ' ') - {q - 1}, 1) + 1), "
+        f"i -> substring(' ' || lower({col}) || ' ', i, {q}))"
+    )
+
+
+@register(
+    "q_fuzzy_name_match",
+    oracle=f"""
+WITH l AS (
+  SELECT c_custkey AS _lid, c_name AS _lval, UNNEST(list_distinct({_qgram_sql('c_name')})) AS gram
+  FROM customer WHERE c_custkey < 200
+), r AS (
+  SELECT s_suppkey AS _rid, s_name AS _rval, UNNEST(list_distinct({_qgram_sql('s_name')})) AS gram
+  FROM supplier
+), pairs AS (
+  SELECT _lid, _rid, _lval, _rval, COUNT(*) AS n_common
+  FROM l JOIN r USING (gram)
+  GROUP BY 1, 2, 3, 4
+  HAVING COUNT(*) >= 8
+)
+SELECT _lid AS c_custkey, _rid AS s_suppkey,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(levenshtein(_lval, _rval) AS INTEGER) AS edit_distance
+FROM pairs
+""",
+)
+def q_fuzzy_name_match(spark, sf_dir):
+    """Entity resolution: match customer names to supplier names via the
+    q-gram inverted-index join (equi-join on grams — never a cross join)
+    with common-gram lower-bound pruning, then Levenshtein only on the
+    filtered candidates. TPC-H names share the 'Customer#'/'Supplier#'
+    prefixes, so min_common=8 keeps the deliberately-similar pairs — the
+    same machinery fuzzy-joins address/vendor tables at 100 TB with a
+    stop-gram cap (operators/fuzzy.py::dropped_grams audits it)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.fuzzy import qgram_match
+
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    s = T(spark, sf_dir, "supplier")
+    return qgram_match(
+        c, s, "c_custkey", "s_suppkey", "c_name", "s_name", min_common=8
+    )

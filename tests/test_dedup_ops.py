@@ -225,3 +225,43 @@ def test_repetition_stats_values(spark):
     assert got[1].n_words == 4 and got[1].n_distinct == 2
     assert got[1].top_word_share == 0.75 and got[1].distinct_ratio == 0.5
     assert got[2].top_word_share == 0.25 and got[2].distinct_ratio == 1.0
+
+
+def test_qgram_match_finds_near_names(spark):
+    from arc_maskdata_pipeline_plugin_spark.operators.fuzzy import qgram_match
+
+    l = spark.createDataFrame(
+        [(1, "Acme Corporation"), (2, "Globex Industries"), (3, "zzz")],
+        ["lid", "name"],
+    )
+    r = spark.createDataFrame(
+        [(10, "ACME Corp."), (20, "Globex Industies"), (30, "Unrelated Pty")],
+        ["rid", "name"],
+    )
+    got = {(x.lid, x.rid): x for x in
+           qgram_match(l, r, "lid", "rid", "name", "name",
+                       min_common=3, max_edit_distance=12).collect()}
+    assert (1, 10) in got            # case/punct variant
+    assert (2, 20) in got            # one-char typo
+    assert got[(2, 20)].edit_distance == 1
+    assert all(k[0] != 3 for k in got)  # no grams in common -> never a candidate
+
+
+def test_qgram_stop_gram_cap(spark):
+    from arc_maskdata_pipeline_plugin_spark.operators.fuzzy import (
+        dropped_grams,
+        qgram_match,
+    )
+
+    # every left row shares the viral ' x ' gram with every right row
+    # (single-digit ids: no secondary digit-gram overlap muddies the cap)
+    l = spark.createDataFrame([(i, f"x aaa{i}") for i in range(10)], ["lid", "name"])
+    r = spark.createDataFrame([(i, f"x bbb{i}") for i in range(10)], ["rid", "name"])
+    uncapped = qgram_match(l, r, "lid", "rid", "name", "name", min_common=1)
+    capped = qgram_match(
+        l, r, "lid", "rid", "name", "name", min_common=1, max_gram_freq=5
+    )
+    assert uncapped.count() >= 100          # quadratic blow-up
+    assert capped.count() == 0              # viral grams dropped
+    audit = dropped_grams(l, r, "name", "name", max_gram_freq=5)
+    assert audit.count() > 0                # and the drop is audited
