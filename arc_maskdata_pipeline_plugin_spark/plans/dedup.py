@@ -281,3 +281,58 @@ def dedup_survivors_q(spark, sf_dir):
     )
     docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return docs.join(losers, "doc_id", "left_anti")
+
+
+def _incremental_oracle() -> str:
+    """Corpus = doc_id < 400, batch = doc_id >= 400: a batch doc survives iff
+    none of its LSH band keys collide with the corpus band store."""
+    mins = ", ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(NUM_HASHES)
+    )
+    n_bands = NUM_HASHES // BAND_SIZE
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || ".join(f"h{b * BAND_SIZE + j}" for j in range(BAND_SIZE)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_rows})
+SELECT d.doc_id, d.n_chars
+FROM documents d
+WHERE d.doc_id >= 400
+  AND NOT EXISTS (
+    SELECT 1 FROM bands nb
+    JOIN bands cb ON nb.band = cb.band AND nb.key = cb.key AND cb.doc_id < 400
+    WHERE nb.doc_id = d.doc_id
+  )
+"""
+
+
+@register("dedup_incremental", oracle=_incremental_oracle())
+def dedup_incremental_q(spark, sf_dir):
+    """Incremental (daily-ingest) dedup against a persisted band store:
+    corpus = doc_id < 400 builds the store ONCE (`signature_bands`), the
+    batch = doc_id >= 400 is shingled/signed alone and semi-probed against
+    the store on (band, key) — per-increment cost ∝ batch size, the corpus
+    is never re-shingled. Returns the surviving batch docs; the oracle
+    replays the same store semantics via NOT EXISTS."""
+    from ..operators.dedup import incremental_dedup_new_docs, signature_bands
+
+    docs = spread(T(spark, sf_dir, "documents"))
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    corpus_bands = signature_bands(
+        minhash_signatures(
+            word_shingles(corpus, distinct=False), num_hashes=NUM_HASHES
+        ),
+        num_hashes=NUM_HASHES,
+        band_size=BAND_SIZE,
+    )
+    survivors, _bands = incremental_dedup_new_docs(
+        batch, corpus_bands, num_hashes=NUM_HASHES, band_size=BAND_SIZE
+    )
+    return survivors.select("doc_id", "n_chars")
