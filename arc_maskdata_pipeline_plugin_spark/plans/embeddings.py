@@ -7,6 +7,15 @@ Engine-stability: norms use the ordered-fold dot product (see
 operators/dedup.py), division is elementwise IEEE double (bit-stable in both
 engines), and quantization floors to integers, so every value hash-matches
 DuckDB exactly.
+
+Output shape: array columns are emitted as comma-joined STRINGS (the driver's
+correctness gate canonicalizes by sorting pandas object columns, which cannot
+hash raw lists — CORRECTNESS_r02 recorded both queries as errors for exactly
+this). Integer arrays join directly; the unit vector joins as fixed-point
+``floor(x·1e9)`` bigints because raw double→string formatting is NOT portable
+across engines (Spark's Java ``Double.toString`` vs DuckDB's formatter differ
+on scientific-notation thresholds and rounding), while the doubles themselves
+are IEEE-identical — so the floor is bit-stable.
 """
 
 from __future__ import annotations
@@ -32,19 +41,31 @@ WITH e AS (
 )
 SELECT vec_id,
        nrm AS l2_norm,
-       list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS unit
+       array_to_string(list_transform(embedding,
+         x -> CAST(FLOOR(CAST(x AS DOUBLE) / nrm * 1000000000.0) AS BIGINT)),
+         ',') AS unit_fp9
 FROM e
 """,
 )
 def q_embedding_normalize(spark, sf_dir):
     """Unit-normalize embeddings (projection only — no shuffle; at ingest
-    this runs once so every downstream cosine becomes a plain dot)."""
+    this runs once so every downstream cosine becomes a plain dot).
+    ``unit_fp9`` is the unit vector as comma-joined fixed-point nanounits
+    (see module docstring for why not raw doubles)."""
     e = T(spark, sf_dir, "embeddings")
     nrm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     return e.select(
         "vec_id",
         nrm.alias("l2_norm"),
-        F.transform("embedding", lambda x: x.cast("double") / nrm).alias("unit"),
+        F.array_join(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") / nrm * F.lit(1000000000.0))
+                .cast("bigint")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("unit_fp9"),
     )
 
 
@@ -58,22 +79,28 @@ WITH m AS (
 )
 SELECT vec_id,
        mx AS max_abs,
-       list_transform(embedding,
-         x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / mx) AS INTEGER)) AS q8
+       array_to_string(list_transform(embedding,
+         x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / mx) AS INTEGER)), ',') AS q8
 FROM m
 """,
 )
 def q_embedding_quantize_int8(spark, sf_dir):
     """Symmetric per-vector int8 quantization (floor(x·127/max|x|)): 4×
     smaller at rest and on the wire; floor keeps both engines integer-exact.
-    Projection only — the scale factor rides along for dequantization."""
+    Projection only — the scale factor rides along for dequantization.
+    ``q8`` joins as a comma string so the driver gate can canonicalize it."""
     e = T(spark, sf_dir, "embeddings")
     mx = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
     return e.select(
         "vec_id",
         mx.alias("max_abs"),
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * F.lit(127.0) / mx).cast("int"),
+        F.array_join(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * F.lit(127.0) / mx)
+                .cast("int")
+                .cast("string"),
+            ),
+            ",",
         ).alias("q8"),
     )
