@@ -5,8 +5,15 @@ the dimension's history via ``operators.scd.scd2_merge`` inside
 ``foreachBatch`` (the sink pattern for batch-writer semantics on a stream).
 State lives in the store, not in streaming state — so there is no watermark
 to tune and a restart resumes from the checkpoint with at-least-once
-delivery made safe by the merge's attribute-hash no-op screen (a replayed
-batch of already-applied changes produces zero new versions).
+delivery made safe by TWO replay screens: an anti-join of the incoming batch
+against the full history on (key, eff_date) — a version that already exists
+is a replay even if it has since been superseded (fresh-checkpoint replay,
+or one batch carrying several versions of a key) — plus the merge's
+attribute-hash no-op screen for changes identical to the key's current
+attributes. A replayed batch therefore produces zero new versions. The
+(key, eff_date) pair is the version identity: a "correction" re-sent with
+the same effective date as a stored version is treated as a replay and
+dropped, by design.
 
 Store layout: one parquet dataset per snapshot generation (``gen=N``),
 latest generation wins; each commit writes ``gen=latest+1`` — never the
@@ -73,6 +80,13 @@ def stream_scd2_to_store(
         else:
             current = history.filter("is_current").select(key, *attrs, eff_col)
             closed = history.filter("NOT is_current")
+            # replay screen: a (key, eff_date) already in history — current
+            # OR closed — is an already-applied version; without this, a
+            # superseded version re-delivered after a checkpoint reset would
+            # re-insert and then duplicate its identical row in `closed`.
+            batch_df = batch_df.join(
+                history.select(key, eff_col), [key, eff_col], "left_anti"
+            )
         merged = scd2_merge(current, batch_df, key, attrs, eff_col)
         if closed is not None:
             merged = merged.unionByName(closed)
