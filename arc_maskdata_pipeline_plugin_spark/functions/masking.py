@@ -175,9 +175,15 @@ def register_udfs(
     spark: SparkSession,
     codec: Codec | None = None,
     passphrase: bytes | None = None,
+    prefix: str = "",
 ) -> Codec:
     """Register the six reference mask functions on this session
-    (reference registration: MaskDataPlugin.scala:60-65)."""
+    (reference registration: MaskDataPlugin.scala:60-65).
+
+    ``prefix`` registers the family under alternate names (e.g.
+    ``pbkdf2_mask_string``) so one session can carry several codec bindings
+    side by side — re-registering the canonical names would race against
+    lazily-evaluated plans built under the previous binding."""
     codec = codec or get_codec()
     passphrase = passphrase or get_passphrase()
 
@@ -281,5 +287,5 @@ def register_udfs(
         ("mask_timestamp", mask_timestamp),
         ("mask_decimal", mask_decimal),
     ):
-        spark.udf.register(name, fn.asNondeterministic())
+        spark.udf.register(prefix + name, fn.asNondeterministic())
     return codec

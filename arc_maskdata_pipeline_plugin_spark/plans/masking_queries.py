@@ -17,8 +17,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..codecs.hmac_sha512 import HmacSHA512
+from ..codecs.pbkdf2 import PBKDF2WithHmacSHA512
 from ..functions.fake import LOCALIZED_LISTS, fake_email, fake_name
 from ..functions.masking import register_udfs
+from ._pbkdf2_vectors import VECTORS as _PBKDF2_VECTORS
 from .registry import T, register
 
 # Fixed engine-test passphrase (64 chars — passes reference validation rules).
@@ -68,6 +70,75 @@ def q_mask_order_dates(spark, sf_dir):
           mask_date(365, true, CAST(o_orderdate AS DATE)) AS orderdate_masked,
           mask_timestamp(30, true, date_trunc('HOUR', o_orderdate)) AS ordertime_masked
         FROM _mask_orders_in
+        """
+    )
+
+
+_PBKDF2_ITERATIONS = 1000  # test cost; must match tools/gen_pbkdf2_mask_vectors.jsh
+_pbkdf2_registered: set[str] = set()
+
+
+def _ensure_pbkdf2_udfs(spark):
+    key = spark.sparkContext.applicationId
+    if key not in _pbkdf2_registered:
+        codec = PBKDF2WithHmacSHA512()
+        codec.iteration_count = _PBKDF2_ITERATIONS
+        register_udfs(
+            spark, codec=codec, passphrase=_TEST_PASSPHRASE, prefix="pbkdf2_"
+        )
+        _pbkdf2_registered.add(key)
+
+
+def _pbkdf2_oracle() -> str:
+    """DuckDB VALUES oracle from JVM-precomputed literals (the first
+    hash-matched masking query — VERDICT r02 next-round #3): the expected
+    rows were generated on a real JVM (javax.crypto PBKDF2 + the reference's
+    exact encode/shift/BigDecimal expressions) by
+    tools/gen_pbkdf2_mask_vectors.jsh, so the whole Spark UDF path is
+    anchored to reference behavior end-to-end, independent of this package's
+    own Python codec code."""
+    rows = ",\n  ".join(
+        "({}, '{}', '{}', '{}', '{}', '{}', '{}')".format(*v) for v in _PBKDF2_VECTORS
+    )
+    return f"""
+SELECT * FROM (VALUES
+  {rows}
+) t(c_custkey, name_masked, digits12, phone_fake, date_masked, ts_masked, dec_masked)
+"""
+
+
+@register("q_mask_customers_pbkdf2", oracle=_pbkdf2_oracle())
+def q_mask_customers_pbkdf2(spark, sf_dir):
+    """Deterministic PBKDF2 masking over SF-independent inputs, checked
+    value-for-value against JVM-generated literals (see ``_pbkdf2_oracle``).
+
+    Inputs avoid every SF-dependent column: ``c_name`` is ``Customer#%09d``
+    of the custkey at every scale factor, and the date/timestamp/decimal
+    inputs derive from the custkey itself — so the same VALUES oracle holds
+    at sf0.001/sf0.01/sf0.1. Dates, timestamps, and decimals are emitted as
+    strings (driver-gate canonicalization; DateType is never emitted)."""
+    _ensure_pbkdf2_udfs(spark)
+    c = T(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("_mask_pbkdf2_in")
+    return spark.sql(
+        """
+        SELECT
+          c_custkey,
+          pbkdf2_mask_string(16, true, c_name) AS name_masked,
+          pbkdf2_mask_string_alphabet(12, '0123456789', true, c_name) AS digits12,
+          pbkdf2_mask_string_alphabet_format(16, '0123456789', 'xxx-xxxx-xxxx', true, c_name)
+            AS phone_fake,
+          CAST(pbkdf2_mask_date(365, true, date_add(DATE'1995-01-01', CAST(c_custkey AS INT))) AS STRING)
+            AS date_masked,
+          date_format(
+            pbkdf2_mask_timestamp(30, true,
+                                  CAST(date_add(DATE'1995-01-01', CAST(c_custkey AS INT)) AS TIMESTAMP)),
+            'yyyy-MM-dd HH:mm:ss') AS ts_masked,
+          CAST(CAST(pbkdf2_mask_decimal(CAST(100.0 AS DECIMAL(5,1)), true,
+                                        CAST(c_custkey + 0.25 AS DECIMAL(12,2)))
+               AS DECIMAL(12,2)) AS STRING) AS dec_masked
+        FROM _mask_pbkdf2_in
+        WHERE c_custkey <= 20
         """
     )
 

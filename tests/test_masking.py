@@ -200,3 +200,17 @@ def test_mask_udf_rejects_per_row_parameter(masked_session):
     df.createOrReplaceTempView("t_perrow_param")
     with pytest.raises(PythonException, match="must be a literal"):
         spark.sql("SELECT mask_string(len, true, v) AS m FROM t_perrow_param").collect()
+
+
+def test_pbkdf2_query_matches_jvm_vectors(spark, sf_small):
+    """q_mask_customers_pbkdf2 against the JVM-generated literals
+    (tools/gen_pbkdf2_mask_vectors.jsh): anchors the WHOLE Spark UDF path —
+    codec wiring, encode, shifts, BigDecimal arithmetic — to reference
+    behavior end-to-end, not just the encode layer."""
+    from arc_maskdata_pipeline_plugin_spark.plans import masking_queries as mq
+    from arc_maskdata_pipeline_plugin_spark.plans._pbkdf2_vectors import VECTORS
+
+    got = sorted(
+        map(tuple, mq.q_mask_customers_pbkdf2(spark, sf_small).collect())
+    )
+    assert got == sorted(VECTORS)
