@@ -16,7 +16,9 @@ MASK_THROUGHPUT.md quantifies — production deployments should install
 
 from __future__ import annotations
 
-from . import Codec, DEFAULT_HASH_LENGTH, _env_int, utf8_chars
+import logging
+
+from . import CODEC_ENV, Codec, DEFAULT_HASH_LENGTH, _env_int, utf8_chars
 from ._argon2_pure import ARGON2ID, argon2_raw
 
 try:
@@ -25,6 +27,15 @@ try:
     _HAVE_ARGON2 = True
 except ImportError:
     _HAVE_ARGON2 = False
+
+logger = logging.getLogger(__name__)
+
+# Production-grade cost (>= 64 MiB memory or >= 4 passes) on the pure-Python
+# fallback runs at ~3.9 rows/s (MASK_THROUGHPUT.md) — ~5 orders of magnitude
+# short of a 100 TB mask pass. Warn loudly once per cost configuration.
+_PROD_MEMORY_KB = 65536
+_PROD_ITERATIONS = 4
+_warned_costs: set[tuple[int, int, int]] = set()
 
 
 class Argon2(Codec):
@@ -40,6 +51,28 @@ class Argon2(Codec):
         self.memory = _env_int("ETL_CONF_MASK_DATA_ARGON2_MEMORY", self.DEFAULT_MEMORY)
         self.iterations = _env_int(
             "ETL_CONF_MASK_DATA_ARGON2_ITERATIONS", self.DEFAULT_ITERATIONS
+        )
+        self._warn_if_pure_python_at_production_cost()
+
+    def _warn_if_pure_python_at_production_cost(self) -> None:
+        if _HAVE_ARGON2:
+            return
+        if not (self.memory >= _PROD_MEMORY_KB or self.iterations >= _PROD_ITERATIONS):
+            return  # test-grade cost: the fallback is fine there
+        cost = (self.parallelism, self.memory, self.iterations)
+        if cost in _warned_costs:
+            return
+        _warned_costs.add(cost)
+        logger.warning(
+            "Argon2 codec is running on the pure-Python RFC 9106 fallback at "
+            "production cost (memory=%d KB, iterations=%d): expect ~3.9 rows/s "
+            "per core (MASK_THROUGHPUT.md) — unusable for bulk masking. "
+            "Install argon2-cffi for native speed, or select a stdlib-native "
+            "codec via %s (SCrypt, PBKDF2WithHmacSHA512, or the amortized "
+            "HmacSHA512 at ~282k rows/s).",
+            self.memory,
+            self.iterations,
+            CODEC_ENV,
         )
 
     def params(self) -> str:

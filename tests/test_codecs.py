@@ -183,3 +183,31 @@ def test_argon2_pure_matches_cffi_when_available():
     )
     got = argon2_raw(b"value", b"s" * 16, 2, 64, 2, 64)
     assert got == want
+
+
+def test_argon2_pure_python_warns_at_production_cost(monkeypatch, caplog):
+    """VERDICT r02 #4: the RFC 9106 fallback must warn loudly when selected at
+    production cost parameters (~3.9 rows/s, MASK_THROUGHPUT.md) and stay
+    quiet at test cost."""
+    import logging
+
+    from arc_maskdata_pipeline_plugin_spark.codecs import argon2 as a2
+
+    if a2._HAVE_ARGON2:
+        pytest.skip("argon2-cffi installed: fallback never active")
+
+    monkeypatch.setattr(a2, "_warned_costs", set())
+    for env in ("PARALLELISM", "MEMORY", "ITERATIONS"):
+        monkeypatch.delenv(f"ETL_CONF_MASK_DATA_ARGON2_{env}", raising=False)
+
+    with caplog.at_level(logging.WARNING, logger=a2.logger.name):
+        a2.Argon2()  # default cost = production cost (m=65536, t=4)
+    assert any("pure-Python" in r.message for r in caplog.records)
+
+    caplog.clear()
+    monkeypatch.setattr(a2, "_warned_costs", set())
+    monkeypatch.setenv("ETL_CONF_MASK_DATA_ARGON2_MEMORY", "16384")
+    monkeypatch.setenv("ETL_CONF_MASK_DATA_ARGON2_ITERATIONS", "1")
+    with caplog.at_level(logging.WARNING, logger=a2.logger.name):
+        a2.Argon2()  # reference TEST cost (build.sbt:23-25): no warning
+    assert not caplog.records
