@@ -48,7 +48,13 @@ HEADLINE = [
     # production-hash minhash next to the md5 oracle path
     "q_multimodal_real_png",
     "dedup_minhash_pairs_fast",
+    # round 3: JVM-anchored PBKDF2 masking; embedding normalize pre-pass
+    "q_mask_customers_pbkdf2",
+    "q_embedding_normalize",
 ]
+
+WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
+# 30% plan regression from box CPU noise (BENCH_r02's uniform 1.28x)
 
 
 def _previous_round_queries() -> tuple[str, dict]:
@@ -88,15 +94,24 @@ def main():
     # warm the JVM + parquet footer cache with one cheap action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     for name in names:
-        # two runs: first pays plan-compilation + Python-worker fork noise,
-        # second is the steady-state number an engine comparison cares about
+        # first run pays plan-compilation + Python-worker fork noise; then
+        # WARM_RUNS steady-state runs, median recorded (VERDICT r02 #5:
+        # single-shot warm numbers can't distinguish plan regressions from
+        # box noise)
         t0 = time.perf_counter()
         n = qs[name](spark, sf_dir).count()
         cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: warm {timings[name]}s / cold {cold[name]}s ({n} rows)", file=sys.stderr)
+        warm = []
+        for _ in range(WARM_RUNS):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            warm.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(warm)[len(warm) // 2], 3)
+        print(
+            f"# {name}: warm median {timings[name]}s of "
+            f"{[round(w, 3) for w in sorted(warm)]} / cold {cold[name]}s ({n} rows)",
+            file=sys.stderr,
+        )
     total = round(sum(timings.values()), 3)
 
     # regression table vs the previous round's recorded bench (sf0.1 only —
