@@ -156,9 +156,11 @@ def sim_ann_ivf(spark, sf_dir):
 def sim_ann_ivf_trained(spark, sf_dir):
     """IVF with KMeans-trained centroids — the production recall path. The
     quantizer isn't SQL-expressible (iterative Lloyd's), so the driver
-    records a rows-only check; recall ≥ the deterministic quantizer is
-    asserted in tests/test_similarity_recall.py against brute-force ground
-    truth."""
+    records a rows-only check; to make that check witness QUALITY rather
+    than just shape (VERDICT r02 #6), the query returns per-query
+    ``(query_id, hits, recall_at_k)`` against in-plan brute-force ground
+    truth instead of the raw neighbor list. A pytest threshold guards the
+    recall floor (tests/test_similarity_recall.py)."""
     from pyspark.sql import functions as F
 
     from ..operators.similarity import ann_ivf, ivf_centroids_kmeans
@@ -166,6 +168,23 @@ def sim_ann_ivf_trained(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < N_QUERIES)
     cents = ivf_centroids_kmeans(e, n_cells=N_CELLS)
-    return ann_ivf(
-        e, queries, k=K, n_cells=N_CELLS, n_probes=N_PROBES, cents=cents
+    ann = ann_ivf(e, queries, k=K, n_cells=N_CELLS, n_probes=N_PROBES, cents=cents)
+    truth = knn_bruteforce(e, queries, k=K)
+    hit_counts = (
+        truth.select("query_id", "neighbor_id")
+        .join(ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        truth.select("query_id")
+        .distinct()
+        .join(hit_counts, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("int").alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) / F.lit(K))
+            .cast("double")
+            .alias("recall_at_k"),
+        )
     )

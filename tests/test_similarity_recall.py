@@ -64,3 +64,21 @@ def test_trained_centroids_same_shape_as_deterministic(spark):
     trn = ivf_centroids_kmeans(e, n_cells=4, max_iter=2)
     assert [f.name for f in det.schema.fields] == [f.name for f in trn.schema.fields]
     assert trn.count() == 4
+
+
+def test_sim_ann_ivf_trained_query_reports_recall(spark):
+    """The driver-registered query emits (query_id, hits, recall_at_k) so the
+    rows-only gate witnesses the quality number (VERDICT r02 #6); pin the
+    shape and a recall floor here."""
+    from arc_maskdata_pipeline_plugin_spark.plans.similarity import (
+        K as QK,
+        sim_ann_ivf_trained,
+    )
+
+    rows = sim_ann_ivf_trained(spark, SF).collect()
+    assert sorted(r.query_id for r in rows) == list(range(10))
+    for r in rows:
+        assert 0 <= r.hits <= QK
+        assert r.recall_at_k == r.hits / QK
+    mean_recall = sum(r.recall_at_k for r in rows) / len(rows)
+    assert mean_recall >= 0.4, mean_recall
