@@ -5,10 +5,23 @@ The all-pairs edit-distance join is quadratic; the standard scale shape is
 the same as MinHash-LSH dedup: build an inverted index of character q-grams,
 generate candidates from gram collisions (equi-join — shuffles on the gram
 key, never cross-joins), count common grams per pair, and only THEN pay
-Levenshtein on the filtered candidates. Count filtering uses the q-gram
-lower bound: two strings within edit distance k share at least
-max(|a|,|b|) - q + 1 - k·q grams, so a ``min_common`` threshold prunes
-everything that cannot be close.
+Levenshtein on the filtered candidates.
+
+Pruning semantics (be precise — ADVICE r02): the classical q-gram lower
+bound (strings within edit distance k share ≥ max(|a|,|b|) − q + 1 − k·q
+grams) is a MULTISET statement. This implementation counts DISTINCT shared
+grams (``array_distinct`` before the join — one posting per (id, gram)
+keeps the inverted index and the join output linear in text size), which
+is ≤ the multiset count for strings with repeated grams. ``min_common`` is
+therefore a deliberately STRICTER heuristic filter, not an implementation
+of the bound: a pair guaranteed as a candidate by the multiset bound can
+be pruned when its overlap rides on repeated grams (e.g. ``aaaa`` vs
+``aaab``). That trade is standard for entity resolution on names/titles
+(few repeated grams, and the index stays small); callers needing the exact
+bound should set ``min_common=1`` and filter on ``edit_distance``.
+Strings are padded with a single space on each side (not the conventional
+q−1) — shared verbatim with the DuckDB oracle, so both engines tokenize
+identically.
 
 Skew note: stop-grams (e.g. ``'ing'``) behave exactly like viral LSH
 buckets; ``max_gram_freq`` drops grams whose posting lists exceed the cap —

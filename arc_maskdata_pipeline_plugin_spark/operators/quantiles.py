@@ -22,6 +22,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _default_name(p: float) -> str:
+    """``0.5 -> q50``, ``0.975 -> q97_5`` — the full probability, so distinct
+    probabilities never collide."""
+    s = f"{p * 100:.10f}".rstrip("0").rstrip(".")
+    return "q" + s.replace(".", "_")
+
+
 def grouped_quantiles(
     df: DataFrame,
     keys: Sequence[str],
@@ -31,10 +38,19 @@ def grouped_quantiles(
     exact: bool = False,
     accuracy: int = 10000,
 ) -> DataFrame:
-    """One row per group: ``keys…, <out_cols…> double, n bigint``."""
-    out_cols = list(out_cols or (f"q{int(p * 100)}" for p in probabilities))
+    """One row per group: ``keys…, <out_cols…> double, n bigint``.
+
+    NULLs in ``value_col`` are skipped on BOTH paths (``approx_percentile``
+    skips them natively; the exact UDF drops them before ``np.percentile``,
+    which would otherwise propagate NaN across the whole group). ``n`` counts
+    all rows including NULL-valued ones. Default column names carry the full
+    probability (``q97_5`` for 0.975), not a truncated percent — 0.975 and
+    0.97 must not both become ``q97``."""
+    out_cols = list(out_cols or (_default_name(p) for p in probabilities))
     if len(out_cols) != len(probabilities):
         raise ValueError("out_cols must match probabilities")
+    if len(set(out_cols)) != len(out_cols):
+        raise ValueError(f"duplicate quantile column names: {out_cols}")
 
     if not exact:
         probs_sql = ", ".join(repr(float(p)) for p in probabilities)
@@ -68,7 +84,13 @@ def grouped_quantiles(
     # and warns on anything it can't parse; the (fn, schema) call form needs
     # none.
     def quantiles(key, pdf):
-        vals = np.percentile(pdf[value_col], pcts)  # linear interp = quantile_cont
+        # dropna: np.percentile propagates NaN for ANY null in the group,
+        # while approx_percentile skips nulls — keep the paths consistent
+        vals_in = pdf[value_col].dropna()
+        if len(vals_in):
+            vals = np.percentile(vals_in, pcts)  # linear interp = quantile_cont
+        else:
+            vals = [None] * len(pcts)
         return pd.DataFrame(
             [[*key, *vals, len(pdf)]], columns=[*keys, *out_cols, "n"]
         )
