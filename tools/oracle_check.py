@@ -27,6 +27,68 @@ TABLES = (
     "embeddings",
 )
 
+# Sketch-backed queries (VERDICT r02 #8): the sketches differ across engines,
+# so exact hashing is impossible — but the sketch's answer must sit within a
+# bounded relative error of DuckDB's EXACT answer. rel_err 0.0 = exact match
+# (for columns like counts that both engines compute exactly).
+TOLERANCE_ORACLES: dict[str, dict] = {
+    # HLL++ at rsd=0.01; 5% is a generous envelope over the configured 1%
+    "q_approx_distinct_users": {
+        "oracle": """
+            SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_users
+            FROM events GROUP BY event_type
+        """,
+        "keys": ["event_type"],
+        "rel_err": {"approx_users": 0.05},
+    },
+    # Greenwald-Khanna at accuracy=10000 (rank error 1e-4) vs quantile_cont
+    "q_approx_quantiles": {
+        "oracle": """
+            SELECT event_type,
+                   quantile_cont(value, 0.5)  AS p50,
+                   quantile_cont(value, 0.95) AS p95,
+                   quantile_cont(value, 0.99) AS p99,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
+        """,
+        "keys": ["event_type"],
+        "rel_err": {"p50": 0.05, "p95": 0.05, "p99": 0.05, "n": 0.0},
+    },
+}
+
+
+def compare_tolerance(name: str, spdf, spec: dict, sf_dir: str) -> dict:
+    """Join Spark and exact-oracle results on the keys; every value column
+    must sit within its relative-error budget of the exact answer."""
+    opdf = duckdb_run(spec["oracle"], sf_dir)
+    out = {"name": name, "rows": len(spdf), "oracle_rows": len(opdf)}
+    if len(spdf) != len(opdf):
+        out["status"] = "ROWCOUNT-MISMATCH"
+        return out
+    merged = spdf.merge(opdf, on=spec["keys"], suffixes=("_s", "_o"), how="outer")
+    if len(merged) != len(opdf):
+        out["status"] = "KEY-MISMATCH"
+        return out
+    worst: tuple[float, str] | None = None
+    for col, eps in spec["rel_err"].items():
+        for s, o in zip(merged[f"{col}_s"], merged[f"{col}_o"]):
+            s, o = float(s), float(o)
+            rel = abs(s - o) / max(abs(o), 1e-12)
+            if worst is None or rel > worst[0]:
+                worst = (rel, col)
+            if rel > eps:
+                out["status"] = "TOLERANCE-EXCEEDED"
+                out["col"] = col
+                out["spark"] = s
+                out["exact"] = o
+                out["rel_err"] = rel
+                return out
+    out["status"] = "TOLERANCE-MATCH"
+    if worst:
+        out["worst_rel_err"] = round(worst[0], 6)
+        out["worst_col"] = worst[1]
+    return out
+
 
 def duckdb_run(sql: str, sf_dir: str):
     import duckdb
@@ -83,6 +145,8 @@ def compare_query(name: str, fn, oracle: str | None, spark, sf_dir: str) -> dict
     spdf = sdf.toPandas()
     out = {"name": name, "rows": len(spdf), "cols": sorted(spdf.columns)}
     if oracle is None:
+        if name in TOLERANCE_ORACLES:
+            return compare_tolerance(name, spdf, TOLERANCE_ORACLES[name], sf_dir)
         out["status"] = "rows-only"
         return out
     opdf = duckdb_run(oracle, sf_dir)
@@ -123,7 +187,7 @@ def main():
             res = compare_query(name, fn, oracles.get(name), spark, sf_dir)
         except Exception as e:  # noqa: BLE001
             res = {"name": name, "status": "ERROR", "error": repr(e)[:500]}
-        ok = res["status"] in ("MATCH", "rows-only")
+        ok = res["status"] in ("MATCH", "rows-only", "TOLERANCE-MATCH")
         if not ok:
             failed.append(name)
         print(("PASS " if ok else "FAIL ") + str(res))
