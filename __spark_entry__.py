@@ -33,6 +33,7 @@ from arc_maskdata_pipeline_plugin_spark.plans import embeddings  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import masking_queries  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import multimodal_queries  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import streaming_queries  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import training  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import relational  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import relational2  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import relational3  # noqa: F401

@@ -48,9 +48,12 @@ HEADLINE = [
     # production-hash minhash next to the md5 oracle path
     "q_multimodal_real_png",
     "dedup_minhash_pairs_fast",
-    # round 3: JVM-anchored PBKDF2 masking; embedding normalize pre-pass
+    # round 3: JVM-anchored PBKDF2 masking; embedding normalize pre-pass;
+    # training-set prep (decontamination probe + shard write shape)
     "q_mask_customers_pbkdf2",
     "q_embedding_normalize",
+    "q_decontaminate_ngrams",
+    "q_training_shards",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

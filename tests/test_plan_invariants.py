@@ -126,3 +126,37 @@ def test_scd2_merge_bounded_shuffles(spark):
     a = props("q_scd2_customer_merge", spark)
     assert a["sort_merge_joins"] <= 1
     assert a["exchanges"] <= 4
+
+
+def test_decontamination_broadcasts_benchmark_side(spark):
+    """The benchmark n-gram index must broadcast (eval suites are tiny
+    against a 100 TB corpus); the train side never sort-merge-joins."""
+    a = props("q_decontaminate_ngrams", spark)
+    assert a["broadcasts"] >= 1
+    assert a["sort_merge_joins"] == 0
+    assert a["python_ops"] == 0
+
+
+def test_rebalance_thresholds_broadcast(spark):
+    """Data-driven mix thresholds: tiny aggregates re-join as broadcasts —
+    the corpus itself is never the build side and never sort-merge-joined."""
+    a = props("q_domain_mix_rebalance", spark)
+    assert a["broadcasts"] >= 2
+    assert a["sort_merge_joins"] == 0
+
+
+def test_percentile_gate_single_corpus_shuffle(spark):
+    """Threshold via scalar aggregate + broadcast, not a global window:
+    exactly one non-single-partition exchange (the percentile partials)."""
+    a = props("q_quality_percentile_filter", spark)
+    assert a["exchanges"] <= 1
+    assert a["broadcasts"] >= 1
+    assert a["sort_merge_joins"] == 0
+
+
+def test_shard_assignment_one_shuffle(spark):
+    """Shard+position costs exactly the one shuffle the sharded write needs
+    (repartition by shard; in-shard sort is partition-local)."""
+    a = props("q_training_shards", spark)
+    assert a["exchanges"] == 1
+    assert a["python_ops"] == 0
