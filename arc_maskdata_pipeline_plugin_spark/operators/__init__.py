@@ -16,6 +16,7 @@ from .extract import (  # noqa: F401
     ORCExtract,
     ParquetExtract,
     TextExtract,
+    XMLExtract,
 )
 from .load import (  # noqa: F401
     CompactParquet,
@@ -24,6 +25,7 @@ from .load import (  # noqa: F401
     ORCLoad,
     ParquetLoad,
     TextLoad,
+    XMLLoad,
 )
 from .mask import MaskDataTransform  # noqa: F401
 from .sql import SQLTransform  # noqa: F401

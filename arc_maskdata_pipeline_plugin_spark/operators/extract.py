@@ -264,6 +264,43 @@ class AvroExtract(PipelineStage):
         return df
 
 
+class XMLExtract(PipelineStage):
+    """XML source — built into Spark since 4.0 (no external spark-xml jar).
+
+    ``row_tag`` selects the repeating element that becomes one row; schema
+    inference walks the documents unless an explicit schema is given (always
+    give one at scale — inference is an extra full pass over 100 TB)."""
+
+    stage_type = "XMLExtract"
+
+    def __init__(
+        self,
+        name: str,
+        input_uri: str,
+        output_view: str,
+        row_tag: str = "row",
+        schema=None,
+        streaming: bool = False,
+        **kw,
+    ):
+        super().__init__(name, **kw)
+        self.input_uri = input_uri
+        self.output_view = output_view
+        self.row_tag = row_tag
+        self.schema = schema
+        self.streaming = streaming
+
+    def run(self, ctx: PipelineContext) -> DataFrame:
+        reader = ctx.spark.readStream if self.streaming else ctx.spark.read
+        reader = reader.format("xml").option("rowTag", self.row_tag)
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        df = reader.load(self.input_uri)
+        ctx.register_view(df, self.output_view)
+        self.stage_detail.update(inputURI=self.input_uri, outputView=self.output_view)
+        return df
+
+
 class JDBCExtract(PipelineStage):
     """JDBC source. ``partition_column``/``num_partitions``/bounds map to
     Spark's parallel JDBC reads — without them the whole table funnels

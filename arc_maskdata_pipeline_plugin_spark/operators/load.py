@@ -136,6 +136,41 @@ class ORCLoad(PipelineStage):
         return df
 
 
+class XMLLoad(PipelineStage):
+    """XML sink — built into Spark since 4.0 (``rowTag`` element per row)."""
+
+    stage_type = "XMLLoad"
+
+    def __init__(
+        self,
+        name: str,
+        input_view: str,
+        output_uri: str,
+        row_tag: str = "row",
+        root_tag: str = "rows",
+        mode: str = "overwrite",
+        **kw,
+    ):
+        super().__init__(name, **kw)
+        self.input_view = input_view
+        self.output_uri = output_uri
+        self.row_tag = row_tag
+        self.root_tag = root_tag
+        self.mode = mode
+
+    def run(self, ctx: PipelineContext) -> DataFrame:
+        df = ctx.spark.table(self.input_view)
+        (
+            df.write.mode(self.mode)
+            .format("xml")
+            .option("rowTag", self.row_tag)
+            .option("rootTag", self.root_tag)
+            .save(self.output_uri)
+        )
+        self.stage_detail.update(inputView=self.input_view, outputURI=self.output_uri)
+        return df
+
+
 class TextLoad(PipelineStage):
     """Single-string-column text sink (one line per row)."""
 

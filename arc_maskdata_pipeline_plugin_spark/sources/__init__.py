@@ -15,6 +15,7 @@ from ..operators.extract import (  # noqa: F401
     ORCExtract,
     ParquetExtract,
     TextExtract,
+    XMLExtract,
 )
 from ..operators.load import (  # noqa: F401
     CompactParquet,
@@ -23,4 +24,5 @@ from ..operators.load import (  # noqa: F401
     ORCLoad,
     ParquetLoad,
     TextLoad,
+    XMLLoad,
 )

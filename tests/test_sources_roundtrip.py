@@ -126,3 +126,16 @@ def test_compact_parquet(spark, ctx, tmp_path):
     assert 1 <= len(files) <= 4, files
     assert spark.read.parquet(dst).count() == 10_000
     assert stage.stage_detail["targetFiles"] >= 1
+
+
+def test_xml_roundtrip(spark, ctx, tmp_path):
+    from arc_maskdata_pipeline_plugin_spark.sources import XMLExtract, XMLLoad
+
+    _frame(spark).createOrReplaceTempView("xml_in")
+    uri = str(tmp_path / "xml_out")
+    XMLLoad("w", input_view="xml_in", output_uri=uri, row_tag="rec").execute(ctx)
+    out = XMLExtract(
+        "r", input_uri=uri, output_view="xml_back", row_tag="rec",
+        schema="id INT, name STRING, score DOUBLE",
+    ).execute(ctx)
+    assert _rows(out.select("id", "name", "score")) == _rows(spark.table("xml_in"))
