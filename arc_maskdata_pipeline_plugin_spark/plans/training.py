@@ -180,6 +180,60 @@ def q_quality_percentile_filter(spark, sf_dir):
     )
 
 
+PASSAGE = 50  # non-overlapping passage width (tokens) for passage dedup
+
+
+@register(
+    "q_passage_dedup_stats",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+),
+c AS (
+  SELECT doc_id, md5(array_to_string(list_slice(tk, s, s + {PASSAGE - 1}), ' ')) AS h
+  FROM t, UNNEST(generate_series(1, greatest(len(tk), 1), {PASSAGE})) AS g(s)
+),
+n AS (SELECT h, COUNT(*) AS cnt FROM c GROUP BY h)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_passages,
+       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_ratio
+FROM c JOIN n USING (h)
+GROUP BY doc_id
+""",
+)
+def q_passage_dedup_stats(spark, sf_dir):
+    """Passage-level duplication screen (the C4/RefinedWeb-style pass below
+    document granularity): split every document into NON-overlapping
+    {50}-token passages, hash each, and report per document how many of its
+    passages occur more than once in the corpus (boilerplate headers,
+    templated spans, in-doc repetition). Downstream either drops high
+    ``dup_ratio`` docs or cuts the duplicated passages.
+
+    Scale shape: reuses the zero-shuffle chunker (``with_chunks`` with
+    stride == width), then one count aggregate on the passage hash and one
+    co-partitioned join back on the same key — the join and the aggregate
+    share partitioning, so this is two key-shuffles of (hash, count) pairs,
+    never a self-join of text."""
+    from ..operators.text import with_chunks
+
+    d = spread(T(spark, sf_dir, "documents"))
+    c = with_chunks(d, chunk_size=PASSAGE, stride=PASSAGE).select(
+        "doc_id", F.md5(F.col("chunk_text")).alias("h")
+    )
+    n = c.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = F.when(F.col("cnt") > 1, 1).otherwise(0)
+    return (
+        c.join(n, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(dup).cast("bigint").alias("n_dup_passages"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1))).alias("dup_ratio"),
+        )
+    )
+
+
 @register(
     "q_training_shards",
     oracle=f"""
