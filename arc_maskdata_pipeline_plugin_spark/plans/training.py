@@ -268,3 +268,120 @@ def q_training_shards(spark, sf_dir):
     )
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
     return s.withColumn("pos", F.row_number().over(w)).select("doc_id", "shard", "pos")
+
+
+# Both engines share RE2-safe ASCII classes so the semantics are identical:
+# Java regex and RE2 agree on these patterns (no lookaround, no unicode \s).
+_CTRL = "[\\x00-\\x08\\x0b-\\x1f\\x7f]"  # C0 controls minus \t\n, plus DEL
+_ZW = "[\\u200b\\u200c\\u200d\\ufeff]"  # zero-width space/joiners, BOM
+_ZW_RE2 = "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]"  # DuckDB RE2 spelling
+
+
+@register(
+    "q_text_clean",
+    oracle=rf"""
+WITH c AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+             regexp_replace(regexp_replace(text, '{_ZW_RE2}', '', 'g'),
+                            '{_CTRL}', ' ', 'g'),
+             '[ \t\r\n]+', ' ', 'g')) AS clean_text
+  FROM documents
+)
+SELECT c.doc_id, c.clean_text,
+       CAST(c.clean_text <> d.text AS BOOLEAN) AS changed
+FROM c JOIN documents d USING (doc_id)
+""",
+)
+def q_text_clean(spark, sf_dir):
+    """Unicode hygiene pass every web-scale corpus runs before tokenization:
+    drop zero-width characters (ZWSP/ZWJ/ZWNJ/BOM), replace C0 control
+    characters with spaces, collapse whitespace runs, and trim. All three
+    rewrites are JVM-side ``regexp_replace`` — a pure projection with no
+    shuffle, so at 100 TB this pass rides along with whatever scan feeds it.
+
+    The character classes are ASCII/explicit-codepoint only, so Java regex
+    (Spark) and RE2 (DuckDB) agree byte-for-byte."""
+    d = T(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(F.col("text"), _ZW, ""), _CTRL, " "),
+            "[ \t\r\n]+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        (clean != F.col("text")).alias("changed"),
+    )
+
+
+# Length-bucketed batching: pad-to-bucket widths and the token budget per batch
+_BUCKETS = [64, 128, 256, 512, 1024, 2048]
+_BATCH_TOKENS = 16384  # per-batch token budget (bucket_width × docs_per_batch)
+
+
+def _bucket_case_sql(col: str) -> str:
+    parts = [f"WHEN {col} <= {b} THEN {b}" for b in _BUCKETS]
+    return "CASE " + " ".join(parts) + f" ELSE {2 * _BUCKETS[-1]} END"
+
+
+@register(
+    "q_length_bucket_batches",
+    oracle=rf"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (SELECT doc_id, n_tokens, {_bucket_case_sql('n_tokens')} AS bucket FROM tok)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(CEIL(CAST(COUNT(*) AS DOUBLE)
+                 / greatest({_BATCH_TOKENS} // bucket, 1)) AS BIGINT) AS n_batches,
+       CAST(SUM(bucket - n_tokens) AS DOUBLE)
+         / (COUNT(*) * bucket) AS padding_waste
+FROM b
+GROUP BY bucket
+""",
+)
+def q_length_bucket_batches(spark, sf_dir):
+    """Length-bucketed batch planning (the padding-efficiency pass): assign
+    every document to a power-of-two token bucket, then report per bucket how
+    many fixed-token-budget batches it fills and the padding fraction wasted
+    by rounding docs up to the bucket width. Trainers use exactly this to
+    pick bucket boundaries that keep padding waste low.
+
+    Scale shape: one map-side-combined aggregate over the corpus keyed by a
+    handful of buckets — no window over everything, no global sort; the
+    batch count is arithmetic on the aggregate, not a second pass."""
+    d = T(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    bucket = F.lit(2 * _BUCKETS[-1])
+    for b in reversed(_BUCKETS):
+        bucket = F.when(n_tokens <= b, F.lit(b)).otherwise(bucket)
+    tok = d.select("doc_id", n_tokens.alias("n_tokens"), bucket.alias("bucket"))
+    docs_per_batch = F.greatest(
+        (F.lit(_BATCH_TOKENS) / F.col("bucket")).cast("bigint"), F.lit(1)
+    )
+    return (
+        tok.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "sum_tokens",
+            F.ceil(F.col("n_docs").cast("double") / docs_per_batch)
+            .cast("bigint")
+            .alias("n_batches"),
+            (
+                (F.col("n_docs") * F.col("bucket") - F.col("sum_tokens")).cast("double")
+                / (F.col("n_docs") * F.col("bucket"))
+            ).alias("padding_waste"),
+        )
+    )

@@ -190,6 +190,114 @@ def main():
         "large/small-star rounds: O(log n) fixpoint incl. diameter-99 chains",
     )
 
+    # ---- training-set prep at scale (round 3): 1M synthetic docs ---------
+    # ~60-token docs from a 30-word vocab, built JVM-side (no driver data);
+    # every doc with id % 1000 == 0 is duplicated wholesale into a neighbor
+    # so the passage/decontamination screens have real positives to find.
+    n_docs2 = 1_000_000
+    vocab = F.array(*[F.lit(f"w{i}") for i in range(30)])
+    base_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(60)),
+            lambda i: F.element_at(
+                vocab, ((F.xxhash64(F.col("id"), i) % 30 + 30) % 30 + 1).cast("int")
+            ),
+        ),
+    )
+    docs2 = (
+        spark.range(0, n_docs2, 1, sc.defaultParallelism * 2)
+        .select(
+            F.col("id").alias("doc_id"),
+            # dup plant: id%1000==1 copies the text of id-1
+            F.when(
+                F.col("id") % 1000 == 1,
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(60)),
+                        lambda i: F.element_at(
+                            vocab,
+                            ((F.xxhash64(F.col("id") - 1, i) % 30 + 30) % 30 + 1).cast("int"),
+                        ),
+                    ),
+                ),
+            ).otherwise(base_text).alias("text"),
+            F.concat(F.lit("src"), (F.col("id") % 20).cast("string")).alias("source"),
+        )
+    )
+
+    from arc_maskdata_pipeline_plugin_spark.operators.text import with_chunks
+
+    def passage_stats():
+        c = with_chunks(docs2, chunk_size=50, stride=50).select(
+            "doc_id", F.md5(F.col("chunk_text")).alias("h")
+        )
+        n = c.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+        dup = F.when(F.col("cnt") > 1, 1).otherwise(0)
+        (
+            c.join(n, "h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_passages"), F.sum(dup).alias("n_dup"))
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    timed(
+        "passage dedup stats (1M docs × 60 tokens)",
+        n_docs2,
+        passage_stats,
+        "chunk → hash-count → co-partitioned join back",
+    )
+
+    def decontaminate():
+        tk = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        grams = docs2.filter(F.size(tk) >= 8).select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(tk) - F.lit(7)),
+                        lambda s: F.array_join(F.slice(tk, s, 8), " "),
+                    )
+                )
+            ).alias("gram"),
+        )
+        bench = grams.filter(F.col("doc_id") % 1000 == 0).withColumnRenamed(
+            "doc_id", "bench_doc_id"
+        )
+        train = grams.filter(F.col("doc_id") % 1000 != 0).withColumnRenamed(
+            "doc_id", "train_doc_id"
+        )
+        (
+            train.join(F.broadcast(bench), "gram")
+            .groupBy("train_doc_id", "bench_doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= 3)
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    timed(
+        "decontamination probe (1M train docs vs 1k bench docs)",
+        n_docs2,
+        decontaminate,
+        "bench 8-gram index broadcast; train side never shuffles for the probe",
+    )
+
+    timed(
+        "shard assignment + in-shard order (1M docs, 64 shards)",
+        n_docs2,
+        lambda: docs2.select(
+            "doc_id",
+            (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+             .cast("bigint") % 64).alias("shard"),
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+        )
+        .repartition(64, "shard")
+        .sortWithinPartitions("h")
+        .write.format("noop").mode("overwrite").save(),
+        "the sharded-write shape: one shuffle, partition-local sort",
+    )
+
     # ---- report ----------------------------------------------------------
     lines = [
         "# STRESS — synthetic ~100× scale-up measurements (local[32])",
