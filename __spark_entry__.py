@@ -38,6 +38,7 @@ from arc_maskdata_pipeline_plugin_spark.plans import relational  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import relational2  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import relational3  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import relational4  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import advanced_sql  # noqa: F401
 
 from arc_maskdata_pipeline_plugin_spark.plans.registry import REGISTRY
 

@@ -1,0 +1,159 @@
+"""Spark 4 SQL-surface queries: Python UDTFs and recursive CTEs.
+
+Completes the SURVEY.md §2c "UDF/UDAF/UDTF surface" row with a *real* Python
+UDTF (``pyspark.sql.functions.udtf`` + ``LATERAL`` join, new in Spark 3.5/4.x)
+— the reference exposes only scalar UDFs (``MaskDataPlugin.scala:60-65``), so
+this is host-surface the new engine adds — and exercises Spark 4's
+``WITH RECURSIVE`` (UNION ALL recursion; UNION-distinct recursion is not yet
+supported by Spark, which rules out cyclic-graph fixpoints — those stay with
+the iterative DataFrame implementation in ``operators/clusters.py``).
+
+Scale notes:
+
+* The term-frequency UDTF is a ROW-LOCAL aggregation: per-document term
+  counts need no shuffle at all, whereas the equivalent
+  ``explode → groupBy(doc_id, term)`` shuffles the entire exploded corpus.
+  At 100 TB that is the difference between a map-only pass and the largest
+  shuffle in the pipeline. (Python UDTFs are still the Python path — for a
+  pure-JVM equivalent see the ``aggregate``/``map_from_entries`` expression
+  route — but the *shape* is the scalable one, and Arrow batches the rows.)
+* The recursive month spine is bounded by the calendar (~80 iterations over
+  7 years of orders), each step a one-row frame — recursion depth stays far
+  under ``spark.sql.cteRecursionLevelLimit`` (default 100) and the heavy
+  side (the per-month aggregate) is a single map-side-combined pass.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from .registry import T, register, spread
+
+# ---------------------------------------------------------------------------
+# Python UDTF: per-document term frequencies (shuffle-free lateral expansion)
+# ---------------------------------------------------------------------------
+
+_TOKEN_SPLIT = re.compile(r"\s+")
+
+
+class TermFreqs:
+    """UDTF: (doc_id, text) -> rows of (doc_id, term, tf, first_pos).
+
+    Stateless per input row; term order is normalized by the GROUP BY in the
+    oracle and by the driver's order-insensitive hash, so iteration order of
+    the dict does not matter for correctness.
+    """
+
+    def eval(self, doc_id, text):  # noqa: ANN001 — UDTF signature is positional
+        if text is None:
+            return
+        counts: dict[str, list[int]] = {}
+        for pos, term in enumerate(_TOKEN_SPLIT.split(text.strip(" "))):
+            slot = counts.get(term)
+            if slot is None:
+                counts[term] = [1, pos]
+            else:
+                slot[0] += 1
+        for term, (tf, first_pos) in counts.items():
+            yield doc_id, term, tf, first_pos
+
+
+_UDTF_SCHEMA = "doc_id bigint, term string, tf int, first_pos int"
+
+
+@register(
+    "q_udtf_term_freqs",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS tk FROM documents
+),
+e AS (
+  SELECT doc_id, tk[s] AS term, s
+  FROM t, UNNEST(generate_series(1, len(tk))) AS g(s)
+)
+SELECT doc_id, term,
+       CAST(COUNT(*) AS INTEGER) AS tf,
+       CAST(MIN(s) - 1 AS INTEGER) AS first_pos
+FROM e
+GROUP BY doc_id, term
+""",
+)
+def q_udtf_term_freqs(spark, sf_dir):
+    """Per-document term frequencies via a Python UDTF in a LATERAL join —
+    the inverted-index build step, computed with ZERO shuffle because the
+    aggregation key (doc_id) is row-local. The DuckDB oracle cross-checks it
+    with the explode-then-group formulation.
+
+    Surface demonstrated: ``spark.udtf.register`` + ``LATERAL udtf(...)``
+    (Spark 4 table-function API; the reference has scalar UDFs only)."""
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register("term_freqs", udtf(TermFreqs, returnType=_UDTF_SCHEMA))
+    spread(T(spark, sf_dir, "documents")).createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.term, s.tf, s.first_pos
+        FROM docs_udtf d, LATERAL term_freqs(d.doc_id, d.text) s
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE: gap-free month spine with zero-filled order stats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_recursive_month_spine",
+    oracle=r"""
+WITH RECURSIVE spine(mon, max_mon) AS (
+  SELECT date_trunc('month', MIN(o_orderdate)), date_trunc('month', MAX(o_orderdate))
+  FROM orders
+  UNION ALL
+  SELECT mon + INTERVAL 1 MONTH, max_mon FROM spine WHERE mon < max_mon
+),
+agg AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT strftime(s.mon, '%Y-%m') AS month,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(a.rev, 0) AS DOUBLE) AS revenue
+FROM spine s LEFT JOIN agg a ON s.mon = a.mon
+""",
+)
+def q_recursive_month_spine(spark, sf_dir):
+    """Gap-free monthly order series via Spark 4 ``WITH RECURSIVE``: the
+    spine recursion generates every calendar month between the first and
+    last order date (including months with no orders, which a plain
+    GROUP BY silently drops), then left-joins the per-month aggregate,
+    zero-filling the gaps.
+
+    The recursion is acyclic and calendar-bounded (~80 steps of a one-row
+    frame — well under ``spark.sql.cteRecursionLevelLimit``); the corpus-side
+    cost is the single map-side-combined month aggregate, and the spine join
+    is a broadcast of at most a few hundred rows."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("orders_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(mon, max_mon) AS (
+          SELECT CAST(date_trunc('MONTH', MIN(o_orderdate)) AS DATE),
+                 CAST(date_trunc('MONTH', MAX(o_orderdate)) AS DATE)
+          FROM orders_rcte
+          UNION ALL
+          SELECT add_months(mon, 1), max_mon FROM spine WHERE mon < max_mon
+        ),
+        agg AS (
+          SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS mon,
+                 COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders_rcte GROUP BY 1
+        )
+        SELECT date_format(s.mon, 'yyyy-MM') AS month,
+               CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders,
+               CAST(COALESCE(a.rev, 0) AS DOUBLE) AS revenue
+        FROM spine s LEFT JOIN agg a ON s.mon = a.mon
+        """
+    )
