@@ -44,9 +44,12 @@ def register(name: str, oracle: str | None = None):
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table. Parquet scan → Catalyst gets pushdown/pruning.
 
-    ``events.parquet`` is written with nanosecond timestamps, which the Spark
-    vectorized parquet reader rejects; read them as long and truncate to
-    microseconds (same truncation DuckDB applies when it casts NS → US).
+    ``events.parquet``'s timestamp physical type has varied across driver
+    testdata generations: nanosecond (vectorized reader rejects it — read as
+    long and truncate to micros, the same truncation DuckDB applies casting
+    NS → US) or microsecond-naive (Spark 4 infers TIMESTAMP_NTZ — cast to the
+    session-TZ TIMESTAMP; the session is pinned UTC so the wall-clock values
+    are unchanged and ``unix_micros``/watermarks work uniformly downstream).
     """
     if name == "events":
         try:
@@ -54,8 +57,11 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception:  # noqa: BLE001 — conf may be unsettable on shared sessions
             pass
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -33,8 +33,9 @@ def _as_stream_dir(path: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream source over events.parquet (nanos ts → micros, like the
-    batch reader in plans.registry.T)."""
+    """File-stream source over events.parquet, normalizing ``ts`` to a
+    session-TZ TIMESTAMP exactly like the batch reader in plans.registry.T
+    (nanos-as-long → truncate to micros; TIMESTAMP_NTZ → cast, UTC session)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # noqa: BLE001
@@ -45,8 +46,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
