@@ -30,6 +30,14 @@ class NamedQuery:
 
 REGISTRY: dict[str, NamedQuery] = {}
 
+# TIMESTAMP_NTZ wall-clock → the same wall-clock as a UTC instant, regardless
+# of spark.sql.session.timeZone: wall-clock micros since the NTZ epoch is a
+# TZ-free quantity, and timestamp_micros() constructs from absolute epoch.
+_NTZ_AS_UTC_INSTANT = (
+    "timestamp_micros(timestampdiff(MICROSECOND, "
+    "timestamp_ntz'1970-01-01 00:00:00', ts))"
+)
+
 
 def register(name: str, oracle: str | None = None):
     """Decorator: add a (spark, sf_dir) -> DataFrame callable to the registry."""
@@ -47,9 +55,12 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.parquet``'s timestamp physical type has varied across driver
     testdata generations: nanosecond (vectorized reader rejects it — read as
     long and truncate to micros, the same truncation DuckDB applies casting
-    NS → US) or microsecond-naive (Spark 4 infers TIMESTAMP_NTZ — cast to the
-    session-TZ TIMESTAMP; the session is pinned UTC so the wall-clock values
-    are unchanged and ``unix_micros``/watermarks work uniformly downstream).
+    NS → US) or microsecond-naive (Spark 4 infers TIMESTAMP_NTZ). The NTZ
+    wall-clock values are UTC instants, so the conversion takes the
+    wall-clock diff against the NTZ epoch (``timestampdiff`` on two NTZ
+    operands — session-TZ-independent) and rebuilds the instant from absolute
+    epoch micros. A plain ``cast(ts as timestamp)`` would silently shift
+    events under any non-UTC session TZ (ADVICE r03).
     """
     if name == "events":
         try:
@@ -61,7 +72,7 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            df = df.withColumn("ts", F.expr(_NTZ_AS_UTC_INSTANT))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -34,8 +34,9 @@ def _as_stream_dir(path: str) -> str:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream source over events.parquet, normalizing ``ts`` to a
-    session-TZ TIMESTAMP exactly like the batch reader in plans.registry.T
-    (nanos-as-long → truncate to micros; TIMESTAMP_NTZ → cast, UTC session)."""
+    TIMESTAMP exactly like the batch reader in plans.registry.T
+    (nanos-as-long → truncate to micros; TIMESTAMP_NTZ → UTC-instant rebuild,
+    session-TZ-independent — see registry._NTZ_AS_UTC_INSTANT)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # noqa: BLE001
@@ -50,7 +51,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     elif ts_type == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        from arc_maskdata_pipeline_plugin_spark.plans.registry import _NTZ_AS_UTC_INSTANT
+
+        stream = stream.withColumn("ts", F.expr(_NTZ_AS_UTC_INSTANT))
     return stream
 
 
