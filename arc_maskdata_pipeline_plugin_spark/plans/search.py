@@ -1,0 +1,209 @@
+"""Retrieval + corpus-LM queries over ``documents`` (oracle-checked), plus
+the Bloom-filter dedup screen.
+
+Engine-parity rules applied throughout (see plans/registry.py docstring):
+* tokenization is the same normalize→split→strip pipeline in Spark SQL and
+  DuckDB list ops;
+* rankings order by integer keys or exact DECIMAL sums, never raw float
+  aggregates; float *values* in the output are rounded;
+* the Bloom filter's bit positions are md5-derived, so both engines compute
+  the identical filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.bloom import DEFAULT_K, DEFAULT_M, bloom_screen
+from ..operators.search import (
+    bm25_search,
+    inverted_index,
+    tfidf_top_terms,
+    unigram_logprob,
+)
+from .registry import T, register
+
+# DuckDB mirror of operators.search._TOKENS
+_TOKS_SQL = (
+    r"list_filter(list_transform(string_split_regex(lower(trim(text)), '\s+'), "
+    r"t -> regexp_replace(t, '[^a-z0-9]', '', 'g')), t -> t <> '')"
+)
+
+_BASE_CTES = f"""
+tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk),
+post AS (
+  SELECT term, doc_id, dl, CAST(COUNT(*) AS INTEGER) AS tf
+  FROM tok GROUP BY term, doc_id, dl
+)"""
+
+
+@register(
+    "q_inverted_index",
+    oracle=f"""
+WITH {_BASE_CTES},
+ranked AS (
+  SELECT term, doc_id, tf,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+  FROM post
+)
+SELECT p.term,
+       CAST(COUNT(*) AS INTEGER) AS n_docs_with_term,
+       CAST(SUM(p.tf) AS BIGINT) AS total_tf,
+       MAX(CASE WHEN r.rn = 1 THEN r.doc_id END) AS top_doc_id,
+       CAST(MAX(p.tf) AS INTEGER) AS top_tf
+FROM post p
+LEFT JOIN ranked r ON p.term = r.term AND p.doc_id = r.doc_id AND r.rn = 1
+GROUP BY p.term
+""",
+)
+def q_inverted_index(spark, sf_dir):
+    """Postings-list summary per term (df, total tf, argmax doc)."""
+    return inverted_index(T(spark, sf_dir, "documents"))
+
+
+TOP_N = 3
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle=f"""
+WITH {_BASE_CTES},
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+stats AS (SELECT term, CAST(COUNT(*) AS INTEGER) AS n_docs_with_term FROM post GROUP BY term),
+scored AS (
+  SELECT p.doc_id, p.term, p.tf, s.n_docs_with_term,
+         ROUND(p.tf * (ln((n.n_docs + 1.0) / (s.n_docs_with_term + 1.0)) + 1.0), 6) AS tfidf,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY p.doc_id
+           ORDER BY p.tf DESC, s.n_docs_with_term ASC, p.term ASC) AS INTEGER) AS rank
+  FROM post p JOIN stats s USING (term) CROSS JOIN nd n
+)
+SELECT doc_id, term, tf, n_docs_with_term, tfidf, rank
+FROM scored WHERE rank <= {TOP_N}
+""",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-{TOP_N} terms; integer ranking keys, rounded score."""
+    return tfidf_top_terms(T(spark, sf_dir, "documents"), top_n=TOP_N)
+
+
+# Fixed query workload for BM25 — literal in both engines.
+BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "hash join"),
+    (2, "window agg"),
+    (3, "stream batch customer"),
+    (4, "vector scan"),
+    (5, "merge sort order"),
+]
+BM25_K = 10
+_K1, _B = 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, q in BM25_QUERIES for t in q.split()
+    )
+    # Arithmetic written with the same association order as the Spark
+    # expression so IEEE doubles agree bit-for-bit before the decimal cast.
+    contrib = (
+        f"ln(1.0 + (n.n_docs - s.n_docs_with_term + 0.5) / (s.n_docs_with_term + 0.5))"
+        f" * (p.tf * ({_K1!r} + 1.0) / (p.tf + {_K1!r} * (1.0 - {_B!r} + {_B!r} * p.dl / a.avgdl)))"
+    )
+    return f"""
+WITH {_BASE_CTES},
+qt(query_id, term) AS (VALUES {vals}),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+stats AS (SELECT term, CAST(COUNT(*) AS INTEGER) AS n_docs_with_term FROM post GROUP BY term),
+a AS (SELECT CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl FROM tk),
+scored AS (
+  SELECT qt.query_id, p.doc_id,
+         SUM(CAST({contrib} AS DECIMAL(20,9))) AS score_dec
+  FROM post p
+  JOIN qt USING (term)
+  JOIN stats s USING (term)
+  CROSS JOIN nd n CROSS JOIN a
+  GROUP BY qt.query_id, p.doc_id
+)
+SELECT query_id, doc_id,
+       ROUND(CAST(score_dec AS DOUBLE), 6) AS bm25, rank
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score_dec DESC, doc_id) AS INTEGER) AS rank
+  FROM scored
+) t WHERE rank <= {BM25_K}
+"""
+
+
+@register("q_bm25_search", oracle=_bm25_oracle())
+def q_bm25_search(spark, sf_dir):
+    """BM25 top-{BM25_K} docs for a fixed 5-query workload."""
+    docs = T(spark, sf_dir, "documents")
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, q in BM25_QUERIES for t in q.split()],
+        "query_id int, term string",
+    )
+    return bm25_search(docs, qt, k=BM25_K, k1=_K1, b=_B)
+
+
+@register(
+    "q_unigram_logprob",
+    oracle=f"""
+WITH {_BASE_CTES},
+freq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY term),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total_toks FROM freq),
+lp AS (
+  SELECT t.doc_id, CAST(ln(f.cnt / tt.total_toks) AS DECIMAL(20,9)) AS lp
+  FROM tok t JOIN freq f USING (term) CROSS JOIN tot tt
+)
+SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
+       ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+FROM lp GROUP BY doc_id
+""",
+)
+def q_unigram_logprob(spark, sf_dir):
+    """Average unigram log-probability per doc — perplexity proxy."""
+    return unigram_logprob(T(spark, sf_dir, "documents"))
+
+
+def _bloom_oracle() -> str:
+    m, k = DEFAULT_M, DEFAULT_K
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || h), 1, 15))::BIGINT % {m} AS pos
+  FROM h CROSS JOIN range({k}) r(i)
+),
+filter_bits AS (SELECT DISTINCT pos FROM pos WHERE doc_id % 5 <> 0),
+hits AS (
+  SELECT p.doc_id, COUNT(fb.pos) AS n_set
+  FROM pos p LEFT JOIN filter_bits fb USING (pos)
+  GROUP BY p.doc_id
+),
+truth AS (
+  SELECT DISTINCT a.doc_id FROM h a
+  JOIN (SELECT h FROM h WHERE doc_id % 5 <> 0) c ON a.h = c.h
+)
+SELECT a.doc_id,
+       (COALESCE(n_set, 0) = {k}) AS might_contain,
+       (t.doc_id IS NOT NULL) AS actual_dup
+FROM h a
+LEFT JOIN hits USING (doc_id)
+LEFT JOIN truth t ON a.doc_id = t.doc_id
+"""
+
+
+@register("q_bloom_dedup_screen", oracle=_bloom_oracle())
+def q_bloom_dedup_screen(spark, sf_dir):
+    """Bloom screen of all docs against a filter built from docs with
+    doc_id % 5 != 0 — corpus members must all report might_contain (no false
+    negatives); held-out docs exhibit the filter's false-positive rate,
+    observable against the actual_dup ground-truth column."""
+    docs = T(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return bloom_screen(corpus, docs)
