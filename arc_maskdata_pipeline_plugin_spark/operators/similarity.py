@@ -257,3 +257,165 @@ def ann_ivf(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — ADC (asymmetric distance computation) ANN.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_DSUB = 8  # dims per subspace (PQ_M * PQ_DSUB = embedding dim)
+PQ_KSUB = 16  # centroids per subspace → 4-bit codes
+
+
+def _unit(df: DataFrame, id_col: str = "vec_id", vec: str = "embedding") -> DataFrame:
+    """(id, u) — L2-normalized double vector, so squared-L2 ranking on codes
+    is monotone with cosine ranking on the originals."""
+    n = with_norm(df.select(id_col, vec))
+    return n.select(
+        id_col,
+        F.transform(F.col(vec), lambda x: x.cast("double") / F.col("_norm")).alias("u"),
+    )
+
+
+def _subspace_dist(a, b, m: int):
+    """Ordered-fold squared L2 over subspace m's dims (1-based element_at)."""
+    lo = m * PQ_DSUB + 1
+    return F.aggregate(
+        F.sequence(F.lit(lo), F.lit(lo + PQ_DSUB - 1)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (F.element_at(a, i) - F.element_at(b, i))
+        * (F.element_at(a, i) - F.element_at(b, i)),
+    )
+
+
+def pq_codebooks(corpus: DataFrame, id_col: str = "vec_id", vec: str = "embedding") -> DataFrame:
+    """Deterministic per-subspace codebooks: centroid j of every subspace is
+    the j-th corpus vector's (unit) subvector — the same pluggable seam as
+    ``ivf_centroids`` (swap in per-subspace KMeans for production recall;
+    the encode/ADC machinery below is unchanged and, being deterministic,
+    oracle-checkable). Returns (cent_id, cu) with cu the full unit vector;
+    subspace slices are taken at use sites."""
+    return _unit(corpus.filter(F.col(id_col) < PQ_KSUB), id_col, vec).select(
+        F.col(id_col).alias("cent_id"), F.col("u").alias("cu")
+    )
+
+
+def _pair_subspace_dists(vecs: DataFrame, cents: DataFrame, out_id: str) -> DataFrame:
+    """(out_id, cent_id, m, d) for every (vector, centroid, subspace)."""
+    pairs = vecs.crossJoin(F.broadcast(cents))
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    _subspace_dist(F.col("u"), F.col("cu"), m).alias("d"),
+                )
+                for m in range(PQ_M)
+            ]
+        )
+    )
+    return pairs.select(
+        F.col("vec_id").alias(out_id), "cent_id", stacked.alias("md")
+    ).select(out_id, "cent_id", F.col("md.m").alias("m"), F.col("md.d").alias("d"))
+
+
+def pq_encode(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, codes) — codes[m] = argmin-distance centroid of subspace m
+    (ties → lower cent_id). The argmin is a min_by hash-aggregate (map-side
+    partial), not a window sort; at 100 TB encode runs once at ingest and the
+    4-bit-per-subspace codes (PQ_M bytes/vector vs 4·dim) are what query-time
+    scans read — the 16× memory compression is the point of PQ."""
+    dists = _pair_subspace_dists(_unit(corpus), cents, "vec_id")
+    per_m = dists.groupBy("vec_id", "m").agg(
+        F.expr("min_by(cent_id, struct(d, cent_id))").alias("code")
+    )
+    return per_m.groupBy("vec_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)").alias(
+            "codes"
+        )
+    )
+
+
+def ann_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    cents: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """PQ-ADC approximate top-k by squared L2 on unit vectors (≡ cosine
+    ranking). Per query: one tiny distance table (PQ_M × PQ_KSUB entries to
+    the broadcast codebooks), then a scan of the codes relation doing PQ_M
+    table lookups per candidate — no full-width vector math in the scan, the
+    classic IVF-ADC inner loop. Pass persisted ``cents``/``codes`` (ingest
+    artifacts) to skip encoding; both default to inline computation (the
+    oracle-checked path)."""
+    if cents is None:
+        cents = pq_codebooks(corpus)
+    if codes is None:
+        codes = pq_encode(corpus, cents)
+    qtab = (
+        _pair_subspace_dists(_unit(queries), cents, "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, cent_id, d))), s -> s.d)"
+            ).alias("tab")
+        )
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qtab))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                f"aggregate(sequence(0, {PQ_M - 1}), cast(0.0 as double), "
+                "(acc, m) -> acc + element_at(tab, cast("
+                f"m * {PQ_KSUB} + element_at(codes, m + 1) + 1 as int)))"
+            ).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= k
+    )
+
+
+def pq_codebooks_kmeans(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Per-subspace KMeans-trained PQ codebooks — the production recall path,
+    plugged into the same (cent_id, cu) seam as the deterministic
+    ``pq_codebooks`` (encode/ADC machinery unchanged). Row j's ``cu`` is the
+    concatenation over subspaces of centroid j of that subspace's codebook,
+    so subspace slicing recovers each codebook independently.
+
+    Training = PQ_M small KMeans fits over the unit subvectors; at 100 TB
+    each fits on a corpus sample (standard PQ practice) and the result is a
+    PQ_KSUB-row broadcast table. Encoding the full corpus stays the one
+    broadcast pass in ``pq_encode``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    u = _unit(corpus, id_col, vec)
+    books: list[list[list[float]]] = []  # [m][j] -> dsub floats
+    for m in range(PQ_M):
+        lo = m * PQ_DSUB + 1
+        feats = u.select(
+            array_to_vector(F.slice(F.col("u"), lo, PQ_DSUB)).alias("features")
+        )
+        model = KMeans(k=PQ_KSUB, seed=seed + m, maxIter=max_iter).fit(feats)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    rows = [
+        (j, [x for m in range(PQ_M) for x in books[m][j]]) for j in range(PQ_KSUB)
+    ]
+    return corpus.sparkSession.createDataFrame(
+        rows, "cent_id int, cu array<double>"
+    )

@@ -188,3 +188,110 @@ def sim_ann_ivf_trained(spark, sf_dir):
             .alias("recall_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization — the only fully ORACLE-CHECKED PQ path: deterministic
+# codebooks (subvectors of the first PQ_KSUB unit vectors) make encode + ADC
+# reproducible in DuckDB list algebra.
+# ---------------------------------------------------------------------------
+
+from ..operators.similarity import PQ_DSUB, PQ_KSUB, PQ_M, ann_pq  # noqa: E402
+
+
+def _pq_oracle() -> str:
+    sub_d = (
+        "list_reduce(list_transform(range(mm.m*{ds}+1, mm.m*{ds}+{ds}+1), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (acc, x) -> acc + x)"
+    )
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+u AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS u
+  FROM n
+),
+cents AS (SELECT vec_id AS cent_id, u AS cu FROM u WHERE vec_id < {PQ_KSUB}),
+mm AS (SELECT unnest(range({PQ_M})) AS m),
+enc_long AS (
+  SELECT v.vec_id, c.cent_id, mm.m,
+         {sub_d.format(ds=PQ_DSUB, a='v.u', b='c.cu')} AS d
+  FROM u v CROSS JOIN cents c CROSS JOIN mm
+),
+codes AS (
+  SELECT vec_id, list(code ORDER BY m) AS codes FROM (
+    SELECT vec_id, m, cent_id AS code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cent_id) AS rn
+    FROM enc_long
+  ) t WHERE rn = 1 GROUP BY vec_id
+),
+qtab AS (
+  SELECT vec_id AS query_id, list(d ORDER BY m, cent_id) AS tab
+  FROM enc_long WHERE vec_id < {N_QUERIES} GROUP BY vec_id
+),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         list_reduce(list_transform(range({PQ_M}),
+           m -> q.tab[m * {PQ_KSUB} + v.codes[m + 1] + 1]),
+           (acc, x) -> acc + x) AS approx_dist
+  FROM codes v CROSS JOIN qtab q
+  WHERE q.query_id <> v.vec_id
+)
+SELECT query_id, neighbor_id, approx_dist, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) t WHERE rank <= {K}
+"""
+
+
+@register("sim_ann_pq", oracle=_pq_oracle())
+def sim_ann_pq(spark, sf_dir):
+    """PQ-ADC top-{K}: 16× compressed codes scanned with per-query lookup
+    tables. Deterministic codebooks → the whole encode/ADC path hash-matches
+    the DuckDB oracle; per-subspace KMeans slots into the same seam for
+    production recall (see operators.similarity.pq_codebooks)."""
+    from pyspark.sql import functions as F
+
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    return ann_pq(e, queries, k=K)
+
+
+@register("sim_ann_pq_trained", oracle=None)  # per-subspace KMeans ≠ SQL-reproducible
+def sim_ann_pq_trained(spark, sf_dir):
+    """PQ-ADC with per-subspace KMeans codebooks — the production recall
+    path. Like sim_ann_ivf_trained, the rows-only driver check witnesses
+    QUALITY, not just shape: returns per-query (hits, recall_at_k) against
+    in-plan brute-force truth; tests/test_similarity_recall.py pins the
+    floor and that training beats the deterministic codebooks."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import ann_pq, knn_bruteforce, pq_codebooks_kmeans
+
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    ann = ann_pq(e, queries, k=K, cents=pq_codebooks_kmeans(e))
+    truth = knn_bruteforce(e, queries, k=K)
+    hit_counts = (
+        truth.select("query_id", "neighbor_id")
+        .join(ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        truth.select("query_id")
+        .distinct()
+        .join(hit_counts, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("int").alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) / F.lit(K))
+            .cast("double")
+            .alias("recall_at_k"),
+        )
+    )

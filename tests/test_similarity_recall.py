@@ -82,3 +82,27 @@ def test_sim_ann_ivf_trained_query_reports_recall(spark):
         assert r.recall_at_k == r.hits / QK
     mean_recall = sum(r.recall_at_k for r in rows) / len(rows)
     assert mean_recall >= 0.4, mean_recall
+
+
+def test_trained_pq_recall_at_least_deterministic(spark):
+    """PQ-ADC: per-subspace KMeans codebooks must beat the deterministic
+    (first-PQ_KSUB subvector) codebooks on a disjoint query set. Absolute
+    recall is intentionally modest — PQ trades recall for 16× compression
+    (8 × 4-bit codes vs 64 × float32); the floor pins against regressions,
+    the ordering pins that training the codebooks is worth it."""
+    from arc_maskdata_pipeline_plugin_spark.operators.similarity import (
+        ann_pq,
+        pq_codebooks_kmeans,
+    )
+
+    e = T(spark, SF, "embeddings").cache()
+    queries = e.filter((F.col("vec_id") >= Q_LO) & (F.col("vec_id") < Q_HI))
+    truth = _neighbor_sets(knn_bruteforce(e, queries, k=K))
+
+    det = _neighbor_sets(ann_pq(e, queries, k=K))
+    trn = _neighbor_sets(ann_pq(e, queries, k=K, cents=pq_codebooks_kmeans(e)))
+    e.unpersist()
+
+    r_det, r_trn = _recall(det, truth), _recall(trn, truth)
+    assert r_trn >= r_det, (r_trn, r_det)
+    assert r_trn >= 0.15, r_trn
