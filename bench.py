@@ -54,6 +54,13 @@ HEADLINE = [
     "q_embedding_normalize",
     "q_decontaminate_ngrams",
     "q_training_shards",
+    # round 4: retrieval family (postings shuffle + broadcast query terms),
+    # Bloom dedup screen, PQ-ADC compressed-code scan
+    "q_bm25_search",
+    "q_tfidf_top_terms",
+    "q_unigram_logprob",
+    "q_bloom_dedup_screen",
+    "sim_ann_pq",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -160,3 +160,39 @@ def test_shard_assignment_one_shuffle(spark):
     a = props("q_training_shards", spark)
     assert a["exchanges"] == 1
     assert a["python_ops"] == 0
+
+
+def test_bm25_broadcasts_query_side(spark):
+    """Query terms / term stats / scalars all broadcast; the corpus never
+    sort-merge-joins. Postings + (query, doc) aggregation are the only big
+    shuffles."""
+    a = props("q_bm25_search", spark)
+    assert a["sort_merge_joins"] == 0
+    assert a["broadcasts"] >= 4
+    assert a["python_ops"] == 0
+
+
+def test_pq_adc_scan_is_broadcast_only(spark):
+    """PQ: codebooks and per-query ADC tables broadcast onto the codes
+    relation — the compressed-code scan must not shuffle the corpus into a
+    sort-merge join, and the whole path stays JVM-side."""
+    a = props("sim_ann_pq", spark)
+    assert a["sort_merge_joins"] == 0
+    assert a["python_ops"] == 0
+
+
+def test_bloom_screen_filter_broadcast(spark):
+    """The Bloom filter's distinct-positions set is broadcast-sized by
+    construction (≤ m rows) — probing must broadcast it, never shuffle the
+    probe side against it."""
+    a = props("q_bloom_dedup_screen", spark)
+    assert a["sort_merge_joins"] == 0
+    assert a["broadcasts"] >= 1
+    assert a["python_ops"] == 0
+
+
+def test_retrieval_family_stays_jvm_side(spark):
+    """Tokenization and scoring are expression work — no Python operators
+    anywhere in the retrieval family."""
+    for name in ("q_inverted_index", "q_tfidf_top_terms", "q_unigram_logprob"):
+        assert props(name, spark)["python_ops"] == 0, name
