@@ -104,3 +104,48 @@ def q_embedding_quantize_int8(spark, sf_dir):
             ",",
         ).alias("q8"),
     )
+
+
+MRL_DIM = 16
+
+
+@register(
+    "q_embedding_truncate_mrl",
+    oracle=f"""
+WITH t AS (
+  SELECT vec_id, list_slice(embedding, 1, {MRL_DIM}) AS sub FROM embeddings
+),
+n AS (
+  SELECT vec_id, sub,
+         sqrt({_DOT_SQL.format(a='sub', b='sub')}) AS nrm
+  FROM t
+)
+SELECT vec_id,
+       nrm AS sub_norm,
+       array_to_string(list_transform(sub,
+         x -> CAST(FLOOR(CAST(x AS DOUBLE) / nrm * 1000000000.0) AS BIGINT)),
+         ',') AS unit_fp9
+FROM n
+""",
+)
+def q_embedding_truncate_mrl(spark, sf_dir):
+    """Matryoshka-style truncation: keep the first {MRL_DIM} dims and
+    re-normalize — the cheap-retrieval representation for coarse ANN stages
+    (full-dim rescoring happens on the candidate set only). Pure projection,
+    no shuffle; fixed-point stringified like the other embedding passes."""
+    e = T(spark, sf_dir, "embeddings")
+    sub = F.slice(F.col("embedding"), 1, MRL_DIM)
+    nrm = F.sqrt(_dot(sub, sub))
+    return e.select(
+        "vec_id",
+        nrm.alias("sub_norm"),
+        F.array_join(
+            F.transform(
+                sub,
+                lambda x: F.floor(x.cast("double") / nrm * F.lit(1000000000.0))
+                .cast("bigint")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("unit_fp9"),
+    )

@@ -233,3 +233,41 @@ def q_session_window_native(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@register(
+    "q_stream_dedup_within_watermark",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def q_stream_dedup_within_watermark(spark, sf_dir):
+    """State-BOUNDED streaming dedup: ``dropDuplicatesWithinWatermark``
+    (Spark 3.5+) deduplicates on the key columns alone while still evicting
+    state by the event-time watermark — unlike plain ``dropDuplicates``,
+    whose state is only evicted when the event-time column is part of the
+    key. This is the 100 TB shape for unbounded key spaces: state ≈ keys
+    seen within the watermark horizon, not keys ever seen. The delay here
+    exceeds the dataset's event-time span so the result is exactly the
+    batch DISTINCT, which the oracle checks; production uses an SLA-sized
+    delay and accepts re-emission of keys recurring beyond it."""
+    import tempfile
+
+    stream = read_events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"stream_dedup_ww_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
