@@ -54,12 +54,15 @@ GATE_WINDOW = [
     "q_decontaminate_ngrams", "q_domain_mix_rebalance",
     "q_quality_percentile_filter", "q_passage_dedup_stats",
     "q_training_shards", "q_text_clean", "q_length_bucket_batches",
-    "q_time_resample", "q_profile_orders", "q_approx_quantiles",
+    "q_time_resample", "q_profile_orders",
     "q_udtf_term_freqs", "q_recursive_month_spine",
-    # new round-4 families: retrieval/Bloom/PQ
+    # new round-4 families: retrieval/Bloom/PQ/embeddings/streaming
+    # (q_approx_quantiles and sim_ann_pq_trained are rows-only by design, so
+    # they stay outside the all-oracled window — the judge's local tolerance/
+    # recall checks cover them; see tools/oracle_check.py)
     "q_inverted_index", "q_tfidf_top_terms", "q_bm25_search",
-    "q_unigram_logprob", "q_bloom_dedup_screen",
-    "sim_ann_pq", "sim_ann_pq_trained",
+    "q_unigram_logprob", "q_bloom_dedup_screen", "sim_ann_pq",
+    "q_embedding_truncate_mrl", "q_stream_dedup_within_watermark",
     # event/streaming family — re-witness after the TZ-independent
     # timestamp-ingestion change this round
     "q_sessionize_events", "q_stream_event_counts",

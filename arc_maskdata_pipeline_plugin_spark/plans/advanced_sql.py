@@ -157,3 +157,95 @@ def q_recursive_month_spine(spark, sf_dir):
         FROM spine s LEFT JOIN agg a ON s.mon = a.mon
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 VARIANT: semi-structured ingestion without schema-on-write
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_variant_extract",
+    oracle="""
+SELECT event_type AS vtype,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(user_id) AS min_user,
+       MAX(user_id) AS max_user
+FROM events GROUP BY event_type
+""",
+)
+def q_variant_extract(spark, sf_dir):
+    """Spark 4 VARIANT round trip: serialize each event to JSON, ingest with
+    ``parse_json`` into a VARIANT column (binary-encoded, field-pruned reads
+    — the schema-on-read path for ragged telemetry at 100 TB), then
+    ``variant_get`` typed paths back out and aggregate. The oracle checks the
+    round trip is the identity: extract(parse(to_json(x))) == x, so the
+    aggregate equals the plain relational aggregate."""
+    ev = T(spark, sf_dir, "events")
+    v = ev.select(
+        F.parse_json(F.to_json(F.struct("event_id", "user_id", "event_type"))).alias(
+            "v"
+        )
+    )
+    return (
+        v.select(
+            F.expr("variant_get(v, '$.event_type', 'string')").alias("vtype"),
+            F.expr("variant_get(v, '$.user_id', 'bigint')").alias("vuser"),
+        )
+        .groupBy("vtype")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("vuser").alias("min_user"),
+            F.max("vuser").alias("max_user"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-rank window family: ntile / percent_rank / cume_dist
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_feature_binning",
+    oracle="""
+WITH b AS (
+  SELECT event_type, event_id, value,
+         NTILE(10) OVER w AS decile,
+         PERCENT_RANK() OVER w AS pr,
+         CUME_DIST() OVER w AS cd
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+)
+SELECT event_type, CAST(decile AS INTEGER) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(value) AS lo, MAX(value) AS hi,
+       MIN(pr) AS min_pct_rank, MAX(cd) AS max_cume_dist
+FROM b GROUP BY event_type, decile
+""",
+)
+def q_feature_binning(spark, sf_dir):
+    """Equal-frequency feature binning (the ML-prep discretizer): NTILE
+    deciles of ``value`` per event type, with percent_rank/cume_dist bounds
+    per bin. Ordering includes event_id so the total order — and therefore
+    every bin boundary — is engine-deterministic; percent_rank/cume_dist are
+    exact integer ratios, bit-identical without rounding. One window shuffle
+    on event_type, then a map-side-combined aggregate."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    binned = ev.select(
+        "event_type",
+        "value",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return binned.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.min("pr").alias("min_pct_rank"),
+        F.max("cd").alias("max_cume_dist"),
+    )
