@@ -206,3 +206,53 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Average add-one-smoothed bigram log-probability per document:
+    ``lp(w1 w2) = ln((c(w1,w2) + 1) / (c(w1·) + V))`` where ``c(w1·)`` is
+    w1's count as a bigram head and V the head vocabulary size. The classic
+    next-step up from the unigram proxy — penalizes docs whose word PAIRS
+    are improbable even when individual words are common (word salad).
+
+    Shapes: bigram extraction is a projection (sequence over the token
+    array); the frequency tables are |vocab²|-bounded aggregates joined back
+    — broadcast here, shuffle joins on (w1, w2) against a persisted LM store
+    at web scale. The per-doc mean is an exact DECIMAL sum.
+    """
+    bigrams = (
+        docs.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(element_at(toks, i) as w1, element_at(toks, i + 1) as w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    pair_freq = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    head_freq = bigrams.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    vocab = head_freq.groupBy().agg(F.count(F.lit(1)).cast("long").alias("v"))
+    scored = (
+        bigrams.join(F.broadcast(pair_freq), ["w1", "w2"])
+        .join(F.broadcast(head_freq), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))
+            .cast("decimal(20,9)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_bigram_logprob"
+        ),
+    )

@@ -207,3 +207,35 @@ def q_bloom_dedup_screen(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     return bloom_screen(corpus, docs)
+
+
+@register(
+    "q_bigram_logprob",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+           i -> {{'w1': toks[CAST(i AS INT)], 'w2': toks[CAST(i + 1 AS INT)]}})) AS p
+  FROM tk WHERE len(toks) >= 2
+),
+b AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+pair_freq AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM b GROUP BY w1, w2),
+head_freq AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM b GROUP BY w1),
+vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM head_freq),
+lp AS (
+  SELECT b.doc_id,
+         CAST(ln((p.c12 + 1.0) / (h.c1 + vv.v)) AS DECIMAL(20,9)) AS lp
+  FROM b JOIN pair_freq p USING (w1, w2) JOIN head_freq h USING (w1)
+  CROSS JOIN vocab vv
+)
+SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+       ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_bigram_logprob
+FROM lp GROUP BY doc_id
+""",
+)
+def q_bigram_logprob(spark, sf_dir):
+    """Add-one-smoothed bigram LM score per doc (word-salad screen)."""
+    from ..operators.search import bigram_logprob
+
+    return bigram_logprob(T(spark, sf_dir, "documents"))
