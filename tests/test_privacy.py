@@ -1,0 +1,93 @@
+"""k-anonymity / l-diversity operators: hand-computed small-frame checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from arc_maskdata_pipeline_plugin_spark.operators.privacy import (
+    band,
+    k_anonymity_audit,
+    l_diversity_audit,
+    suppress_small_classes,
+)
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    rows = [
+        # (id, zip_band, job, disease) — class A: 3 members, homogeneous
+        (1, 10, "eng", "flu"),
+        (2, 10, "eng", "flu"),
+        (3, 10, "eng", "flu"),
+        # class B: 2 members, diverse
+        (4, 10, "doc", "flu"),
+        (5, 10, "doc", "cold"),
+        # class C: singleton
+        (6, 20, "eng", "asthma"),
+    ]
+    return spark.createDataFrame(rows, ["id", "zip_band", "job", "disease"])
+
+
+def test_k_anonymity_audit_sizes_and_flags(people):
+    got = {
+        (r["zip_band"], r["job"]): (r["n"], r["is_k_anonymous"])
+        for r in k_anonymity_audit(people, ["zip_band", "job"], k=2).collect()
+    }
+    assert got == {
+        (10, "eng"): (3, True),
+        (10, "doc"): (2, True),
+        (20, "eng"): (1, False),
+    }
+
+
+def test_l_diversity_flags_homogeneous_class(people):
+    got = {
+        (r["zip_band"], r["job"]): (r["n_sensitive"], r["is_l_diverse"])
+        for r in l_diversity_audit(
+            people, ["zip_band", "job"], "disease", l=2
+        ).collect()
+    }
+    # class A is 3-anonymous but NOT 2-diverse (all flu); class B is both
+    assert got[(10, "eng")] == (1, False)
+    assert got[(10, "doc")] == (2, True)
+    assert got[(20, "eng")] == (1, False)
+
+
+def test_suppression_masks_only_small_classes(people):
+    out = suppress_small_classes(people, ["zip_band", "job"], k=2)
+    rows = {r["id"]: r for r in out.collect()}
+    # released records keep stringified QI values
+    assert rows[1]["zip_band"] == "10" and rows[1]["job"] == "eng"
+    assert rows[1]["is_released"] is True
+    # the singleton is fully QI-suppressed but keeps non-QI columns
+    assert rows[6]["zip_band"] == "*" and rows[6]["job"] == "*"
+    assert rows[6]["is_released"] is False
+    assert rows[6]["disease"] == "asthma"
+    # suppression never drops records
+    assert out.count() == people.count()
+
+
+def test_band_floor_semantics(spark):
+    df = spark.createDataFrame(
+        [(3456.78,), (-12.5,), (0.0,), (999.99,)], ["x"]
+    ).select(band("x", 1000).alias("b"))
+    assert [r["b"] for r in df.collect()] == [3, -1, 0, 0]
+
+
+def test_privacy_queries_run_on_testdata(spark, sf_small):
+    sf_dir = sf_small
+    from arc_maskdata_pipeline_plugin_spark.plans.privacy import (
+        q_k_anonymity_audit,
+        q_k_anonymity_suppress,
+        q_l_diversity_audit,
+    )
+
+    audit = q_k_anonymity_audit(spark, sf_dir)
+    assert audit.count() > 0
+    # suppression partitions records exactly by the audit's class sizes
+    sup = q_k_anonymity_suppress(spark, sf_dir).collect()
+    n_suppressed = sum(1 for r in sup if not r["is_released"])
+    assert all((r["c_nationkey"] == "*") == (not r["is_released"]) for r in sup)
+    assert 0 < n_suppressed < len(sup)
+    div = q_l_diversity_audit(spark, sf_dir)
+    assert div.filter("is_l_diverse").count() > 0
