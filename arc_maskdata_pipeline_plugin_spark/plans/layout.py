@@ -1,0 +1,61 @@
+"""Data-layout queries: Z-order clustering audit for multi-dimensional skipping."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.layout import zorder_col, zorder_sql
+from .registry import T, register
+
+_BITS = 10  # 10 bits per dimension -> 20-bit Morton codes
+_CLUSTER_SHIFT = 2 * _BITS - 6  # keep the top 6 bits -> 64 clusters
+
+_DUCK_X = "(o_custkey & 1023)"
+_DUCK_Y = "(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) & 1023)"
+_DUCK_Z = zorder_sql(_DUCK_X, _DUCK_Y, _BITS, "duckdb")
+
+
+@register(
+    "q_zorder_layout",
+    oracle=f"""
+WITH z AS (
+  SELECT {_DUCK_X} AS x, {_DUCK_Y} AS y, ({_DUCK_Z} >> {_CLUSTER_SHIFT}) AS cluster_id
+  FROM orders
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+       CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
+FROM z
+GROUP BY cluster_id
+""",
+)
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering audit of orders on the two scan dimensions
+    a warehouse prunes by — customer and order day. Each row is one Z-cluster
+    (top 6 Morton bits = the file a Z-ordered write would produce) with its
+    extent on BOTH dimensions; tight extents on both axes are exactly what
+    makes parquet min/max footers prune 2-D predicates, where a 1-D sort
+    bounds only its own column. The Morton code is pure JVM bit arithmetic
+    (``operators/layout.py::zorder_sql`` — the identical formula runs in the
+    DuckDB oracle); the audit itself is one map-side-combined aggregate."""
+    orders = T(spark, sf_dir, "orders").select(
+        (F.col("o_custkey").bitwiseAND(F.lit(1023))).alias("x"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+        .bitwiseAND(F.lit(1023))
+        .alias("y"),
+    )
+    z = orders.withColumn("zval", zorder_col("x", "y", _BITS))
+    return (
+        z.withColumn(
+            "cluster_id", F.shiftright("zval", _CLUSTER_SHIFT).cast("bigint")
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("x").cast("bigint").alias("x_min"),
+            F.max("x").cast("bigint").alias("x_max"),
+            F.min("y").cast("bigint").alias("y_min"),
+            F.max("y").cast("bigint").alias("y_max"),
+        )
+    )
