@@ -1,0 +1,72 @@
+"""Graph query: fixed-point-integer PageRank over the customer-supplier graph.
+
+The oracle unrolls the same integer recurrence as plain CTEs — one per
+iteration, generated from the same Python loop that fixes the iteration
+count, so Spark and DuckDB provably run the identical computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.graph import SCALE, pagerank_fixed_point, symmetrize
+from .registry import T, register
+
+_ITERATIONS = 5
+
+
+def _pagerank_oracle(iterations: int) -> str:
+    head = f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+p AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (SELECT node, outdeg, CAST({SCALE} // n AS BIGINT) AS mass FROM deg CROSS JOIN p)"""
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(
+            f""",
+r{i} AS (
+  SELECT d.node, d.outdeg,
+         CAST((15 * ({SCALE} // p.n) + 85 * COALESCE(s.in_sum, 0)) // 100 AS BIGINT) AS mass
+  FROM deg d CROSS JOIN p
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.mass // r.outdeg) AS in_sum
+    FROM edges e JOIN r{i - 1} r ON e.src = r.node GROUP BY e.dst
+  ) s ON d.node = s.node
+)"""
+        )
+    tail = f"""
+SELECT node, mass AS pr_mass, CAST(node & 1 AS INTEGER) AS is_supplier
+FROM r{iterations}"""
+    return head + "".join(its) + tail
+
+
+@register("q_pagerank_suppliers", oracle=_pagerank_oracle(_ITERATIONS))
+def q_pagerank_suppliers(spark, sf_dir):
+    """PageRank (5 damped iterations, exact integer mass) over the
+    symmetrized customer-supplier purchase graph: node 2c is customer c,
+    node 2s+1 is supplier s, edges are DISTINCT (customer, supplier) pairs
+    observed in orders x lineitem. Integer arithmetic makes the result
+    bit-identical across engines and partitionings (float PageRank is
+    neither); see ``operators/graph.py`` for the two-shuffles-per-iteration
+    scale shape with a once-shuffled persisted edge list."""
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank_fixed_point(symmetrize(edges), iterations=_ITERATIONS)
+    return ranks.select(
+        "node",
+        F.col("rank").alias("pr_mass"),
+        F.col("node").bitwiseAND(F.lit(1)).cast("int").alias("is_supplier"),
+    )
