@@ -1,0 +1,210 @@
+"""Data-quality and anomaly queries: statistical outliers, key-skew
+profiling, and a Deequ-style rule audit.
+
+Bit-stability strategy (see ``plans/registry.py`` docstring): every aggregate
+that feeds a float decision runs in EXACT decimal arithmetic (sums of
+``DECIMAL`` are order-independent), is cast to double once, and all remaining
+arithmetic is per-row scalar expressions evaluated identically by Spark and
+DuckDB — so even threshold comparisons land on the same side in both engines.
+Reported metrics are integers (counts, parts-per-million ratios).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import T, dec, register
+
+# ---------------------------------------------------------------------------
+# Statistical outlier screen: 3-sigma z-score per market segment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_outlier_customers",
+    oracle="""
+WITH spend AS (
+  SELECT o.o_custkey, c.c_mktsegment,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spend
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY o.o_custkey, c.c_mktsegment
+),
+stats AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(total_spend) AS DOUBLE) AS s,
+         CAST(SUM(total_spend * total_spend) AS DOUBLE) AS s2
+  FROM spend GROUP BY c_mktsegment
+)
+SELECT sp.o_custkey AS c_custkey, sp.c_mktsegment,
+       CAST(sp.total_spend AS DOUBLE) AS total_spend
+FROM spend sp JOIN stats st ON sp.c_mktsegment = st.c_mktsegment
+WHERE (CAST(sp.total_spend AS DOUBLE) - st.s / st.n)
+      * (CAST(sp.total_spend AS DOUBLE) - st.s / st.n)
+      > 9.0 * (st.s2 / st.n - (st.s / st.n) * (st.s / st.n))
+""",
+)
+def q_outlier_customers(spark, sf_dir):
+    """3-sigma anomaly screen: customers whose lifetime spend is more than
+    three population standard deviations from their market segment's mean
+    (summed uniform order prices have near-normal tails, so this finds real
+    anomalies — a per-order screen on a uniform distribution finds none by
+    construction). Both aggregation levels are EXACT decimal sums
+    (order-independent); the moments are cast to double once and the z test
+    is per-row scalar double arithmetic identical in DuckDB, so borderline
+    customers classify the same way in both engines. Plan: one orders-
+    customer key shuffle, a per-customer aggregate, a 5-row moment aggregate
+    broadcast back onto the spend frame."""
+    orders = T(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.sum(dec("o_totalprice", 18, 2)).cast("decimal(18,2)").alias("total_spend"))
+    )
+    sp = dec("total_spend", 18, 2)
+    stats = spend.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(sp).cast("double").alias("s"),
+        F.sum(sp * sp).cast("double").alias("s2"),
+    )
+    jj = spend.join(F.broadcast(stats), spend.c_mktsegment == stats.seg)
+    mean = F.col("s") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    d = F.col("total_spend").cast("double") - mean
+    return jj.filter(d * d > F.lit(9.0) * var).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("total_spend").cast("double").alias("total_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profile: the hottest join/shuffle keys and their traffic share
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_key_skew_profile",
+    oracle="""
+WITH counts AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT SUM(n_orders) AS total FROM counts)
+SELECT o_custkey, n_orders,
+       CAST(n_orders * 1000000 // tot.total AS BIGINT) AS share_ppm
+FROM counts CROSS JOIN tot
+ORDER BY n_orders DESC, o_custkey ASC
+LIMIT 20
+""",
+)
+def q_key_skew_profile(spark, sf_dir):
+    """Shuffle-skew diagnostic: the 20 hottest customer keys in orders with
+    their integer-exact traffic share (parts per million). This is the
+    measurement step that decides between a plain, salted, or broadcast join
+    (``operators/joins.py``); share is integer division so the ranking and
+    values are engine-exact, with key ascending as the deterministic
+    tiebreak. One map-side-combined count, a scalar total broadcast back,
+    and a top-k sort of the (already tiny) counts frame."""
+    counts = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    tot = counts.agg(F.sum("n_orders").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.expr("n_orders * 1000000 div total").cast("bigint").alias("share_ppm"),
+        )
+        .orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deequ-style declarative quality audit: one pass, one row per rule
+# ---------------------------------------------------------------------------
+
+_PPM = 1_000_000
+
+
+@register(
+    "q_data_quality_audit",
+    oracle=f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_pk,
+         CAST(COUNT(o_orderpriority) AS BIGINT) AS n_prio,
+         CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
+                        AND o_orderdate < TIMESTAMP '2002-01-01'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_dates
+  FROM orders
+),
+fk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans
+  FROM orders o WHERE NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT 'row_count' AS check_name, n AS metric, n > 0 AS passed FROM m
+UNION ALL
+SELECT 'pk_unique_ppm', n_pk * {_PPM} // n, n_pk = n FROM m
+UNION ALL
+SELECT 'priority_complete_ppm', n_prio * {_PPM} // n, n_prio = n FROM m
+UNION ALL
+SELECT 'price_positive_ppm', n_pos * {_PPM} // n, n_pos = n FROM m
+UNION ALL
+SELECT 'date_in_range_ppm', n_dates * {_PPM} // n, n_dates = n FROM m
+UNION ALL
+SELECT 'fk_customer_orphans', n_orphans, n_orphans = 0 FROM fk
+""",
+)
+def q_data_quality_audit(spark, sf_dir):
+    """Declarative data-quality audit (the Deequ/expectations pattern): six
+    rules over orders — row count, primary-key uniqueness, completeness,
+    value-domain, date-range, and customer foreign-key integrity — reported
+    as one row per rule with an integer metric (count or parts-per-million)
+    and a pass flag. The five intra-table rules compute in ONE scan (a single
+    multi-aggregate with map-side combine); the FK rule is a left-anti join
+    that broadcasts nothing bigger than the customer key column. This is the
+    release gate a masking pipeline runs before publishing a masked table."""
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer").select("c_custkey")
+    m = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("n_pk"),
+        F.count("o_orderpriority").cast("bigint").alias("n_prio"),
+        F.sum(F.when(F.col("o_totalprice") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("2002-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_dates"),
+    )
+    orphans = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+    )
+    mm = m.crossJoin(orphans)
+    rules = mm.select(
+        F.expr(
+            f"""stack(6,
+  'row_count',             n,                       n > 0,
+  'pk_unique_ppm',         n_pk * {_PPM} div n,     n_pk = n,
+  'priority_complete_ppm', n_prio * {_PPM} div n,   n_prio = n,
+  'price_positive_ppm',    n_pos * {_PPM} div n,    n_pos = n,
+  'date_in_range_ppm',     n_dates * {_PPM} div n,  n_dates = n,
+  'fk_customer_orphans',   n_orphans,               n_orphans = 0L
+) AS (check_name, metric, passed)"""
+        )
+    )
+    return rules
