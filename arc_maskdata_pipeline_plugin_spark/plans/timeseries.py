@@ -1,0 +1,139 @@
+"""Time-series repair: dense grid with LINEAR interpolation of missing hours.
+
+Extends the zero-fill resample (``relational4.py::q_time_resample``) to the
+shape feature pipelines actually need: holes filled from the neighboring
+observations, not with zeros. The interpolation is the classic
+prev + (next - prev) * elapsed/gap over the last/next non-null window pair
+— one window shuffle per direction on the (tiny) dense grid, never on the
+raw events.
+
+Bit-stability: hourly averages divide an EXACT decimal sum by an integer
+count; the interpolation itself is per-row scalar double arithmetic written
+with the identical expression shape in the DuckDB oracle, and the result is
+published as a floor(x*1e6) fixed-point BIGINT so the driver's exact hash
+comparison is meaningful.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import T, dec, register
+
+
+@register(
+    "q_gap_fill_interpolate",
+    oracle="""
+WITH obs AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(hour) AS lo, MAX(hour) AS hi FROM obs GROUP BY 1
+),
+grid AS (
+  SELECT b.event_type, g.h AS hour
+  FROM bounds b, UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS g(h)
+),
+j AS (
+  SELECT g.event_type, g.hour,
+         CASE WHEN o.k IS NOT NULL THEN o.sv / o.k END AS v
+  FROM grid g LEFT JOIN obs o
+    ON g.event_type = o.event_type AND g.hour = o.hour
+),
+w AS (
+  SELECT event_type, hour, v,
+         last_value(v IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+           OVER wp AS ph,
+         first_value(v IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+           OVER wf AS nh
+  FROM j
+  WINDOW
+    wp AS (PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       CASE WHEN v IS NOT NULL THEN 'observed' ELSE 'interpolated' END AS src,
+       CAST(floor(
+         (CASE WHEN v IS NOT NULL THEN v
+               ELSE pv + (nv - pv)
+                    * (CAST(date_diff('hour', ph, hour) AS DOUBLE)
+                       / CAST(date_diff('hour', ph, nh) AS DOUBLE)) END)
+         * 1000000) AS BIGINT) AS val_fp6
+FROM w
+""",
+)
+def q_gap_fill_interpolate(spark, sf_dir):
+    """Hourly mean value per event type on a dense per-type grid, with
+    missing hours LINEARLY interpolated between the nearest observed hours
+    (every grid hour has both neighbors because the grid spans exactly the
+    observed range). The last/next-non-null window pair runs over the dense
+    grid — |hours|x|types| rows, thousands of times smaller than events —
+    so the only fact-table shuffle is the hourly aggregation itself."""
+    e = T(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    obs = (
+        e.select("event_type", hour.alias("hour"), "value")
+        .groupBy("event_type", "hour")
+        .agg(
+            F.sum(dec("value", 18, 6)).cast("double").alias("sv"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+        )
+    )
+    bounds = obs.groupBy("event_type").agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour"),
+    )
+    j = grid.join(F.broadcast(obs), ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.when(F.col("k").isNotNull(), F.col("sv") / F.col("k")).alias("v"),
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
+    w = j.select(
+        "event_type",
+        "hour",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_hour, ignorenulls=True).over(wp).alias("ph"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_hour, ignorenulls=True).over(wf).alias("nh"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.expr("timestampdiff(HOUR, ph, hour)").cast("double")
+        / F.expr("timestampdiff(HOUR, ph, nh)").cast("double")
+    )
+    return w.select(
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        F.when(F.col("v").isNotNull(), F.lit("observed"))
+        .otherwise(F.lit("interpolated"))
+        .alias("src"),
+        F.floor(
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp)
+            * F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("val_fp6"),
+    )
