@@ -141,6 +141,58 @@ def mask_timestamp_value(codec, passphrase, range_: int, deterministic, value):
     return value + pd.Timedelta(days=num_days)
 
 
+def luhn_check_digit(digits: str) -> str:
+    """Check digit that makes ``digits + d`` Luhn-valid (ISO/IEC 7812).
+
+    Standard doubling walk from the right of the would-be full number: the
+    digit immediately left of the check position is doubled."""
+    total = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = int(ch)
+        if i % 2 == 0:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return str((10 - total % 10) % 10)
+
+
+def luhn_valid(number: str) -> bool:
+    digits = "".join(c for c in number if c.isdigit())
+    return luhn_check_digit(digits[:-1]) == digits[-1]
+
+
+def mask_credit_card_value(
+    codec: Codec, passphrase: bytes, deterministic: bool, value: str | None
+) -> str | None:
+    """Format-preserving card masking (the real version of the reference's
+    ``mask_string_alphabet_format`` TODO, ``MaskDataPlugin.scala:84``):
+
+    * the issuer BIN (first 6 digits) and the separator layout are preserved,
+    * the account digits are replaced with KDF-derived digits (same
+      deterministic codec path as every other mask function),
+    * the final digit is recomputed so the masked number is Luhn-VALID —
+      masked cards pass downstream checksum validation instead of tripping it.
+
+    The KDF input is the raw digit string, so '4111-1111…' and '4111 1111…'
+    mask to the same account digits in their respective layouts.
+    """
+    if value is None:
+        return None
+    digits = "".join(c for c in value if c.isdigit())
+    if len(digits) < 8:
+        raise ValueError(
+            f"'{codec.name}' mask_credit_card requires >= 8 digits, got {len(digits)}"
+        )
+    encoded = encode_as_string(
+        codec.hash(digits, deterministic, passphrase), "0123456789"
+    )
+    body = digits[:6] + truncate_string(encoded, len(digits) - 7, codec.name)
+    card = body + luhn_check_digit(body)
+    it = iter(card)
+    return "".join(next(it) if c.isdigit() else c for c in value)
+
+
 def mask_decimal_value(codec, passphrase, range_: Decimal, deterministic, value):
     if value is None:
         return None
@@ -277,6 +329,23 @@ def register_udfs(
                 out.append(m)
         return pd.Series(out, dtype="object")
 
+    @pandas_udf(StringType())
+    def mask_credit_card(deterministic, value):
+        det = bool(_const(deterministic))
+        cache: dict = {}
+        out = []
+        for v in value:
+            if v is None:
+                out.append(None)
+            elif det and v in cache:
+                out.append(cache[v])
+            else:
+                m = mask_credit_card_value(codec, passphrase, det, v)
+                if det:
+                    cache[v] = m
+                out.append(m)
+        return pd.Series(out, dtype="object")
+
     # deterministic=false returns SecureRandom bytes → the functions must be
     # nondeterministic or Catalyst may common-subexpression-eliminate calls.
     for name, fn in (
@@ -286,6 +355,7 @@ def register_udfs(
         ("mask_date", mask_date),
         ("mask_timestamp", mask_timestamp),
         ("mask_decimal", mask_decimal),
+        ("mask_credit_card", mask_credit_card),
     ):
         spark.udf.register(prefix + name, fn.asNondeterministic())
     return codec

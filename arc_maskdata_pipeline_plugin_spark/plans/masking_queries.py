@@ -20,6 +20,7 @@ from ..codecs.hmac_sha512 import HmacSHA512
 from ..codecs.pbkdf2 import PBKDF2WithHmacSHA512
 from ..functions.fake import LOCALIZED_LISTS, fake_email, fake_name
 from ..functions.masking import register_udfs
+from ._card_vectors import VECTORS as _CARD_VECTORS
 from ._pbkdf2_vectors import VECTORS as _PBKDF2_VECTORS
 from .registry import T, register
 
@@ -139,6 +140,55 @@ def q_mask_customers_pbkdf2(spark, sf_dir):
                AS DECIMAL(12,2)) AS STRING) AS dec_masked
         FROM _mask_pbkdf2_in
         WHERE c_custkey <= 20
+        """
+    )
+
+
+def _card_oracle() -> str:
+    """DuckDB VALUES oracle from JVM-precomputed literals (same machinery as
+    ``_pbkdf2_oracle``): tools/gen_luhn_card_vectors.jsh runs the digit
+    derivation on a real JVM (javax.crypto PBKDF2 + the reference's codec
+    trait and encode), then the engine's documented Luhn-repair spec — so
+    the full mask_credit_card UDF path is anchored independently of the
+    Python implementation."""
+    rows = ",\n  ".join(
+        "({}, '{}', '{}')".format(*v) for v in _CARD_VECTORS
+    )
+    return f"""
+SELECT * FROM (VALUES
+  {rows}
+) t(c_custkey, card_in, card_masked)
+"""
+
+
+@register("q_mask_credit_cards", oracle=_card_oracle())
+def q_mask_credit_cards(spark, sf_dir):
+    """Format-preserving credit-card masking: BIN (first 6 digits) and
+    separator layout preserved, account digits KDF-derived, final digit
+    Luhn-REPAIRED so masked cards pass downstream checksum validation —
+    the real implementation of the reference's format-mask TODO
+    (``MaskDataPlugin.scala:84``). Card inputs are SF-independent
+    (derived from custkey 0..20 — identical at every scale factor), so the
+    JVM-precomputed VALUES oracle holds everywhere. Pure projection: the
+    masking UDF is the only cost, Arrow-batched with per-batch memoization."""
+    _ensure_pbkdf2_udfs(spark)
+    c = T(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("_mask_cards_in")
+    return spark.sql(
+        """
+        WITH cards AS (
+          SELECT c_custkey,
+                 concat('4', CAST(123456789012345 + c_custkey * 6789012345 AS STRING)) AS full
+          FROM _mask_cards_in
+          WHERE c_custkey <= 20
+        )
+        SELECT c_custkey,
+               concat_ws(' ', substr(full, 1, 4), substr(full, 5, 4),
+                              substr(full, 9, 4), substr(full, 13, 4)) AS card_in,
+               pbkdf2_mask_credit_card(true,
+                 concat_ws(' ', substr(full, 1, 4), substr(full, 5, 4),
+                                substr(full, 9, 4), substr(full, 13, 4))) AS card_masked
+        FROM cards
         """
     )
 
