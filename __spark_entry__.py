@@ -61,30 +61,31 @@ GATE_WINDOW = [
     "q_training_shards", "q_text_clean", "q_length_bucket_batches",
     "q_time_resample", "q_profile_orders",
     "q_udtf_term_freqs", "q_recursive_month_spine",
-    # new round-4 families: retrieval/Bloom/PQ/embeddings/streaming
-    # (q_approx_quantiles and sim_ann_pq_trained are rows-only by design, so
-    # they stay outside the all-oracled window — the judge's local tolerance/
-    # recall checks cover them; see tools/oracle_check.py)
+    # round-4 families, first half: retrieval/Bloom/PQ/embeddings/streaming/
+    # SQL surface (q_approx_quantiles and sim_ann_pq_trained are rows-only by
+    # design, so they stay outside the all-oracled window — the judge's local
+    # tolerance/recall checks cover them; see tools/oracle_check.py)
     "q_inverted_index", "q_tfidf_top_terms", "q_bm25_search",
     "q_unigram_logprob", "q_bloom_dedup_screen", "sim_ann_pq",
     "q_embedding_truncate_mrl", "q_stream_dedup_within_watermark",
+    "q_variant_extract", "q_feature_binning", "q_bigram_logprob",
+    # round-4 families, second half: privacy analytics, Z-order layout,
+    # integer PageRank, data-quality screens, interpolation, card masking
+    "q_k_anonymity_audit", "q_l_diversity_audit", "q_k_anonymity_suppress",
+    "q_zorder_layout", "q_pagerank_suppliers",
+    "q_outlier_customers", "q_key_skew_profile", "q_data_quality_audit",
+    "q_gap_fill_interpolate", "q_mask_credit_cards",
     # event/streaming family — re-witness after the TZ-independent
-    # timestamp-ingestion change this round
+    # timestamp-ingestion change this round (landed AFTER the r03 gate ran)
     "q_sessionize_events", "q_stream_event_counts",
     "q_stream_dedup_user_types", "q_stream_static_enrich",
     "q_stream_stream_join", "q_session_window_native",
     "q_latest_event_per_user", "q_datetime_functions",
     # green representatives of every other family (r02/r03-witnessed)
-    "dedup_exact", "dedup_minhash_pairs", "dedup_jaccard_pairs",
-    "dedup_simhash_buckets", "dedup_embedding_pairs", "dedup_clusters",
-    "dedup_survivors", "dedup_incremental",
-    "text_token_stats", "text_quality_scores", "text_fingerprints",
-    "text_chunks",
-    "q_pii_scrub", "q_quality_filter", "q_scd2_customer_merge",
-    "q_sequence_packing", "q_fuzzy_name_match",
-    "sim_knn_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
-    "q_embedding_normalize", "q_mask_customers_pbkdf2",
-    "q1_pricing_summary",
+    "dedup_exact", "dedup_minhash_pairs", "dedup_clusters",
+    "text_quality_scores", "q_pii_scrub", "q_scd2_customer_merge",
+    "sim_knn_bruteforce", "q_embedding_normalize",
+    "q_mask_customers_pbkdf2", "q1_pricing_summary",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 

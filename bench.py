@@ -61,6 +61,14 @@ HEADLINE = [
     "q_unigram_logprob",
     "q_bloom_dedup_screen",
     "sim_ann_pq",
+    # round 4 (cont.): iterative integer PageRank (2 shuffles/iteration),
+    # Z-order clustering aggregate, privacy enforcement window, 3-sigma
+    # outlier screen, dense-grid interpolation
+    "q_pagerank_suppliers",
+    "q_zorder_layout",
+    "q_k_anonymity_suppress",
+    "q_outlier_customers",
+    "q_gap_fill_interpolate",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

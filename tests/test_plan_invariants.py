@@ -196,3 +196,62 @@ def test_retrieval_family_stays_jvm_side(spark):
     anywhere in the retrieval family."""
     for name in ("q_inverted_index", "q_tfidf_top_terms", "q_unigram_logprob"):
         assert props(name, spark)["python_ops"] == 0, name
+
+
+def test_privacy_audits_single_aggregate(spark):
+    """k-anonymity/l-diversity audits: one hash-aggregate shuffle, no joins,
+    all-JVM — the cheapest possible full-table risk statistic."""
+    for name in ("q_k_anonymity_audit", "q_l_diversity_audit"):
+        a = props(name, spark)
+        assert a["exchanges"] <= 2, name  # count-distinct may expand to two
+        assert a["sort_merge_joins"] == 0 and a["broadcasts"] == 0, name
+        assert a["python_ops"] == 0, name
+
+
+def test_privacy_suppression_one_window_shuffle(spark):
+    """Enforcement pays the same single QI shuffle as the audit (an unordered
+    COUNT window), never a join back against a class table."""
+    a = props("q_k_anonymity_suppress", spark)
+    assert a["exchanges"] == 1
+    assert a["sort_merge_joins"] == 0 and a["broadcasts"] == 0
+    assert a["python_ops"] == 0
+
+
+def test_zorder_audit_is_one_aggregate(spark):
+    """Morton codes are pure bit arithmetic in codegen; the cluster audit is
+    a single map-side-combined aggregate over the scan."""
+    a = props("q_zorder_layout", spark)
+    assert a["exchanges"] == 1
+    assert a["python_ops"] == 0
+    assert a["scans"] == 1
+
+
+def test_outlier_screen_broadcasts_moments(spark):
+    """The 5-row moment table must broadcast back onto the spend frame —
+    never a sort-merge join against per-customer spend."""
+    a = props("q_outlier_customers", spark)
+    assert a["broadcasts"] >= 1
+    assert a["python_ops"] == 0
+
+
+def test_quality_audit_stays_jvm_side(spark):
+    a = props("q_data_quality_audit", spark)
+    assert a["python_ops"] == 0
+    assert a["sort_merge_joins"] == 0  # FK anti-join broadcasts the key column
+
+
+def test_interpolation_windows_run_on_grid_not_events(spark):
+    """The only fact-table shuffle is the hourly aggregation; the dense grid
+    joins via broadcast and the last/next windows sort grid-sized frames."""
+    a = props("q_gap_fill_interpolate", spark)
+    assert a["broadcasts"] >= 1
+    assert a["python_ops"] == 0
+    assert a["sort_merge_joins"] == 0
+
+
+def test_card_masking_is_projection_plus_udf(spark):
+    """Format-preserving card masking: zero shuffles — one Arrow-batched
+    Python op (the KDF), nothing else."""
+    a = props("q_mask_credit_cards", spark)
+    assert a["exchanges"] == 0
+    assert a["python_ops"] == 1
