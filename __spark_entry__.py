@@ -45,6 +45,8 @@ from arc_maskdata_pipeline_plugin_spark.plans import layout  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import graph  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import quality  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import timeseries  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import behavior  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import stats  # noqa: F401
 
 from arc_maskdata_pipeline_plugin_spark.plans.registry import REGISTRY
 

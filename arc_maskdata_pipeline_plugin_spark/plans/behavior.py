@@ -1,0 +1,139 @@
+"""Behavioral analytics over the event stream: cohort retention and funnels.
+
+The two canonical product-analytics queries, in their scale-correct shapes:
+
+* **Cohort retention** — first-seen week per user, then distinct active users
+  per (cohort week, week offset). All aggregations key on ``user_id`` or on
+  week pairs derived from it, so the whole query is two co-partitioned
+  shuffles of (user, week) pairs — never a self-join of events.
+* **Funnel** — ordered stage progression (view → click → purchase, each
+  stage strictly after the previous one's first occurrence). Each stage is a
+  per-user MIN-timestamp aggregate joined co-partitioned on ``user_id`` to
+  the previous stage's frame (user-sized, not event-sized). Timestamps
+  compare exactly, so stage membership is engine-deterministic.
+
+Week truncation: both Spark and DuckDB ``date_trunc('week', ts)`` are
+ISO/Monday-start, and week offsets are day-differences of Monday-aligned
+dates divided exactly by 7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import T, register
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM activity GROUP BY user_id
+)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', c.cohort_week, a.week) // 7 AS INTEGER) AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+GROUP BY c.cohort_week, week_offset
+""",
+)
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention triangle: users grouped by first-active week,
+    distinct active users counted at each week offset. Two shuffles on
+    user_id (distinct user-weeks, then first-week aggregate) that
+    co-partition for the join, and one final (cohort, offset) aggregate over
+    the user-week frame — events themselves are touched exactly once."""
+    e = T(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        activity.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+    )
+
+
+@register(
+    "q_funnel_conversion",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT stage, n_users FROM (
+  SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users, 1 AS ord FROM s1
+  UNION ALL
+  SELECT 'view>click', CAST(COUNT(*) AS BIGINT), 2 FROM s2
+  UNION ALL
+  SELECT 'view>click>purchase', CAST(COUNT(*) AS BIGINT), 3 FROM s3
+) ORDER BY ord
+""",
+)
+def q_funnel_conversion(spark, sf_dir):
+    """Strictly-ordered funnel: users whose first view precedes a click that
+    precedes a purchase. Each stage joins the previous stage's USER-sized
+    frame back onto events co-partitioned on user_id and takes a MIN — the
+    per-stage cost is one key shuffle, and nothing event-sized is ever
+    joined against itself. Exact timestamp comparisons make stage
+    membership engine-deterministic."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df, name):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(s1, "view")
+        .union(stage(s2, "view>click"))
+        .union(stage(s3, "view>click>purchase"))
+    )

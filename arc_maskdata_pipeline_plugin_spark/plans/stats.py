@@ -1,0 +1,145 @@
+"""Feature statistics: correlation matrix and equi-width histograms.
+
+Both follow the registry's bit-stability contract: moments are EXACT decimal
+sums (order-independent under any partitioning), cast to double once, with
+the remaining scalar arithmetic written expression-for-expression identically
+in the DuckDB oracle; published floats are floor(x*1e6) fixed-point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import T, dec, register
+
+
+@register(
+    "q_feature_correlation",
+    # Measures are scaled to exact integer hundredths (correlation is
+    # scale-invariant) so every moment is integer arithmetic: per-row
+    # products fit BIGINT, sums accumulate in DECIMAL(38,0) — exact in both
+    # engines with no cross-engine decimal-multiplication width rules.
+    oracle="""
+WITH u AS (
+  SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p,
+         CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS d
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS DOUBLE) AS sq,
+         CAST(SUM(p) AS DOUBLE) AS sp,
+         CAST(SUM(d) AS DOUBLE) AS sd,
+         CAST(SUM(CAST(q * q AS DECIMAL(38,0))) AS DOUBLE) AS sqq,
+         CAST(SUM(CAST(p * p AS DECIMAL(38,0))) AS DOUBLE) AS spp,
+         CAST(SUM(CAST(d * d AS DECIMAL(38,0))) AS DOUBLE) AS sdd,
+         CAST(SUM(CAST(q * p AS DECIMAL(38,0))) AS DOUBLE) AS sqp,
+         CAST(SUM(CAST(q * d AS DECIMAL(38,0))) AS DOUBLE) AS sqd,
+         CAST(SUM(CAST(p * d AS DECIMAL(38,0))) AS DOUBLE) AS spd
+  FROM u
+)
+SELECT pair,
+       CAST(floor((n * sxy - sx * sy)
+            / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1000000) AS BIGINT)
+         AS corr_fp6
+FROM (
+  SELECT 'quantity~extendedprice' AS pair, n, sq AS sx, sp AS sy,
+         sqq AS sxx, spp AS syy, sqp AS sxy FROM m
+  UNION ALL
+  SELECT 'quantity~discount', n, sq, sd, sqq, sdd, sqd FROM m
+  UNION ALL
+  SELECT 'extendedprice~discount', n, sp, sd, spp, sdd, spd FROM m
+)
+""",
+)
+def q_feature_correlation(spark, sf_dir):
+    """Pearson correlation matrix over three lineitem measures in ONE scan:
+    a single multi-aggregate computes every first and second moment as an
+    exact decimal sum (map-side combined, order-independent), the 1-row
+    moment frame is unpivoted to (pair, corr) rows, and the correlation
+    formula runs in per-row double arithmetic identical to the oracle's.
+    The one-pass moment shape is how feature stats are computed at 100 TB —
+    never one pass per pair."""
+    li = T(spark, sf_dir, "lineitem")
+    u = li.select(
+        *(
+            (dec(c, 18, 2) * 100).cast("bigint").alias(a)
+            for c, a in (
+                ("l_quantity", "q"),
+                ("l_extendedprice", "p"),
+                ("l_discount", "d"),
+            )
+        )
+    )
+    q, p, d = F.col("q"), F.col("p"), F.col("d")
+
+    def s2(x, y):
+        return F.sum((x * y).cast("decimal(38,0)")).cast("double")
+
+    m = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(p).cast("double").alias("sp"),
+        F.sum(d).cast("double").alias("sd"),
+        s2(q, q).alias("sqq"),
+        s2(p, p).alias("spp"),
+        s2(d, d).alias("sdd"),
+        s2(q, p).alias("sqp"),
+        s2(q, d).alias("sqd"),
+        s2(p, d).alias("spd"),
+    )
+    pairs = m.select(
+        F.expr(
+            """stack(3,
+  'quantity~extendedprice', sq, sp, sqq, spp, sqp,
+  'quantity~discount',      sq, sd, sqq, sdd, sqd,
+  'extendedprice~discount', sp, sd, spp, sdd, spd
+) AS (pair, sx, sy, sxx, syy, sxy)"""
+        ),
+        "n",
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return pairs.select(
+        "pair", F.floor(corr * F.lit(1_000_000)).cast("bigint").alias("corr_fp6")
+    )
+
+
+@register(
+    "q_value_histogram",
+    oracle="""
+WITH b AS (
+  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(LEAST(CAST(floor((e.value - b.lo) / ((b.hi - b.lo) / 20.0)) AS INTEGER), 19)
+            AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN b ON e.event_type = b.event_type
+GROUP BY e.event_type, bucket
+""",
+)
+def q_value_histogram(spark, sf_dir):
+    """Equi-width 20-bucket histogram of ``value`` per event type — the
+    profiling primitive behind skew detection and binned features. Min/max
+    are exact selections (order-independent even for doubles); the bucket
+    index is per-row scalar arithmetic identical in the oracle, with the
+    max value clamped into the last bucket. Two map-side-combined
+    aggregates; the 5-row bounds frame broadcasts back onto the scan."""
+    e = T(spark, sf_dir, "events")
+    b = e.groupBy(F.col("event_type").alias("et")).agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    j = e.join(F.broadcast(b), e.event_type == b.et)
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / F.lit(20.0))).cast("int"),
+        F.lit(19),
+    )
+    return (
+        j.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
