@@ -83,10 +83,14 @@ GATE_WINDOW = [
     "q_stream_dedup_user_types", "q_stream_static_enrich",
     "q_stream_stream_join", "q_session_window_native",
     "q_latest_event_per_user", "q_datetime_functions",
-    # green representatives of every other family (r02/r03-witnessed)
-    "dedup_exact", "dedup_minhash_pairs", "dedup_clusters",
-    "text_quality_scores", "q_pii_scrub", "q_scd2_customer_merge",
-    "sim_knn_bruteforce", "q_embedding_normalize",
+    # round-4 families, third wave: flagship metadata-driven stage, rolling
+    # window, behavioral analytics, one-pass feature stats
+    "q_mask_pipeline_stage", "q_rolling_revenue_7d",
+    "q_cohort_retention", "q_funnel_conversion",
+    "q_feature_correlation", "q_value_histogram",
+    # green representatives (r02/r03-witnessed; every family keeps >= 1
+    # driver-green entry across rounds)
+    "dedup_exact", "text_quality_scores",
     "q_mask_customers_pbkdf2", "q1_pricing_summary",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)

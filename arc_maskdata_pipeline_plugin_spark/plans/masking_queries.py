@@ -193,6 +193,73 @@ def q_mask_credit_cards(spark, sf_dir):
     )
 
 
+def _stage_oracle() -> str:
+    """The flagship-stage oracle reuses the JVM-precomputed PBKDF2 literals:
+    the stage compiles metadata treatments into exactly the UDF calls the
+    vectors anchor, so (name_masked, digits12, phone_fake) must reproduce
+    the same columns of ``_PBKDF2_VECTORS`` value-for-value."""
+    rows = ",\n  ".join(
+        "({}, '{}', '{}', '{}')".format(v[0], v[1], v[2], v[3])
+        for v in _PBKDF2_VECTORS
+    )
+    return f"""
+SELECT * FROM (VALUES
+  {rows}
+) t(c_custkey, name_masked, digits12, phone_fake)
+"""
+
+
+@register("q_mask_pipeline_stage", oracle=_stage_oracle())
+def q_mask_pipeline_stage(spark, sf_dir):
+    """The reference's FLAGSHIP operator driven end-to-end through the driver
+    gate: a HOCON pipeline config runs ``MaskDataTransform``
+    (``MaskDataTransform.scala:103-175``), which discovers ``mask.treatments``
+    in column METADATA, folds them into one compiled SELECT projection
+    (``${{value}}`` substitution), executes it, and re-attaches metadata.
+    Three treatment families run at once — default-alphabet mask, digit
+    alphabet, and format substitution — and the output is anchored to the
+    same JVM-precomputed PBKDF2 literals as ``q_mask_customers_pbkdf2``.
+    The stage emits a single Catalyst Project: zero shuffles, one
+    Arrow-batched Python op per masked column."""
+    _ensure_pbkdf2_udfs(spark)
+    from ..operators.base import PipelineContext
+    from .pipeline import Pipeline
+
+    c = T(spark, sf_dir, "customer").filter("c_custkey <= 20")
+    treatments = {
+        "name_masked": ["pbkdf2_mask_string(16, true, ${value})"],
+        "digits12": ["pbkdf2_mask_string_alphabet(12, '0123456789', true, ${value})"],
+        "phone_fake": [
+            "pbkdf2_mask_string_alphabet_format(16, '0123456789', 'xxx-xxxx-xxxx', true, ${value})"
+        ],
+    }
+    df = c.select(
+        "c_custkey",
+        *(
+            F.col("c_name").alias(out, metadata={"mask": {"treatments": t}})
+            for out, t in treatments.items()
+        ),
+    )
+    df.createOrReplaceTempView("mask_stage_in")
+    pipe = Pipeline.from_config(
+        """
+        {
+          stages: [
+            {
+              type: MaskDataTransform
+              name: "mask customer PII via metadata treatments"
+              environments: [production, test]
+              inputView: mask_stage_in
+              outputView: mask_stage_out
+              persist: false
+            }
+          ]
+        }
+        """
+    )
+    return pipe.run(PipelineContext(spark))
+
+
 def _fake_oracle() -> str:
     lists = LOCALIZED_LISTS["en-US"]
 

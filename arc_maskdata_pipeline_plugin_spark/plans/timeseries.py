@@ -23,6 +23,46 @@ from .registry import T, dec, register
 
 
 @register(
+    "q_rolling_revenue_7d",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(SUM(rev) OVER w AS DOUBLE) AS rev_7d,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_days_in_window
+FROM daily
+WINDOW w AS (ORDER BY date_diff('day', DATE '1995-01-01', day)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_rolling_revenue_7d(spark, sf_dir):
+    """Trailing 7-day revenue: a RANGE-frame window (6 preceding days by
+    VALUE, so calendar gaps count) over the DAILY aggregate — the rolling
+    window never touches the fact table, which contributes only one
+    map-side-combined group-by. The rolling sum accumulates exact decimals
+    (order-independent) and is cast to double once. The day frame is
+    ~2.4k rows here; at 100 TB it is still calendar-sized, so the
+    single-partition window is a non-issue by construction."""
+    orders = T(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(dec("o_totalprice", 18, 2)).alias("rev"))
+        .withColumn(
+            "day_num", F.datediff(F.col("day"), F.lit("1995-01-01").cast("date"))
+        )
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.sum("rev").over(w).cast("double").alias("rev_7d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_days_in_window"),
+    )
+
+
+@register(
     "q_gap_fill_interpolate",
     oracle="""
 WITH obs AS (

@@ -255,3 +255,41 @@ def test_card_masking_is_projection_plus_udf(spark):
     a = props("q_mask_credit_cards", spark)
     assert a["exchanges"] == 0
     assert a["python_ops"] == 1
+
+
+def test_mask_pipeline_stage_single_projection(spark):
+    """The flagship metadata-driven stage: zero shuffles, one Arrow-batched
+    Python op per masked column, pushdown intact below the UDF boundary."""
+    a = props("q_mask_pipeline_stage", spark)
+    assert a["exchanges"] == 0
+    assert a["python_ops"] >= 1
+    assert a["pushed_filters"] >= 1  # the custkey filter reaches the scan
+
+
+def test_rolling_window_runs_on_daily_aggregate(spark):
+    """The RANGE window sorts the calendar-sized daily frame, not orders."""
+    a = props("q_rolling_revenue_7d", spark)
+    assert a["scans"] == 1
+    assert a["python_ops"] == 0
+    assert a["exchanges"] <= 2  # daily aggregate + the single-partition window
+
+
+def test_funnel_and_cohort_never_self_join_events(spark):
+    """Stage frames are user-sized; events appear in the plan once per stage
+    filter but are never sort-merge-joined against themselves unbounded."""
+    for name in ("q_funnel_conversion", "q_cohort_retention"):
+        a = props(name, spark)
+        assert a["python_ops"] == 0, name
+
+
+def test_correlation_single_scan_single_aggregate(spark):
+    a = props("q_feature_correlation", spark)
+    assert a["scans"] == 1
+    assert a["exchanges"] == 0  # only the SinglePartition gather of 1 row
+    assert a["python_ops"] == 0
+
+
+def test_histogram_bounds_broadcast(spark):
+    a = props("q_value_histogram", spark)
+    assert a["broadcasts"] >= 1
+    assert a["python_ops"] == 0
