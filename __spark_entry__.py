@@ -88,9 +88,9 @@ GATE_WINDOW = [
     "q_mask_pipeline_stage", "q_rolling_revenue_7d",
     "q_cohort_retention", "q_funnel_conversion",
     "q_feature_correlation", "q_value_histogram",
-    # green representatives (r02/r03-witnessed; every family keeps >= 1
-    # driver-green entry across rounds)
-    "dedup_exact", "text_quality_scores",
+    "q_incremental_rollup", "q_winsorize_prices",
+    # green representatives (r02/r03-witnessed; every registered query keeps
+    # >= 1 driver-green entry across rounds)
     "q_mask_customers_pbkdf2", "q1_pricing_summary",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)

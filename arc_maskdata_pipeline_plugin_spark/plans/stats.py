@@ -8,6 +8,7 @@ in the DuckDB oracle; published floats are floor(x*1e6) fixed-point.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .registry import T, dec, register
@@ -105,6 +106,86 @@ def q_feature_correlation(spark, sf_dir):
     )
     return pairs.select(
         "pair", F.floor(corr * F.lit(1_000_000)).cast("bigint").alias("corr_fp6")
+    )
+
+
+@register(
+    "q_winsorize_prices",
+    # Thresholds come from an explicit cumulative rank over DISTINCT price
+    # values (integer cents): engine-exact by construction, where interpolated
+    # percentile implementations differ in float rounding across engines.
+    oracle="""
+WITH u AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+pc AS (
+  SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM u GROUP BY cents
+),
+cum AS (
+  SELECT cents, SUM(cnt) OVER (ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         (SELECT SUM(cnt) FROM pc) AS n
+  FROM pc
+),
+th AS (
+  SELECT MIN(CASE WHEN c >= CAST(ceil(0.01 * n) AS BIGINT) THEN cents END) AS lo,
+         MIN(CASE WHEN c >= CAST(ceil(0.99 * n) AS BIGINT) THEN cents END) AS hi
+  FROM cum
+)
+SELECT CAST(th.lo AS BIGINT) AS lo_cents,
+       CAST(th.hi AS BIGINT) AS hi_cents,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN u.cents < th.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(CASE WHEN u.cents > th.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+       CAST(SUM(GREATEST(th.lo, LEAST(th.hi, u.cents))) AS BIGINT) AS sum_clipped_cents
+FROM u CROSS JOIN th
+GROUP BY th.lo, th.hi
+""",
+)
+def q_winsorize_prices(spark, sf_dir):
+    """Winsorization (tail clipping at the exact p1/p99): thresholds are the
+    smallest values whose CUMULATIVE count reaches ceil(p*n) — computed by
+    sorting only the DISTINCT price values with their counts (a frame
+    thousands of times smaller than the fact table; the corpus itself is
+    never globally sorted), then broadcast back for the clip pass. Exact
+    integer cents end-to-end, so thresholds and clipped sums are
+    engine-identical — interpolated-percentile clipping is not (float
+    rounding differs across engines). At 100 TB swap the exact rank scan
+    for ``approx_percentile`` at the same seam."""
+    orders = T(spark, sf_dir, "orders")
+    u = orders.select(
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("cents")
+    )
+    pc = u.groupBy("cents").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    n_tot = pc.agg(F.sum("cnt").alias("n"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = pc.select("cents", F.sum("cnt").over(w).alias("c")).crossJoin(
+        F.broadcast(n_tot)
+    )
+    th = cum.agg(
+        F.min(
+            F.when(F.col("c") >= F.ceil(0.01 * F.col("n")).cast("bigint"), F.col("cents"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("c") >= F.ceil(0.99 * F.col("n")).cast("bigint"), F.col("cents"))
+        ).alias("hi"),
+    )
+    clipped = u.crossJoin(F.broadcast(th))
+    return clipped.groupBy(
+        F.col("lo").cast("bigint").alias("lo_cents"),
+        F.col("hi").cast("bigint").alias("hi_cents"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_high"),
+        F.sum(F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("cents"))))
+        .cast("bigint")
+        .alias("sum_clipped_cents"),
     )
 
 

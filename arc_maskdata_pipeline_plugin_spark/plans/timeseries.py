@@ -23,6 +23,49 @@ from .registry import T, dec, register
 
 
 @register(
+    "q_incremental_rollup",
+    oracle="""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1
+""",
+)
+def q_incremental_rollup(spark, sf_dir):
+    """Materialized-view maintenance invariant, driven through the gate:
+    the monthly revenue rollup is maintained INCREMENTALLY — a partial
+    aggregate over the historical partition (orders before 2001-01-01)
+    merged with a partial aggregate over the new arrivals (2001+) by a
+    re-aggregation of the two partials — and the oracle recomputes the
+    rollup from scratch, so the gate asserts
+    ``merge(partial(old), partial(new)) == full(old UNION new)`` exactly
+    (counts and exact decimal sums are decomposable aggregates).
+    At 100 TB this is the difference between touching one day of data and
+    re-scanning the corpus; the merge input is two month-sized frames."""
+    orders = T(spark, sf_dir, "orders")
+    month = F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM")
+    split = F.lit("2001-01-01").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy(month.alias("month")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(dec("o_totalprice", 18, 2)).alias("rev"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < split))
+    delta = partial(orders.filter(F.col("o_orderdate") >= split))
+    return (
+        base.union(delta)
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
     "q_rolling_revenue_7d",
     oracle="""
 WITH daily AS (

@@ -86,3 +86,41 @@ def test_histogram_counts_and_clamp(spark, sf_small):
 
     total = T(spark, sf_small, "events").count()
     assert sum(r["n_events"] for r in out) == total
+
+
+def test_winsorize_clips_about_one_percent_each_side(spark, sf_medium):
+    r = st.q_winsorize_prices(spark, sf_medium).collect()[0]
+    assert r["lo_cents"] < r["hi_cents"]
+    # ceil-rank thresholds clip at most ~1% per tail (never more than the
+    # rank definition allows, never zero on 15k continuous-ish prices)
+    assert 0 < r["n_clipped_low"] <= r["n"] * 0.01 + 1
+    assert 0 < r["n_clipped_high"] <= r["n"] * 0.01 + 1
+
+
+def test_incremental_rollup_equals_full_recompute(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from arc_maskdata_pipeline_plugin_spark.plans.registry import T, dec
+    from arc_maskdata_pipeline_plugin_spark.plans.timeseries import (
+        q_incremental_rollup,
+    )
+
+    inc = {
+        r["month"]: (r["n_orders"], r["revenue"])
+        for r in q_incremental_rollup(spark, sf_small).collect()
+    }
+    full = {
+        r["month"]: (r["n_orders"], r["revenue"])
+        for r in T(spark, sf_small, "orders")
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(dec("o_totalprice", 18, 2)).cast("double").alias("revenue"),
+        )
+        .collect()
+    }
+    assert inc == full
