@@ -298,6 +298,46 @@ def main():
         "the sharded-write shape: one shuffle, partition-local sort",
     )
 
+    def pagerank_stress():
+        from arc_maskdata_pipeline_plugin_spark.operators.graph import (
+            pagerank_fixed_point,
+            symmetrize,
+        )
+
+        # 4M directed edges over ~500k nodes (power-law-ish via modulo mixing)
+        e = spark.range(4_000_000).select(
+            (F.col("id") % 500_000).alias("src"),
+            ((F.col("id") * 48271 + 11) % 500_000).alias("dst"),
+        ).filter("src != dst")
+        pagerank_fixed_point(symmetrize(e), iterations=5).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    timed(
+        "PageRank 5 iterations (8M symmetric edges, 500k nodes)",
+        8_000_000,
+        pagerank_stress,
+        "2 shuffles/iter; edges shuffled once, persisted src-partitioned",
+    )
+
+    def zorder_stress():
+        from arc_maskdata_pipeline_plugin_spark.operators.layout import zorder_layout
+
+        df = spark.range(20_000_000).select(
+            (F.col("id") % 16384).alias("x"),
+            ((F.col("id") * 2654435761) % 16384).alias("y"),
+        )
+        zorder_layout(df, "x", "y", 14, 64).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timed(
+        "Z-order layout write shape (20M rows, 28-bit Morton, 64 files)",
+        20_000_000,
+        zorder_stress,
+        "range-partition sample + ONE shuffle + in-partition sort",
+    )
+
     # ---- report ----------------------------------------------------------
     lines = [
         "# STRESS — synthetic ~100× scale-up measurements (local[32])",
