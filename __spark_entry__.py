@@ -47,6 +47,7 @@ from arc_maskdata_pipeline_plugin_spark.plans import quality  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import timeseries  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import behavior  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import stats  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import rag  # noqa: F401
 
 from arc_maskdata_pipeline_plugin_spark.plans.registry import REGISTRY
 
@@ -89,9 +90,7 @@ GATE_WINDOW = [
     "q_cohort_retention", "q_funnel_conversion",
     "q_feature_correlation", "q_value_histogram",
     "q_incremental_rollup", "q_winsorize_prices",
-    # green representatives (r02/r03-witnessed; every registered query keeps
-    # >= 1 driver-green entry across rounds)
-    "q_mask_customers_pbkdf2", "q1_pricing_summary",
+    "q_temperature_mix", "q_rag_index_build",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 

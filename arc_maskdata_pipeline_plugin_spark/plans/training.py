@@ -385,3 +385,84 @@ def q_length_bucket_batches(spark, sf_dir):
             ).alias("padding_waste"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mix sampling (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_temperature_mix",
+    oracle=rf"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+per_src AS (
+  SELECT source, SUM(n_tokens) AS src_tokens,
+         CAST(floor(sqrt(CAST(SUM(n_tokens) AS DOUBLE))) AS BIGINT) AS w
+  FROM tok GROUP BY source
+),
+tot AS (SELECT SUM(src_tokens) AS all_tokens, SUM(w) AS sum_w FROM per_src),
+tgt AS (
+  SELECT p.source, p.src_tokens,
+         CAST((t.all_tokens // 2) * p.w // t.sum_w AS BIGINT) AS target_tokens
+  FROM per_src p CROSS JOIN tot t
+)
+SELECT g.source,
+       CAST(g.src_tokens AS BIGINT) AS src_tokens,
+       g.target_tokens,
+       CAST(COUNT(CASE WHEN {_HEX32_SQL.replace('doc_id', 't.doc_id')} * g.src_tokens
+                        < 4294967296 * g.target_tokens THEN 1 END) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN {_HEX32_SQL.replace('doc_id', 't.doc_id')} * g.src_tokens
+                        < 4294967296 * g.target_tokens THEN t.n_tokens END), 0) AS BIGINT)
+         AS kept_tokens
+FROM tok t JOIN tgt g USING (source)
+GROUP BY g.source, g.src_tokens, g.target_tokens
+""",
+)
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-flattened domain mix (the multilingual/multi-source
+    sampling rule, tau = 0.5): per-source token budgets proportional to
+    sqrt(source size) instead of size, so small sources are boosted without
+    letting any source dominate. Weights use the INTEGER floor(sqrt(...)) so
+    every downstream quantity (budget split, keep rates, membership) is pure
+    integer arithmetic — a 5-double sum would already be order-dependent and
+    engine-divergent. Membership is the cross-multiplied md5-threshold test
+    (reproducible across runs, engines, repartitioning); the corpus itself
+    never shuffles — one token aggregate, a 5-row target table broadcast
+    back, and a map-side-combined per-source summary."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    per_src = tok.groupBy("source").agg(
+        F.sum("n_tokens").alias("src_tokens"),
+        F.floor(F.sqrt(F.sum("n_tokens").cast("double"))).cast("bigint").alias("w"),
+    )
+    tot = per_src.agg(
+        F.sum("src_tokens").alias("all_tokens"), F.sum("w").alias("sum_w")
+    )
+    tgt = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "src_tokens",
+        F.expr("(all_tokens div 2) * w div sum_w").cast("bigint").alias("target_tokens"),
+    )
+    kept = _hex32(F.col("doc_id")) * F.col("src_tokens") < F.lit(4294967296) * F.col(
+        "target_tokens"
+    )
+    return (
+        tok.join(F.broadcast(tgt), "source")
+        .groupBy("source", "src_tokens", "target_tokens")
+        .agg(
+            F.count(F.when(kept, 1)).cast("bigint").alias("n_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .select("source", "src_tokens", "target_tokens", "n_kept", "kept_tokens")
+    )

@@ -293,3 +293,20 @@ def test_histogram_bounds_broadcast(spark):
     a = props("q_value_histogram", spark)
     assert a["broadcasts"] >= 1
     assert a["python_ops"] == 0
+
+
+def test_temperature_mix_corpus_never_shuffles_rows(spark):
+    """Only aggregates shuffle; the target table broadcasts back."""
+    a = props("q_temperature_mix", spark)
+    assert a["broadcasts"] >= 1
+    assert a["sort_merge_joins"] == 0
+    assert a["python_ops"] == 0
+
+
+def test_rag_index_build_single_shuffle(spark):
+    """Chunk + embed + quantize are partition-local; only the cell histogram
+    aggregates (count-distinct expands to two exchanges at most)."""
+    a = props("q_rag_index_build", spark)
+    assert a["exchanges"] <= 2
+    assert a["sort_merge_joins"] == 0 and a["broadcasts"] == 0
+    assert a["python_ops"] == 0
