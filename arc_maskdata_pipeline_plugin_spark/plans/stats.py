@@ -224,3 +224,87 @@ def q_value_histogram(spark, sf_dir):
         j.groupBy("event_type", bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters (deterministic sketch -> exactly oracle-able)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4      # hash rows
+_CMS_W = 256    # buckets per row
+_TOPK = 20
+
+
+def _cms_bucket_spark(j: int, col: str) -> str:
+    return (
+        f"(CAST(conv(substring(md5(concat('cms{j}:', CAST({col} AS STRING))), 1, 8), 16, 10) "
+        f"AS BIGINT) % {_CMS_W})"
+    )
+
+
+def _cms_bucket_duck(j: int, col: str) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5('cms{j}:' || CAST({col} AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {_CMS_W})"
+    )
+
+
+@register(
+    "q_heavy_hitters_cms",
+    oracle=f"""
+WITH cells AS (
+  {" UNION ALL ".join(
+      f"SELECT {j} AS j, {_cms_bucket_duck(j, 'user_id')} AS bucket, COUNT(*) AS c "
+      f"FROM events GROUP BY bucket"
+      for j in range(_CMS_D)
+  )}
+),
+truth AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM events GROUP BY user_id
+  ORDER BY true_n DESC, user_id ASC LIMIT {_TOPK}
+)
+SELECT t.user_id, t.true_n,
+       CAST(MIN(c.c) AS BIGINT) AS cms_est
+FROM truth t JOIN cells c
+  ON c.bucket = CASE c.j
+       {" ".join(f"WHEN {j} THEN {_cms_bucket_duck(j, 't.user_id')}" for j in range(_CMS_D))}
+     END
+GROUP BY t.user_id, t.true_n
+""",
+)
+def q_heavy_hitters_cms(spark, sf_dir):
+    """Heavy hitters through a count-min sketch whose hash rows are
+    md5-derived — the sketch itself is deterministic, so unlike the usual
+    rows-only sketch checks the ENTIRE mechanism (4x256 cell counts, min-over
+    -rows estimation, the one-sided overestimate) is hash-matched against
+    DuckDB. Emits the exact top-20 users with true counts next to the CMS
+    estimate (est >= true always; equality when no bucket collisions). The
+    sketch build is a 4x fan-out aggregate with map-side combine into 1024
+    cells — constant memory however many distinct keys exist, which is the
+    whole point at 100 TB; the tiny cell table broadcasts onto the top-k
+    probe."""
+    e = T(spark, sf_dir, "events")
+    cells = None
+    for j in range(_CMS_D):
+        cj = (
+            e.select(F.expr(_cms_bucket_spark(j, "user_id")).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.lit(j).alias("j"), "bucket", "c")
+        )
+        cells = cj if cells is None else cells.union(cj)
+    truth = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+        .orderBy(F.desc("true_n"), F.asc("user_id"))
+        .limit(_TOPK)
+    )
+    probe_bucket = "CASE j " + " ".join(
+        f"WHEN {j} THEN {_cms_bucket_spark(j, 'user_id')}" for j in range(_CMS_D)
+    ) + " END"
+    return (
+        truth.join(F.broadcast(cells), F.expr(f"bucket = {probe_bucket}"))
+        .groupBy("user_id", "true_n")
+        .agg(F.min("c").cast("bigint").alias("cms_est"))
+    )

@@ -124,3 +124,13 @@ def test_incremental_rollup_equals_full_recompute(spark, sf_small):
         .collect()
     }
     assert inc == full
+
+
+def test_cms_estimate_is_one_sided(spark, sf_medium):
+    """The count-min guarantee: est >= true for every key, and with 4x256
+    cells over ~500 users most top keys should estimate exactly."""
+    rows = st.q_heavy_hitters_cms(spark, sf_medium).collect()
+    assert len(rows) == 20
+    assert all(r["cms_est"] >= r["true_n"] for r in rows)
+    exact = sum(1 for r in rows if r["cms_est"] == r["true_n"])
+    assert exact >= 10
