@@ -79,11 +79,13 @@ GATE_WINDOW = [
     "q_outlier_customers", "q_key_skew_profile", "q_data_quality_audit",
     "q_gap_fill_interpolate", "q_mask_credit_cards",
     # event/streaming family — re-witness after the TZ-independent
-    # timestamp-ingestion change this round (landed AFTER the r03 gate ran)
+    # timestamp-ingestion change this round (landed AFTER the r03 gate ran;
+    # q_datetime_functions reads orders, not events, so it keeps its r03
+    # witness and yields its slot to the capstone pipeline)
     "q_sessionize_events", "q_stream_event_counts",
     "q_stream_dedup_user_types", "q_stream_static_enrich",
     "q_stream_stream_join", "q_session_window_native",
-    "q_latest_event_per_user", "q_datetime_functions",
+    "q_latest_event_per_user", "q_corpus_prepare_e2e",
     # round-4 families, third wave: flagship metadata-driven stage, rolling
     # window, behavioral analytics, one-pass feature stats
     "q_mask_pipeline_stage", "q_rolling_revenue_7d",

@@ -466,3 +466,119 @@ def q_temperature_mix(spark, sf_dir):
         )
         .select("source", "src_tokens", "target_tokens", "n_kept", "kept_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Capstone: the full corpus-preparation pipeline in ONE lineage (round 4)
+# ---------------------------------------------------------------------------
+
+_E2E_MIN_TOKENS = 30
+_E2E_SHARDS = 16
+
+
+@register(
+    "q_corpus_prepare_e2e",
+    oracle=rf"""
+WITH clean AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(
+             regexp_replace(regexp_replace(text, '{_ZW_RE2}', '', 'g'),
+                            '{_CTRL}', ' ', 'g'),
+             '[ \t\r\n]+', ' ', 'g')) AS clean_text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, source, clean_text,
+         CAST(len(string_split_regex(clean_text, '\s+')) AS BIGINT) AS n_tokens
+  FROM clean
+),
+quality AS (
+  SELECT * FROM tok WHERE n_tokens >= {_E2E_MIN_TOKENS}
+),
+dedup AS (
+  SELECT doc_id, source, n_tokens FROM quality q
+  WHERE doc_id = (SELECT MIN(doc_id) FROM quality q2
+                  WHERE md5(q2.clean_text) = md5(q.clean_text))
+),
+per_src AS (
+  SELECT source, SUM(n_tokens) AS src_tokens,
+         CAST(floor(sqrt(CAST(SUM(n_tokens) AS DOUBLE))) AS BIGINT) AS w
+  FROM dedup GROUP BY source
+),
+tot AS (SELECT SUM(src_tokens) AS all_tokens, SUM(w) AS sum_w FROM per_src),
+tgt AS (
+  SELECT p.source, p.src_tokens,
+         CAST((t.all_tokens // 2) * p.w // t.sum_w AS BIGINT) AS target_tokens
+  FROM per_src p CROSS JOIN tot t
+)
+SELECT d.doc_id, d.source, d.n_tokens,
+       CAST({_HEX32_SQL.replace('doc_id', 'd.doc_id')} % {_E2E_SHARDS} AS BIGINT) AS shard
+FROM dedup d JOIN tgt g USING (source)
+WHERE {_HEX32_SQL.replace('doc_id', 'd.doc_id')} * g.src_tokens
+      < 4294967296 * g.target_tokens
+""",
+)
+def q_corpus_prepare_e2e(spark, sf_dir):
+    """The capstone composition: the training-corpus preparation pipeline as
+    ONE DataFrame lineage — Unicode clean (projection), minimum-length
+    quality gate (pushable filter), exact content dedup (min-doc_id winner
+    per md5 of the CLEANED text, one key shuffle), temperature-flattened mix
+    membership (tiny target table broadcast back), and shard assignment
+    (projection; the write would add the one repartition shuffle). Every
+    stage reuses the exact expression its standalone query is gate-checked
+    with, and the composed oracle chains the same CTEs — so the gate
+    asserts that the operators COMPOSE correctly, not just that each works
+    alone. Corpus-sized shuffles in the whole pipeline: exactly one (the
+    dedup key shuffle)."""
+    from pyspark.sql import Window as W
+
+    d = T(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(F.col("text"), _ZW, ""), _CTRL, " "),
+            "[ \t\r\n]+",
+            " ",
+        )
+    )
+    tok = d.select(
+        "doc_id",
+        "source",
+        clean.alias("clean_text"),
+    ).select(
+        "doc_id",
+        "source",
+        "clean_text",
+        F.size(F.split(F.col("clean_text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    quality = tok.filter(F.col("n_tokens") >= _E2E_MIN_TOKENS)
+    wmin = W.partitionBy(F.md5("clean_text"))
+    dedup = (
+        quality.withColumn("min_id", F.min("doc_id").over(wmin))
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .select("doc_id", "source", "n_tokens")
+    )
+    per_src = dedup.groupBy("source").agg(
+        F.sum("n_tokens").alias("src_tokens"),
+        F.floor(F.sqrt(F.sum("n_tokens").cast("double"))).cast("bigint").alias("w"),
+    )
+    tot = per_src.agg(
+        F.sum("src_tokens").alias("all_tokens"), F.sum("w").alias("sum_w")
+    )
+    tgt = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "src_tokens",
+        F.expr("(all_tokens div 2) * w div sum_w").cast("bigint").alias("target_tokens"),
+    )
+    return (
+        dedup.join(F.broadcast(tgt), "source")
+        .filter(
+            _hex32(F.col("doc_id")) * F.col("src_tokens")
+            < F.lit(4294967296) * F.col("target_tokens")
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (_hex32(F.col("doc_id")) % _E2E_SHARDS).cast("bigint").alias("shard"),
+        )
+    )

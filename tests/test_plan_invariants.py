@@ -310,3 +310,12 @@ def test_rag_index_build_single_shuffle(spark):
     assert a["exchanges"] <= 2
     assert a["sort_merge_joins"] == 0 and a["broadcasts"] == 0
     assert a["python_ops"] == 0
+
+
+def test_corpus_e2e_single_corpus_shuffle(spark):
+    """Clean+gate+dedup+mix+shard in one lineage: the dedup key shuffle is
+    the ONLY corpus-sized exchange; mix targets broadcast back."""
+    a = props("q_corpus_prepare_e2e", spark)
+    assert a["broadcasts"] >= 1
+    assert a["sort_merge_joins"] == 0
+    assert a["python_ops"] == 0
