@@ -69,6 +69,12 @@ HEADLINE = [
     "q_k_anonymity_suppress",
     "q_outlier_customers",
     "q_gap_fill_interpolate",
+    # round 4 (cont. 2): capstone pipeline, CMS sketch build, RAG index,
+    # behavioral funnel
+    "q_corpus_prepare_e2e",
+    "q_heavy_hitters_cms",
+    "q_rag_index_build",
+    "q_funnel_conversion",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
