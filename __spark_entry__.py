@@ -88,7 +88,7 @@ GATE_WINDOW = [
     "q_latest_event_per_user", "q_corpus_prepare_e2e",
     # round-4 families, third wave: flagship metadata-driven stage, rolling
     # window, behavioral analytics, one-pass feature stats
-    "q_mask_pipeline_stage", "q_rolling_revenue_7d",
+    "q_userdata_lifecycle", "q_rolling_revenue_7d",
     "q_cohort_retention", "q_funnel_conversion",
     "q_feature_correlation", "q_value_histogram",
     "q_incremental_rollup", "q_winsorize_prices",

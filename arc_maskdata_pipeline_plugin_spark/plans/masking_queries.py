@@ -260,6 +260,90 @@ def q_mask_pipeline_stage(spark, sf_dir):
     return pipe.run(PipelineContext(spark))
 
 
+def _lifecycle_oracle() -> str:
+    """VALUES oracle for the full reference lifecycle: name mask, date mask
+    (365-day signed shift + DATE cast-back), and the chained
+    date_trunc -> timestamp mask, all from the JVM-precomputed vector table;
+    the untyped/unmasked decimal passes through (NULL for custkey 20 via the
+    nullableValues path)."""
+    rows = []
+    for v in _PBKDF2_VECTORS:
+        k, name_masked, date_masked, ts_masked = v[0], v[1], v[4], v[5]
+        acct = "NULL" if k == 20 else f"'{k}.25'"
+        rows.append(f"({k}, '{name_masked}', '{date_masked}', '{ts_masked}', {acct})")
+    return f"""
+SELECT * FROM (VALUES
+  {", ".join(rows)}
+) t(c_custkey, c_name, signup_date, signup_ts, c_acctbal)
+"""
+
+
+@register("q_userdata_lifecycle", oracle=_lifecycle_oracle())
+def q_userdata_lifecycle(spark, sf_dir):
+    """The reference test suite's FULL lifecycle through the driver gate
+    (``MaskDataTransformSuite.scala:59-114``): raw string columns ->
+    ``TypingTransform`` with an Arc-JSON schema (trim, nullableValues -> NULL,
+    datetime formatters, decimal p/s, mask metadata riding in
+    ``StructField.metadata``) -> ``MaskDataTransform`` (metadata-driven
+    projection with treatment CHAINING — the reference's
+    ``date_trunc`` -> ``mask_timestamp`` composition,
+    ``MaskDataPluginSuite.scala:133-136`` — and DATE cast-back). Inputs are
+    SF-independent strings derived from custkey 0..20, so every masked value
+    is anchored to the JVM-precomputed PBKDF2 vector table."""
+    _ensure_pbkdf2_udfs(spark)
+    from ..operators.base import PipelineContext
+    from ..operators.mask import MaskDataTransform
+    from ..operators.typing import TypingTransform
+    from .pipeline import Pipeline
+
+    c = T(spark, sf_dir, "customer").filter("c_custkey <= 20")
+    raw = c.selectExpr(
+        "CAST(c_custkey AS STRING) AS c_custkey",
+        "concat('  ', c_name, '  ') AS c_name",  # exercises trim
+        "CAST(date_add(DATE'1995-01-01', CAST(c_custkey AS INT)) AS STRING) AS signup_date",
+        "concat(CAST(date_add(DATE'1995-01-01', CAST(c_custkey AS INT)) AS STRING),"
+        " ' 00:00:00') AS signup_ts",
+        # custkey 20 exercises nullableValues -> NULL typing
+        "CASE WHEN c_custkey = 20 THEN '' ELSE concat(CAST(c_custkey AS STRING), '.25') END"
+        " AS c_acctbal",
+    )
+    raw.createOrReplaceTempView("userdata_raw")
+    schema = """[
+      {"name": "c_custkey", "type": "long"},
+      {"name": "c_name", "type": "string", "trim": true,
+       "metadata": {"pii": true,
+                    "mask": {"treatments": ["pbkdf2_mask_string(16, true, ${value})"]}}},
+      {"name": "signup_date", "type": "date", "formatters": ["yyyy-MM-dd"],
+       "metadata": {"mask": {"treatments": ["pbkdf2_mask_date(365, true, ${value})"]}}},
+      {"name": "signup_ts", "type": "timestamp",
+       "formatters": ["yyyy-MM-dd HH:mm:ss"], "timezoneId": "UTC",
+       "metadata": {"mask": {"treatments": [
+          "date_trunc('HOUR', ${value})",
+          "pbkdf2_mask_timestamp(30, true, ${value})"]}}},
+      {"name": "c_acctbal", "type": "decimal", "precision": 12, "scale": 2,
+       "nullableValues": [""]}
+    ]"""
+    pipe = Pipeline(
+        [
+            TypingTransform(
+                "type userdata", "userdata_raw", "userdata_typed", schema
+            ),
+            MaskDataTransform(
+                "mask userdata", "userdata_typed", "userdata_masked"
+            ),
+        ]
+    )
+    out = pipe.run(PipelineContext(spark))
+    # gate canonicalization: dates/timestamps/decimals out as strings
+    return out.selectExpr(
+        "c_custkey",
+        "c_name",
+        "CAST(signup_date AS STRING) AS signup_date",
+        "date_format(signup_ts, 'yyyy-MM-dd HH:mm:ss') AS signup_ts",
+        "CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS STRING) AS c_acctbal",
+    )
+
+
 def _fake_oracle() -> str:
     lists = LOCALIZED_LISTS["en-US"]
 

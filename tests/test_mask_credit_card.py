@@ -76,3 +76,30 @@ def test_matches_jvm_vectors(codec):
     c.iteration_count = 1000
     for _, card_in, card_masked in VECTORS[:5]:
         assert mask_credit_card_value(c, b"engine-test-passphrase-0123456789abcdefghijklmnopqrstuvwxyz-0123", True, card_in) == card_masked
+
+
+def test_userdata_lifecycle_typing_semantics(spark):
+    """Beyond the VALUES oracle: the lifecycle's TYPING layer must trim the
+    name before masking (padded input == clean-input mask), null out the
+    nullableValues row, and carry mask metadata through to the OUTPUT schema
+    (MetadataUtils.setMetadata parity, MaskDataTransform.scala:153-154)."""
+    from arc_maskdata_pipeline_plugin_spark.plans.masking_queries import (
+        q_mask_customers_pbkdf2,
+        q_userdata_lifecycle,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    life = q_userdata_lifecycle(spark, sf)
+    rows = {r["c_custkey"]: r for r in life.collect()}
+    ref = {r["c_custkey"]: r for r in q_mask_customers_pbkdf2(spark, sf).collect()}
+    # trim-then-mask: padded '  Customer#...  ' masks identically to the
+    # clean c_name the reference query hashes
+    for k in (0, 5, 20):
+        assert rows[k]["c_name"] == ref[k]["name_masked"]
+    # nullableValues '' -> NULL decimal
+    assert rows[20]["c_acctbal"] is None
+    assert rows[5]["c_acctbal"] == "5.25"
+    # masked columns keep their metadata on the pipeline OUTPUT view
+    masked_schema = {f.name: f.metadata for f in spark.table("userdata_masked").schema}
+    assert "mask" in masked_schema["c_name"]
+    assert masked_schema["c_name"].get("pii") is True
