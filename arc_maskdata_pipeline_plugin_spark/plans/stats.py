@@ -308,3 +308,53 @@ def q_heavy_hitters_cms(spark, sf_dir):
         .groupBy("user_id", "true_n")
         .agg(F.min("c").cast("bigint").alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (wide -> long) via the native DataFrame surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_unpivot_measures",
+    oracle="""
+WITH long AS (
+  SELECT 'l_quantity' AS measure, CAST(l_quantity AS DECIMAL(18,2)) AS v FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+  UNION ALL
+  SELECT 'l_tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem
+)
+SELECT measure,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS DOUBLE) AS total,
+       CAST(MIN(v) AS DOUBLE) AS lo,
+       CAST(MAX(v) AS DOUBLE) AS hi
+FROM long GROUP BY measure
+""",
+)
+def q_unpivot_measures(spark, sf_dir):
+    """Wide-to-long reshaping via Spark's NATIVE ``DataFrame.unpivot``
+    (Spark 3.4+/4 melt surface — the inverse of the pivot the registry
+    already covers), then per-measure summary stats. Unpivot is a
+    partition-local 1-to-4 expansion (zero shuffle) feeding one map-side-
+    combined aggregate; sums accumulate exact decimals cast to double
+    once."""
+    li = T(spark, sf_dir, "lineitem").select(
+        *(dec(c, 18, 2).alias(c) for c in
+          ("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    )
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="v",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("double").alias("total"),
+        F.min("v").cast("double").alias("lo"),
+        F.max("v").cast("double").alias("hi"),
+    )
