@@ -11,7 +11,10 @@ from __future__ import annotations
 
 import uuid
 
+from pyspark.sql import functions as F
+
 from ..streaming import read_events_stream, run_available_now, windowed_event_counts
+from . import stats as _stats
 from .registry import T, register
 
 
@@ -271,3 +274,46 @@ def q_stream_dedup_within_watermark(spark, sf_dir):
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "q_stream_cms_cells",
+    oracle=f"""
+{" UNION ALL ".join(
+    f"SELECT {j} AS j, {_stats._cms_bucket_duck(j, 'user_id')} AS bucket, "
+    f"CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY bucket"
+    for j in range(_stats._CMS_D)
+)}
+""",
+)
+def q_stream_cms_cells(spark, sf_dir):
+    """STREAMING sketch maintenance: the count-min cells of
+    ``q_heavy_hitters_cms`` built by a streaming aggregation instead of a
+    batch one — each event fans out to its 4 (hash-row, bucket) cells
+    (partition-local explode), and the running cell counts are streaming
+    state of CONSTANT size (4x256 cells, whatever the key cardinality or
+    stream length — why sketches, not exact counts, monitor 100 TB/day
+    telemetry). Drained with availableNow the final cells equal the batch
+    sketch bit-for-bit, which the batch-SQL oracle asserts."""
+    import uuid as _uuid
+
+    from ..streaming.events import read_events_stream, run_available_now
+
+    stream = read_events_stream(spark, sf_dir)
+    fan = stream.select(
+        F.explode(
+            F.array(
+                *(
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(_stats._cms_bucket_spark(j, "user_id")).alias("bucket"),
+                    )
+                    for j in range(_stats._CMS_D)
+                )
+            )
+        ).alias("cell")
+    ).select("cell.j", "cell.bucket")
+    cells = fan.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return run_available_now(cells, f"stream_cms_{_uuid.uuid4().hex[:8]}")
