@@ -17,7 +17,7 @@ from ..operators.privacy import (
     l_diversity_audit,
     suppress_small_classes,
 )
-from .registry import T, register
+from .registry import T, dec, register
 
 _K = 5
 _L = 3
@@ -107,3 +107,126 @@ def q_k_anonymity_suppress(spark, sf_dir):
     )
     out = suppress_small_classes(cust, ["c_nationkey", "c_mktsegment"], _K)
     return out.select("c_custkey", "c_nationkey", "c_mktsegment", "is_released")
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity-preserving pseudonymization (round 4, cont.)
+# ---------------------------------------------------------------------------
+
+_PSEUDO_SQL = "CAST(('0x' || substr(md5('cust:' || CAST({col} AS VARCHAR)), 1, 12)) AS BIGINT)"
+
+
+def _pseudo_spark(col: str):
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit("cust:"), F.col(col).cast("string"))), 1, 12), 16, 10)
+        .cast("bigint")
+    )
+
+
+@register(
+    "q_pseudonymize_referential",
+    oracle=f"""
+WITH pc AS (
+  SELECT {_PSEUDO_SQL.format(col='c_custkey')} AS pseudo_id, c_mktsegment
+  FROM customer
+),
+po AS (
+  SELECT {_PSEUDO_SQL.format(col='o_custkey')} AS pseudo_id,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+)
+SELECT pc.c_mktsegment,
+       CAST(COUNT(DISTINCT pc.pseudo_id) AS BIGINT) AS n_pseudonyms,
+       CAST(COUNT(po.pseudo_id) AS BIGINT) AS n_orders,
+       CAST(SUM(po.price) AS DOUBLE) AS revenue
+FROM pc LEFT JOIN po ON pc.pseudo_id = po.pseudo_id
+GROUP BY pc.c_mktsegment
+""",
+)
+def q_pseudonymize_referential(spark, sf_dir):
+    """Referential-integrity-preserving pseudonymization: the SAME
+    deterministic pseudonym function (48-bit md5 tag — at 100 TB key scales
+    swap in the KDF-backed hashLong at the identical seam) applied to
+    ``customer.c_custkey`` AND ``orders.o_custkey``, after which the tables
+    still JOIN — the property that makes a masked warehouse analytically
+    useful. The query audits exactly that: per-segment order counts and
+    revenue through the PSEUDONYM join equal the plaintext-key numbers, and
+    ``n_pseudonyms`` equals the segment's customer count (collision
+    witness). One key shuffle, as the plaintext join would pay."""
+    cust = T(spark, sf_dir, "customer").select(
+        _pseudo_spark("c_custkey").alias("pseudo_id"), "c_mktsegment"
+    )
+    orders = T(spark, sf_dir, "orders").select(
+        _pseudo_spark("o_custkey").alias("pseudo_id"),
+        dec("o_totalprice", 18, 2).alias("price"),
+    )
+    from pyspark.sql import functions as _F
+
+    return (
+        cust.join(orders, "pseudo_id", "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            _F.countDistinct("pseudo_id").cast("bigint").alias("n_pseudonyms"),
+            _F.count("price").cast("bigint").alias("n_orders"),
+            _F.sum("price").cast("double").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Laplace-mechanism noisy counts (seeded/test-mode)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dp_noisy_counts",
+    oracle="""
+WITH g AS (
+  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS true_n FROM customer
+  GROUP BY c_nationkey
+),
+u AS (
+  SELECT c_nationkey, true_n,
+         (CAST(('0x' || substr(md5('dp:' || CAST(c_nationkey AS VARCHAR)), 1, 8)) AS BIGINT)
+          + 0.5) / 4294967296.0 AS uni
+  FROM g
+)
+SELECT c_nationkey, true_n,
+       CAST(floor((true_n + (CASE WHEN uni < 0.5 THEN 1.0 ELSE -1.0 END)
+            * ln(1.0 - 2.0 * abs(uni - 0.5))) * 1000000) AS BIGINT) AS noisy_n_fp6
+FROM u
+""",
+)
+def q_dp_noisy_counts(spark, sf_dir):
+    """Laplace-mechanism noisy counts (epsilon = 1, sensitivity 1): per-nation
+    customer counts plus Laplace(1) noise drawn by inverse-CDF from a
+    DETERMINISTIC md5-seeded uniform — this is the TEST-MODE of the
+    mechanism (reproducible, so the gate can hash-match the entire noise
+    path cross-engine); production differential privacy swaps the seeded
+    uniform for ``SecureRandom`` at the same expression seam, exactly as the
+    mask functions swap deterministic for SecureRandom digests. The noise
+    injection is a per-row scalar on the AGGREGATED frame — one
+    map-side-combined count, zero extra shuffles."""
+    g = (
+        T(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+    )
+    uni = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp:"), F.col("c_nationkey").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    noise = F.when(uni < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0)) * F.log(
+        F.lit(1.0) - F.lit(2.0) * F.abs(uni - F.lit(0.5))
+    )
+    return g.select(
+        "c_nationkey",
+        "true_n",
+        F.floor((F.col("true_n") + noise) * F.lit(1_000_000))
+        .cast("bigint")
+        .alias("noisy_n_fp6"),
+    )

@@ -91,3 +91,45 @@ def test_privacy_queries_run_on_testdata(spark, sf_small):
     assert 0 < n_suppressed < len(sup)
     div = q_l_diversity_audit(spark, sf_dir)
     assert div.filter("is_l_diverse").count() > 0
+
+
+def test_pseudonymization_preserves_referential_analytics(spark, sf_small):
+    """Revenue per segment through the pseudonym join must equal the
+    plaintext-key join, and pseudonyms must be collision-free (bijection)."""
+    from pyspark.sql import functions as F
+
+    from arc_maskdata_pipeline_plugin_spark.plans.privacy import (
+        q_pseudonymize_referential,
+    )
+    from arc_maskdata_pipeline_plugin_spark.plans.registry import T, dec
+
+    got = {
+        r["c_mktsegment"]: (r["n_pseudonyms"], r["n_orders"], r["revenue"])
+        for r in q_pseudonymize_referential(spark, sf_small).collect()
+    }
+    cust = T(spark, sf_small, "customer")
+    orders = T(spark, sf_small, "orders")
+    plain = {
+        r["c_mktsegment"]: (r["n_cust"], r["n_orders"], r["revenue"])
+        for r in cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_cust"),
+            F.count("o_totalprice").cast("bigint").alias("n_orders"),
+            F.sum(dec("o_totalprice", 18, 2)).cast("double").alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == plain
+
+
+def test_dp_noise_is_laplace_shaped(spark, sf_small):
+    """Seeded noise: reproducible, zero-centered-ish, bounded tails for b=1."""
+    from arc_maskdata_pipeline_plugin_spark.plans.privacy import q_dp_noisy_counts
+
+    rows = q_dp_noisy_counts(spark, sf_small).collect()
+    noises = [r["noisy_n_fp6"] / 1e6 - r["true_n"] for r in rows]
+    assert rows == q_dp_noisy_counts(spark, sf_small).collect()  # deterministic
+    assert any(n > 0 for n in noises) and any(n < 0 for n in noises)
+    # Laplace(b=1): |noise| rarely exceeds ~ln(2*25) ≈ 3.9 for 25 draws
+    assert all(abs(n) < 12 for n in noises)
