@@ -208,3 +208,47 @@ def q_data_quality_audit(spark, sf_dir):
         )
     )
     return rules
+
+
+# ---------------------------------------------------------------------------
+# Salted two-phase aggregation (hot-key group-by; round 4 cont.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_salted_aggregation",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_salted_aggregation(spark, sf_dir):
+    """Hot-key aggregation via explicit two-phase salting: partial aggregate
+    on (key, salt16) — 16 reducers share each hot key — then a final re-
+    aggregate on the key alone over the tiny partial frame. The companion to
+    ``q_salted_join_revenue``: Spark's map-side combine usually makes this
+    unnecessary for algebraic aggregates, but when combine effectiveness
+    collapses (high-cardinality map values, or a true hot key that still
+    floods one reducer), the salt bounds any single task. Decomposable
+    exact-decimal sums make the rewrite provably lossless — the oracle IS
+    the plain one-phase group-by."""
+    orders = T(spark, sf_dir, "orders")
+    salt = F.expr(
+        "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 8), 16, 10) AS BIGINT) % 16"
+    )
+    partial = (
+        orders.groupBy("o_orderpriority", salt.alias("salt"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("pn"),
+            F.sum(dec("o_totalprice", 18, 2)).alias("prev"),
+        )
+    )
+    return (
+        partial.groupBy("o_orderpriority")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_orders"),
+            F.sum("prev").cast("double").alias("revenue"),
+        )
+    )
