@@ -358,3 +358,59 @@ def q_unpivot_measures(spark, sf_dir):
         F.min("v").cast("double").alias("lo"),
         F.max("v").cast("double").alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe join semantics (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_null_safe_join",
+    oracle="""
+WITH l AS (
+  SELECT event_id,
+         CASE WHEN value < 1.0 THEN NULL
+              ELSE CAST(floor(value) AS BIGINT) END AS k
+  FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT CASE WHEN value < 1.0 THEN NULL
+              ELSE CAST(floor(value) AS BIGINT) END AS k,
+         CAST(COUNT(*) AS BIGINT) AS n_views
+  FROM events WHERE event_type = 'view'
+  GROUP BY 1
+)
+SELECT l.k, CAST(COUNT(*) AS BIGINT) AS n_clicks, MAX(r.n_views) AS n_views
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+GROUP BY l.k
+""",
+)
+def q_null_safe_join(spark, sf_dir):
+    """Null-safe equality join (Spark ``eqNullSafe`` / SQL ``<=>``, DuckDB
+    ``IS NOT DISTINCT FROM``): NULL keys MATCH each other instead of
+    silently dropping, the semantics every "unknown bucket" join needs
+    (plain equality would discard the NULL group from both sides). The
+    aggregated build side stays broadcast-sized; NULL<=>NULL hashes like any
+    other key, so the plan is the ordinary broadcast-hash join."""
+    e = T(spark, sf_dir, "events")
+    key = F.when(F.col("value") < 1.0, F.lit(None).cast("bigint")).otherwise(
+        F.floor("value").cast("bigint")
+    )
+    left = e.filter(F.col("event_type") == "click").select(
+        "event_id", key.alias("k")
+    )
+    right = (
+        e.filter(F.col("event_type") == "view")
+        .select(key.alias("rk"))
+        .groupBy("rk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_views"))
+    )
+    return (
+        left.join(F.broadcast(right), left.k.eqNullSafe(right.rk))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
+            F.max("n_views").alias("n_views"),
+        )
+    )

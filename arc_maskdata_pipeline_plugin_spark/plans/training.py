@@ -582,3 +582,38 @@ def q_corpus_prepare_e2e(spark, sf_dir):
             (_hex32(F.col("doc_id")) % _E2E_SHARDS).cast("bigint").alias("shard"),
         )
     )
+
+
+@register(
+    "q_exact_k_per_group",
+    oracle=f"""
+WITH ranked AS (
+  SELECT event_id, event_type, user_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+  FROM events
+)
+SELECT event_id, event_type, user_id, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= 100
+""",
+)
+def q_exact_k_per_group(spark, sf_dir):
+    """Exactly-k-per-group sampling (eval-set construction: k docs per
+    source, k events per type): rank within each group by the md5 of the
+    row id — a deterministic, data-independent order, so membership is
+    reproducible across runs, engines, and repartitionings AND exactly k
+    (hash-threshold sampling is reproducible but only approximately sized).
+    One window shuffle on the group key; the per-partition TopK optimization
+    keeps state at k rows per group per task rather than sorting whole
+    partitions."""
+    from pyspark.sql import Window as W
+
+    e = T(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        e.select("event_id", "event_type", "user_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 100)
+    )
