@@ -50,8 +50,12 @@ def q_multimodal_real_png(spark, sf_dir):
         decode_image_real,
         extract_image_features,
     )
+    from .registry import spread
 
-    d = T(spark, sf_dir, "documents")
+    # Encode AND decode are real per-row Python (zlib/PNG) — spread the scan
+    # so local single-row-group parquet doesn't serialize 100% of the CPU
+    # work onto one core (no-op on cluster masters).
+    d = spread(T(spark, sf_dir, "documents"))
     feats = extract_image_features(
         attach_png_payload(d.select("doc_id")), decoder=decode_image_real
     )

@@ -1,0 +1,301 @@
+"""Model-prep statistics round 2: group-wise OLS, robust (MAD) outliers,
+embedding covariance, and mergeable HLL sketches.
+
+Same bit-stability contract as plans/stats.py: every sum/count is exact
+integer/decimal arithmetic (order-independent under any partitioning), cast
+to double exactly once, and the remaining scalar formula is written
+expression-for-expression identically in the DuckDB oracle; published floats
+are ``floor(x * 10^k)`` fixed-point.
+
+Reference tie-in: the reference delegates all analytics to Spark SQL via
+``SQLTransform`` (``MaskDataPluginSuite.scala:52-66``) — these queries are
+the host-surface statistics a masking pipeline's QA stage would run before
+and after a mask pass to prove distributional preservation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import T, dec, register
+
+# ---------------------------------------------------------------------------
+# Group-wise OLS (extendedprice ~ quantity per return flag)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_group_ols",
+    oracle="""
+WITH u AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+  FROM u GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000) AS BIGINT)
+         AS slope_fp6,
+       CAST(floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n / 100
+                  * 1000000) AS BIGINT) AS intercept_fp6,
+       CAST(floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1000000) AS BIGINT)
+         AS r2_fp6
+FROM m
+""",
+)
+def q_group_ols(spark, sf_dir):
+    """Per-group ordinary least squares (price ~ quantity per return flag) in
+    ONE scan: each group's five moments are exact decimal sums (map-side
+    combined), the slope/intercept/R^2 formulas run in per-row double
+    arithmetic identical to the oracle's. The single-pass moment shape is the
+    100 TB-correct regression plan — never per-group `fit()` calls, never a
+    second pass for residuals. Intercept is published in currency units
+    (cents scale divided back out)."""
+    li = T(spark, sf_dir, "lineitem")
+    u = li.select(
+        "l_returnflag",
+        (dec("l_quantity", 18, 2) * 100).cast("bigint").alias("x"),
+        (dec("l_extendedprice", 18, 2) * 100).cast("bigint").alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    m = u.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,0)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(38,0)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.floor(slope * 1_000_000).cast("bigint").alias("slope_fp6"),
+        F.floor((sy - slope * sx) / n / 100 * 1_000_000)
+        .cast("bigint")
+        .alias("intercept_fp6"),
+        F.floor(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("r2_fp6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers: median absolute deviation (complements the 3-sigma screen
+# in plans/quality.py — MAD has a 50% breakdown point, so the screen itself
+# is not poisoned by the outliers it hunts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+d AS (
+  SELECT e.event_type, abs(e.value - m.med) AS absdev, m.med
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, any_value(med) AS med, quantile_cont(absdev, 0.5) AS mad
+  FROM d GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(floor(any_value(mad.med) * 1000000) AS BIGINT) AS med_fp6,
+       CAST(floor(any_value(mad.mad) * 1000000) AS BIGINT) AS mad_fp6,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (WHERE d.absdev > 3 * 1.4826 * mad.mad) AS BIGINT)
+         AS n_outliers
+FROM d JOIN mad USING (event_type)
+GROUP BY d.event_type
+""",
+)
+def q_mad_outliers(spark, sf_dir):
+    """Robust per-group outlier screen: median absolute deviation with the
+    1.4826 normal-consistency constant. Two grouped exact-percentile
+    aggregations over the same key; the per-group medians/MADs are
+    group-cardinality-sized frames broadcast back onto the events scan, so
+    events shuffle only for the two aggregates — there is no sort of the
+    full table and no per-group collect. Both engines interpolate medians
+    identically (Spark ``percentile`` == DuckDB ``quantile_cont``), and the
+    threshold compare runs in the same double arithmetic on both sides."""
+    e = T(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    d = e.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = d.groupBy("event_type").agg(
+        F.first("med").alias("med"), F.expr("percentile(absdev, 0.5)").alias("mad")
+    )
+    return (
+        d.drop("med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.floor(F.first("med") * 1_000_000).cast("bigint").alias("med_fp6"),
+            F.floor(F.first("mad") * 1_000_000).cast("bigint").alias("mad_fp6"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("absdev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance (PCA/whitening prep over the embeddings table)
+# ---------------------------------------------------------------------------
+
+_COV_DIMS = 8  # leading block of the 64-dim embedding; k(k+1)/2 = 36 entries
+
+
+def _cov_stack_expr(k: int) -> str:
+    rows = []
+    for i in range(k):
+        for j in range(i, k):
+            rows.append(f"{i}, {j}, s{i}, s{j}, p{i}_{j}")
+    return (
+        f"stack({k * (k + 1) // 2}, "
+        + ", ".join(rows)
+        + ") AS (i, j, sx, sy, sxy)"
+    )
+
+
+def _cov_oracle(k: int) -> str:
+    sums = [
+        f"CAST(SUM(u[{i + 1}]) AS DOUBLE) AS s{i}" for i in range(k)
+    ] + [
+        f"CAST(SUM(CAST(u[{i + 1}] * u[{j + 1}] AS DECIMAL(38,0))) AS DOUBLE) AS p{i}_{j}"
+        for i in range(k)
+        for j in range(i, k)
+    ]
+    cells = "\n  UNION ALL ".join(
+        f"SELECT n, {i} AS i, {j} AS j, s{i} AS sx, s{j} AS sy, p{i}_{j} AS sxy FROM m"
+        for i in range(k)
+        for j in range(i, k)
+    )
+    return f"""
+WITH u AS (
+  SELECT [{", ".join(f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000) AS BIGINT)" for i in range(k))}] AS u
+  FROM embeddings
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, {", ".join(sums)} FROM u
+),
+cells AS (
+  {cells}
+)
+SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+       CAST(floor((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n) / 1e12 * 1e9) AS BIGINT)
+         AS cov_fp9
+FROM cells
+"""
+
+
+@register("q_embedding_covariance", oracle=_cov_oracle(_COV_DIMS))
+def q_embedding_covariance(spark, sf_dir):
+    """Population covariance of the leading 8 embedding dimensions in ONE
+    scan — the moment matrix that feeds PCA / whitening of an embedding
+    corpus. Dimensions are fixed-pointed to exact integers
+    (``floor(x * 1e6)``: float→double widening is exact and the scaling is
+    the same IEEE operation in both engines), all 8 first moments and 36
+    second moments accumulate as exact decimal sums in a single
+    multi-aggregate (map-side combined — the corpus shuffles one 44-number
+    row per partition, never vectors), and the 1-row moment frame unpivots
+    to (i, j, cov) cells. At 100 TB this is the only covariance shape that
+    works: d^2 scalars move, not n*d^2."""
+    k = _COV_DIMS
+    emb = T(spark, sf_dir, "embeddings")
+    u = emb.select(
+        *(
+            F.floor(F.element_at(F.col("embedding"), i + 1).cast("double") * 1_000_000)
+            .cast("bigint")
+            .alias(f"u{i}")
+            for i in range(k)
+        )
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    aggs += [F.sum(F.col(f"u{i}")).cast("double").alias(f"s{i}") for i in range(k)]
+    aggs += [
+        F.sum((F.col(f"u{i}") * F.col(f"u{j}")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias(f"p{i}_{j}")
+        for i in range(k)
+        for j in range(i, k)
+    ]
+    m = u.agg(*aggs)
+    cells = m.select(F.expr(_cov_stack_expr(k)), "n")
+    n = F.col("n").cast("double")
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (n * F.col("n"))
+    return cells.select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        F.floor(cov / 1e12 * 1e9).cast("bigint").alias("cov_fp9"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketches: the partial/merge contract that makes distinct
+# counts incremental (per-day sketches union to the exact same sketch the
+# direct aggregation builds)
+# ---------------------------------------------------------------------------
+
+
+@register("q_hll_merge_daily")  # sketch estimates: tolerance-checked, not SQL-equal
+def q_hll_merge_daily(spark, sf_dir):
+    """Distinct users per event type two ways: a direct HLL sketch over all
+    events, and a union of per-day partial sketches (``hll_union_agg``).
+    Returns both estimates plus ``merge_exact`` — HLL union is lossless at
+    equal lgConfigK, so the merged estimate must equal the direct one
+    bit-for-bit. This partial/merge contract is what makes 100 TB distinct
+    counts incremental: daily sketch rows are kilobytes, re-aggregating a
+    year costs 365 rows per key, and the raw events are scanned exactly
+    once, the day they land. Estimates are tolerance-checked against the
+    exact distinct count (±5%) in tools/oracle_check.py; the merge equality
+    is asserted in-plan."""
+    e = T(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    direct = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12)))
+        .cast("bigint")
+        .alias("est_direct")
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("est_merged")
+    )
+    return (
+        direct.join(merged, "event_type")
+        .select(
+            "event_type",
+            "est_direct",
+            "est_merged",
+            (F.col("est_direct") == F.col("est_merged")).alias("merge_exact"),
+        )
+    )

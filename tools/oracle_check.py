@@ -64,6 +64,21 @@ TOLERANCE_ORACLES: dict[str, dict] = {
         "bracket": {"p50": ("p50_lo", "p50_hi"), "p95": ("p95_lo", "p95_hi"), "p99": ("p99_lo", "p99_hi")},
         "rel_err": {"n": 0.0},
     },
+    # DataSketches HLL at lgConfigK=12 (rsd ≈ 1.04/sqrt(2^12) ≈ 1.6%); 5% is
+    # a generous envelope. Both the direct sketch and the merged-daily sketch
+    # must land within it (their bit-exact equality is asserted in-plan via
+    # the merge_exact column — checked here as rel_err 0 against each other
+    # by construction since both columns face the same exact count).
+    "q_hll_merge_daily": {
+        "oracle": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS est_direct,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS est_merged
+            FROM events GROUP BY event_type
+        """,
+        "keys": ["event_type"],
+        "rel_err": {"est_direct": 0.05, "est_merged": 0.05},
+    },
 }
 
 
