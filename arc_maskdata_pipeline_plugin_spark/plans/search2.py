@@ -1,0 +1,256 @@
+"""Retrieval round 2: word co-occurrence PMI and hybrid (BM25 + vector)
+reciprocal-rank-fusion search.
+
+Engine-parity rules as in plans/search.py: shared tokenization pipeline,
+integer/fixed-point ranking keys, ordered-fold vector math, and RRF scores
+as exact integers (``floor(1e9 / (60 + rank))`` summed) so the fused
+ordering is bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.search import bm25_search
+from ..operators.similarity import knn_bruteforce
+from .registry import T, register, spread
+from .search import _BASE_CTES, _TOKS_SQL, BM25_QUERIES, _B, _K1
+from .similarity import _DOT
+
+# ---------------------------------------------------------------------------
+# Pointwise mutual information over co-occurring document words
+# ---------------------------------------------------------------------------
+
+_PMI_CAP = 64  # distinct words per doc entering pair enumeration
+_PMI_MIN_PAIR = 5
+_PMI_TOP = 100
+
+
+@register(
+    "q_word_pmi",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+dw AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS word FROM tk
+),
+capped AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, word,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY word) AS rn
+    FROM dw WHERE length(word) >= 3
+  ) WHERE rn <= {_PMI_CAP}
+),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM capped),
+freq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM capped GROUP BY word),
+pairs AS (
+  SELECT a.word AS w1, b.word AS w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM capped a JOIN capped b ON a.doc_id = b.doc_id AND a.word < b.word
+  GROUP BY a.word, b.word
+),
+scored AS (
+  SELECT p.w1, p.w2, p.c_xy,
+         CAST(floor(ln((CAST(p.c_xy AS DOUBLE) * n.n_docs)
+                       / (CAST(f1.df AS DOUBLE) * f2.df)) * 1000000) AS BIGINT)
+           AS pmi_fp6
+  FROM pairs p
+  JOIN freq f1 ON p.w1 = f1.word
+  JOIN freq f2 ON p.w2 = f2.word
+  CROSS JOIN nd n
+  WHERE p.c_xy >= {_PMI_MIN_PAIR}
+)
+SELECT w1, w2, c_xy, pmi_fp6, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY pmi_fp6 DESC, w1, w2) AS INTEGER) AS rank
+  FROM scored
+) t WHERE rank <= {_PMI_TOP}
+""",
+)
+def q_word_pmi(spark, sf_dir):
+    """Top co-occurring word pairs by pointwise mutual information.
+
+    Scale shape: pair enumeration is the classic quadratic trap — it runs
+    on the DISTINCT per-doc word set, alphabetically capped at {cap} words
+    per doc (the group-then-enumerate cap from the Jaccard/LSH family), so
+    a doc contributes at most {cap}·{capm1}/2 pairs regardless of length.
+    The doc-word frame self-joins co-partitioned on doc_id (one key
+    shuffle per side), pair counts map-side combine, and the word-frequency
+    frame joins back on the word key. PMI itself is one log over exact
+    integer counts; the top-{top} window runs on the ≥{minp}-support
+    survivors, which is a vocabulary-bounded frame, not the corpus.
+    """.format(cap=_PMI_CAP, capm1=_PMI_CAP - 1, top=_PMI_TOP, minp=_PMI_MIN_PAIR)
+    from ..operators.search import _TOKENS
+
+    docs = spread(T(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("word"))
+    dw = tok.distinct().filter(F.length("word") >= 3)
+    capped = (
+        dw.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("word")),
+        )
+        .filter(F.col("rn") <= _PMI_CAP)
+        .drop("rn")
+    )
+    nd = capped.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    freq = capped.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.word") < F.col("b.word")))
+        .groupBy(F.col("a.word").alias("w1"), F.col("b.word").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+        .filter(F.col("c_xy") >= _PMI_MIN_PAIR)
+    )
+    scored = (
+        pairs.join(freq.withColumnRenamed("word", "w1").withColumnRenamed("df", "df1"), "w1")
+        .join(freq.withColumnRenamed("word", "w2").withColumnRenamed("df", "df2"), "w2")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.floor(
+                F.log(
+                    (F.col("c_xy").cast("double") * F.col("n_docs"))
+                    / (F.col("df1").cast("double") * F.col("df2"))
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("pmi_fp6"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi_fp6"), "w1", "w2")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _PMI_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 ∪ vector cosine, fused with reciprocal rank fusion
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_DEPTH = 10  # per-ranker candidate depth
+_RRF_TOP = 5
+
+
+def _rrf_oracle() -> str:
+    vals = ", ".join(f"({qid}, '{t}')" for qid, q in BM25_QUERIES for t in q.split())
+    contrib = (
+        f"ln(1.0 + (n.n_docs - s.n_docs_with_term + 0.5) / (s.n_docs_with_term + 0.5))"
+        f" * (p.tf * ({_K1!r} + 1.0) / (p.tf + {_K1!r} * (1.0 - {_B!r} + {_B!r} * p.dl / a.avgdl)))"
+    )
+    n_q = len(BM25_QUERIES)
+    return f"""
+WITH {_BASE_CTES},
+qt(query_id, term) AS (VALUES {vals}),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+stats AS (SELECT term, CAST(COUNT(*) AS INTEGER) AS n_docs_with_term FROM post GROUP BY term),
+a AS (SELECT CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl FROM tk),
+bm_scored AS (
+  SELECT qt.query_id, p.doc_id,
+         SUM(CAST({contrib} AS DECIMAL(20,9))) AS score_dec
+  FROM post p JOIN qt USING (term) JOIN stats s USING (term)
+  CROSS JOIN nd n CROSS JOIN a
+  GROUP BY qt.query_id, p.doc_id
+),
+bm AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score_dec DESC, doc_id) AS INTEGER) AS rank
+    FROM bm_scored
+  ) t WHERE rank <= {_RRF_DEPTH}
+),
+e AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+cos_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         {_DOT.format(a='q.embedding', b='c.embedding')} / (q.nrm * c.nrm) AS cosine
+  FROM e q JOIN e c ON q.vec_id BETWEEN 1 AND {n_q} AND q.vec_id <> c.vec_id
+),
+ann AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS INTEGER) AS rank
+    FROM cos_scored
+  ) t WHERE rank <= {_RRF_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(bm.query_id, ann.query_id) AS query_id,
+         COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
+         COALESCE(CAST(floor(1000000000.0 / ({_RRF_K} + bm.rank)) AS BIGINT), 0)
+           + COALESCE(CAST(floor(1000000000.0 / ({_RRF_K} + ann.rank)) AS BIGINT), 0)
+           AS rrf_fp9,
+         (bm.doc_id IS NOT NULL) AS in_bm25,
+         (ann.doc_id IS NOT NULL) AS in_ann
+  FROM bm FULL OUTER JOIN ann
+    ON bm.query_id = ann.query_id AND bm.doc_id = ann.doc_id
+)
+SELECT query_id, doc_id, rrf_fp9, in_bm25, in_ann, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY rrf_fp9 DESC, doc_id) AS INTEGER) AS rank
+  FROM fused
+) t WHERE rank <= {_RRF_TOP}
+"""
+
+
+@register("q_hybrid_rrf_search", oracle=_rrf_oracle())
+def q_hybrid_rrf_search(spark, sf_dir):
+    """Hybrid search: BM25 (lexical) and brute-force cosine (semantic)
+    rankings over the same doc ids, fused per query with reciprocal rank
+    fusion — score = Σ floor(1e9 / (60 + rank)) over the rankers that
+    retrieved the doc. Integer RRF terms make the fused ordering exact in
+    both engines; the full-outer join on (query, doc) implements fusion
+    over the UNION of candidate lists, the standard RRF contract.
+
+    Scale shape: each ranker's output is (queries × depth) rows — the fuse
+    join and final top-k windows run on candidate-list-sized frames, never
+    the corpus. The corpus is touched only inside each ranker, each in its
+    own scale-correct shape (postings probe for BM25; the ANN family
+    replaces brute-force cosine beyond demo scale)."""
+    docs = T(spark, sf_dir, "documents")
+    emb = T(spark, sf_dir, "embeddings")
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, q in BM25_QUERIES for t in q.split()],
+        "query_id int, term string",
+    )
+    bm = bm25_search(docs, qt, k=_RRF_DEPTH, k1=_K1, b=_B).select(
+        "query_id", "doc_id", F.col("rank").alias("rank_bm")
+    )
+    n_q = len(BM25_QUERIES)
+    queries = emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= n_q))
+    ann = knn_bruteforce(emb, queries, k=_RRF_DEPTH).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("rank_ann"),
+    )
+    fused = (
+        bm.join(ann, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.coalesce(
+                    F.floor(F.lit(1_000_000_000.0) / (_RRF_K + F.col("rank_bm"))).cast("bigint"),
+                    F.lit(0).cast("bigint"),
+                )
+                + F.coalesce(
+                    F.floor(F.lit(1_000_000_000.0) / (_RRF_K + F.col("rank_ann"))).cast("bigint"),
+                    F.lit(0).cast("bigint"),
+                )
+            ).alias("rrf_fp9"),
+            F.col("rank_bm").isNotNull().alias("in_bm25"),
+            F.col("rank_ann").isNotNull().alias("in_ann"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_fp9"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _RRF_TOP)
+    )
