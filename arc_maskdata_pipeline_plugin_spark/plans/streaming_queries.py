@@ -317,3 +317,82 @@ def q_stream_cms_cells(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
     return run_available_now(cells, f"stream_cms_{_uuid.uuid4().hex[:8]}")
+
+
+@register(
+    "q_stream_stream_left_join",
+    oracle="""
+WITH c AS (
+  SELECT user_id AS c_user, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT LEAST((SELECT MAX(click_ts) FROM c), (SELECT MAX(purchase_ts) FROM p))
+         - INTERVAL 1 MINUTE AS w
+)
+SELECT c.c_user AS user_id, c.click_id, p.purchase_id
+FROM c
+LEFT JOIN p ON c.c_user = p.p_user
+           AND p.purchase_ts >= c.click_ts
+           AND p.purchase_ts <= c.click_ts + INTERVAL 60 MINUTE
+CROSS JOIN wm
+WHERE p.purchase_id IS NOT NULL
+   OR c.click_ts + INTERVAL 60 MINUTE < wm.w
+""",
+)
+def q_stream_stream_left_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER join with event-time range + watermarks —
+    clicks that never convert within the hour surface as (click, NULL) rows,
+    the attribution-with-abandonment shape.
+
+    The outer side exercises semantics the inner join doesn't: an unmatched
+    click can only emit once the global watermark proves no qualifying
+    purchase can still arrive (watermark > click_ts + join window); rows
+    younger than that horizon are withheld in state at query end, NOT
+    emitted with NULLs prematurely. The oracle encodes exactly that
+    contract: a batch left join plus the eviction predicate against
+    W = min(max event time per stream) − delay — so the gate verifies the
+    watermark semantics themselves, not just the matched pairs.
+
+    State is bounded exactly as in the inner join: each side buffers only
+    rows younger than (watermark + window), O(arrival rate × window)."""
+    from pyspark.sql import functions as F
+
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 minute")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 minute")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            c_user = p_user AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL 60 MINUTES
+            """
+        ),
+        "left_outer",
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+    return run_available_now(
+        joined, f"stream_ss_louter_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
