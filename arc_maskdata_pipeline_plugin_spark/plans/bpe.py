@@ -1,0 +1,195 @@
+"""Byte-pair-encoding tokenizer training (Sennrich et al. 2016), fully
+oracle-checked.
+
+The trainer is the classic word-level BPE: count corpus words once, represent
+each word as space-separated symbols (characters + a ``</w>`` terminal),
+then repeatedly (a) count adjacent symbol pairs weighted by word frequency,
+(b) pick the most frequent pair (count DESC, then lexicographic — exact
+integer tiebreak), (c) merge every greedy left-to-right occurrence.
+
+Cross-engine exactness hinges on one trick: symbols joined by DOUBLE spaces
+with double-space padding (``  h  e  l  l  o  </w>  ``) let the merge step
+be a plain ``replace(seq, ' a  b ', ' ab ')`` — non-overlapping
+left-to-right string replacement, identical in Spark and DuckDB, and
+equivalent to greedy BPE merging: each pattern occurrence consumes only
+HALF of each outer separator, so back-to-back pair occurrences (``a b a b``)
+each keep a boundary space to match on (a single-space encoding silently
+skips every second occurrence — caught by the property test against the
+canonical symbol-list merger, tests/test_bpe.py). The single-space
+replacement restores the double-separator invariant. No per-row Python, no
+UDF: the whole trainer is string expressions plus one integer aggregation
+per round.
+
+Scale shape: the corpus is scanned ONCE (word counts); every round after
+that runs on the distinct-word frame — one map-side-combined pair
+aggregation (a shuffle of vocabulary-sized pair partials) plus a 1-row
+argmax collected to the driver (the same O(1) driver probe as the
+connected-components convergence check). 10 rounds = 10 vocab passes, zero
+corpus passes. Production trainers checkpoint the word frame between rounds;
+here the lineage is 10 ``replace`` projections deep, which Catalyst folds
+into a single stage per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import T, register, spread
+from .search import _TOKS_SQL
+
+N_MERGES = 10
+
+
+def _bpe_cte_chain(n_merges: int) -> str:
+    """The shared WITH-chain: word counts → w0 → (pairs, best, w{i+1})*."""
+    rounds = []
+    for i in range(n_merges):
+        rounds.append(f"""
+sy{i} AS (SELECT n, string_split_regex(trim(seq), '\\s+') AS toks FROM w{i}),
+p{i} AS (
+  SELECT p.l AS lhs, p.r AS rhs, CAST(SUM(n) AS BIGINT) AS c
+  FROM (
+    SELECT n, unnest(list_transform(range(1, len(toks)),
+      i -> {{'l': toks[CAST(i AS INT)], 'r': toks[CAST(i + 1 AS INT)]}})) AS p
+    FROM sy{i}
+  ) GROUP BY p.l, p.r
+),
+b{i} AS (SELECT lhs, rhs, c FROM p{i} ORDER BY c DESC, lhs, rhs LIMIT 1),
+w{i + 1} AS (
+  SELECT word, n,
+         replace(seq, ' ' || b.lhs || '  ' || b.rhs || ' ', ' ' || b.lhs || b.rhs || ' ') AS seq
+  FROM w{i}, b{i} b
+)""")
+    return f"""
+WITH tk AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(toks) AS word FROM tk) GROUP BY word
+),
+w0 AS (
+  SELECT word, n,
+         '  ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g')) || '  </w>  ' AS seq
+  FROM words
+),
+{", ".join(rounds)}"""
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    final = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step, lhs, rhs, lhs || rhs AS merged, c AS pair_count FROM b{i}"
+        for i in range(n_merges)
+    )
+    return f"{_bpe_cte_chain(n_merges)}\n{final}\n"
+
+
+def _train_bpe(spark, sf_dir, n_merges: int):
+    """Run the trainer; returns (merge list, final persisted word frame).
+
+    Caller must ``unpersist`` the returned frame when done."""
+    from ..operators.search import _TOKENS
+
+    docs = spread(T(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode(F.expr(_TOKENS)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn(
+            "seq",
+            F.concat(
+                F.lit("  "),
+                F.trim(F.regexp_replace(F.col("word"), "(.)", "$1  ")),
+                F.lit("  </w>  "),
+            ),
+        )
+        .persist()
+    )
+    words.count()  # materialize the one corpus pass
+    merges = []
+    cur = words
+    for step in range(1, n_merges + 1):
+        pairs = (
+            cur.select(
+                "n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(split(trim(seq), ' +')) - 1), "
+                        "i -> struct(element_at(split(trim(seq), ' +'), i) AS l, "
+                        "element_at(split(trim(seq), ' +'), i + 1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("lhs"), F.col("p.r").alias("rhs"))
+            .agg(F.sum("n").cast("bigint").alias("c"))
+        )
+        best = pairs.orderBy(F.desc("c"), "lhs", "rhs").first()
+        merges.append((step, best["lhs"], best["rhs"], best["lhs"] + best["rhs"], best["c"]))
+        nxt = cur.withColumn(
+            "seq",
+            F.expr(
+                "replace(seq, ' ' || {l} || '  ' || {r} || ' ', ' ' || {l} || {r} || ' ')".format(
+                    l=f"'{best['lhs']}'", r=f"'{best['rhs']}'"
+                )
+            ),
+        ).persist()
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    return merges, cur
+
+
+@register("q_bpe_train_merges", oracle=_bpe_oracle(N_MERGES))
+def q_bpe_train_merges(spark, sf_dir):
+    """Train the first {n} BPE merges on the document corpus; returns the
+    merge table (step, lhs, rhs, merged, pair_count) — the artifact a
+    tokenizer ships. See module docstring for the exact-parity and scale
+    story.""".format(n=N_MERGES)
+    merges, final = _train_bpe(spark, sf_dir, N_MERGES)
+    final.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, merged string, pair_count bigint"
+    )
+
+
+def _encode_oracle(n_merges: int) -> str:
+    # Reuse the trainer's CTE chain, then re-tokenize the corpus and join
+    # each token against the trained word→segmentation map.
+    return f"""{_bpe_cte_chain(n_merges)}
+, vocab AS (
+  SELECT word, len(string_split_regex(trim(seq), '\\s+')) AS n_sym FROM w{n_merges}
+),
+doc_tokens AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(v.n_sym) AS BIGINT) AS n_bpe_tokens
+FROM doc_tokens d JOIN vocab v USING (word)
+GROUP BY d.doc_id
+"""
+
+
+@register("q_bpe_encode", oracle=_encode_oracle(N_MERGES))
+def q_bpe_encode(spark, sf_dir):
+    """Apply the trained merges corpus-wide: per-document BPE token count
+    (the number a context-window packer actually budgets against). The
+    trained word→segmentation map is vocabulary-sized, so encoding is one
+    corpus tokenize joined against the vocab on the word key and a per-doc
+    aggregate — the corpus never re-runs the merge loop; that is exactly how
+    a shipped tokenizer artifact is applied at 100 TB."""
+    from ..operators.search import _TOKENS
+
+    _, final = _train_bpe(spark, sf_dir, N_MERGES)
+    vocab = final.select(
+        "word", F.size(F.split(F.trim("seq"), " +")).alias("n_sym")
+    )
+    docs = spread(T(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("word"))
+    out = (
+        tok.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+    return out
