@@ -61,20 +61,25 @@ from arc_maskdata_pipeline_plugin_spark.plans.registry import REGISTRY
 # rest with green representatives of each family. Everything else follows in
 # registry order and is exercised by tools/oracle_check.py + judge runs.
 GATE_WINDOW = [
-    # round-3 additions the driver never witnessed (r03 gate was full)
+    # round-5 additions (new code = highest witness priority; all oracled —
+    # q_hll_merge_daily is tolerance-checked so it stays outside the
+    # all-oracled window, as do rows-only q_approx_quantiles and
+    # sim_ann_pq_trained; see tools/oracle_check.py)
+    "q_bpe_train_merges", "q_bpe_encode", "q_word_pmi",
+    "q_hybrid_rrf_search", "q_stream_stream_left_join",
+    "q_group_ols", "q_mad_outliers", "q_embedding_covariance",
+    "q_max_concurrent_sessions", "q_gdpr_erasure_audit",
+    # round-3/4 additions the driver never witnessed (displaced 10 stable
+    # judge-verified SQL-surface queries to r05: q_text_clean,
+    # q_length_bucket_batches, q_time_resample, q_profile_orders,
+    # q_udtf_term_freqs, q_recursive_month_spine, q_variant_extract,
+    # q_feature_binning, q_bigram_logprob, q_embedding_truncate_mrl)
     "q_decontaminate_ngrams", "q_domain_mix_rebalance",
     "q_quality_percentile_filter", "q_passage_dedup_stats",
-    "q_training_shards", "q_text_clean", "q_length_bucket_batches",
-    "q_time_resample", "q_profile_orders",
-    "q_udtf_term_freqs", "q_recursive_month_spine",
-    # round-4 families, first half: retrieval/Bloom/PQ/embeddings/streaming/
-    # SQL surface (q_approx_quantiles and sim_ann_pq_trained are rows-only by
-    # design, so they stay outside the all-oracled window — the judge's local
-    # tolerance/recall checks cover them; see tools/oracle_check.py)
+    "q_training_shards",
     "q_inverted_index", "q_tfidf_top_terms", "q_bm25_search",
     "q_unigram_logprob", "q_bloom_dedup_screen", "sim_ann_pq",
-    "q_embedding_truncate_mrl", "q_stream_dedup_within_watermark",
-    "q_variant_extract", "q_feature_binning", "q_bigram_logprob",
+    "q_stream_dedup_within_watermark",
     # round-4 families, second half: privacy analytics, Z-order layout,
     # integer PageRank, data-quality screens, interpolation, card masking
     "q_k_anonymity_audit", "q_l_diversity_audit", "q_k_anonymity_suppress",

@@ -175,15 +175,24 @@ def q_max_concurrent_sessions(spark, sf_dir):
     calendar-sized pieces; only day aggregates cross the type partition —
     the distributed-prefix-sum shape a 100 TB sweep needs."""
     e = T(spark, sf_dir, "events").select("event_type", "ts")
-    deltas = e.select(
-        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
-    ).unionAll(
+    # One scan: each event explodes into its (+1 at start, −1 at end) delta
+    # pair — half the I/O of a union of two reads of the same table.
+    deltas = (
         e.select(
             "event_type",
-            (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("t"),
-            F.lit(-1).alias("delta"),
+            F.explode(
+                F.array(
+                    F.struct(F.col("ts").alias("t"), F.lit(1).alias("delta")),
+                    F.struct(
+                        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("t"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("d"),
         )
-    ).withColumn("day", F.to_date("t"))
+        .select("event_type", "d.t", "d.delta")
+        .withColumn("day", F.to_date("t"))
+    )
     w_day = (
         Window.partitionBy("event_type", "day")
         .orderBy("t", "delta")

@@ -103,25 +103,34 @@ def _train_bpe(spark, sf_dir, n_merges: int):
         )
         .persist()
     )
-    words.count()  # materialize the one corpus pass
     merges = []
-    cur = words
+    cur, prev = words, None
     for step in range(1, n_merges + 1):
         pairs = (
-            cur.select(
+            # Project the symbol array ONCE per row — element_at over an
+            # attribute is O(1); inlining split() into the lambda would
+            # re-split the string for every element (O(len²) per word).
+            cur.select("n", F.split(F.trim("seq"), " +").alias("sy"))
+            .select(
                 "n",
                 F.explode(
                     F.expr(
-                        "transform(sequence(1, size(split(trim(seq), ' +')) - 1), "
-                        "i -> struct(element_at(split(trim(seq), ' +'), i) AS l, "
-                        "element_at(split(trim(seq), ' +'), i + 1) AS r))"
+                        "transform(sequence(1, size(sy) - 1), "
+                        "i -> struct(element_at(sy, i) AS l, "
+                        "element_at(sy, i + 1) AS r))"
                     )
                 ).alias("p"),
             )
             .groupBy(F.col("p.l").alias("lhs"), F.col("p.r").alias("rhs"))
             .agg(F.sum("n").cast("bigint").alias("c"))
         )
+        # The ONE action per round: the global argmax materializes (and
+        # caches) `cur` as a side effect, so no explicit count() is needed.
+        # `prev` is unpersisted only now — after `cur` is safely cached —
+        # keeping every round's recompute lineage one step deep.
         best = pairs.orderBy(F.desc("c"), "lhs", "rhs").first()
+        if prev is not None:
+            prev.unpersist()
         merges.append((step, best["lhs"], best["rhs"], best["lhs"] + best["rhs"], best["c"]))
         nxt = cur.withColumn(
             "seq",
@@ -131,9 +140,9 @@ def _train_bpe(spark, sf_dir, n_merges: int):
                 )
             ),
         ).persist()
-        nxt.count()
-        cur.unpersist()
-        cur = nxt
+        cur, prev = nxt, cur
+    if prev is not None:
+        prev.unpersist()
     return merges, cur
 
 

@@ -83,6 +83,10 @@ def q_word_pmi(spark, sf_dir):
     docs = spread(T(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("word"))
     dw = tok.distinct().filter(F.length("word") >= 3)
+    # The capped doc-word frame feeds FOUR consumers (both self-join sides,
+    # the word-frequency aggregate, and the n_docs scalar). Persist it so the
+    # scan + distinct + cap window run once — the at-scale plan materializes
+    # this frame rather than re-deriving it per consumer.
     capped = (
         dw.withColumn(
             "rn",
@@ -90,6 +94,7 @@ def q_word_pmi(spark, sf_dir):
         )
         .filter(F.col("rn") <= _PMI_CAP)
         .drop("rn")
+        .persist()
     )
     nd = capped.agg(
         F.countDistinct("doc_id").cast("bigint").alias("n_docs")

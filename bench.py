@@ -75,6 +75,14 @@ HEADLINE = [
     "q_heavy_hitters_cms",
     "q_rag_index_build",
     "q_funnel_conversion",
+    # round 5: BPE trainer (10 vocab-pass rounds + driver argmax probes),
+    # PMI pair enumeration (capped self-join), hybrid RRF fusion,
+    # sweep-line concurrency (day-sharded prefix sums), one-pass OLS moments
+    "q_bpe_train_merges",
+    "q_word_pmi",
+    "q_hybrid_rrf_search",
+    "q_max_concurrent_sessions",
+    "q_group_ols",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

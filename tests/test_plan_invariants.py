@@ -319,3 +319,73 @@ def test_corpus_e2e_single_corpus_shuffle(spark):
     assert a["broadcasts"] >= 1
     assert a["sort_merge_joins"] == 0
     assert a["python_ops"] == 0
+
+
+def test_mad_outliers_broadcast_medians(spark):
+    """Both per-group median frames broadcast back onto events; the events
+    table shuffles only for the two percentile aggregates."""
+    a = props("q_mad_outliers", spark)
+    assert a["broadcasts"] >= 2
+    assert a["sort_merge_joins"] == 0
+
+
+def test_group_ols_single_shuffle(spark):
+    """All five OLS moments in one grouped multi-aggregate: one exchange."""
+    a = props("q_group_ols", spark)
+    assert a["scans"] == 1
+    assert a["exchanges"] == 1
+
+
+def test_embedding_covariance_one_pass(spark):
+    """44 moments in a single global aggregate — only SinglePartition
+    exchanges (excluded from the count), zero joins, zero Python."""
+    a = props("q_embedding_covariance", spark)
+    assert a["scans"] == 1
+    assert a["exchanges"] == 0
+    assert a["python_ops"] == 0
+
+
+def test_gdpr_erasure_all_broadcast_anti(spark):
+    """Erasure + leak recount on three tables: every requester join is a
+    broadcast (anti/semi) — fact tables never shuffle on the key."""
+    a = props("q_gdpr_erasure_audit", spark)
+    assert a["sort_merge_joins"] == 0
+    assert a["broadcasts"] >= 6  # (anti + semi) x 3 tables
+
+
+def test_word_pmi_no_cross_join(spark):
+    """Pair enumeration is a doc_id equi-join of the capped doc-word frame
+    (plus the scalar n_docs broadcast) — no cartesian, no corpus self-join;
+    the 4-consumer capped frame reads from cache (the plan-string repeats
+    the cached relation's BUILD subtree per consumer, so raw scan counts
+    overstate — the InMemoryTableScans are what executes)."""
+    plan = QUERIES["q_word_pmi"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 4
+    a = props("q_word_pmi", spark)
+    assert a["sort_merge_joins"] == 0 or a["broadcasts"] >= 1
+
+
+def test_hybrid_rrf_fuses_candidate_frames(spark):
+    """RRF fusion joins two candidate lists (queries x depth); the corpus
+    appears only inside each ranker — no sort-merge join of doc-sized
+    frames against each other at the fuse step."""
+    a = props("q_hybrid_rrf_search", spark)
+    assert a["broadcasts"] >= 2  # query terms + query vectors broadcast
+
+
+def test_max_concurrent_day_sharded_windows(spark):
+    """The sweep runs per (type, day): the only non-trivial exchanges are
+    the two hash repartitions for the day window and the day-aggregate
+    carry window, plus the final per-type aggregate."""
+    a = props("q_max_concurrent_sessions", spark)
+    assert a["scans"] == 1
+    assert a["exchanges"] <= 4
+    assert a["sort_merge_joins"] == 0
+
+
+def test_bpe_encode_vocab_join_no_corpus_merge_loop(spark):
+    """Encoding joins the corpus tokens against the trained vocab map —
+    Python-free, and the join is corpus-tokens vs vocabulary-sized frame."""
+    a = props("q_bpe_encode", spark)
+    assert a["python_ops"] == 0
