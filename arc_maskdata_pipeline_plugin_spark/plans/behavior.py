@@ -212,3 +212,61 @@ def q_max_concurrent_sessions(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.max(F.col("offset") + F.col("mx")).cast("int").alias("max_concurrent"))
     )
+
+
+@register(
+    "q_dau_wau_stickiness",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+grid AS (SELECT DISTINCT day FROM ud),
+wau AS (
+  SELECT g.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM grid g JOIN ud u
+    ON u.day BETWEEN g.day - INTERVAL 6 DAY AND g.day
+  GROUP BY g.day
+),
+dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+       CAST(floor(CAST(d.dau AS DOUBLE) / w.wau * 1000000) AS BIGINT)
+         AS stickiness_fp6
+FROM dau d JOIN wau w USING (day)
+""",
+)
+def q_dau_wau_stickiness(spark, sf_dir):
+    """DAU/WAU stickiness per day: daily actives over trailing-7-day
+    actives. Distinct-over-sliding-window can't be a plain window aggregate
+    (COUNT DISTINCT needs the underlying user set, not a running total), so
+    the scale-correct shape is: reduce events once to the DISTINCT
+    (user, day) frame — the only corpus-sized shuffle — then range-join that
+    user-day frame onto the day grid (each user-day lands in ≤7 grid days,
+    so the join output is ≤7× the user-day frame, calendar-bounded) and
+    count distinct per grid day. The day grid is tiny and broadcasts."""
+    e = T(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct().persist()
+    grid = ud.select("day").distinct()
+    wau = (
+        ud.alias("u")
+        .join(
+            F.broadcast(grid.alias("g")),
+            (F.col("u.day") >= F.date_sub(F.col("g.day"), 6))
+            & (F.col("u.day") <= F.col("g.day")),
+        )
+        .groupBy(F.col("g.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").cast("bigint").alias("wau"))
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.floor(F.col("dau").cast("double") / F.col("wau") * 1_000_000)
+            .cast("bigint")
+            .alias("stickiness_fp6"),
+        )
+    )

@@ -70,3 +70,67 @@ def q_pagerank_suppliers(spark, sf_dir):
         F.col("rank").alias("pr_mass"),
         F.col("node").bitwiseAND(F.lit(1)).cast("int").alias("is_supplier"),
     )
+
+
+@register(
+    "q_triangle_count",
+    oracle="""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT CAST((SELECT COUNT(DISTINCT l_partkey) FROM op) AS BIGINT) AS n_vertices,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*)
+             FROM e e1
+             JOIN e e2 ON e1.p2 = e2.p1
+             JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2) AS BIGINT)
+         AS n_triangles
+""",
+)
+def q_triangle_count(spark, sf_dir):
+    """Triangle count over the part co-purchase graph (parts are adjacent
+    when some order contains both). The classic distributed formulation:
+    edges oriented low-id → high-id, so each triangle {a<b<c} is counted
+    exactly once as the wedge (a,b)+(b,c) closed by (a,c) — two
+    co-partitioned equi-joins on vertex keys, never an undirected triple
+    join that counts each triangle 6×.
+
+    Scale notes: edge building groups order→parts then enumerates ordered
+    pairs (order-basket-bounded, the group-then-enumerate cap family); at
+    production scale the orientation flips to DEGREE ordering (lower-degree
+    endpoint first, the Suri–Vassilvitskii / Cohen MR shape), which bounds
+    wedges per vertex by its degree in the oriented graph — same plan, one
+    extra degree join; id-orientation keeps the oracle tiny here."""
+    op = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .distinct()
+        .persist()  # three consumers: both wedge sides + the closing probe
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
+        .join(
+            e3,
+            (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    nv = op.agg(F.countDistinct("l_partkey").cast("bigint").alias("n_vertices"))
+    ne = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return nv.crossJoin(ne).crossJoin(tri)

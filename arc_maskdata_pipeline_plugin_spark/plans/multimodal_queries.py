@@ -155,3 +155,45 @@ def q_multimodal_resize(spark, sf_dir):
         "height",
         F.octet_length("payload").cast("int").alias("resized_len"),
     )
+
+
+@register(
+    "q_multimodal_phash",
+    oracle="""
+WITH grid AS (
+  SELECT doc_id, gx.x AS x, gy.y AS y,
+         (gx.x * 17 + gy.y * 31 + doc_id) % 256 AS p
+  FROM documents
+  CROSS JOIN range(16) gx(x) CROSS JOIN range(12) gy(y)
+  WHERE gx.x < doc_id % 16 + 1 AND gy.y < doc_id % 12 + 1
+),
+s AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS total
+  FROM grid GROUP BY doc_id
+)
+SELECT g.doc_id,
+       CAST(g.doc_id % 16 + 1 AS INTEGER) AS width,
+       CAST(g.doc_id % 12 + 1 AS INTEGER) AS height,
+       string_agg(CASE WHEN g.p * s.n > s.total THEN '1' ELSE '0' END, ''
+                  ORDER BY g.y, g.x) AS phash_bits,
+       CAST(SUM(CASE WHEN g.p * s.n > s.total THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_above_mean
+FROM grid g JOIN s USING (doc_id)
+GROUP BY g.doc_id
+""",
+)
+def q_multimodal_phash(spark, sf_dir):
+    """Perceptual (average) hash over REAL decoded pixels, oracle-checked to
+    the BIT: Spark renders a genuine zlib-compressed PNG per doc, decodes it
+    with the real pixel decoder (PIL or the stdlib codec), and computes the
+    above-mean bitstring; DuckDB computes the same bits from the generative
+    pixel formula WITHOUT any image codec. A hash match therefore proves the
+    entire encode→compress→decompress→unfilter→hash path reproduces every
+    pixel value — far stronger than the width/height check in
+    q_multimodal_real_png. Decode+hash ride the scan partition-local
+    (mapInPandas, no shuffle); only (id, ≤192-bit hash) rows move on."""
+    from ..operators.multimodal import attach_png_payload, perceptual_hash_images
+    from .registry import spread
+
+    d = spread(T(spark, sf_dir, "documents"))
+    return perceptual_hash_images(attach_png_payload(d.select("doc_id")))

@@ -573,3 +573,94 @@ def q_fuzzy_name_match(spark, sf_dir):
     return qgram_match(
         c, s, "c_custkey", "s_suppkey", "c_name", "s_name", min_common=8
     )
+
+
+@register(
+    "q_pit_scd2_enrich",
+    oracle="""
+WITH cur AS (
+  SELECT c_custkey, c_name, c_acctbal, '2023-01-01' AS eff_date,
+         TRUE AS _from_current
+  FROM customer
+), chg AS (
+  SELECT c_custkey,
+         'renamed ' || c_custkey AS c_name,
+         c_acctbal + 10.0 AS c_acctbal,
+         '2024-01-15' AS eff_date,
+         FALSE AS _from_current
+  FROM customer WHERE c_custkey % 3 = 0
+), uni AS (
+  SELECT c_custkey, c_name, c_acctbal, eff_date, _from_current FROM cur
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal, eff_date, _from_current FROM chg
+), v AS (
+  SELECT *,
+         lead(eff_date) OVER (
+           PARTITION BY c_custkey
+           ORDER BY eff_date ASC, _from_current DESC) AS nxt
+  FROM uni
+), dim AS (
+  SELECT c_custkey, eff_date, COALESCE(nxt, '9999-12-31') AS valid_to FROM v
+)
+SELECT d.eff_date AS version_from,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(e.value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+FROM events e
+JOIN dim d ON e.user_id = d.c_custkey
+          AND strftime(e.ts, '%Y-%m-%d') >= d.eff_date
+          AND strftime(e.ts, '%Y-%m-%d') < d.valid_to
+GROUP BY d.eff_date
+""",
+)
+def q_pit_scd2_enrich(spark, sf_dir):
+    """Point-in-time-correct enrichment (the feature-store join): each event
+    picks the SCD2 dimension version VALID AT ITS EVENT TIME —
+    ``valid_from <= ts < valid_to`` — never the current one, which is what
+    prevents feature leakage when backfilling training data from history.
+    ISO date STRINGS compare lexicographically, so interval membership is a
+    plain string comparison, identical in both engines.
+
+    Scale shape: the versioned dimension is customer-sized (a few versions
+    per key), so it broadcasts and the interval predicate rides the events
+    scan — one scan, no event shuffle before the final aggregate. When the
+    dimension itself is too big to broadcast, the same semantics fall back
+    to the union + last-non-null window shape of q_asof_purchase_view;
+    this query pins the broadcast-range-join variant."""
+    from pyspark.sql import functions as F
+
+    from ..operators.scd import scd2_merge
+
+    c = T(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        F.lit("2023-01-01").alias("eff_date"),
+    )
+    changes = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("renamed "), F.col("c_custkey").cast("string")).alias("c_name"),
+        (F.col("c_acctbal").cast("double") + 10.0).alias("c_acctbal"),
+        F.lit("2024-01-15").alias("eff_date"),
+    )
+    dim = scd2_merge(current, changes, "c_custkey", ["c_name", "c_acctbal"]).select(
+        "c_custkey", "eff_date", "valid_to"
+    )
+    e = T(spark, sf_dir, "events").select(
+        "user_id", "value", F.date_format("ts", "yyyy-MM-dd").alias("ev_date")
+    )
+    return (
+        e.join(
+            F.broadcast(dim),
+            (e["user_id"] == dim["c_custkey"])
+            & (F.col("ev_date") >= dim["eff_date"])
+            & (F.col("ev_date") < dim["valid_to"]),
+        )
+        .groupBy(F.col("eff_date").alias("version_from"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(10,2)")).cast("double").alias("total_value"),
+        )
+    )
