@@ -664,3 +664,93 @@ def q_pit_scd2_enrich(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(10,2)")).cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "q_entity_resolution",
+    oracle="""
+WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS d1, b.c_custkey AS d2
+  FROM customer a JOIN customer b
+    ON a.c_custkey < b.c_custkey
+   AND substr(a.c_name, 1, length(a.c_name) - 1)
+     = substr(b.c_name, 1, length(b.c_name) - 1)
+   AND levenshtein(a.c_name, b.c_name) <= 1
+),
+e AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+walk(node, comp) AS (
+  SELECT DISTINCT a, a FROM e
+  UNION
+  SELECT e.a, w.comp FROM e JOIN walk w ON e.b = w.node
+),
+cc AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node),
+ent AS (
+  SELECT c.c_custkey, c.c_name, c.c_acctbal,
+         COALESCE(cc.component, c.c_custkey) AS entity_id
+  FROM customer c LEFT JOIN cc ON c.c_custkey = cc.node
+)
+SELECT entity_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MAX(CASE WHEN c_custkey = entity_id THEN c_name END) AS canonical_name,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+FROM ent GROUP BY entity_id
+""",
+)
+def q_entity_resolution(spark, sf_dir):
+    """Entity resolution end-to-end: blocking → exact verification →
+    transitive closure → survivorship, composed from the engine's own
+    operators.
+
+    The match rule (the oracle's SPEC): names equal up to a substitution in
+    the FINAL character (the typo/householding model) — blocking key = the
+    name stem (all but the last char), a wildcard-blocking key. Each record
+    emits one key; block size is alphabet-bounded (≤10 members here), so
+    candidate pairs are O(k²_alphabet) per block no matter the corpus size,
+    and Levenshtein verifies exactly. The oracle states the truth as an
+    all-pairs predicate; the plan never goes quadratic. (Generalization:
+    matching ANY single-position substitution = one wildcard key per
+    position, still alphabet-bounded blocks — on this corpus that closure
+    correctly chains everything into one giant entity, the classic
+    transitive-closure hazard, so the demo pins the bounded rule.)
+    Components resolve with the same alternating-star CC operator as
+    near-dup clustering (min-id canonical); survivorship keeps the
+    canonical record's name and aggregates member balances."""
+    from ..operators.clusters import connected_components
+
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    keys = c.select(
+        "c_custkey",
+        "c_name",
+        F.expr("substring(c_name, 1, length(c_name) - 1)").alias("bkey"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("d1"),
+            F.col("b.c_custkey").alias("d2"),
+            F.col("a.c_name").alias("n1"),
+            F.col("b.c_name").alias("n2"),
+        )
+        .distinct()
+        .filter(F.levenshtein("n1", "n2") <= 1)
+        .select("d1", "d2")
+    )
+    cc = connected_components(pairs, "d1", "d2")
+    ent = c.join(cc, c["c_custkey"] == cc["node"], "left").select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.coalesce(F.col("component"), F.col("c_custkey")).alias("entity_id"),
+    )
+    return ent.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max(
+            F.when(F.col("c_custkey") == F.col("entity_id"), F.col("c_name"))
+        ).alias("canonical_name"),
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("total_acctbal"),
+    )
