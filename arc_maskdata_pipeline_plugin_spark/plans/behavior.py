@@ -270,3 +270,59 @@ def q_dau_wau_stickiness(spark, sf_dir):
             .alias("stickiness_fp6"),
         )
     )
+
+
+@register(
+    "q_first_touch_attribution",
+    oracle="""
+WITH ft AS (
+  SELECT user_id, strftime(CAST(MIN(ts) AS DATE), '%Y-%m-%d') AS first_touch_day
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+rev AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(18,2)) AS revenue
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT COALESCE(f.first_touch_day, 'unattributed') AS first_touch_day,
+       CAST(COUNT(*) AS BIGINT) AS n_buyers,
+       CAST(SUM(r.revenue) AS DOUBLE) AS attributed_revenue
+FROM rev r LEFT JOIN ft f USING (user_id)
+GROUP BY 1
+""",
+)
+def q_first_touch_attribution(spark, sf_dir):
+    """First-touch marketing attribution: each buyer's lifetime purchase
+    revenue is credited to the day of their FIRST view event (buyers with no
+    view land in 'unattributed'). Both sides reduce to user-sized frames
+    first (per-user MIN and per-user exact-decimal SUM — map-side combined),
+    then join co-partitioned on user_id; events are scanned once and never
+    self-joined. The last-touch / position-decay variants swap the MIN for a
+    MAX or a window weight over the same frame."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts", "value")
+    ft = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.date_format(F.min("ts"), "yyyy-MM-dd").alias("first_touch_day"))
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(10,2)"))
+            .cast("decimal(18,2)")
+            .alias("revenue")
+        )
+    )
+    return (
+        rev.join(ft, "user_id", "left")
+        .groupBy(
+            F.coalesce(F.col("first_touch_day"), F.lit("unattributed")).alias(
+                "first_touch_day"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buyers"),
+            F.sum("revenue").cast("double").alias("attributed_revenue"),
+        )
+    )

@@ -83,6 +83,12 @@ HEADLINE = [
     "q_hybrid_rrf_search",
     "q_max_concurrent_sessions",
     "q_group_ols",
+    # round 5 (cont.): pixel-exact perceptual hash (real decode in Python),
+    # wedge-join triangle count, sliding-window distincts, entity resolution
+    "q_multimodal_phash",
+    "q_triangle_count",
+    "q_dau_wau_stickiness",
+    "q_entity_resolution",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

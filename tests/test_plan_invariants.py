@@ -389,3 +389,48 @@ def test_bpe_encode_vocab_join_no_corpus_merge_loop(spark):
     Python-free, and the join is corpus-tokens vs vocabulary-sized frame."""
     a = props("q_bpe_encode", spark)
     assert a["python_ops"] == 0
+
+
+def test_pit_scd2_broadcast_dimension(spark):
+    """The versioned dimension broadcasts; events never shuffle before the
+    final aggregate (one exchange for the groupBy)."""
+    a = props("q_pit_scd2_enrich", spark)
+    assert a["broadcasts"] >= 1
+    assert a["sort_merge_joins"] == 0
+
+
+def test_triangle_count_reuses_cached_edges(spark):
+    """Edges build once (cached for the three consumers); wedge closing is
+    equi-joins — no cartesian."""
+    plan = (
+        QUERIES["q_triangle_count"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_dau_wau_grid_broadcast(spark):
+    """The day grid broadcasts onto the user-day frame (range join)."""
+    a = props("q_dau_wau_stickiness", spark)
+    assert a["broadcasts"] >= 1
+    assert a["sort_merge_joins"] == 0
+
+
+def test_first_touch_no_event_self_join(spark):
+    """Both attribution sides are user-sized aggregates before the join;
+    events scanned once... (scan counted per filter branch is fine — what's
+    frozen is the absence of an event-grain join)."""
+    a = props("q_first_touch_attribution", spark)
+    assert a["sort_merge_joins"] + a["broadcasts"] >= 1  # the user-key join
+    assert a["python_ops"] == 0
+
+
+def test_phash_partition_local(spark):
+    """Decode+hash ride the scan: mapInPandas present, and no exchange other
+    than the local[] spread repartition."""
+    a = props("q_multimodal_phash", spark)
+    assert a["python_ops"] >= 1
+    assert a["exchanges"] <= 1  # only the spread() round-robin on local

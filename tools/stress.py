@@ -338,6 +338,135 @@ def main():
         "range-partition sample + ONE shuffle + in-partition sort",
     )
 
+    def bpe_round_stress():
+        # 2M distinct synthetic words (base-26 digit strings, len 5-9) with
+        # skewed counts: ONE trainer round = pair aggregation + global argmax
+        # — the unit the 10-round trainer repeats over the vocabulary.
+        words = spark.range(2_000_000).select(
+            F.expr(
+                "conv(cast(id + 100000 as string), 10, 26)"
+            ).alias("word"),
+            (F.col("id") % 997 + 1).cast("bigint").alias("n"),
+        ).select(
+            "n",
+            F.concat(
+                F.lit("  "),
+                F.trim(F.regexp_replace(F.lower("word"), "(.)", "$1  ")),
+                F.lit("  </w>  "),
+            ).alias("seq"),
+        )
+        pairs = (
+            words.select("n", F.split(F.trim("seq"), " +").alias("sy"))
+            .select(
+                "n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(sy) - 1), "
+                        "i -> struct(element_at(sy, i) AS l, element_at(sy, i + 1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("lhs"), F.col("p.r").alias("rhs"))
+            .agg(F.sum("n").cast("bigint").alias("c"))
+        )
+        pairs.orderBy(F.desc("c"), "lhs", "rhs").limit(1).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    timed(
+        "BPE trainer round (2M-word vocab, pair agg + argmax)",
+        2_000_000,
+        bpe_round_stress,
+        "per-round unit cost: map-side-combined pair partials over the vocab",
+    )
+
+    def triangle_stress():
+        # ~6M oriented edges over 200k nodes; wedge join + closing probe.
+        e = (
+            spark.range(6_000_000)
+            .select(
+                (F.col("id") % 200_000).alias("p1"),
+                ((F.col("id") * 48271 + 7) % 200_000).alias("p2"),
+            )
+            .filter("p1 < p2")
+            .distinct()
+            .persist()
+        )
+        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+        (
+            e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
+            .join(
+                e3,
+                (F.col("e3.p1") == F.col("e1.p1"))
+                & (F.col("e3.p2") == F.col("e2.p2")),
+            )
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        e.unpersist()
+
+    timed(
+        "triangle count (3M oriented edges, 200k nodes)",
+        3_000_000,
+        triangle_stress,
+        "two co-partitioned wedge joins over cached id-oriented edges",
+    )
+
+    def sweepline_stress():
+        # 20M events -> 40M deltas, per-(type, day) prefix sums + carry.
+        from pyspark.sql import Window
+
+        e = spark.range(20_000_000).select(
+            (F.col("id") % 5).cast("string").alias("event_type"),
+            F.timestamp_micros(
+                (F.col("id") * 7919 % 2_592_000) * 1_000_000
+            ).alias("ts"),
+        )
+        deltas = (
+            e.select(
+                "event_type",
+                F.explode(
+                    F.array(
+                        F.struct(F.col("ts").alias("t"), F.lit(1).alias("delta")),
+                        F.struct(
+                            (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("t"),
+                            F.lit(-1).alias("delta"),
+                        ),
+                    )
+                ).alias("d"),
+            )
+            .select("event_type", "d.t", "d.delta")
+            .withColumn("day", F.to_date("t"))
+        )
+        w_day = (
+            Window.partitionBy("event_type", "day")
+            .orderBy("t", "delta")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        daily = deltas.withColumn("run", F.sum("delta").over(w_day)).groupBy(
+            "event_type", "day"
+        ).agg(F.max("run").alias("mx"), F.sum("delta").alias("net"))
+        w_carry = (
+            Window.partitionBy("event_type")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        (
+            daily.withColumn(
+                "offset", F.coalesce(F.sum("net").over(w_carry), F.lit(0))
+            )
+            .groupBy("event_type")
+            .agg(F.max(F.col("offset") + F.col("mx")).alias("max_concurrent"))
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    timed(
+        "sweep-line peak concurrency (20M events, day-sharded windows)",
+        20_000_000,
+        sweepline_stress,
+        "40M deltas sort within (type, day) shards; only day aggregates cross",
+    )
+
     # ---- report ----------------------------------------------------------
     lines = [
         "# STRESS — synthetic ~100× scale-up measurements (local[32])",
