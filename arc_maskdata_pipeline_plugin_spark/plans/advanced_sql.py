@@ -249,3 +249,57 @@ def q_feature_binning(spark, sf_dir):
         F.min("pr").alias("min_pct_rank"),
         F.max("cd").alias("max_cume_dist"),
     )
+
+
+@register(
+    "q_python_datasource",
+    oracle="""
+WITH g AS (
+  SELECT i AS event_id,
+         list_extract(['click', 'view', 'purchase', 'signup', 'error'],
+                      CAST(i % 5 AS INTEGER) + 1) AS event_type,
+         (i * 7919 % 100000) / 100.0 AS value
+  FROM range(100000) t(i)
+  WHERE i >= 25000 AND i < 75000
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(event_id) AS BIGINT) AS min_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_id,
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+FROM g GROUP BY event_type
+""",
+)
+def q_python_datasource(spark, sf_dir):
+    """Custom connector through the Spark 4 Python DataSource API
+    (sources/pydatasource.py): a pure-Python source planned like a native
+    scan — 16 InputPartitions (real parallelism) and ``pushFilters`` range
+    pushdown, so the id-range predicate narrows the partitions BEFORE any
+    row is generated (the Python-source equivalent of parquet
+    PushedFilters; pinned by tests/test_pydatasource.py). Every column is a
+    closed-form function of event_id, so the DuckDB oracle regenerates the
+    identical rows from ``range()`` — same generative-oracle pattern as the
+    PNG perceptual hash. ``sf_dir`` is unused: the connector IS the data."""
+    from ..sources.pydatasource import register as register_source
+
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:  # noqa: BLE001 — conf may be fixed on shared sessions
+        pass
+    register_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n", "100000")
+        .option("partitions", "16")
+        .load()
+    )
+    return (
+        df.filter((F.col("event_id") >= 25000) & (F.col("event_id") < 75000))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("event_id").cast("bigint").alias("min_id"),
+            F.max("event_id").cast("bigint").alias("max_id"),
+            F.sum(F.col("value").cast("decimal(10,2)")).cast("double").alias("total_value"),
+        )
+    )
