@@ -396,3 +396,45 @@ def q_stream_stream_left_join(spark, sf_dir):
     return run_available_now(
         joined, f"stream_ss_louter_{uuid.uuid4().hex[:8]}", output_mode="append"
     )
+
+
+@register(
+    "q_stream_threshold_alert",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(CAST(value AS DECIMAL(10,2)) * 100) AS BIGINT) AS vc
+  FROM events
+),
+r AS (
+  SELECT *, SUM(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c
+),
+x AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM r WHERE cum > 300000
+)
+SELECT user_id, event_id AS crossing_event_id, ts AS crossing_ts,
+       CAST(cum AS BIGINT) AS cum_cents
+FROM x WHERE rn = 1
+""",
+)
+def q_stream_threshold_alert(spark, sf_dir):
+    """Custom stateful streaming operator (streaming/threshold.py): the
+    FIRST event at which a user's cumulative spend crosses $3000 — fires
+    exactly once per user with the crossing event's identity. Expressible in
+    batch as a running-sum window (the oracle); in streaming it needs
+    arbitrary per-key state (cum, emitted), here via
+    ``applyInPandasWithState`` with the StatefulProcessor-v2 twin gated on
+    protobuf (see module docstring). Integer-cents accumulation makes the
+    crossing engine-exact; (ts, event_id) ordering makes it tie-proof."""
+    from ..streaming.threshold import first_threshold_crossing
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = first_threshold_crossing(stream, threshold_cents=300_000)
+    return run_available_now(
+        out, f"stream_threshold_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
