@@ -72,7 +72,7 @@ GATE_WINDOW = [
     "q_multimodal_phash", "q_pit_scd2_enrich", "q_triangle_count",
     "q_dau_wau_stickiness", "q_entity_resolution",
     "q_first_touch_attribution",
-    # round-3/4 additions the driver never witnessed (displaced 18 stable
+    # round-3/4 additions the driver never witnessed (displaced 20 stable
     # judge-verified queries to r05: q_unigram_logprob, q_text_clean, q_length_bucket_batches,
     # q_time_resample, q_profile_orders, q_udtf_term_freqs,
     # q_recursive_month_spine, q_variant_extract, q_feature_binning,
@@ -80,7 +80,7 @@ GATE_WINDOW = [
     # q_domain_mix_rebalance, q_quality_percentile_filter,
     # q_passage_dedup_stats, q_training_shards, sim_ann_pq)
     "q_python_datasource", "q_stream_threshold_alert",
-    "q_tfidf_top_terms", "q_bm25_search",
+    "q_auto_join_revenue", "q_incremental_moments",
     "q_bloom_dedup_screen",
     "q_stream_dedup_within_watermark",
     # round-4 families, second half: privacy analytics, Z-order layout,

@@ -160,3 +160,84 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def _parse_bytes(raw: str) -> int:
+    """Spark size-conf strings: '10485760', '10485760b', '10MB', '1g'."""
+    s = raw.strip().lower()
+    for suffix, mult in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * mult)
+    return int(s)
+
+
+def choose_join_strategy(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str | None = None,
+    how: str = "inner",
+    broadcast_bytes: int | None = None,
+    skew_share: float = 0.2,
+    sample_fraction: float = 0.01,
+    n_salts: int = 16,
+) -> tuple[DataFrame, dict]:
+    """Pick plain / broadcast / salted for a fact⋈dim join from MEASURED
+    statistics, and return (joined, decision-audit).
+
+    The decision inputs are the cheap ones a planner can afford at 100 TB:
+
+    * dim size from **Catalyst's optimized-plan statistics** (file-footer
+      based — no job, no action) against the session's
+      ``autoBroadcastJoinThreshold`` (or an explicit ``broadcast_bytes``);
+    * fact-key skew from a **sampled** key histogram (one job over
+      ``sample_fraction`` of the fact): if the hottest key holds more than
+      ``skew_share`` of sampled rows, a single reducer would own that share
+      of the shuffle — salt it.
+
+    Priority: broadcast beats salting (a broadcast join has no shuffle to
+    skew). The audit dict records what was measured and why, so pipelines
+    can log the decision — the operator-level version of what AQE does at
+    runtime, usable when the strategy must be fixed at plan time (e.g. to
+    feed `write_bucketed`, or on engines/configs without AQE)."""
+    dim_key = dim_key or fact_key
+    if broadcast_bytes is None:
+        raw = fact.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        broadcast_bytes = _parse_bytes(raw)
+    dim_bytes = int(
+        dim._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    decision = {
+        "dim_bytes_estimate": dim_bytes,
+        "broadcast_threshold": broadcast_bytes,
+        "sampled_top_share": None,
+        "strategy": None,
+    }
+    if 0 < dim_bytes <= broadcast_bytes:
+        decision["strategy"] = "broadcast"
+        joined = fact.join(
+            F.broadcast(dim), fact[fact_key] == dim[dim_key], how
+        )
+        return joined, decision
+
+    stats_row = (
+        fact.sample(fraction=sample_fraction, seed=7)
+        .groupBy(fact_key)
+        .count()
+        .agg(F.max("count").alias("top"), F.sum("count").alias("total"))
+        .collect()[0]
+    )  # ONE sampled job for both the mode and the denominator
+    top = int(stats_row["top"] or 0)
+    total = max(1, int(stats_row["total"] or 0))
+    decision["sampled_top_share"] = round(top / total, 4)
+    if top / total > skew_share:
+        decision["strategy"] = f"salted({n_salts})"
+        joined = salted_join(fact, dim, fact_key, dim_key, n_salts=n_salts, how=how)
+    else:
+        decision["strategy"] = "plain"
+        joined = fact.join(dim, fact[fact_key] == dim[dim_key], how)
+    return joined, decision

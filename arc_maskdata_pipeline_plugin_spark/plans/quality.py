@@ -252,3 +252,33 @@ def q_salted_aggregation(spark, sf_dir):
             F.sum("prev").cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "q_auto_join_revenue",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q_auto_join_revenue(spark, sf_dir):
+    """Measured-strategy join (operators/joins.py::choose_join_strategy):
+    the plan picks plain / broadcast / salted from Catalyst's no-action dim
+    size estimate plus ONE sampled fact-key histogram job, and returns the
+    decision audit alongside the frame. At these SFs the customer dimension
+    sits under the broadcast threshold → broadcast-hash join (asserted in
+    tests/test_auto_join.py, along with the salted and plain branches on
+    constructed skew). The oracle is strategy-independent: every branch
+    produces the identical join result — that invariance IS the point."""
+    from ..operators.joins import choose_join_strategy
+
+    fact = T(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    dim = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined, _decision = choose_join_strategy(fact, dim, "o_custkey", "c_custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(dec("o_totalprice", 18, 2)).cast("double").alias("total_revenue"),
+    )

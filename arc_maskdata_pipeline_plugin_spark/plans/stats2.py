@@ -299,3 +299,105 @@ def q_hll_merge_daily(spark, sf_dir):
             (F.col("est_direct") == F.col("est_merged")).alias("merge_exact"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable moments: partial(old) ⊕ partial(new) == full — the contract that
+# makes the one-pass statistics family INCREMENTAL (stats twin of
+# q_incremental_rollup)
+# ---------------------------------------------------------------------------
+
+_SPLIT_DATE = "1998-01-01"
+
+
+@register(
+    "q_incremental_moments",
+    oracle=f"""
+WITH u AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+  FROM u GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000) AS BIGINT)
+         AS slope_fp6,
+       TRUE AS merge_exact
+FROM m
+""",
+)
+def q_incremental_moments(spark, sf_dir):
+    """Moment mergeability, asserted by the gate itself: OLS moments are
+    computed separately over the historical partition (shipdate <
+    {split}) and the new arrivals (shipdate >= {split}), merged by plain
+    addition, and compared against a direct full recompute — decimal sums
+    are exact, so every merged moment equals its direct twin bit-for-bit
+    (``merge_exact``), and the slope published from the MERGED moments
+    hash-matches the oracle's direct computation. This is what makes the
+    one-pass statistics family incremental at 100 TB: yesterday's moment
+    rows are a few numbers per group, and today's update costs one scan of
+    today's partition — never a rescan of history.""".format(split=_SPLIT_DATE)
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_shipdate",
+        (dec("l_quantity", 18, 2) * 100).cast("bigint").alias("x"),
+        (dec("l_extendedprice", 18, 2) * 100).cast("bigint").alias("y"),
+    )
+
+    def moments(df, suffix):
+        x, y = F.col("x"), F.col("y")
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n{suffix}"),
+            F.sum(x).cast("decimal(38,0)").alias(f"sx{suffix}"),
+            F.sum(y).cast("decimal(38,0)").alias(f"sy{suffix}"),
+            F.sum((x * x).cast("decimal(38,0)")).alias(f"sxx{suffix}"),
+            F.sum((x * y).cast("decimal(38,0)")).alias(f"sxy{suffix}"),
+        )
+
+    old = moments(li.filter(F.col("l_shipdate") < _SPLIT_DATE), "_o")
+    new = moments(li.filter(F.col("l_shipdate") >= _SPLIT_DATE), "_n")
+    direct = moments(li, "_d")
+
+    z = F.lit(0).cast("decimal(38,0)")
+    merged = (
+        old.join(new, "l_returnflag", "full_outer")
+        .select(
+            "l_returnflag",
+            (F.coalesce("n_o", F.lit(0)) + F.coalesce("n_n", F.lit(0))).alias("n"),
+            *(
+                (F.coalesce(f"{m}_o", z) + F.coalesce(f"{m}_n", z)).alias(m)
+                for m in ("sx", "sy", "sxx", "sxy")
+            ),
+        )
+    )
+    both = merged.join(direct, "l_returnflag")
+    eq = (
+        (F.col("n") == F.col("n_d"))
+        & (F.col("sx") == F.col("sx_d"))
+        & (F.col("sy") == F.col("sy_d"))
+        & (F.col("sxx") == F.col("sxx_d"))
+        & (F.col("sxy") == F.col("sxy_d"))
+    )
+    n, sx, sy = (
+        F.col("n").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sy").cast("double"),
+    )
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    return both.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1_000_000)
+        .cast("bigint")
+        .alias("slope_fp6"),
+        eq.alias("merge_exact"),
+    )
