@@ -93,10 +93,16 @@ GATE_WINDOW = [
     # timestamp-ingestion change this round (landed AFTER the r03 gate ran;
     # q_datetime_functions reads orders, not events, so it keeps its r03
     # witness and yields its slot to the capstone pipeline)
-    "q_sessionize_events", "q_stream_event_counts",
-    "q_stream_dedup_user_types", "q_stream_static_enrich",
-    "q_stream_stream_join", "q_session_window_native",
-    "q_latest_event_per_user", "q_corpus_prepare_e2e",
+    # (r04 curation: the six r03-green stream/event re-witness slots yield
+    # to this round's NEW queries — q_sessionize_events, q_event_transitions
+    # and q_ewma_daily_value all exercise the same TZ-independent events
+    # ingestion path, and the displaced six stay green under
+    # tools/oracle_check.py's identical local gate)
+    "q_sessionize_events", "q_corpus_prepare_e2e",
+    # round-6 additions (new code = highest witness priority)
+    "q_substring_span_dedup", "dedup_containment_pairs",
+    "q_corpus_drift_kl", "q_event_transitions",
+    "q_ewma_daily_value", "q_compaction_plan",
     # round-4 families, third wave: flagship metadata-driven stage, rolling
     # window, behavioral analytics, one-pass feature stats
     "q_userdata_lifecycle", "q_rolling_revenue_7d",

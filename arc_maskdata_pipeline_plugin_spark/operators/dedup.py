@@ -23,7 +23,7 @@ Scale design notes (the whole point of these ops is 100 TB dedup):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -257,22 +257,21 @@ def incremental_dedup_new_docs(
 # ---------------------------------------------------------------------------
 
 
-def jaccard_pairs(
-    shingled: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
-) -> DataFrame:
-    """Exact Jaccard over shingle sets for pairs sharing ≥1 shingle.
+def _copair_counts(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(d1, n1, d2, n2, n_common) for every doc pair sharing ≥1 shingle.
 
     ONE linear lineage, zero joins, one scan: per-doc shingle SET + size in
     one aggregation → re-explode carrying (doc, n) → bucket per shingle →
-    enumerate pairs WITH both sizes attached → count co-occurrences → Jaccard
-    from (n1, n2, n_common) directly. A formulation with a shingle self-join
-    (or size-lookup joins) evaluates the shingling pipeline once per use —
-    3 scans and 11 shuffles at last audit vs 3 shuffles here; at 100 TB the
-    rescans are the bill. Shingle buckets bound the pair space (docs sharing
-    nothing never meet); counts are exact integers → the threshold comparison
-    is engine-stable.
+    enumerate pairs WITH both sizes attached → count co-occurrences. A
+    formulation with a shingle self-join (or size-lookup joins) evaluates the
+    shingling pipeline once per use — 3 scans and 11 shuffles at last audit
+    vs 3 shuffles here; at 100 TB the rescans are the bill. Shingle buckets
+    bound the pair space (docs sharing nothing never meet); counts are exact
+    integers → downstream threshold comparisons are engine-stable.
 
-    Accepts NON-distinct shingles (set semantics from ``collect_set``)."""
+    Accepts NON-distinct shingles (set semantics from ``collect_set``).
+    Shared machinery for :func:`jaccard_pairs` and :func:`containment_pairs`.
+    """
     doc_sets = shingled.groupBy(id_col).agg(F.collect_set("shingle").alias("shs"))
     doc_sized = doc_sets.select(
         F.col(id_col), F.size("shs").alias("n"), F.explode("shs").alias("shingle")
@@ -297,7 +296,7 @@ def jaccard_pairs(
             ),
         )
     )
-    inter = (
+    return (
         buckets.select(F.explode(pairs).alias("p"))
         .groupBy(
             F.col("p.d1").alias("d1"),
@@ -307,12 +306,140 @@ def jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+
+
+def jaccard_pairs(
+    shingled: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for pairs sharing ≥1 shingle.
+
+    Jaccard from the exact (n1, n2, n_common) integers of
+    :func:`_copair_counts` — a single double division per surviving pair, so
+    the threshold comparison is engine-stable."""
+    inter = _copair_counts(shingled, id_col)
     jac = (
         F.col("n_common").cast("double")
         / (F.col("n1") + F.col("n2") - F.col("n_common")).cast("double")
     )
     return inter.select("d1", "d2", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
+    )
+
+
+def containment_pairs(
+    shingled: DataFrame, id_col: str = "doc_id", threshold: float = 0.8
+) -> DataFrame:
+    """Asymmetric near-dup: overlap coefficient |A∩B| / min(|A|, |B|).
+
+    Jaccard misses the doc-inside-doc case — a paragraph fully quoted inside
+    a 100× longer page scores |A∩B|/|A∪B| ≈ 1%, yet for training-data dedup
+    the smaller doc is pure duplication. The overlap coefficient (containment
+    of the SMALLER side) is the standard screen for it (Broder's containment,
+    "On the resemblance and containment of documents", 1997). Same
+    single-lineage pair machinery as :func:`jaccard_pairs` — exact integer
+    counts, one double division at the end; emits which side is contained so
+    survivorship can keep the superset doc."""
+    inter = _copair_counts(shingled, id_col)
+    cont = F.col("n_common").cast("double") / F.least(
+        F.col("n1"), F.col("n2")
+    ).cast("double")
+    contained = F.when(F.col("n1") <= F.col("n2"), F.col("d1")).otherwise(
+        F.col("d2")
+    )
+    return (
+        inter.select(
+            "d1",
+            "d2",
+            cont.alias("containment"),
+            contained.alias("contained_id"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-doc exact duplicated-substring coverage (ExactSubstr shape).
+
+    Lee et al., "Deduplicating Training Data Makes Language Models Better"
+    (ACL 2022) remove exact token spans (≥50 tokens) that repeat anywhere in
+    the corpus, via a suffix array. A suffix array is a single-machine
+    construct; the distributed re-expression is fixed-length span hashing:
+    every n-token window → hash → a span is duplicated iff its hash occurs in
+    ≥2 distinct docs (any repeat of a ≥n-token substring implies its n-token
+    windows repeat, so coverage of flagged windows ⊇ coverage of Lee et al.'s
+    spans at L=n).
+
+    Plan shape, in scale order: (1) spans explode partition-locally (no
+    shuffle); (2) ONE corpus-wide shuffle — groupBy(span hash) with map-side
+    combine, emitting the duplicated-hash set, which is duplicated-material-
+    sized (small); (3) flagged spans rejoin on the hash (AQE broadcasts the
+    dup set in practice) and merge into maximal islands with two windows
+    co-partitioned on doc_id — one partition-sized step per doc, never a
+    global sort. Output: one row per doc that contains duplicated material,
+    with exact integer token coverage (union of overlapping spans via
+    gaps-and-islands over a running-max of span ends).
+    """
+    tokens = F.split(F.trim(F.col(text)), r"\s+")
+    # spans feed BOTH the dup-hash aggregate and the rejoin: persist so the
+    # corpus is scanned (and the md5 span hashing paid) exactly once.
+    spans = (
+        docs.select(F.col(id_col), tokens.alias("tk"))
+        .filter(F.size("tk") >= n)
+        .select(
+            F.col(id_col),
+            F.size("tk").alias("n_tokens"),
+            F.explode(
+                F.sequence(F.lit(1), F.size(F.col("tk")) - (n - 1))
+            ).alias("start"),
+            F.col("tk"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "start",
+            (F.col("start") + (n - 1)).alias("end"),
+            F.md5(F.concat_ws(" ", F.slice(F.col("tk"), F.col("start"), n))).alias(
+                "h"
+            ),
+        )
+        .persist()
+    )
+    dup_hashes = (
+        spans.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    flagged = spans.join(dup_hashes, "h", "semi")
+    w_order = Window.partitionBy(id_col).orderBy("start")
+    prev_max_end = F.max("end").over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = flagged.withColumn(
+        "new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("start") > prev_max_end), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    cover = islands.groupBy(id_col, "n_tokens", "island").agg(
+        (F.max("end") - F.min("start") + 1).alias("cover")
+    )
+    return cover.groupBy(id_col, "n_tokens").agg(
+        F.sum("cover").cast("bigint").alias("dup_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.floor(F.sum("cover") * 1_000_000 / F.col("n_tokens"))
+        .cast("bigint")
+        .alias("dup_ppm"),
     )
 
 

@@ -326,3 +326,52 @@ def q_first_touch_attribution(spark, sf_dir):
             F.sum("revenue").cast("double").alias("attributed_revenue"),
         )
     )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, event_type, n,
+       CAST(floor(n * 1000000.0 / SUM(n) OVER (PARTITION BY prev_type))
+            AS BIGINT) AS prob_ppm
+FROM trans
+""",
+)
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences —
+    the session-model / next-event-prediction feature a behavioral pipeline
+    derives from the raw event log.
+
+    Scale shape: ONE shuffle on user_id feeds the ordered LAG window
+    (deterministic tie-break on event_id); the transition matrix is
+    |types|² rows, so the closing aggregation and the per-row probability
+    window are trivia-sized. Probabilities are integer ppm
+    (floor(1e6·n/total)) from exact counts — engine-stable."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("prev_type", F.lag("event_type").over(w))
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wt = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.floor(F.col("n") * 1_000_000.0 / F.sum("n").over(wt))
+        .cast("bigint")
+        .alias("prob_ppm"),
+    )

@@ -9,7 +9,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    containment_pairs,
     cosine_pairs,
+    duplicated_spans,
     exact_duplicates,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -113,6 +115,85 @@ def dedup_jaccard_pairs(spark, sf_dir):
     # distinct=False: jaccard_pairs dedupes via collect_set/countDistinct
     sh = word_shingles(spread(T(spark, sf_dir, "documents")), distinct=False)
     return jaccard_pairs(sh, threshold=0.5)
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       CAST(n_common AS DOUBLE) / LEAST(s1.n, s2.n) AS containment,
+       CASE WHEN s1.n <= s2.n THEN d1 ELSE d2 END AS contained_id
+FROM inter
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE CAST(n_common AS DOUBLE) / LEAST(s1.n, s2.n) >= 0.8
+""",
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Overlap-coefficient near-dup (doc-inside-doc screen) — the asymmetric
+    complement to `dedup_jaccard_pairs`; see operators/dedup.py
+    ``containment_pairs`` for the scale rationale (Broder 1997)."""
+    sh = word_shingles(spread(T(spark, sf_dir, "documents")), distinct=False)
+    return containment_pairs(sh, threshold=0.8)
+
+
+_SPAN_N = 8
+
+
+@register(
+    "q_substring_span_dedup",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+),
+spans AS (
+  SELECT doc_id, len(tk) AS n_tokens, i AS s, i + {_SPAN_N - 1} AS e,
+         md5(array_to_string(list_slice(tk, i, i + {_SPAN_N - 1}), ' ')) AS h
+  FROM toks, unnest(range(1, len(tk) - {_SPAN_N} + 2)) AS u(i)
+  WHERE len(tk) >= {_SPAN_N}
+),
+dup AS (SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+flagged AS (SELECT spans.* FROM spans SEMI JOIN dup ON spans.h = dup.h),
+isl AS (
+  SELECT doc_id, n_tokens, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM flagged
+),
+isl2 AS (
+  SELECT doc_id, n_tokens, s, e,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM isl
+),
+cover AS (
+  SELECT doc_id, n_tokens, island, MAX(e) - MIN(s) + 1 AS cover
+  FROM isl2 GROUP BY 1, 2, 3
+)
+SELECT doc_id, n_tokens,
+       CAST(SUM(cover) AS BIGINT) AS dup_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(floor(SUM(cover) * 1000000 / n_tokens) AS BIGINT) AS dup_ppm
+FROM cover GROUP BY doc_id, n_tokens
+""",
+)
+def q_substring_span_dedup(spark, sf_dir):
+    """Corpus-wide exact duplicated-span coverage per doc — the distributed
+    re-expression of Lee et al. (ACL 2022) ExactSubstr dedup; see
+    operators/dedup.py ``duplicated_spans`` for the plan-shape argument."""
+    return duplicated_spans(spread(T(spark, sf_dir, "documents")), n=_SPAN_N)
 
 
 def _simhash_oracle(positions: int = 16, prefix: int = 8) -> str:

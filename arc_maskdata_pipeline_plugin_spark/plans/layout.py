@@ -59,3 +59,68 @@ def q_zorder_layout(spark, sf_dir):
             F.max("y").cast("bigint").alias("y_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planner (the OPTIMIZE/compact shape)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 2000  # target output-file size (chars here; bytes in prod)
+
+
+@register(
+    "q_compaction_plan",
+    oracle=f"""
+WITH inv AS (
+  SELECT source, doc_id, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM documents
+),
+assigned AS (
+  SELECT source, doc_id, n_chars,
+         CAST(floor((cum - n_chars) / {_COMPACT_TARGET}) AS BIGINT) AS bin_id
+  FROM inv
+)
+SELECT source, bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_chars) AS BIGINT) AS bin_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS first_id,
+       CAST(MAX(doc_id) AS BIGINT) AS last_id
+FROM assigned GROUP BY source, bin_id
+""",
+)
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planner: pack an ordered file inventory into
+    target-sized output groups (the OPTIMIZE/bin-packing compaction shape;
+    ``documents`` stands in as the per-partition file listing, n_chars as
+    file bytes). Greedy next-fit by running size: bin = floor(cumulative
+    size BEFORE this file / target) — a pure window computation, no
+    driver-side loop, deterministic given the (source, doc_id) order.
+
+    Scale shape: compaction PLANNING runs over file-listing metadata (one
+    row per file, millions of rows at 100 TB — not data-sized). One shuffle
+    partitions the inventory by table-partition key (source); the cumsum
+    window and the bin aggregate are co-partitioned on it. The plan's
+    (source, bin_id, first_id..last_id) ranges then drive the actual
+    rewrite job's input splits."""
+    inv = T(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    assigned = inv.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_chars").over(w) - F.col("n_chars")) / _COMPACT_TARGET)
+        .cast("bigint"),
+    )
+    return assigned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("n_chars").cast("bigint").alias("bin_bytes"),
+        F.min("doc_id").cast("bigint").alias("first_id"),
+        F.max("doc_id").cast("bigint").alias("last_id"),
+    )

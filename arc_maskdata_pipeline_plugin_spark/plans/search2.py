@@ -259,3 +259,124 @@ def q_hybrid_rrf_search(spark, sf_dir):
         fused.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _RRF_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift: per-source unigram KL divergence vs the whole corpus
+# ---------------------------------------------------------------------------
+
+_KL_VOCAB = 200  # global top-N terms entering the divergence
+
+
+@register(
+    "q_corpus_drift_kl",
+    oracle=f"""
+WITH tk AS (SELECT source, {_TOKS_SQL} AS toks FROM documents),
+occ AS (SELECT source, unnest(toks) AS term FROM tk),
+cnt AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c_s
+        FROM occ GROUP BY 1, 2),
+gcnt AS (SELECT term, CAST(SUM(c_s) AS BIGINT) AS c_g FROM cnt GROUP BY term),
+vocab AS (
+  SELECT term, c_g FROM (
+    SELECT term, c_g,
+           ROW_NUMBER() OVER (ORDER BY c_g DESC, term) AS rn
+    FROM gcnt
+  ) WHERE rn <= {_KL_VOCAB}
+),
+ng AS (SELECT CAST(SUM(c_g) AS BIGINT) AS n_g,
+              CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+ns AS (
+  SELECT c.source, CAST(SUM(c.c_s) AS BIGINT) AS n_s
+  FROM cnt c SEMI JOIN vocab v ON c.term = v.term
+  GROUP BY c.source
+),
+grid AS (
+  SELECT ns.source, ns.n_s, v.term, v.c_g, COALESCE(c.c_s, 0) AS c_s
+  FROM ns CROSS JOIN vocab v
+  LEFT JOIN cnt c ON c.source = ns.source AND c.term = v.term
+),
+contrib AS (
+  SELECT source, n_s,
+         CAST(floor(
+           (CAST(c_s + 1 AS DOUBLE) / (n_s + ng.v))
+           * ln((CAST(c_s + 1 AS DOUBLE) * (ng.n_g + ng.v))
+                / (CAST(c_g + 1 AS DOUBLE) * (n_s + ng.v)))
+           * 1000000000) AS BIGINT) AS kl_term_fp9
+  FROM grid CROSS JOIN ng
+)
+SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
+       CAST(SUM(kl_term_fp9) AS BIGINT) AS kl_fp9
+FROM contrib GROUP BY source, n_s
+""",
+)
+def q_corpus_drift_kl(spark, sf_dir):
+    """Per-source unigram KL(source ‖ corpus) over the global top-200 terms
+    with add-one smoothing — the domain-shift monitor a training-data
+    pipeline runs between corpus snapshots / across sources.
+
+    Scale shape: the ONE corpus-wide shuffle is the (source, term) count
+    with map-side combine; everything after operates on vocab-sized frames
+    (|sources| x 200 grid). Engine parity: probabilities are ratios of exact
+    integers, each term's p*ln(p/q) is floored to fp9 integer BEFORE the
+    per-source sum, so aggregation order cannot perturb the result (same
+    discipline as q_word_pmi's pmi_fp6)."""
+    docs = spread(T(spark, sf_dir, "documents"))
+    occ = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "filter(transform(split(lower(trim(text)), '\\\\s+'), "
+                "t -> regexp_replace(t, '[^a-z0-9]', '')), t -> t != '')"
+            )
+        ).alias("term"),
+    )
+    # cnt is consumed three times (global counts, per-source totals, the
+    # grid join); it is vocab-of-corpus-sized after the ONE corpus shuffle,
+    # so persist it rather than re-running the tokenize+count pipeline.
+    cnt = occ.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_s")
+    ).persist()
+    glob = cnt.groupBy("term").agg(F.sum("c_s").cast("bigint").alias("c_g"))
+    w = Window.orderBy(F.desc("c_g"), "term")
+    vocab = (
+        glob.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KL_VOCAB)
+        .drop("rn")
+    )
+    ng = vocab.agg(
+        F.sum("c_g").cast("bigint").alias("n_g"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    ns = (
+        cnt.join(F.broadcast(vocab.select("term")), "term", "semi")
+        .groupBy("source")
+        .agg(F.sum("c_s").cast("bigint").alias("n_s"))
+    )
+    grid = (
+        ns.crossJoin(F.broadcast(vocab))
+        .join(cnt, ["source", "term"], "left")
+        .withColumn("c_s", F.coalesce(F.col("c_s"), F.lit(0)))
+        .crossJoin(F.broadcast(ng))
+    )
+    # smoothing constant = the ACTUAL vocab size (<= _KL_VOCAB cap): with a
+    # literal cap the smoothed p/q would not sum to 1 when the corpus
+    # vocabulary is smaller than the cap, and Gibbs' KL >= 0 would not hold.
+    v = F.col("v")
+    p = (F.col("c_s") + 1).cast("double") / (F.col("n_s") + v)
+    ratio = ((F.col("c_s") + 1).cast("double") * (F.col("n_g") + v)) / (
+        (F.col("c_g") + 1).cast("double") * (F.col("n_s") + v)
+    )
+    contrib = grid.select(
+        "source",
+        "n_s",
+        F.floor(p * F.log(ratio) * 1_000_000_000).cast("bigint").alias(
+            "kl_term_fp9"
+        ),
+    )
+    return contrib.groupBy("source", "n_s").agg(
+        F.sum("kl_term_fp9").cast("bigint").alias("kl_fp9")
+    ).select(
+        "source",
+        F.col("n_s").alias("n_tokens"),
+        "kl_fp9",
+    )

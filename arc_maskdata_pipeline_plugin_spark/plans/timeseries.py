@@ -220,3 +220,84 @@ def q_gap_fill_interpolate(spark, sf_dir):
         .cast("bigint")
         .alias("val_fp6"),
     )
+
+
+# Gap-aware EWMA weights, fixed-point 1e12: W[k] = floor(a·(1-a)^k · 1e12),
+# a = 0.3, truncated at 30 days (residual mass (1-a)^30 ≈ 2e-5). Generated
+# ONCE in Python and inlined as the same integer literals into the Spark plan
+# and the DuckDB oracle — the weight table cannot diverge across engines by
+# construction (no cross-engine pow()).
+_EWMA_ALPHA = 0.3
+_EWMA_K = 30
+_EWMA_W = [int(_EWMA_ALPHA * ((1 - _EWMA_ALPHA) ** k) * 1_000_000_000_000) for k in range(_EWMA_K)]
+
+
+@register(
+    "q_ewma_daily_value",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(10,2))) * 100 AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+terms AS (
+  SELECT t.event_type, t.day, t.cents,
+         CAST(([{", ".join(str(w) for w in _EWMA_W)}])
+              [date_diff('day', s.day, t.day) + 1] AS DECIMAL(38,0))
+           * s.cents AS term
+  FROM daily t
+  JOIN daily s ON s.event_type = t.event_type
+              AND s.day BETWEEN t.day - {_EWMA_K - 1} AND t.day
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cents,
+       CAST(CAST(SUM(term) AS DOUBLE) / 100000000000000 AS DOUBLE) AS ewma
+FROM terms GROUP BY event_type, day, cents
+""",
+)
+def q_ewma_daily_value(spark, sf_dir):
+    """Gap-aware exponentially-weighted moving average of daily event value
+    per type — the smoothing pass behind anomaly/trend monitors. The weight
+    for a day k calendar days back is a·(1-a)^k, so calendar gaps decay
+    correctly (a row-recursive EWMA over observed rows would not).
+
+    Scale shape: the fact table contributes ONE map-side-combined group-by to
+    a calendar-sized daily frame; the trailing-30-day self-join and the
+    weighted sum run entirely on that frame (≤366·|types| rows/year — plan
+    cost independent of event volume). Engine parity: daily sums are exact
+    DECIMAL cents, weights are fixed-point integers inlined from Python into
+    BOTH plans, each term is DECIMAL(38,0)·BIGINT — the only double appears
+    in the final single cast."""
+    e = T(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(10,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    ).persist()  # both sides of the trailing-window self-join; calendar-sized
+    t, s = daily.alias("t"), daily.alias("s")
+    warr = F.array(*[F.lit(w) for w in _EWMA_W])
+    k = F.datediff(F.col("t.day"), F.col("s.day"))
+    terms = t.join(
+        s,
+        (F.col("s.event_type") == F.col("t.event_type"))
+        & (F.col("s.day") >= F.date_sub(F.col("t.day"), _EWMA_K - 1))
+        & (F.col("s.day") <= F.col("t.day")),
+    ).select(
+        F.col("t.event_type").alias("event_type"),
+        F.col("t.day").alias("day"),
+        F.col("t.cents").alias("cents"),
+        (
+            F.element_at(warr, k + 1).cast("decimal(38,0)") * F.col("s.cents")
+        ).alias("term"),
+    )
+    return terms.groupBy("event_type", "day", "cents").agg(
+        (F.sum("term").cast("double") / F.lit(100_000_000_000_000.0))
+        .cast("double")
+        .alias("ewma"),
+    ).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "cents",
+        "ewma",
+    )

@@ -89,6 +89,13 @@ HEADLINE = [
     "q_triangle_count",
     "q_dau_wau_stickiness",
     "q_entity_resolution",
+    # round 6: ExactSubstr-shape span dedup (one corpus shuffle on span
+    # hash), containment near-dup (shared pair machinery with Jaccard),
+    # per-source drift KL (one corpus count shuffle), gap-aware EWMA
+    "q_substring_span_dedup",
+    "dedup_containment_pairs",
+    "q_corpus_drift_kl",
+    "q_ewma_daily_value",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

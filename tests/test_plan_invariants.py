@@ -434,3 +434,88 @@ def test_phash_partition_local(spark):
     a = props("q_multimodal_phash", spark)
     assert a["python_ops"] >= 1
     assert a["exchanges"] <= 1  # only the spread() round-robin on local
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: containment, span dedup, drift KL, transitions, EWMA,
+# compaction
+# ---------------------------------------------------------------------------
+
+
+def test_containment_shares_jaccard_shape(spark):
+    """Same one-lineage group-then-enumerate machinery as Jaccard: no join
+    operators, bounded shuffles, one scan."""
+    a = props("dedup_containment_pairs", spark)
+    assert a["scans"] == 1
+    assert a["sort_merge_joins"] == 0 and a["broadcasts"] == 0
+    assert a["exchanges"] <= 4
+
+
+def test_span_dedup_semi_join_broadcasts(spark):
+    """The duplicated-hash set is small -> its rejoin onto spans must stay a
+    broadcast semi join, never a sort-merge over the corpus; island merging
+    is windows, not joins."""
+    a = props("q_substring_span_dedup", spark)
+    assert a["broadcasts"] >= 1
+    assert a["sort_merge_joins"] == 0
+    assert a["python_ops"] == 0
+
+
+def test_span_dedup_spans_cached_once(spark):
+    """Span hashing (the expensive md5 explode) is persisted: both consumers
+    read the cache instead of re-scanning the corpus."""
+    plan = (
+        QUERIES["q_substring_span_dedup"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_drift_kl_counts_cached_once(spark):
+    """The (source, term) count frame feeds three consumers from cache; all
+    vocab-sized joins stay broadcast."""
+    plan = (
+        QUERIES["q_corpus_drift_kl"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("InMemoryTableScan") >= 3
+    a = props("q_corpus_drift_kl", spark)
+    assert a["sort_merge_joins"] == 0
+    assert a["python_ops"] == 0
+
+
+def test_event_transitions_single_user_shuffle(spark):
+    """One shuffle on user_id for the LAG window; the |types|^2 close-out
+    aggregation adds at most two trivia-sized exchanges."""
+    a = props("q_event_transitions", spark)
+    assert a["scans"] == 1
+    assert a["exchanges"] <= 3
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+
+
+def test_ewma_joins_calendar_frames_only(spark):
+    """The trailing-window self-join runs on the cached calendar-sized daily
+    aggregate (broadcast), never on the fact table."""
+    plan = (
+        QUERIES["q_ewma_daily_value"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("InMemoryTableScan") >= 2
+    a = props("q_ewma_daily_value", spark)
+    assert a["sort_merge_joins"] == 0
+    assert a["broadcasts"] >= 1
+
+
+def test_compaction_plan_one_shuffle(spark):
+    """Planner = one partition-key shuffle; cumsum window and bin aggregate
+    are co-partitioned on it."""
+    a = props("q_compaction_plan", spark)
+    assert a["scans"] == 1
+    assert a["exchanges"] == 1
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0

@@ -1,0 +1,253 @@
+"""Semantics tests for the round-4 additions: containment near-dup,
+duplicated-span coverage (ExactSubstr shape), corpus-drift KL, event
+transitions, gap-aware EWMA, and the compaction planner.
+
+Engine parity for all six is proven by the oracle gate
+(tools/oracle_check.py); these tests pin the SEMANTICS on constructed
+inputs with hand-computable answers.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from arc_maskdata_pipeline_plugin_spark.operators.dedup import (
+    containment_pairs,
+    duplicated_spans,
+    word_shingles,
+)
+
+
+# ---------------------------------------------------------------------------
+# containment (overlap coefficient)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def contain_docs(spark):
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " eta theta iota kappa " + "filler " * 30
+    return spark.createDataFrame(
+        [
+            (1, small),  # fully contained in 2
+            (2, big),
+            (3, "totally unrelated words about query engines and shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_containment_catches_doc_inside_doc(contain_docs):
+    sh = word_shingles(contain_docs, distinct=False)
+    rows = containment_pairs(sh, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.d1, r.d2) == (1, 2)
+    assert r.contained_id == 1  # the smaller side is the contained one
+    assert r.containment == 1.0  # every shingle of 1 appears in 2
+
+
+def test_jaccard_would_miss_the_same_pair(contain_docs):
+    from arc_maskdata_pipeline_plugin_spark.operators.dedup import jaccard_pairs
+
+    sh = word_shingles(contain_docs, distinct=False)
+    assert jaccard_pairs(sh, threshold=0.5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# duplicated spans
+# ---------------------------------------------------------------------------
+
+
+def test_duplicated_spans_coverage_and_islands(spark):
+    shared = "one two three four five six seven eight"  # 8 tokens, one span
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} filler9 filler10"),
+            (2, f"prefix0 {shared}"),
+            (3, "nothing in common with the others at all ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in duplicated_spans(docs, n=8).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].dup_tokens == 8 and out[1].n_islands == 1
+    assert out[2].dup_tokens == 8 and out[2].n_islands == 1
+    assert out[1].n_tokens == 10
+    assert out[1].dup_ppm == math.floor(8 * 1_000_000 / 10)
+
+
+def test_duplicated_spans_merges_overlaps(spark):
+    # 10 shared tokens -> three overlapping 8-spans in each doc; coverage
+    # must count the UNION (10 tokens), not 3x8.
+    shared = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    docs = spark.createDataFrame(
+        [(1, shared + " x y z"), (2, "p q " + shared)],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in duplicated_spans(docs, n=8).collect()}
+    assert out[1].dup_tokens == 10 and out[1].n_islands == 1
+    assert out[2].dup_tokens == 10 and out[2].n_islands == 1
+
+
+def test_duplicated_spans_two_islands(spark):
+    s1 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    s2 = "c1 c2 c3 c4 c5 c6 c7 c8"
+    gap = "g1 g2 g3 g4 g5"
+    docs = spark.createDataFrame(
+        [(1, f"{s1} {gap} {s2}"), (2, s1), (3, s2)],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in duplicated_spans(docs, n=8).collect()}
+    assert out[1].n_islands == 2 and out[1].dup_tokens == 16
+    # within-doc repetition alone must NOT flag (needs >=2 distinct docs)
+    solo = spark.createDataFrame(
+        [(1, f"{s1} {s1}"), (2, "unrelated " * 10)], ["doc_id", "text"]
+    )
+    assert duplicated_spans(solo, n=8).filter(F.col("doc_id") == 2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# corpus drift KL
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_drift_kl_orders_sources_by_skew(spark, tmp_path, sf_medium):
+    from arc_maskdata_pipeline_plugin_spark.plans.search2 import q_corpus_drift_kl
+
+    rows = {r.source: r for r in q_corpus_drift_kl(spark, sf_medium).collect()}
+    assert len(rows) == 20
+    # KL >= 0 up to fp9 flooring (each term floored -> sum can dip slightly
+    # below zero by at most one ulp per term; vocab=200 -> bound -200)
+    assert all(r.kl_fp9 >= -200 for r in rows.values())
+    assert all(r.n_tokens > 0 for r in rows.values())
+
+
+def test_corpus_drift_kl_zero_for_identical_distribution(spark):
+    # two sources with IDENTICAL token multisets -> smoothed distributions
+    # still differ from the pooled corpus only via flooring; both KLs equal.
+    docs = spark.createDataFrame(
+        [(1, "x y z x", "s1"), (2, "x y z x", "s2")],
+        ["doc_id", "text", "source"],
+    )
+    docs.createOrReplaceTempView("ignored")  # not used; direct call below
+    from arc_maskdata_pipeline_plugin_spark.plans import search2
+
+    # re-run the pipeline body on the tiny frame via a monkeypatched T
+    import arc_maskdata_pipeline_plugin_spark.plans.registry as reg
+
+    orig_t = reg.T
+    try:
+        reg.T = lambda sp, sf, name: docs  # noqa: ARG005
+        search2.T = reg.T
+        out = {r.source: r.kl_fp9 for r in search2.q_corpus_drift_kl(spark, "x").collect()}
+    finally:
+        reg.T = orig_t
+        search2.T = orig_t
+    assert out["s1"] == out["s2"]
+
+
+# ---------------------------------------------------------------------------
+# event transitions
+# ---------------------------------------------------------------------------
+
+
+def test_event_transitions_counts_and_ppm(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> a
+        (1, base, 1, "a"),
+        (2, base + dt.timedelta(minutes=1), 1, "b"),
+        (3, base + dt.timedelta(minutes=2), 1, "a"),
+        # user 2: a -> b
+        (4, base, 2, "a"),
+        (5, base + dt.timedelta(minutes=1), 2, "b"),
+    ]
+    events = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+
+    import arc_maskdata_pipeline_plugin_spark.plans.registry as reg
+    from arc_maskdata_pipeline_plugin_spark.plans import behavior
+
+    orig_t = reg.T
+    try:
+        behavior.T = lambda sp, sf, name: events  # noqa: ARG005
+        out = {
+            (r.prev_type, r.event_type): (r.n, r.prob_ppm)
+            for r in behavior.q_event_transitions(spark, "x").collect()
+        }
+    finally:
+        behavior.T = orig_t
+    assert out[("a", "b")] == (2, 1_000_000)  # a always goes to b
+    assert out[("b", "a")] == (1, 1_000_000)
+    assert ("a", "a") not in out
+
+
+# ---------------------------------------------------------------------------
+# EWMA
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_decays_toward_recent_values(spark, sf_medium):
+    from arc_maskdata_pipeline_plugin_spark.plans.timeseries import (
+        _EWMA_ALPHA,
+        _EWMA_W,
+        q_ewma_daily_value,
+    )
+
+    # weight table sanity: strictly decreasing, ~alpha at k=0, sums < 1e12
+    assert _EWMA_W[0] == int(_EWMA_ALPHA * 1e12)
+    assert all(a > b for a, b in zip(_EWMA_W, _EWMA_W[1:]))
+    assert sum(_EWMA_W) < 1_000_000_000_000
+
+    out = q_ewma_daily_value(spark, sf_medium)
+    rows = out.filter(F.col("event_type") == "purchase").orderBy("day").collect()
+    assert len(rows) == 30
+    # first day: ewma = alpha * value (only one term in the window)
+    first = rows[0]
+    expected = _EWMA_W[0] * first.cents / 1e14
+    assert abs(first.ewma - expected) < 1e-9
+    # exact recomputation from the weight table (gap-aware by calendar day)
+    import datetime as dt
+
+    cents = {dt.date.fromisoformat(r.day): r.cents for r in rows}
+    for r in rows:
+        day = dt.date.fromisoformat(r.day)
+        acc = sum(
+            _EWMA_W[k] * cents.get(day - dt.timedelta(days=k), 0)
+            for k in range(len(_EWMA_W))
+        )
+        assert r.ewma == acc / 1e14
+
+
+# ---------------------------------------------------------------------------
+# compaction planner
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_bins_respect_target(spark, sf_medium):
+    from arc_maskdata_pipeline_plugin_spark.plans.layout import (
+        _COMPACT_TARGET,
+        q_compaction_plan,
+    )
+
+    plan = q_compaction_plan(spark, sf_medium).collect()
+    docs_n = 500
+    assert sum(r.n_files for r in plan) == docs_n  # every file assigned once
+    for r in plan:
+        # next-fit invariant: a bin only exceeds target by less than its
+        # last file's size -> strictly less than target + max file size
+        assert r.bin_bytes < _COMPACT_TARGET + 553 + 1
+        assert r.first_id <= r.last_id
+    # bins within a source are contiguous, non-overlapping id ranges
+    by_src: dict[str, list] = {}
+    for r in plan:
+        by_src.setdefault(r.source, []).append(r)
+    for src, bins in by_src.items():
+        bins.sort(key=lambda r: r.bin_id)
+        for a, b in zip(bins, bins[1:]):
+            assert a.last_id < b.first_id
