@@ -107,9 +107,13 @@ GATE_WINDOW = [
     # window, behavioral analytics, one-pass feature stats
     "q_userdata_lifecycle", "q_rolling_revenue_7d",
     "q_cohort_retention", "q_funnel_conversion",
-    "q_feature_correlation", "q_value_histogram",
-    "q_incremental_rollup", "q_winsorize_prices",
     "q_temperature_mix", "q_rag_index_build",
+    # round-6 additions, second batch (displacing q_feature_correlation,
+    # q_value_histogram, q_incremental_rollup, q_winsorize_prices to r05 —
+    # their formulas are independently numpy-cross-checked in
+    # tests/test_stats2.py and stay green under the local gate mirror)
+    "q_t_closeness_audit", "q_table_fingerprint",
+    "q_ngram_diversity", "q_weighted_sample",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 

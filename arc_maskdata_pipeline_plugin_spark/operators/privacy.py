@@ -110,3 +110,59 @@ def suppress_small_classes(
         else:
             out_cols.append(F.col(name))
     return df.select(*out_cols, (class_n >= F.lit(k)).alias("is_released"))
+
+
+def t_closeness_audit(
+    df: DataFrame, qi_cols: list[str], sensitive: str, t_fp9: int
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007): a class
+    passes when the total-variation distance between ITS sensitive-attribute
+    distribution and the GLOBAL one is <= t. k-anonymity bounds re-identifiability
+    and l-diversity bounds homogeneity, but a class can satisfy both while its
+    sensitive distribution still leaks (skewness attack) — TVD closes that gap
+    for unordered categoricals.
+
+    Exactness at scale: TVD = (1/2)·Σ_s |n_cs/n_c − n_gs/n_g| is computed over
+    the COMMON denominator n_c·n_g, so every per-segment term
+    |n_cs·n_g − n_gs·n_c| is an exact integer; terms sum in DECIMAL(38,0)
+    (order-independent) and ONE floor-division to fp9 closes the class — no
+    double is ever summed, so the audit is bit-stable across engines and
+    partitionings.
+
+    Plan shape: one hash aggregate on (QI, sensitive) with map-side combine;
+    everything after (class totals, global marginals, the class x |S| grid)
+    is class-frame-sized, joined broadcast.
+    """
+    cls = df.groupBy(*qi_cols, sensitive).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cs")
+    )
+    totals = cls.groupBy(*qi_cols).agg(F.sum("n_cs").cast("bigint").alias("n_c"))
+    marg = cls.groupBy(sensitive).agg(F.sum("n_cs").cast("bigint").alias("n_gs"))
+    ntot = marg.agg(F.sum("n_gs").cast("bigint").alias("n_g"))
+    grid = (
+        totals.crossJoin(F.broadcast(marg))
+        .join(cls, [*qi_cols, sensitive], "left")
+        .withColumn("n_cs", F.coalesce(F.col("n_cs"), F.lit(0)))
+        .crossJoin(F.broadcast(ntot))
+    )
+    term = F.abs(
+        F.col("n_cs").cast("decimal(38,0)") * F.col("n_g")
+        - F.col("n_gs").cast("decimal(38,0)") * F.col("n_c")
+    )
+    agg = grid.groupBy(*qi_cols, "n_c", "n_g").agg(
+        F.sum(term).alias("tvd_num")
+    )
+    # Final division in DOUBLE, not decimal: Spark and DuckDB round decimal
+    # quotients to different scales, but both run the same IEEE ops on the
+    # same inputs — the floored fp9 value is cross-engine identical.
+    tvd_fp9 = F.floor(
+        F.col("tvd_num").cast("double")
+        * 1_000_000_000.0
+        / (F.lit(2.0) * F.col("n_c") * F.col("n_g"))
+    ).cast("bigint")
+    return agg.select(
+        *qi_cols,
+        F.col("n_c").alias("n"),
+        tvd_fp9.alias("tvd_fp9"),
+        (tvd_fp9 <= F.lit(t_fp9)).alias("is_t_close"),
+    )

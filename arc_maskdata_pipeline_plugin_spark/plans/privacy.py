@@ -16,6 +16,7 @@ from ..operators.privacy import (
     k_anonymity_audit,
     l_diversity_audit,
     suppress_small_classes,
+    t_closeness_audit,
 )
 from .registry import T, dec, register
 
@@ -311,4 +312,63 @@ def q_gdpr_erasure_audit(spark, sf_dir):
         erase(e, "events", "user_id")
         .unionAll(erase(T(spark, sf_dir, "orders"), "orders", "o_custkey"))
         .unionAll(erase(T(spark, sf_dir, "customer"), "customer", "c_custkey"))
+    )
+
+
+_T_FP9 = 300_000_000  # t = 0.30
+
+
+@register(
+    "q_t_closeness_audit",
+    oracle=f"""
+WITH cls AS (
+  SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cs
+  FROM customer GROUP BY 1, 2, 3
+),
+totals AS (
+  SELECT c_nationkey, bal_band, CAST(SUM(n_cs) AS BIGINT) AS n_c
+  FROM cls GROUP BY 1, 2
+),
+marg AS (
+  SELECT c_mktsegment, CAST(SUM(n_cs) AS BIGINT) AS n_gs FROM cls GROUP BY 1
+),
+ntot AS (SELECT CAST(SUM(n_gs) AS BIGINT) AS n_g FROM marg),
+grid AS (
+  SELECT t.c_nationkey, t.bal_band, t.n_c, m.c_mktsegment, m.n_gs,
+         COALESCE(c.n_cs, 0) AS n_cs
+  FROM totals t CROSS JOIN marg m
+  LEFT JOIN cls c ON c.c_nationkey = t.c_nationkey
+                 AND c.bal_band = t.bal_band
+                 AND c.c_mktsegment = m.c_mktsegment
+),
+agg AS (
+  SELECT c_nationkey, bal_band, n_c, n_g,
+         SUM(abs(CAST(n_cs AS DECIMAL(38,0)) * n_g
+                 - CAST(n_gs AS DECIMAL(38,0)) * n_c)) AS tvd_num
+  FROM grid CROSS JOIN ntot
+  GROUP BY 1, 2, 3, 4
+)
+SELECT c_nationkey, bal_band, CAST(n_c AS BIGINT) AS n,
+       CAST(floor(CAST(tvd_num AS DOUBLE) * 1000000000.0
+                  / (2.0 * n_c * n_g)) AS BIGINT) AS tvd_fp9,
+       CAST(floor(CAST(tvd_num AS DOUBLE) * 1000000000.0
+                  / (2.0 * n_c * n_g)) AS BIGINT) <= {_T_FP9} AS is_t_close
+FROM agg
+""",
+)
+def q_t_closeness_audit(spark, sf_dir):
+    """t-closeness audit (t = 0.30) completing the k-anonymity /
+    l-diversity / t-closeness release-risk triple: per (nation, balance-band)
+    class, the total-variation distance between the class's market-segment
+    distribution and the global one, computed entirely in exact integers over
+    a common denominator (see ``operators/privacy.py::t_closeness_audit``)."""
+    cust = T(spark, sf_dir, "customer").withColumn(
+        "bal_band", band("c_acctbal", 1000)
+    )
+    return t_closeness_audit(
+        cust.select("c_nationkey", "bal_band", "c_mktsegment"),
+        ["c_nationkey", "bal_band"],
+        "c_mktsegment",
+        _T_FP9,
     )

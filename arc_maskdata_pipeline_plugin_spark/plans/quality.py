@@ -282,3 +282,49 @@ def q_auto_join_revenue(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum(dec("o_totalprice", 18, 2)).cast("double").alias("total_revenue"),
     )
+
+
+@register(
+    "q_table_fingerprint",
+    oracle="""
+WITH rows_fp AS (
+  SELECT o_orderstatus,
+         CAST(('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+             || '|' || o_orderstatus || '|'
+             || strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+             || '|' || o_orderpriority), 1, 12)) AS BIGINT) AS fp48
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(fp48) AS VARCHAR) AS checksum
+FROM rows_fp GROUP BY o_orderstatus
+""",
+)
+def q_table_fingerprint(spark, sf_dir):
+    """Order-insensitive table checksum (anti-entropy fingerprint): each row
+    canonicalizes to a delimited string, hashes to a 48-bit integer, and the
+    per-partition-key SUM is the fingerprint. Two replicas (or a table before
+    and after a migration/backfill) compare fingerprints per key instead of
+    shipping data — the Merkle-less integrity check Cassandra-style repair
+    and lakehouse migrations rely on, here as one map-side-combined hash
+    aggregate over a single scan.
+
+    SUM (not XOR) so duplicated-row corruption changes the value; 48-bit row
+    hashes summed in DECIMAL(38,0) cannot overflow below ~1e25 rows; emitted
+    as a string so both engines' wide-integer types compare exactly."""
+    o = T(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    fp48 = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("decimal(38,0)")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(fp48).cast("decimal(38,0)").cast("string").alias("checksum"),
+    )

@@ -380,3 +380,62 @@ def q_corpus_drift_kl(spark, sf_dir):
         F.col("n_s").alias("n_tokens"),
         "kl_fp9",
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus diversity: distinct-n ratios per source (self-repetition diagnostic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ngram_diversity",
+    oracle=f"""
+WITH tk AS (SELECT source, {_TOKS_SQL} AS toks FROM documents),
+bi AS (
+  SELECT source,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM tk
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS total_bigrams,
+       CAST(COUNT(DISTINCT bigram) AS BIGINT) AS distinct_bigrams,
+       CAST(floor(COUNT(DISTINCT bigram) * 1000000.0 / COUNT(*)) AS BIGINT)
+         AS distinct_ratio_fp6
+FROM bi GROUP BY source
+""",
+)
+def q_ngram_diversity(spark, sf_dir):
+    """Distinct-2 diversity per source (the distinct-n metric of Li et al.
+    2016, standard for detecting templated/self-repetitive corpora): distinct
+    bigrams over total bigrams, fp6. A source whose ratio collapses is boiler-
+    plate and should be downweighted before training.
+
+    One corpus-wide aggregate on (source, bigram) with map-side combine (the
+    COUNT DISTINCT's internal expand); bigram explode is partition-local."""
+    docs = spread(T(spark, sf_dir, "documents"))
+    toked = docs.select(
+        "source",
+        F.expr(
+            "filter(transform(split(lower(trim(text)), '\\\\s+'), "
+            "t -> regexp_replace(t, '[^a-z0-9]', '')), t -> t != '')"
+        ).alias("toks"),
+    )
+    bi = toked.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 1, 0)), "
+                "i -> concat(toks[i - 1], ' ', toks[i]))"
+            )
+        ).alias("bigram"),
+    )
+    return bi.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_bigrams"),
+        F.countDistinct("bigram").cast("bigint").alias("distinct_bigrams"),
+        F.floor(
+            F.countDistinct("bigram") * 1_000_000.0 / F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("distinct_ratio_fp6"),
+    )

@@ -617,3 +617,56 @@ def q_exact_k_per_group(spark, sf_dir):
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 100)
     )
+
+
+_WS_K = 100  # weighted-sample size
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         -ln((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 12))
+                   AS BIGINT) + 1) / 281474976710657.0) / n_chars AS k
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS INTEGER) AS rank
+FROM keyed
+QUALIFY rank <= {_WS_K}
+""",
+)
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement, k=100, weight = n_chars —
+    Efraimidis-Spirakis A-ES (IPL 2006): each item draws u in (0,1] and the
+    k items with the smallest -ln(u)/w win; inclusion probability is
+    proportional to weight, and the draw distributes as a single pass with a
+    per-partition top-k (Spark's row_number + filter pushes TopK into each
+    partition before the single final merge — never a global sort of the
+    corpus).
+
+    Determinism: u derives from md5(doc_id) (seeded, reproducible, and
+    engine-identical); the exponential key is one ln + one division on
+    identical doubles, so ordering matches DuckDB bit-for-bit."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(281474976710657.0)  # 2^48 + 1 -> u in (0, 1]
+    keyed = docs.withColumn("k", -F.log(u) / F.col("n_chars"))
+    w = Window.orderBy("k", "doc_id")
+    # filter on the RAW row_number (cast only afterwards): the optimizer
+    # rewrites the rank filter to GlobalLimit/LocalLimit over the sort,
+    # which executes as TakeOrderedAndProject — a per-partition top-k heap
+    # with a k-sized merge; the residual Window then runs over 100 rows,
+    # never the corpus (frozen in tests/test_plan_invariants.py).
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _WS_K)
+        .select("doc_id", "n_chars", F.col("rank").cast("int").alias("rank"))
+    )

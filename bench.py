@@ -96,6 +96,10 @@ HEADLINE = [
     "dedup_containment_pairs",
     "q_corpus_drift_kl",
     "q_ewma_daily_value",
+    # round 6 (cont.): anti-entropy checksum (one aggregate over 5 cols),
+    # A-ES weighted top-k sample (TakeOrderedAndProject path)
+    "q_table_fingerprint",
+    "q_weighted_sample",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -519,3 +519,40 @@ def test_compaction_plan_one_shuffle(spark):
     assert a["scans"] == 1
     assert a["exchanges"] == 1
     assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+
+
+def test_t_closeness_broadcast_grid(spark):
+    """Marginals/total frames broadcast onto the class frame; the only
+    corpus-sized step is the (QI, sensitive) hash aggregate."""
+    a = props("q_t_closeness_audit", spark)
+    assert a["broadcasts"] >= 2
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+
+
+def test_table_fingerprint_single_aggregate(spark):
+    """Checksum = one scan, one map-side-combined shuffle, nothing else."""
+    a = props("q_table_fingerprint", spark)
+    assert a["scans"] == 1 and a["exchanges"] == 1
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+
+
+def test_ngram_diversity_bounded_shuffles(spark):
+    """Bigram explode is partition-local; the distinct-count expand adds at
+    most two exchanges over the (source, bigram) aggregate."""
+    a = props("q_ngram_diversity", spark)
+    assert a["scans"] == 1 and a["exchanges"] <= 3
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+
+
+def test_weighted_sample_is_topk_not_global_sort(spark):
+    """A-ES sampling must execute as TakeOrderedAndProject (per-partition
+    top-k heap + k-sized merge), never a full corpus sort."""
+    plan = (
+        QUERIES["q_weighted_sample"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    a = props("q_weighted_sample", spark)
+    assert a["exchanges"] == 0 and a["python_ops"] == 0

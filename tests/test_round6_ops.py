@@ -251,3 +251,127 @@ def test_compaction_bins_respect_target(spark, sf_medium):
         bins.sort(key=lambda r: r.bin_id)
         for a, b in zip(bins, bins[1:]):
             assert a.last_id < b.first_id
+
+
+# ---------------------------------------------------------------------------
+# t-closeness
+# ---------------------------------------------------------------------------
+
+
+def test_t_closeness_flags_skewed_class(spark):
+    from arc_maskdata_pipeline_plugin_spark.operators.privacy import t_closeness_audit
+
+    # global: 50/50 A,B.  class g1 mirrors it (tvd 0); class g2 is all-A
+    # (tvd 0.5) -> fails t=0.3 even though it is k-anonymous and l-diverse
+    # would pass l=1.
+    rows = (
+        [("g1", "A")] * 5 + [("g1", "B")] * 5 + [("g2", "A")] * 5 + [("g2", "B")] * 0
+        + [("g3", "B")] * 5
+    )
+    df = spark.createDataFrame(rows, ["qi", "s"])
+    out = {r.qi: r for r in t_closeness_audit(df, ["qi"], "s", 300_000_000).collect()}
+    assert out["g1"].tvd_fp9 == 0 and out["g1"].is_t_close
+    assert out["g2"].tvd_fp9 == 500_000_000 and not out["g2"].is_t_close
+    assert out["g3"].tvd_fp9 == 500_000_000 and not out["g3"].is_t_close
+
+
+# ---------------------------------------------------------------------------
+# table fingerprint
+# ---------------------------------------------------------------------------
+
+
+def test_table_fingerprint_order_insensitive_and_sensitive_to_change(spark, sf_medium):
+    from arc_maskdata_pipeline_plugin_spark.plans.quality import q_table_fingerprint
+
+    base = {r.o_orderstatus: r.checksum for r in q_table_fingerprint(spark, sf_medium).collect()}
+    # recompute over a reshuffled scan -> identical checksums (SUM is
+    # order-insensitive by construction)
+    again = {r.o_orderstatus: r.checksum for r in q_table_fingerprint(spark, sf_medium).collect()}
+    assert base == again and len(base) == 3
+
+    # a single-row mutation must change exactly the touched partition's sum
+    import arc_maskdata_pipeline_plugin_spark.plans.quality as qmod
+    import arc_maskdata_pipeline_plugin_spark.plans.registry as reg
+
+    orig_t = reg.T
+    o = orig_t(spark, sf_medium, "orders")
+    from pyspark.sql import functions as SF
+
+    mutated = o.withColumn(
+        "o_custkey",
+        SF.when(SF.col("o_orderkey") == o.select(SF.min("o_orderkey")).collect()[0][0],
+                SF.col("o_custkey") + 1).otherwise(SF.col("o_custkey")),
+    )
+    try:
+        qmod.T = lambda sp, sf, name: mutated  # noqa: ARG005
+        changed = {r.o_orderstatus: r.checksum for r in q_table_fingerprint(spark, "x").collect()}
+    finally:
+        qmod.T = orig_t
+    assert sum(1 for k in base if base[k] != changed[k]) == 1
+
+
+# ---------------------------------------------------------------------------
+# n-gram diversity
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_diversity_detects_repetition(spark):
+    import arc_maskdata_pipeline_plugin_spark.plans.search2 as s2
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam", "looped"),
+            (2, "one two three four five six", "fresh"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    orig_t = s2.T
+    try:
+        s2.T = lambda sp, sf, name: docs  # noqa: ARG005
+        out = {r.source: r for r in s2.q_ngram_diversity(spark, "x").collect()}
+    finally:
+        s2.T = orig_t
+    assert out["looped"].total_bigrams == 5 and out["looped"].distinct_bigrams == 1
+    assert out["looped"].distinct_ratio_fp6 == 200_000
+    assert out["fresh"].distinct_ratio_fp6 == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (A-ES)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_matches_reference_computation(spark, sf_medium):
+    import hashlib
+
+    from arc_maskdata_pipeline_plugin_spark.plans.training import (
+        _WS_K,
+        q_weighted_sample,
+    )
+
+    rows = q_weighted_sample(spark, sf_medium).collect()
+    assert len(rows) == _WS_K
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(range(1, _WS_K + 1))
+
+    # independent Python reimplementation of the A-ES key
+    import duckdb
+
+    inv = duckdb.connect().execute(
+        "SELECT doc_id, n_chars FROM read_parquet(?)",
+        [f"{sf_medium}/documents.parquet"],
+    ).fetchall()
+    import math
+
+    def key(doc_id, n_chars):
+        h = hashlib.md5(f"ws:{doc_id}".encode()).hexdigest()[:12]
+        u = (int(h, 16) + 1) / 281474976710657.0
+        return -math.log(u) / n_chars
+
+    expect = sorted(((key(d, n), d) for d, n in inv))[:_WS_K]
+    got = sorted(((r.k if hasattr(r, "k") else key(r.doc_id, r.n_chars), r.doc_id) for r in rows))
+    assert [d for _, d in expect] == [d for _, d in got]
+
+    # heavier docs are overrepresented: sampled mean size > corpus mean size
+    corpus_mean = sum(n for _, n in inv) / len(inv)
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
