@@ -80,7 +80,7 @@ GATE_WINDOW = [
     # q_domain_mix_rebalance, q_quality_percentile_filter,
     # q_passage_dedup_stats, q_training_shards, sim_ann_pq)
     "q_python_datasource", "q_stream_threshold_alert",
-    "q_auto_join_revenue", "q_incremental_moments",
+    "q_auto_join_revenue",
     "q_bloom_dedup_screen",
     "q_stream_dedup_within_watermark",
     # round-4 families, second half: privacy analytics, Z-order layout,
@@ -105,8 +105,6 @@ GATE_WINDOW = [
     "q_ewma_daily_value", "q_compaction_plan",
     # round-4 families, third wave: flagship metadata-driven stage, rolling
     # window, behavioral analytics, one-pass feature stats
-    "q_userdata_lifecycle", "q_rolling_revenue_7d",
-    "q_cohort_retention", "q_funnel_conversion",
     "q_temperature_mix", "q_rag_index_build",
     # round-6 additions, second batch (displacing q_feature_correlation,
     # q_value_histogram, q_incremental_rollup, q_winsorize_prices to r05 —
@@ -114,6 +112,14 @@ GATE_WINDOW = [
     # tests/test_stats2.py and stay green under the local gate mirror)
     "q_t_closeness_audit", "q_table_fingerprint",
     "q_ngram_diversity", "q_weighted_sample",
+    # round-6 additions, third batch (displacing q_cohort_retention,
+    # q_funnel_conversion, q_userdata_lifecycle, q_rolling_revenue_7d,
+    # q_incremental_moments to r05 — all stay green under the local mirror;
+    # q_stream_fingerprint witnesses the streaming path, q_hll_audience_overlap
+    # the tolerance path)
+    "q_hll_audience_overlap", "q_lateral_top_orders",
+    "q_pareto_orders", "q_quantile_normalize",
+    "q_stream_fingerprint",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 

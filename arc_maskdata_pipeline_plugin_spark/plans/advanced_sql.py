@@ -303,3 +303,124 @@ def q_python_datasource(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(10,2)")).cast("double").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery: per-customer top-k without a window-over-all
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_lateral_top_orders",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
+       CAST(CAST(t.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c.c_mktsegment = 'BUILDING'
+""",
+)
+def q_lateral_top_orders(spark, sf_dir):
+    """Per-customer top-2 orders via a correlated LATERAL subquery (SQL:99
+    lateral derived table, Spark 3.5+/4) — the SQL-surface twin of the
+    windowed top-k: Catalyst DECORRELATES the subquery into a join +
+    per-key rank rather than executing it per outer row, so the segment
+    filter prunes customers before any order is ranked. Exercises the one
+    §2c relational construct (correlated table subquery) the window/join
+    families don't."""
+    T(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    T(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
+               CAST(CAST(t.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        FROM customer_lat c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto-optimal set): price x recency per market segment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pareto_orders",
+    oracle="""
+WITH o AS (
+  SELECT c.c_mktsegment AS seg, o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         CAST(o_orderdate AS DATE) AS day
+  FROM orders JOIN customer c ON o_custkey = c_custkey
+),
+lv AS (
+  SELECT seg, price, MAX(day) AS best_day FROM o GROUP BY seg, price
+),
+lv2 AS (
+  SELECT seg, price,
+         MAX(best_day) OVER (PARTITION BY seg ORDER BY price DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS rm_prev
+  FROM lv
+)
+SELECT o.seg, o.o_orderkey, CAST(o.price AS DOUBLE) AS price,
+       strftime(o.day, '%Y-%m-%d') AS day
+FROM o JOIN lv2 ON o.seg = lv2.seg AND o.price = lv2.price
+WHERE lv2.rm_prev IS NULL OR o.day >= lv2.rm_prev
+""",
+)
+def q_pareto_orders(spark, sf_dir):
+    """Skyline query (Börzsönyi et al., ICDE 2001): per market segment, the
+    Pareto-optimal orders under (maximize price, maximize recency) — an order
+    is dominated iff another order in its segment has STRICTLY higher price
+    AND a strictly later date.
+
+    Scale shape: never the naive NOT-EXISTS self-join (quadratic). The
+    dominance frontier is computable from the distinct-(segment, price)
+    LEVEL frame: per level keep the latest date, then a running MAX over
+    strictly-higher price levels gives, for every order, the latest date any
+    higher-priced competitor achieves; the order survives iff its date is
+    not strictly beaten. One fact shuffle on (seg, price), a level-frame
+    window, and a co-partitioned join back — O(n log n), not O(n²)."""
+    o = (
+        T(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+    )
+    lv = o.groupBy("seg", "price").agg(F.max("day").alias("best_day"))
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("seg")
+        .orderBy(F.desc("price"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    lv2 = lv.select(
+        "seg", "price", F.max("best_day").over(w).alias("rm_prev")
+    )
+    return (
+        o.join(lv2, ["seg", "price"])
+        .filter(F.col("rm_prev").isNull() | (F.col("day") >= F.col("rm_prev")))
+        .select(
+            "seg",
+            "o_orderkey",
+            F.col("price").cast("double").alias("price"),
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+        )
+    )

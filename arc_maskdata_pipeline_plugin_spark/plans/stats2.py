@@ -401,3 +401,42 @@ def q_incremental_moments(spark, sf_dir):
         .alias("slope_fp6"),
         eq.alias("merge_exact"),
     )
+
+
+@register("q_hll_audience_overlap")  # sketch estimates: tolerance-checked
+def q_hll_audience_overlap(spark, sf_dir):
+    """Audience overlap between every event-type pair WITHOUT a distinct
+    self-join: per-type HLL sketches + inclusion-exclusion
+    (|A∩B| ≈ est(A) + est(B) − est(A∪B), the union being the lossless
+    mergeable operation). At 100 TB the raw events are scanned once into
+    |types| kilobyte-sized sketches; all pair math happens on the broadcast
+    sketch table — the alternative exact formulation shuffles the distinct
+    (type, user) frame into a user-keyed self-join. Estimates are
+    tolerance-checked against DuckDB's exact intersection counts
+    (tools/oracle_check.py)."""
+    e = T(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.event_type") < F.col("b.event_type")
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.hll_sketch_estimate(F.col("a.sk")).cast("bigint").alias("est_a"),
+        F.hll_sketch_estimate(F.col("b.sk")).cast("bigint").alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union(F.col("a.sk"), F.col("b.sk")))
+        .cast("bigint")
+        .alias("est_union"),
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "est_a",
+        "est_b",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")),
+        ).alias("est_overlap"),
+    )

@@ -438,3 +438,47 @@ def q_stream_threshold_alert(spark, sf_dir):
     return run_available_now(
         out, f"stream_threshold_{uuid.uuid4().hex[:8]}", output_mode="append"
     )
+
+
+@register(
+    "q_stream_fingerprint",
+    oracle="""
+WITH rows_fp AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(
+             CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+             || '|' || event_type), 1, 12)) AS BIGINT) AS fp48
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(fp48) AS VARCHAR) AS checksum
+FROM rows_fp GROUP BY event_type
+""",
+)
+def q_stream_fingerprint(spark, sf_dir):
+    """STREAMING anti-entropy fingerprint: the order-insensitive per-key
+    checksum of ``q_table_fingerprint`` maintained as a streaming
+    aggregation — state is one (count, sum) pair per partition key no matter
+    the stream length, and because the fingerprint is a SUM of row hashes,
+    micro-batch boundaries cannot affect it: the availableNow drain equals
+    the batch checksum exactly (the batch-SQL oracle asserts it). This is
+    the continuous-ingestion integrity monitor: a replica recomputing the
+    batch checksum must match the streaming side's running value per key."""
+    import uuid as _uuid
+
+    from ..streaming.events import read_events_stream, run_available_now
+
+    stream = read_events_stream(spark, sf_dir)
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+    )
+    fp48 = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("decimal(38,0)")
+    agg = stream.select("event_type", fp48.alias("fp48")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("fp48").cast("decimal(38,0)").cast("string").alias("checksum"),
+    )
+    return run_available_now(agg, f"stream_fp_{_uuid.uuid4().hex[:8]}")

@@ -670,3 +670,85 @@ def q_weighted_sample(spark, sf_dir):
         .filter(F.col("rank") <= _WS_K)
         .select("doc_id", "n_chars", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@register(
+    "q_quantile_normalize",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n_s
+  FROM documents
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_g FROM documents),
+dv AS (
+  SELECT n_chars AS val, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT val, cnt,
+         SUM(cnt) OVER (ORDER BY val
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM dv
+),
+pos AS (
+  SELECT r.doc_id, r.source, r.n_chars,
+         CAST(floor((r.rk - 1) * (n.n_g - 1) / (r.n_s - 1)) AS BIGINT) + 1 AS p
+  FROM ranked r CROSS JOIN n
+)
+SELECT pos.doc_id, pos.source, pos.n_chars,
+       CAST(cum.val AS BIGINT) AS norm_chars
+FROM pos JOIN cum ON pos.p > cum.c - cum.cnt AND pos.p <= cum.c
+""",
+)
+def q_quantile_normalize(spark, sf_dir):
+    """Quantile normalization across sources (the microarray-normalization
+    classic, Bolstad et al. 2003, applied to corpus quality scores): each
+    doc's metric is replaced by the GLOBAL value at the same within-source
+    rank quantile, so every source ends up with an identical score
+    distribution — the calibration step before cross-source quality
+    thresholds are comparable.
+
+    Scale shape: NO global sort of the corpus. Within-source ranks are one
+    co-partitioned window; the global empirical CDF lives on the
+    distinct-VALUE frame (cumulative counts), which for integer-ish metrics
+    is orders of magnitude smaller than the corpus and broadcasts; each doc
+    range-probes it for the single value whose cumulative interval covers
+    its target position. Everything is exact integer arithmetic
+    (floor((rk-1)(N-1)/(n_s-1)) in bigints) — engine-stable with no doubles
+    anywhere."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(ws).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_s"),
+    )
+    dv = docs.groupBy(F.col("n_chars").alias("val")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).persist()  # value-frame: feeds both the CDF and the global total
+    n_g = dv.agg(F.sum("cnt").cast("bigint").alias("n_g"))
+    wc = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dv.select("val", "cnt", F.sum("cnt").over(wc).alias("c"))
+    pos = ranked.crossJoin(F.broadcast(n_g)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            F.floor(
+                (F.col("rk") - 1) * (F.col("n_g") - 1) / (F.col("n_s") - 1)
+            ).cast("bigint")
+            + 1
+        ).alias("p"),
+    )
+    return pos.join(
+        F.broadcast(cum),
+        (F.col("p") > F.col("c") - F.col("cnt")) & (F.col("p") <= F.col("c")),
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.col("val").cast("bigint").alias("norm_chars"),
+    )

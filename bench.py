@@ -100,6 +100,11 @@ HEADLINE = [
     # A-ES weighted top-k sample (TakeOrderedAndProject path)
     "q_table_fingerprint",
     "q_weighted_sample",
+    # round 6 (cont. 2): skyline level-frame window, quantile-normalize
+    # broadcast-CDF probe, HLL pair overlap (sketch-table math only)
+    "q_pareto_orders",
+    "q_quantile_normalize",
+    "q_hll_audience_overlap",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -556,3 +556,50 @@ def test_weighted_sample_is_topk_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
     a = props("q_weighted_sample", spark)
     assert a["exchanges"] == 0 and a["python_ops"] == 0
+
+
+def test_hll_overlap_broadcast_sketch_pairs(spark):
+    """Pair math runs on the broadcast |types|-row sketch table; the only
+    corpus step is the per-type sketch aggregate."""
+    a = props("q_hll_audience_overlap", spark)
+    assert a["broadcasts"] >= 1
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+
+
+def test_lateral_topk_decorrelates(spark):
+    """The correlated LATERAL subquery must decorrelate into a join + rank —
+    never a per-outer-row nested loop (no CartesianProduct); the segment
+    filter reaches the customer scan."""
+    plan = (
+        QUERIES["q_lateral_top_orders"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    a = props("q_lateral_top_orders", spark)
+    assert a["pushed_filters"] >= 1
+    assert a["sort_merge_joins"] == 0
+
+
+def test_pareto_no_quadratic_self_join(spark):
+    """Skyline via the level-frame running max — never a NOT-EXISTS
+    dominance self-join (no cartesian, bounded exchanges)."""
+    plan = (
+        QUERIES["q_pareto_orders"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    a = props("q_pareto_orders", spark)
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+    assert a["exchanges"] <= 6
+
+
+def test_quantile_normalize_broadcast_cdf(spark):
+    """The value-level CDF broadcasts onto the ranked corpus (range probe);
+    no corpus-wide sort-merge join, no global sort of docs."""
+    a = props("q_quantile_normalize", spark)
+    assert a["broadcasts"] >= 2
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0

@@ -375,3 +375,160 @@ def test_weighted_sample_matches_reference_computation(spark, sf_medium):
     corpus_mean = sum(n for _, n in inv) / len(inv)
     sample_mean = sum(r.n_chars for r in rows) / len(rows)
     assert sample_mean > corpus_mean
+
+
+# ---------------------------------------------------------------------------
+# HLL audience overlap
+# ---------------------------------------------------------------------------
+
+
+def test_hll_overlap_exact_at_small_cardinality(spark):
+    import arc_maskdata_pipeline_plugin_spark.plans.stats2 as st2
+
+    rows = [("a", u) for u in range(100)] + [("b", u) for u in range(50, 130)]
+    df = spark.createDataFrame(rows, ["event_type", "user_id"])
+    orig_t = st2.T
+    try:
+        st2.T = lambda sp, sf, name: df  # noqa: ARG005
+        out = st2.q_hll_audience_overlap(spark, "x").collect()
+    finally:
+        st2.T = orig_t
+    assert len(out) == 1
+    r = out[0]
+    # HLL runs in exact (coupon) mode at this cardinality
+    assert (r.type_a, r.type_b) == ("a", "b")
+    assert r.est_a == 100 and r.est_b == 80 and r.est_overlap == 50
+
+
+# ---------------------------------------------------------------------------
+# LATERAL top-k vs window top-k
+# ---------------------------------------------------------------------------
+
+
+def test_lateral_topk_equals_window_topk(spark, sf_small):
+    from pyspark.sql import Window
+
+    from arc_maskdata_pipeline_plugin_spark.plans.advanced_sql import (
+        q_lateral_top_orders,
+    )
+    from arc_maskdata_pipeline_plugin_spark.plans.registry import T
+
+    lat = {
+        (r.c_custkey, r.o_orderkey)
+        for r in q_lateral_top_orders(spark, sf_small).collect()
+    }
+    o = T(spark, sf_small, "orders")
+    c = T(spark, sf_small, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    win = {
+        (r.c_custkey, r.o_orderkey)
+        for r in o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .collect()
+    }
+    assert lat == win and len(lat) > 0
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline
+# ---------------------------------------------------------------------------
+
+
+def test_pareto_dominance_semantics(spark, sf_small):
+    from arc_maskdata_pipeline_plugin_spark.plans.advanced_sql import q_pareto_orders
+    from arc_maskdata_pipeline_plugin_spark.plans.registry import T
+
+    sky = q_pareto_orders(spark, sf_small).collect()
+    assert len(sky) > 0
+    # brute-force verification on the small SF: nothing in the skyline is
+    # strictly dominated, and nothing outside it is non-dominated
+    o = (
+        T(spark, sf_small, "orders")
+        .join(
+            T(spark, sf_small, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .collect()
+    )
+    by_seg: dict[str, list] = {}
+    for r in o:
+        by_seg.setdefault(r.seg, []).append(r)
+    expected = set()
+    for seg, rows in by_seg.items():
+        for r in rows:
+            dominated = any(
+                x.price > r.price and x.day > r.day for x in rows
+            )
+            if not dominated:
+                expected.add((seg, r.o_orderkey))
+    assert {(r.seg, r.o_orderkey) for r in sky} == expected
+
+
+# ---------------------------------------------------------------------------
+# quantile normalization
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_normalize_equalizes_distributions(spark, sf_medium):
+    from arc_maskdata_pipeline_plugin_spark.plans.training import q_quantile_normalize
+
+    rows = q_quantile_normalize(spark, sf_medium).collect()
+    assert len(rows) == 500
+    by_src: dict[str, list[int]] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.norm_chars)
+    dists = {s: tuple(sorted(v)) for s, v in by_src.items()}
+    # the defining property: every source ends up with the IDENTICAL
+    # normalized distribution (25 docs per source here)
+    assert len(set(dists.values())) == 1
+    # and normalization preserves within-source order (monotone map)
+    for s, vals in by_src.items():
+        pairs = sorted(
+            ((r.n_chars, r.doc_id, r.norm_chars) for r in rows if r.source == s)
+        )
+        norms = [p[2] for p in pairs]
+        assert norms == sorted(norms)
+
+
+# ---------------------------------------------------------------------------
+# streaming fingerprint == batch fingerprint
+# ---------------------------------------------------------------------------
+
+
+def test_stream_fingerprint_matches_batch(spark, sf_small):
+    from arc_maskdata_pipeline_plugin_spark.plans.registry import T
+    from arc_maskdata_pipeline_plugin_spark.plans.streaming_queries import (
+        q_stream_fingerprint,
+    )
+
+    streamed = {
+        r.event_type: (r.n, r.checksum)
+        for r in q_stream_fingerprint(spark, sf_small).collect()
+    }
+    e = T(spark, sf_small, "events")
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+    )
+    fp48 = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("decimal(38,0)")
+    batch = {
+        r.event_type: (r.n, r.checksum)
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(fp48).cast("decimal(38,0)").cast("string").alias("checksum"),
+        )
+        .collect()
+    }
+    assert streamed == batch

@@ -79,6 +79,27 @@ TOLERANCE_ORACLES: dict[str, dict] = {
         "keys": ["event_type"],
         "rel_err": {"est_direct": 0.05, "est_merged": 0.05},
     },
+    # inclusion-exclusion over HLL sketches: each estimate carries the
+    # sketch's ~1% envelope and the overlap subtracts three of them, so its
+    # budget is wider (10%); at gate cardinalities the sketches run in exact
+    # (coupon) mode and the match is typically exact.
+    "q_hll_audience_overlap": {
+        "oracle": """
+            WITH ue AS (SELECT DISTINCT event_type, user_id FROM events),
+            n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd
+                  FROM ue GROUP BY event_type)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   na.nd AS est_a, nb.nd AS est_b,
+                   CAST(COUNT(*) AS BIGINT) AS est_overlap
+            FROM ue a JOIN ue b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            JOIN n na ON na.event_type = a.event_type
+            JOIN n nb ON nb.event_type = b.event_type
+            GROUP BY 1, 2, 3, 4
+        """,
+        "keys": ["type_a", "type_b"],
+        "rel_err": {"est_a": 0.05, "est_b": 0.05, "est_overlap": 0.10},
+    },
 }
 
 
