@@ -80,7 +80,7 @@ GATE_WINDOW = [
     # q_domain_mix_rebalance, q_quality_percentile_filter,
     # q_passage_dedup_stats, q_training_shards, sim_ann_pq)
     "q_python_datasource", "q_stream_threshold_alert",
-    "q_auto_join_revenue",
+    "q_auto_join_revenue", "q_incremental_moments",
     "q_bloom_dedup_screen",
     "q_stream_dedup_within_watermark",
     # round-4 families, second half: privacy analytics, Z-order layout,
@@ -113,11 +113,12 @@ GATE_WINDOW = [
     "q_t_closeness_audit", "q_table_fingerprint",
     "q_ngram_diversity", "q_weighted_sample",
     # round-6 additions, third batch (displacing q_cohort_retention,
-    # q_funnel_conversion, q_userdata_lifecycle, q_rolling_revenue_7d,
-    # q_incremental_moments to r05 — all stay green under the local mirror;
-    # q_stream_fingerprint witnesses the streaming path, q_hll_audience_overlap
-    # the tolerance path)
-    "q_hll_audience_overlap", "q_lateral_top_orders",
+    # q_funnel_conversion, q_userdata_lifecycle, q_rolling_revenue_7d to r05
+    # — all stay green under the local mirror; q_stream_fingerprint
+    # witnesses the streaming path; q_hll_audience_overlap stays OUTSIDE the
+    # window with the other tolerance-checked sketches, where a rows-only
+    # driver record would burn an oracled slot)
+    "q_lateral_top_orders",
     "q_pareto_orders", "q_quantile_normalize",
     "q_stream_fingerprint",
 ]
