@@ -85,10 +85,17 @@ GATE_WINDOW = [
     "q_stream_dedup_within_watermark",
     # round-4 families, second half: privacy analytics, Z-order layout,
     # integer PageRank, data-quality screens, interpolation, card masking
-    "q_k_anonymity_audit", "q_l_diversity_audit", "q_k_anonymity_suppress",
+    "q_k_anonymity_suppress",
     "q_zorder_layout", "q_pagerank_suppliers",
-    "q_outlier_customers", "q_key_skew_profile", "q_data_quality_audit",
-    "q_gap_fill_interpolate", "q_mask_credit_cards",
+    "q_data_quality_audit",
+    "q_mask_credit_cards",
+    # round-6 additions, fourth batch (displacing the one-aggregate
+    # k-anon/l-div audits — the suppress query witnesses the family and
+    # q_t_closeness_audit its exactness discipline — plus q_outlier_customers,
+    # q_key_skew_profile, q_gap_fill_interpolate, all numpy/pytest-pinned
+    # and green under the local mirror)
+    "q_benford_audit", "q_sequence_gaps", "q_user_journeys",
+    "q_revenue_concentration", "q_zipf_slope",
     # event/streaming family — re-witness after the TZ-independent
     # timestamp-ingestion change this round (landed AFTER the r03 gate ran;
     # q_datetime_functions reads orders, not events, so it keeps its r03

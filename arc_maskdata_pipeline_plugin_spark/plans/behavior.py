@@ -375,3 +375,122 @@ def q_event_transitions(spark, sf_dir):
         .cast("bigint")
         .alias("prob_ppm"),
     )
+
+
+@register(
+    "q_user_journeys",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM seq WHERE rn <= 3 GROUP BY user_id
+),
+cnt AS (
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users FROM paths GROUP BY path
+)
+SELECT path, n_users,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_users DESC, path) AS INTEGER) AS rank
+FROM cnt
+QUALIFY rank <= 20
+""",
+)
+def q_user_journeys(spark, sf_dir):
+    """Top user journeys: each user's first three events as an ordered path
+    (view>click>purchase, ...), counted and ranked — the entry-flow mining
+    behind onboarding analytics. One user_id shuffle feeds BOTH the ordering
+    window and the per-user path fold (co-partitioned); the path-count frame
+    is |types|³-bounded, so the closing top-k is trivia-sized."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    paths = seq.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    cnt = paths.groupBy("path").agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    wr = Window.orderBy(F.desc("n_users"), "path")
+    return (
+        cnt.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+@register(
+    "q_revenue_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT c.c_mktsegment AS seg, o.o_custkey,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT seg, o_custkey, r,
+         SUM(r) OVER (PARTITION BY seg ORDER BY r DESC, o_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(r) OVER (PARTITION BY seg) AS total,
+         COUNT(*) OVER (PARTITION BY seg) AS n_customers
+  FROM rev
+)
+SELECT seg, CAST(n_customers AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN cum - r < total * 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_top80,
+       CAST(floor(SUM(CASE WHEN cum - r < total * 0.8 THEN 1 ELSE 0 END)
+                  * 1000000.0 / n_customers) AS BIGINT) AS share_ppm
+FROM ranked
+GROUP BY seg, n_customers
+""",
+)
+def q_revenue_concentration(spark, sf_dir):
+    """Revenue concentration (the 80/20 audit): per segment, the smallest
+    count of customers whose cumulative revenue reaches 80% of the segment
+    total — the Pareto-principle health metric for marketplace/account
+    analysis. The fact table collapses to a per-customer exact-decimal
+    aggregate first (map-side combined); ranking windows run on that
+    customer-sized frame co-partitioned by segment. The 0.8 threshold
+    compares exact decimals (cum - r < total·0.8) so membership is
+    engine-stable."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r"))
+    )
+    wc = (
+        Window.partitionBy("seg")
+        .orderBy(F.desc("r"), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wseg = Window.partitionBy("seg")
+    ranked = rev.select(
+        "seg",
+        "o_custkey",
+        "r",
+        F.sum("r").over(wc).alias("cum"),
+        F.sum("r").over(wseg).alias("total"),
+        F.count(F.lit(1)).over(wseg).alias("n_customers"),
+    )
+    in80 = F.when(
+        F.col("cum") - F.col("r") < F.col("total") * 0.8, F.lit(1)
+    ).otherwise(F.lit(0))
+    return ranked.groupBy("seg", "n_customers").agg(
+        F.sum(in80).cast("bigint").alias("n_top80"),
+        F.floor(F.sum(in80) * 1_000_000.0 / F.col("n_customers"))
+        .cast("bigint")
+        .alias("share_ppm"),
+    ).select(
+        "seg",
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        "n_top80",
+        "share_ppm",
+    )

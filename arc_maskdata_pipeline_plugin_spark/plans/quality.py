@@ -328,3 +328,98 @@ def q_table_fingerprint(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(fp48).cast("decimal(38,0)").cast("string").alias("checksum"),
     )
+
+
+# Benford first-digit expected frequencies, fp6 ppm = floor(log10(1+1/d)·1e6),
+# generated once in Python and inlined into BOTH engines as literals.
+_BENFORD_PPM = [301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757]
+
+
+@register(
+    "q_benford_audit",
+    oracle=f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM orders
+  WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) > 0
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM digits),
+obs AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt FROM digits GROUP BY d)
+SELECT obs.d,
+       obs.cnt,
+       CAST(floor(obs.cnt * 1000000.0 / n.total) AS BIGINT) AS observed_ppm,
+       ([{", ".join(str(v) for v in _BENFORD_PPM)}])[obs.d] AS expected_ppm,
+       abs(CAST(floor(obs.cnt * 1000000.0 / n.total) AS BIGINT)
+           - ([{", ".join(str(v) for v in _BENFORD_PPM)}])[obs.d]) AS abs_dev_ppm
+FROM obs CROSS JOIN n
+""",
+)
+def q_benford_audit(spark, sf_dir):
+    """Benford's-law first-digit audit of order amounts — the classic
+    fabricated-data / ETL-corruption screen (a truncated feed, a unit-mixup
+    backfill, or synthetic padding all bend the first-digit curve long
+    before row counts move). First digit comes from the exact integer-cents
+    STRING (no float log10), observed shares are floored ppm, and the
+    expected Benford ppm are Python-precomputed literals inlined into both
+    engines. One map-side-combined aggregate over one scan; the 9-row digit
+    frame afterwards is free."""
+    o = T(spark, sf_dir, "orders")
+    cents = (dec("o_totalprice", 18, 2) * 100).cast("bigint")
+    digits = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("bigint").alias("d")
+    ).filter(cents > 0)
+    n = digits.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    exp_arr = F.array(*[F.lit(v) for v in _BENFORD_PPM])
+    out = obs.crossJoin(F.broadcast(n)).select(
+        "d",
+        "cnt",
+        F.floor(F.col("cnt") * 1_000_000.0 / F.col("total"))
+        .cast("bigint")
+        .alias("observed_ppm"),
+        F.element_at(exp_arr, F.col("d").cast("int")).cast("bigint").alias("expected_ppm"),
+    )
+    return out.withColumn(
+        "abs_dev_ppm", F.abs(F.col("observed_ppm") - F.col("expected_ppm"))
+    )
+
+
+@register(
+    "q_sequence_gaps",
+    oracle="""
+SELECT CAST(floor(o_orderkey / 10000) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS present,
+       CAST(MIN(o_orderkey) AS BIGINT) AS lo,
+       CAST(MAX(o_orderkey) AS BIGINT) AS hi,
+       CAST(MAX(o_orderkey) - MIN(o_orderkey) + 1 - COUNT(*) AS BIGINT)
+         AS missing
+FROM orders
+GROUP BY 1
+""",
+)
+def q_sequence_gaps(spark, sf_dir):
+    """Sequence-completeness audit: per 10k-key bucket of the order-key
+    space, how many keys inside the observed [min, max] span are MISSING —
+    the CDC/ingestion completeness check (a dropped partition or a stalled
+    consumer shows up as a bucket whose density collapses). Bucketing keeps
+    it a single map-side-combined aggregate — no global sort, no LEAD window
+    over the whole key space, and buckets parallelize perfectly at any
+    scale. (TPC-H order keys are deliberately sparse — 8 of every 32 absent
+    — so expected density is ~25%; the audit surfaces DEVIATIONS per
+    bucket.)"""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_orderkey") / 10000).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("present"),
+            F.min("o_orderkey").cast("bigint").alias("lo"),
+            F.max("o_orderkey").cast("bigint").alias("hi"),
+        )
+        .withColumn(
+            "missing",
+            (F.col("hi") - F.col("lo") + 1 - F.col("present")).cast("bigint"),
+        )
+    )

@@ -439,3 +439,98 @@ def q_ngram_diversity(spark, sf_dir):
         .cast("bigint")
         .alias("distinct_ratio_fp6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency slope (corpus naturalness diagnostic)
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 100
+
+
+@register(
+    "q_zipf_slope",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+occ AS (SELECT unnest(toks) AS term FROM tk),
+freq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY term),
+ranked AS (
+  SELECT term, c,
+         ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rk
+  FROM freq QUALIFY rk <= {_ZIPF_TOP}
+),
+pts AS (
+  SELECT CAST(floor(ln(rk) * 1000000) AS BIGINT) AS x_fp6,
+         CAST(floor(ln(c) * 1000000) AS BIGINT) AS y_fp6
+  FROM ranked
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x_fp6) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(y_fp6) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(x_fp6 AS DECIMAL(38,0)) * x_fp6) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(x_fp6 AS DECIMAL(38,0)) * y_fp6) AS DECIMAL(38,0)) AS sxy
+  FROM pts
+)
+SELECT n,
+       CAST(floor(
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         * 1000000) AS BIGINT) AS slope_fp6
+FROM m
+""",
+)
+def q_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency slope over the top-100 terms: natural language
+    sits near slope −1 in log-log rank/frequency space (Zipf 1949); heavily
+    templated, machine-generated, or boilerplate corpora flatten or steepen
+    it — a one-number corpus-naturalness diagnostic next to
+    `q_ngram_diversity`.
+
+    Engine parity: the (rank, count) points floor their logs to fp6 INTEGERS
+    first, the OLS moments accumulate those integers exactly in
+    DECIMAL(38,0), and the slope is one double expression at the end — the
+    regression result cannot depend on aggregation order. One corpus term
+    count (the only data-sized shuffle) feeds a 100-row frame."""
+    docs = spread(T(spark, sf_dir, "documents"))
+    occ = docs.select(
+        F.explode(
+            F.expr(
+                "filter(transform(split(lower(trim(text)), '\\\\s+'), "
+                "t -> regexp_replace(t, '[^a-z0-9]', '')), t -> t != '')"
+            )
+        ).alias("term")
+    )
+    freq = occ.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wr = Window.orderBy(F.desc("c"), "term")
+    ranked = (
+        freq.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _ZIPF_TOP)
+    )
+    pts = ranked.select(
+        F.floor(F.log(F.col("rk")) * 1_000_000).cast("bigint").alias("x_fp6"),
+        F.floor(F.log(F.col("c")) * 1_000_000).cast("bigint").alias("y_fp6"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x_fp6").cast("decimal(38,0)").alias("sx"),
+        F.sum("y_fp6").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x_fp6").cast("decimal(38,0)") * F.col("x_fp6"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("x_fp6").cast("decimal(38,0)") * F.col("y_fp6"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    slope = F.floor(
+        (
+            F.col("n").cast("double") * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        )
+        / (
+            F.col("n").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * 1_000_000
+    ).cast("bigint")
+    return m.select("n", slope.alias("slope_fp6"))

@@ -105,6 +105,10 @@ HEADLINE = [
     "q_pareto_orders",
     "q_quantile_normalize",
     "q_hll_audience_overlap",
+    # round 6 (cont. 3): Zipf slope (term count + 100-row regression),
+    # journey mining (one user shuffle)
+    "q_zipf_slope",
+    "q_user_journeys",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -603,3 +603,42 @@ def test_quantile_normalize_broadcast_cdf(spark):
     a = props("q_quantile_normalize", spark)
     assert a["broadcasts"] >= 2
     assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+
+
+def test_benford_one_corpus_aggregate(spark):
+    """Digit histogram = one map-side-combined aggregate; the 9-row digit
+    frame joins broadcast with the count scalar."""
+    a = props("q_benford_audit", spark)
+    assert a["exchanges"] <= 2 and a["broadcasts"] >= 1
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+
+
+def test_sequence_gaps_single_aggregate(spark):
+    """Completeness audit: one scan, one shuffle, no windows over the key
+    space."""
+    a = props("q_sequence_gaps", spark)
+    assert a["scans"] == 1 and a["exchanges"] == 1
+
+
+def test_user_journeys_single_user_shuffle(spark):
+    """Ordering window and path fold share the user_id partitioning; only
+    the |types|^3-bounded path count adds an exchange."""
+    a = props("q_user_journeys", spark)
+    assert a["scans"] == 1 and a["exchanges"] <= 2
+    assert a["sort_merge_joins"] == 0
+
+
+def test_revenue_concentration_customer_sized_windows(spark):
+    """Fact collapses to the per-customer aggregate before any window; the
+    dim broadcasts."""
+    a = props("q_revenue_concentration", spark)
+    assert a["broadcasts"] >= 1 and a["sort_merge_joins"] == 0
+    assert a["exchanges"] <= 3
+
+
+def test_zipf_slope_single_term_shuffle(spark):
+    """Term count is the only data-sized shuffle; the 100-row regression
+    frame is free."""
+    a = props("q_zipf_slope", spark)
+    assert a["scans"] == 1 and a["exchanges"] <= 2
+    assert a["python_ops"] == 0

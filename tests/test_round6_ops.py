@@ -532,3 +532,130 @@ def test_stream_fingerprint_matches_batch(spark, sf_small):
         .collect()
     }
     assert streamed == batch
+
+
+# ---------------------------------------------------------------------------
+# Benford audit
+# ---------------------------------------------------------------------------
+
+
+def test_benford_structure_and_literals(spark, sf_medium):
+    from arc_maskdata_pipeline_plugin_spark.plans.quality import (
+        _BENFORD_PPM,
+        q_benford_audit,
+    )
+
+    assert sum(_BENFORD_PPM) in range(999_990, 1_000_001)  # floored shares
+    rows = {r.d: r for r in q_benford_audit(spark, sf_medium).collect()}
+    assert set(rows) <= set(range(1, 10))
+    total_ppm = sum(r.observed_ppm for r in rows.values())
+    assert 999_000 <= total_ppm <= 1_000_000
+    for r in rows.values():
+        assert r.abs_dev_ppm == abs(r.observed_ppm - r.expected_ppm)
+
+
+# ---------------------------------------------------------------------------
+# sequence gaps
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_gaps_counts_missing_keys(spark):
+    import arc_maskdata_pipeline_plugin_spark.plans.quality as q
+
+    keys = [1, 2, 3, 10, 10001, 10002, 10009]
+    df = spark.createDataFrame([(k,) for k in keys], ["o_orderkey"])
+    orig_t = q.T
+    try:
+        q.T = lambda sp, sf, name: df  # noqa: ARG005
+        out = {r.bucket: r for r in q.q_sequence_gaps(spark, "x").collect()}
+    finally:
+        q.T = orig_t
+    assert out[0].present == 4 and out[0].lo == 1 and out[0].hi == 10
+    assert out[0].missing == 10 - 1 + 1 - 4
+    assert out[1].present == 3 and out[1].missing == 9 - 1 + 1 - 3
+
+
+# ---------------------------------------------------------------------------
+# user journeys
+# ---------------------------------------------------------------------------
+
+
+def test_user_journeys_orders_and_truncates(spark):
+    import datetime as dt
+
+    import arc_maskdata_pipeline_plugin_spark.plans.behavior as beh
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(3):  # three users: view>click>purchase (+ extra ignored)
+        for i, t in enumerate(["view", "click", "purchase", "error"]):
+            rows.append((eid, base + dt.timedelta(minutes=i), u, t))
+            eid += 1
+    rows.append((eid, base, 99, "signup"))  # single-event user
+    events = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    orig_t = beh.T
+    try:
+        beh.T = lambda sp, sf, name: events  # noqa: ARG005
+        out = {r.path: r for r in beh.q_user_journeys(spark, "x").collect()}
+    finally:
+        beh.T = orig_t
+    assert out["view>click>purchase"].n_users == 3
+    assert out["view>click>purchase"].rank == 1
+    assert out["signup"].n_users == 1  # short journeys kept, not padded
+
+
+# ---------------------------------------------------------------------------
+# revenue concentration
+# ---------------------------------------------------------------------------
+
+
+def test_revenue_concentration_whale(spark):
+    import arc_maskdata_pipeline_plugin_spark.plans.behavior as beh
+
+    # customer 1 holds 90% of revenue -> n_top80 == 1
+    orders = spark.createDataFrame(
+        [(1, 1, 900.0)] + [(k, k, 10.0) for k in range(2, 12)],
+        ["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    cust = spark.createDataFrame(
+        [(k, "SEG") for k in range(1, 12)], ["c_custkey", "c_mktsegment"]
+    )
+    orig_t = beh.T
+    try:
+        beh.T = lambda sp, sf, name: orders if name == "orders" else cust  # noqa: ARG005
+        out = beh.q_revenue_concentration(spark, "x").collect()
+    finally:
+        beh.T = orig_t
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_customers == 11 and r.n_top80 == 1
+    assert r.share_ppm == 1_000_000 // 11
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_slope_near_minus_one_on_ideal_corpus(spark):
+    import arc_maskdata_pipeline_plugin_spark.plans.search2 as s2
+
+    # construct frequencies ~ 1/rank for 100 terms: term t_r appears
+    # round(10000/r) times -> slope should come out near -1
+    texts = []
+    for r in range(1, 101):
+        texts.extend([f"t{r:03d}"] * round(10000 / r))
+    docs = spark.createDataFrame(
+        [(1, " ".join(texts), "s")], ["doc_id", "text", "source"]
+    )
+    orig_t = s2.T
+    try:
+        s2.T = lambda sp, sf, name: docs  # noqa: ARG005
+        out = s2.q_zipf_slope(spark, "x").collect()
+    finally:
+        s2.T = orig_t
+    assert len(out) == 1
+    slope = out[0].slope_fp6 / 1e6
+    assert -1.05 < slope < -0.95
+    assert out[0].n == 100

@@ -467,6 +467,86 @@ def main():
         "40M deltas sort within (type, day) shards; only day aggregates cross",
     )
 
+    def span_dedup_stress():
+        from arc_maskdata_pipeline_plugin_spark.operators.dedup import (
+            duplicated_spans,
+        )
+
+        out = duplicated_spans(docs2, n=8)
+        out.write.format("noop").mode("overwrite").save()
+        out.unpersist = getattr(out, "unpersist", None)  # spans cache freed on GC
+
+    timed(
+        "substring span dedup (1M docs × 60 tokens, 8-gram spans)",
+        n_docs2,
+        span_dedup_stress,
+        "53 spans/doc explode; ONE corpus shuffle on span hash; dup set broadcast back",
+    )
+
+    def weighted_sample_stress():
+        (
+            spark.range(0, 20_000_000, 1, sc.defaultParallelism * 4)
+            .select(
+                F.col("id").alias("doc_id"),
+                (F.xxhash64("id") % 500 + 550).alias("w"),
+            )
+            .withColumn(
+                "k",
+                -F.log(
+                    (
+                        F.conv(
+                            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+                            16,
+                            10,
+                        ).cast("bigint")
+                        + 1
+                    )
+                    / F.lit(281474976710657.0)
+                )
+                / F.col("w"),
+            )
+            .orderBy("k")
+            .limit(1000)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    timed(
+        "A-ES weighted top-1k sample (20M rows)",
+        20_000_000,
+        weighted_sample_stress,
+        "TakeOrderedAndProject: per-partition heap, k-sized merge — no global sort",
+    )
+
+    def fingerprint_stress():
+        canon = F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            F.col("etype").cast("string"),
+        )
+        (
+            events.select(
+                "etype",
+                F.conv(F.substring(F.md5(canon), 1, 12), 16, 10)
+                .cast("decimal(38,0)")
+                .alias("fp"),
+            )
+            .groupBy("etype")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("fp").alias("checksum"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    timed(
+        "anti-entropy table fingerprint (20M rows, md5 row hash)",
+        20_000_000,
+        fingerprint_stress,
+        "one map-side-combined aggregate; md5 is the cost — swap xxhash64 in prod for ~3×",
+    )
+
     # ---- report ----------------------------------------------------------
     lines = [
         "# STRESS — synthetic ~100× scale-up measurements (local[32])",
