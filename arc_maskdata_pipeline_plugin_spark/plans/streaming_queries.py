@@ -482,3 +482,47 @@ def q_stream_fingerprint(spark, sf_dir):
         F.sum("fp48").cast("decimal(38,0)").cast("string").alias("checksum"),
     )
     return run_available_now(agg, f"stream_fp_{_uuid.uuid4().hex[:8]}")
+
+
+@register(
+    "q_python_datasource_stream",
+    oracle="""
+WITH gen AS (
+  SELECT i AS event_id, i % 1000 AS user_id,
+         (['click','view','purchase','signup','error'])[(i % 5) + 1]
+           AS event_type,
+         CAST((i * 7919 % 100000) / 100.0 AS DECIMAL(10,2)) AS v
+  FROM range(0, 100000) t(i)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS DOUBLE) AS total_value
+FROM gen GROUP BY event_type
+""",
+)
+def q_python_datasource_stream(spark, sf_dir):
+    """STREAMING side of the Spark 4 Python DataSource connector
+    (``sources/pydatasource.py::SyntheticEventsStreamReader``): the same
+    generative row formula served through ``readStream`` with JSON-dict
+    offsets, per-micro-batch InputPartition splits, and checkpointed
+    incremental recovery (a restart with a larger bound reads exactly the
+    delta — pinned in tests/test_pydatasource.py). The availableNow drain
+    aggregates to the identical per-type totals the SQL generative oracle
+    computes from ``range()`` — proving the streaming read path end to end,
+    offsets included."""
+    import uuid as _uuid
+
+    from ..sources import pydatasource
+    from ..streaming.events import run_available_now
+
+    pydatasource.register(spark)
+    stream = (
+        spark.readStream.format("synthetic_events").option("n", 100_000).load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(10,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    return run_available_now(agg, f"pyds_stream_{_uuid.uuid4().hex[:8]}")

@@ -20,7 +20,12 @@ source from becoming a single-threaded full-fetch.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
@@ -121,6 +126,67 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return SyntheticEventsReader(schema, self.options)
 
+    def streamReader(self, schema: StructType):  # noqa: N802 — Spark API name
+        return SyntheticEventsStreamReader(schema, self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming side of the same connector (Spark 4 DataSourceStreamReader)
+# ---------------------------------------------------------------------------
+
+
+class SyntheticEventsStreamReader(DataSourceStreamReader):
+    """Offset-tracked STREAMING reader over the same generative row formula.
+
+    The offset is the next unread ``event_id``: ``latestOffset`` exposes the
+    bounded end ``n``, each micro-batch reads [committed, latest) and a
+    checkpointed restart with a LARGER ``n`` reads exactly the delta — the
+    incremental-ingestion contract, pinned in ``tests/test_pydatasource.py``.
+    (Spark's Python micro-batch wrapper runs availableNow as a single-batch
+    fallback, so the whole remaining range is one batch; parallelism comes
+    from ``partitions(start, end)`` splitting that range into real
+    InputPartitions.) Offsets are plain dicts — checkpointable JSON,
+    replayable via partitions(start, end) on recovery. The same SQL
+    generative oracle that checks the batch reader checks this path.
+    """
+
+    def __init__(self, schema, options: dict):
+        self.n = int(options.get("n", 100_000))
+        self.num_partitions = int(options.get("partitions", 8))
+
+    def initialOffset(self):  # noqa: N802 — Spark API name
+        return {"next_id": 0}
+
+    def latestOffset(self):  # noqa: N802 — Spark API name
+        return {"next_id": self.n}
+
+    def partitions(self, start, end):
+        lo, hi = int(start["next_id"]), int(end["next_id"])
+        k = max(1, self.num_partitions)
+        span = max(0, hi - lo)
+        step = max(1, -(-span // k)) if span else 1
+        parts = []
+        s = lo
+        while s < hi:
+            parts.append(_RangePartition(s, min(s + step, hi)))
+            s += step
+        return parts or [_RangePartition(0, 0)]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield (
+                i,
+                i % 1000,
+                EVENT_TYPES[i % 5],
+                (i * 7919 % 100000) / 100.0,
+            )
+
+    def commit(self, end):
+        pass
+
+    def stop(self):
+        pass
