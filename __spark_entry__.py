@@ -81,13 +81,14 @@ GATE_WINDOW = [
     # q_passage_dedup_stats, q_training_shards, sim_ann_pq)
     "q_python_datasource", "q_stream_threshold_alert",
     "q_auto_join_revenue", "q_incremental_moments",
-    "q_bloom_dedup_screen",
     "q_stream_dedup_within_watermark",
     # round-4 families, second half: privacy analytics, Z-order layout,
     # integer PageRank, data-quality screens, interpolation, card masking
     "q_k_anonymity_suppress",
-    "q_zorder_layout",
     "q_data_quality_audit",
+    # round-6 additions, fifth batch (displacing q_bloom_dedup_screen and
+    # q_zorder_layout — both benched, stress-run and pytest-pinned)
+    "q_frequent_itemsets", "q_neyman_sample",
     # (q_pagerank_suppliers displaced: it is the slowest gate entry (~8s in
     # BENCH_r03) and is pinned by bench + STRESS + its unrolled-CTE oracle
     # under the local mirror; its slot witnesses the NEW streaming connector)

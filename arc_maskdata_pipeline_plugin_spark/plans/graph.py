@@ -7,6 +7,7 @@ count, so Spark and DuckDB provably run the identical computation.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.graph import SCALE, pagerank_fixed_point, symmetrize
@@ -134,3 +135,101 @@ def q_triangle_count(spark, sf_dir):
     nv = op.agg(F.countDistinct("l_partkey").cast("bigint").alias("n_vertices"))
     ne = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     return nv.crossJoin(ne).crossJoin(tri)
+
+
+# ---------------------------------------------------------------------------
+# Association rules (frequent pairs + confidence/lift) over order baskets
+# ---------------------------------------------------------------------------
+
+_FI_MIN_SUPPORT = 2
+_FI_TOP = 50
+
+
+@register(
+    "q_frequent_itemsets",
+    oracle=f"""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM basket),
+item AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS nx FROM basket GROUP BY 1
+),
+pair AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(COUNT(*) AS BIGINT) AS sxy
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_FI_MIN_SUPPORT}
+),
+scored AS (
+  SELECT p1, p2, sxy,
+         CAST(floor(sxy * 1000000.0 / i1.nx) AS BIGINT) AS conf12_fp6,
+         CAST(floor(sxy * 1000000.0 / i2.nx) AS BIGINT) AS conf21_fp6,
+         CAST(floor(sxy * 1000000.0 * nb.n / (i1.nx * i2.nx)) AS BIGINT)
+           AS lift_fp6
+  FROM pair JOIN item i1 ON p1 = i1.l_partkey
+            JOIN item i2 ON p2 = i2.l_partkey
+            CROSS JOIN nb
+)
+SELECT p1, p2, sxy, conf12_fp6, conf21_fp6, lift_fp6,
+       CAST(ROW_NUMBER() OVER (ORDER BY lift_fp6 DESC, p1, p2) AS INTEGER)
+         AS rank
+FROM scored
+QUALIFY rank <= {_FI_TOP}
+""",
+)
+def q_frequent_itemsets(spark, sf_dir):
+    """Association rules over order baskets (the A-priori first pass /
+    market-basket classic): co-ordered part pairs with support, directional
+    confidence, and lift. Pair space is bounded by the BASKET, not the
+    catalog — group-then-enumerate within each order (TPC-H baskets ≤ 7
+    items, and production baskets get the same per-basket cap q_word_pmi
+    uses), so the corpus-wide cost is one (pair) count shuffle; item
+    supports and the basket total are item-frame-sized broadcasts. Scores
+    are floored fp6 from exact integers — engine-stable ranking."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    nb = li.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n"))
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("nx"))
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sxy"))
+        .filter(F.col("sxy") >= _FI_MIN_SUPPORT)
+    )
+    i1 = item.withColumnRenamed("l_partkey", "p1").withColumnRenamed("nx", "nx1")
+    i2 = item.withColumnRenamed("l_partkey", "p2").withColumnRenamed("nx", "nx2")
+    scored = (
+        pair.join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "p1",
+            "p2",
+            "sxy",
+            F.floor(F.col("sxy") * 1_000_000.0 / F.col("nx1"))
+            .cast("bigint")
+            .alias("conf12_fp6"),
+            F.floor(F.col("sxy") * 1_000_000.0 / F.col("nx2"))
+            .cast("bigint")
+            .alias("conf21_fp6"),
+            F.floor(
+                F.col("sxy") * 1_000_000.0 * F.col("n")
+                / (F.col("nx1") * F.col("nx2"))
+            )
+            .cast("bigint")
+            .alias("lift_fp6"),
+        )
+    )
+    w = Window.orderBy(F.desc("lift_fp6"), "p1", "p2")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _FI_TOP)
+    )

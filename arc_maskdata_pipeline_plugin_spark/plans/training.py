@@ -752,3 +752,105 @@ def q_quantile_normalize(spark, sf_dir):
         "n_chars",
         F.col("val").cast("bigint").alias("norm_chars"),
     )
+
+
+_NEYMAN_K = 500
+
+
+@register(
+    "q_neyman_sample",
+    oracle=f"""
+WITH cents AS (
+  SELECT event_id, event_type,
+         CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS c
+  FROM events
+),
+moments AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS nh,
+         CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS s2
+  FROM cents GROUP BY event_type
+),
+wt AS (
+  SELECT event_type, nh,
+         CAST(floor(sqrt(CAST(nh AS DOUBLE) * CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+              AS BIGINT) AS w
+  FROM moments
+),
+alloc AS (
+  SELECT event_type, nh, w,
+         CAST(floor({_NEYMAN_K} * w * 1.0 / (SELECT SUM(w) FROM wt)) AS BIGINT)
+           AS kh
+  FROM wt
+),
+ranked AS (
+  SELECT event_id, event_type,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY md5('ns:' || CAST(event_id AS VARCHAR)),
+                                          event_id) AS BIGINT) AS rk
+  FROM cents
+)
+SELECT r.event_id, r.event_type, r.rk, a.kh
+FROM ranked r JOIN alloc a ON r.event_type = a.event_type
+WHERE r.rk <= a.kh
+""",
+)
+def q_neyman_sample(spark, sf_dir):
+    """Neyman-allocation stratified sampling (Neyman 1934): a fixed budget
+    of _NEYMAN_K rows is split across strata proportional to N_h·sigma_h —
+    the minimum-variance allocation for estimating the population mean —
+    then drawn deterministically per stratum by md5 rank (reproducible AND
+    exactly k_h, as in q_exact_k_per_group).
+
+    Engine parity: N_h·sigma_h = sqrt(n·S2 − S1²) is ONE double sqrt of
+    exact DECIMAL(38,0) moments, floored to an integer weight; the
+    allocation floor(K·w_h/Σw) is integer arithmetic after that. Scale
+    shape: one moments pass (map-side combined) + one per-stratum rank
+    window co-partitioned on the stratum key; the allocation table is
+    |strata|-sized and broadcasts onto the rank filter."""
+    e = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    cents = e.select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(10,2)") * 100).cast("bigint").alias("c"),
+    )
+    moments = cents.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nh"),
+        F.sum(F.col("c").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    wt = moments.select(
+        "event_type",
+        "nh",
+        F.floor(
+            F.sqrt(
+                F.col("nh").cast("double") * F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+    total_w = wt.agg(F.sum("w").cast("bigint").alias("tw"))
+    alloc = wt.crossJoin(F.broadcast(total_w)).select(
+        "event_type",
+        F.floor(F.lit(_NEYMAN_K) * F.col("w") * 1.0 / F.col("tw"))
+        .cast("bigint")
+        .alias("kh"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.md5(F.concat(F.lit("ns:"), F.col("event_id").cast("string"))),
+        "event_id",
+    )
+    ranked = cents.select(
+        "event_id",
+        "event_type",
+        F.row_number().over(wr).cast("bigint").alias("rk"),
+    )
+    return ranked.join(F.broadcast(alloc), "event_type").filter(
+        F.col("rk") <= F.col("kh")
+    ).select("event_id", "event_type", "rk", "kh")

@@ -109,6 +109,9 @@ HEADLINE = [
     # journey mining (one user shuffle)
     "q_zipf_slope",
     "q_user_journeys",
+    # round 6 (cont. 4): basket-bounded association rules, Neyman sampling
+    "q_frequent_itemsets",
+    "q_neyman_sample",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -642,3 +642,25 @@ def test_zipf_slope_single_term_shuffle(spark):
     a = props("q_zipf_slope", spark)
     assert a["scans"] == 1 and a["exchanges"] <= 2
     assert a["python_ops"] == 0
+
+
+def test_frequent_itemsets_basket_bounded(spark):
+    """Pair enumeration joins basket-to-basket on the ORDER key (equi-join,
+    no cartesian); item supports broadcast."""
+    plan = (
+        QUERIES["q_frequent_itemsets"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    a = props("q_frequent_itemsets", spark)
+    assert a["broadcasts"] >= 2 and a["python_ops"] == 0
+
+
+def test_neyman_broadcast_allocation(spark):
+    """The |strata|-sized allocation table broadcasts onto the per-stratum
+    rank window; one moments pass + one rank shuffle."""
+    a = props("q_neyman_sample", spark)
+    assert a["broadcasts"] >= 2
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0

@@ -659,3 +659,77 @@ def test_zipf_slope_near_minus_one_on_ideal_corpus(spark):
     slope = out[0].slope_fp6 / 1e6
     assert -1.05 < slope < -0.95
     assert out[0].n == 100
+
+
+# ---------------------------------------------------------------------------
+# frequent itemsets
+# ---------------------------------------------------------------------------
+
+
+def test_frequent_itemsets_scores(spark):
+    import arc_maskdata_pipeline_plugin_spark.plans.graph as g
+
+    # 4 baskets: {1,2} x3, {1,3} x1 -> support(1,2)=3, conf(1->2)=3/4,
+    # conf(2->1)=1, lift = 3*4/(4*3)=1
+    rows = [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 2), (13, 1), (13, 3)]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    orig_t = g.T
+    try:
+        g.T = lambda sp, sf, name: li  # noqa: ARG005
+        out = {(r.p1, r.p2): r for r in g.q_frequent_itemsets(spark, "x").collect()}
+    finally:
+        g.T = orig_t
+    r = out[(1, 2)]
+    assert r.sxy == 3
+    assert r.conf12_fp6 == 750_000 and r.conf21_fp6 == 1_000_000
+    assert r.lift_fp6 == 1_000_000
+    assert (1, 3) not in out  # below min support
+
+
+# ---------------------------------------------------------------------------
+# Neyman sampling
+# ---------------------------------------------------------------------------
+
+
+def test_neyman_allocation_properties(spark, sf_medium):
+    from arc_maskdata_pipeline_plugin_spark.plans.training import (
+        _NEYMAN_K,
+        q_neyman_sample,
+    )
+
+    rows = q_neyman_sample(spark, sf_medium).collect()
+    # exact k_h drawn per stratum, total within rounding of the budget
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        kh = rs[0].kh
+        assert len(rs) == kh  # exactly k_h rows
+        assert sorted(r.rk for r in rs) == list(range(1, kh + 1))
+    total = sum(len(v) for v in by_type.values())
+    assert _NEYMAN_K - len(by_type) <= total <= _NEYMAN_K  # floor rounding
+    # determinism
+    again = q_neyman_sample(spark, sf_medium).collect()
+    assert {r.event_id for r in again} == {r.event_id for r in rows}
+
+
+def test_neyman_higher_variance_gets_more(spark):
+    import arc_maskdata_pipeline_plugin_spark.plans.training as tr
+
+    # stratum "wide" has 10x the spread of "narrow" at equal size -> gets
+    # ~10/11 of the budget under Neyman allocation
+    rows = []
+    for i in range(200):
+        rows.append((i, "narrow", 100.0 + (i % 2)))        # sigma ~ 0.5
+        rows.append((1000 + i, "wide", 100.0 + (i % 2) * 50.0))  # sigma ~ 25
+    events = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    orig_t = tr.T
+    try:
+        tr.T = lambda sp, sf, name: events  # noqa: ARG005
+        out = tr.q_neyman_sample(spark, "x").collect()
+    finally:
+        tr.T = orig_t
+    counts = {}
+    for r in out:
+        counts[r.event_type] = counts.get(r.event_type, 0) + 1
+    assert counts["wide"] > 8 * counts["narrow"]
