@@ -301,3 +301,185 @@ def q_ewma_daily_value(spark, sf_dir):
         "cents",
         "ewma",
     )
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(10,2))) * 100 AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(cents) AS BIGINT) AS total
+  FROM daily GROUP BY event_type
+),
+cusum AS (
+  SELECT d.event_type, d.day, t.n_days,
+         SUM(d.cents) OVER (PARTITION BY d.event_type ORDER BY d.day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           * t.n_days
+         - ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day)
+           * t.total AS s_scaled
+  FROM daily d JOIN tot t ON d.event_type = t.event_type
+),
+ranked AS (
+  SELECT event_type, day, n_days, s_scaled,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY abs(s_scaled) DESC, day) AS rn
+  FROM cusum
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS change_day,
+       CAST(s_scaled AS BIGINT) AS cusum_scaled, CAST(n_days AS BIGINT) AS n_days
+FROM ranked WHERE rn = 1
+""",
+)
+def q_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint detection (Page 1954): per event type, the day
+    where the cumulative deviation from the series mean peaks — the
+    standard level-shift locator for revenue/throughput monitoring.
+
+    Exactness trick: CUSUM_t = Σx_i − t·mean needs the fractional mean;
+    scaling by n_days keeps it INTEGER — S'_t = n·Σx_i − t·Σx — so the
+    argmax is exact in both engines with no double anywhere. Scale shape:
+    the fact table collapses to the calendar-sized daily frame first; the
+    prefix-sum and argmax windows run per type on that frame."""
+    e = T(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(10,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("cents").cast("bigint").alias("total"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    cusum = daily.join(tot, "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        (
+            F.sum("cents").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+            * F.col("n_days")
+            - F.row_number().over(wd).cast("bigint") * F.col("total")
+        ).alias("s_scaled"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("s_scaled"))), "day"
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+            F.col("s_scaled").cast("bigint").alias("cusum_scaled"),
+            "n_days",
+        )
+    )
+
+
+@register(
+    "q_seasonal_decompose",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(10,2))) * 100 AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+trend AS (
+  SELECT event_type, day, cents,
+         CAST(floor(SUM(cents) OVER w * 1000000.0 / COUNT(*) OVER w) AS BIGINT)
+           AS trend_fp6,
+         CAST(dayofweek(day) AS BIGINT) AS dow
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+dow_eff AS (
+  SELECT event_type, dow,
+         CAST(floor(SUM(cents) * 1000000.0 / COUNT(*)) AS BIGINT) AS dow_mean_fp6
+  FROM trend GROUP BY 1, 2
+),
+overall AS (
+  SELECT event_type,
+         CAST(floor(SUM(cents) * 1000000.0 / COUNT(*)) AS BIGINT) AS mean_fp6
+  FROM daily GROUP BY 1
+)
+SELECT t.event_type, strftime(t.day, '%Y-%m-%d') AS day, t.cents,
+       t.trend_fp6,
+       d.dow_mean_fp6 - o.mean_fp6 AS dow_effect_fp6,
+       t.cents * 1000000 - t.trend_fp6 - (d.dow_mean_fp6 - o.mean_fp6)
+         AS residual_fp6
+FROM trend t
+JOIN dow_eff d ON t.event_type = d.event_type AND t.dow = d.dow
+JOIN overall o ON t.event_type = o.event_type
+""",
+)
+def q_seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition (STL-lite): daily value = centered
+    7-day moving-average trend + day-of-week effect + residual — the
+    weekly-seasonality monitor behind traffic anomaly detection.
+
+    Every component is a floored fp6 integer derived from exact decimal
+    cents (the trend's /count and the dow means floor BEFORE any
+    subtraction), and the residual is the exact integer identity
+    x·1e6 − trend − effect — so the decomposition reassembles bit-exactly
+    in both engines. One fact pass to the calendar frame; every window and
+    join after is calendar-sized."""
+    e = T(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(10,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    ).persist()  # calendar-sized; feeds trend, dow means, and overall mean
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    trend = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.floor(F.sum("cents").over(w) * 1_000_000.0 / F.count(F.lit(1)).over(w))
+        .cast("bigint")
+        .alias("trend_fp6"),
+        F.dayofweek("day").cast("bigint").alias("dow"),
+    )
+    # exact bigint sums, ONE floored double division — a floating AVG
+    # would sum doubles in partition order (not engine/partitioning-stable)
+    dow_eff = trend.groupBy("event_type", "dow").agg(
+        F.floor(F.sum("cents") * 1_000_000.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("dow_mean_fp6")
+    )
+    overall = daily.groupBy("event_type").agg(
+        F.floor(F.sum("cents") * 1_000_000.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("mean_fp6")
+    )
+    return (
+        trend.join(dow_eff, ["event_type", "dow"])
+        .join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cents",
+            "trend_fp6",
+            (F.col("dow_mean_fp6") - F.col("mean_fp6")).alias("dow_effect_fp6"),
+            (
+                F.col("cents") * 1_000_000
+                - F.col("trend_fp6")
+                - (F.col("dow_mean_fp6") - F.col("mean_fp6"))
+            ).alias("residual_fp6"),
+        )
+    )

@@ -112,6 +112,8 @@ HEADLINE = [
     # round 6 (cont. 4): basket-bounded association rules, Neyman sampling
     "q_frequent_itemsets",
     "q_neyman_sample",
+    # round 6 (cont. 5): integer-exact CUSUM argmax on the calendar frame
+    "q_cusum_changepoint",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

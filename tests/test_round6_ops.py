@@ -733,3 +733,57 @@ def test_neyman_higher_variance_gets_more(spark):
     for r in out:
         counts[r.event_type] = counts.get(r.event_type, 0) + 1
     assert counts["wide"] > 8 * counts["narrow"]
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_locates_level_shift(spark):
+    import datetime as dt
+
+    import arc_maskdata_pipeline_plugin_spark.plans.timeseries as ts
+
+    rows = []
+    eid = 0
+    for d in range(20):
+        v = 100.0 if d < 10 else 200.0  # level shift after day 10
+        rows.append((eid, dt.datetime(2024, 1, 1 + d), 1, "x", v))
+        eid += 1
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    orig_t = ts.T
+    try:
+        ts.T = lambda sp, sf, name: events  # noqa: ARG005
+        out = ts.q_cusum_changepoint(spark, "x").collect()
+    finally:
+        ts.T = orig_t
+    assert len(out) == 1
+    r = out[0]
+    assert r.change_day == "2024-01-10"  # last day of the low regime
+    assert r.cusum_scaled == 20 * 100_000 - 10 * 300_000  # exact integer
+
+
+# ---------------------------------------------------------------------------
+# seasonal decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_decompose_identity_and_weekly_effect(spark, sf_medium):
+    from arc_maskdata_pipeline_plugin_spark.plans.timeseries import (
+        q_seasonal_decompose,
+    )
+
+    rows = q_seasonal_decompose(spark, sf_medium).collect()
+    assert len(rows) == 150
+    for r in rows:
+        # exact reassembly identity
+        assert r.cents * 1_000_000 == r.trend_fp6 + r.dow_effect_fp6 + r.residual_fp6
+    # per type, dow effects roughly centre on zero (floored means)
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.dow_effect_fp6)
+    for t, effs in by_type.items():
+        assert min(effs) < 0 < max(effs) or all(abs(x) < 10_000_000 for x in effs)
