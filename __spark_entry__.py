@@ -69,7 +69,7 @@ GATE_WINDOW = [
     "q_hybrid_rrf_search", "q_stream_stream_left_join",
     "q_group_ols", "q_mad_outliers", "q_embedding_covariance",
     "q_max_concurrent_sessions", "q_gdpr_erasure_audit",
-    "q_pit_scd2_enrich", "q_triangle_count",
+    "q_pit_scd2_enrich",
     "q_dau_wau_stickiness", "q_entity_resolution",
     "q_first_touch_attribution",
     # round-3/4 additions the driver never witnessed (displaced 20 stable
@@ -90,6 +90,7 @@ GATE_WINDOW = [
     # q_zorder_layout — both benched, stress-run and pytest-pinned)
     "q_frequent_itemsets", "q_neyman_sample",
     "q_cusum_changepoint", "q_seasonal_decompose",
+    "q_kcore_suppliers",
     # (q_pagerank_suppliers displaced: it is the slowest gate entry (~8s in
     # BENCH_r03) and is pinned by bench + STRESS + its unrolled-CTE oracle
     # under the local mirror; its slot witnesses the NEW streaming connector)

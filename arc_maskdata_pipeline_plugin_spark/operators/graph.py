@@ -87,3 +87,45 @@ def pagerank_fixed_point(
         ranks = new_ranks
     sc_edges.unpersist()
     return ranks.select("node", "rank")
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983): repeatedly
+    delete nodes of degree < k until none remain; the survivors form the
+    k-core — the standard density filter before community detection and the
+    spam-subgraph screen in link analysis.
+
+    ``edges`` must be symmetric. Runs a FIXED number of peel rounds (the
+    oracle unrolls the same count; peeling converges in O(diameter) rounds
+    and the pytest asserts an extra round is a no-op at test scale). Each
+    round is two co-partitioned semi-joins against the alive-node set plus
+    one degree aggregate — the alive set only shrinks, so per-round cost is
+    monotonically non-increasing; edges stay partitioned by src throughout
+    (one shuffle up front, as in ``pagerank_fixed_point``).
+
+    Returns (node, degree) of the surviving core with degrees measured on
+    the final edge set.
+    """
+    # localCheckpoint (eager) per round: each peel references the previous
+    # edge set THREE times (degree + two semi-joins), so an un-truncated
+    # lineage grows ~3^rounds and OOMs the planner long before the data
+    # does — checkpointing pins the materialized partitions and resets the
+    # logical plan to a leaf (same reason iterative CC does it).
+    cur = edges.repartition("src").localCheckpoint(eager=True)
+    for _ in range(rounds):
+        alive = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        cur = (
+            cur.join(alive, "src", "semi")
+            .join(alive.withColumnRenamed("src", "dst"), "dst", "semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        cur.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .withColumnRenamed("src", "node")
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..operators.graph import SCALE, pagerank_fixed_point, symmetrize
+from ..operators.graph import SCALE, kcore_peel, pagerank_fixed_point, symmetrize
 from .registry import T, register
 
 _ITERATIONS = 5
@@ -233,3 +233,66 @@ def q_frequent_itemsets(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _FI_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peel, unrolled-CTE oracle)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+_KCORE_EDGES_SQL = """
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+"""
+
+
+def _kcore_oracle() -> str:
+    # AS MATERIALIZED: every round references the previous edge set three
+    # times; inlined CTEs would expand the base scan 3^rounds times (DuckDB
+    # literally runs out of file handles) — materialization is the oracle's
+    # twin of the Spark side's per-round localCheckpoint.
+    ctes = [
+        f"b AS MATERIALIZED ({_KCORE_EDGES_SQL})",
+        "e0 AS MATERIALIZED "
+        "(SELECT src, dst FROM b UNION ALL SELECT dst, src FROM b)",
+    ]
+    for i in range(_KCORE_ROUNDS):
+        ctes.append(
+            f"n{i + 1} AS MATERIALIZED (SELECT src FROM e{i} GROUP BY src "
+            f"HAVING COUNT(*) >= {_KCORE_K})"
+        )
+        ctes.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i} e "
+            f"SEMI JOIN n{i + 1} a ON e.src = a.src "
+            f"SEMI JOIN n{i + 1} c ON e.dst = c.src)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree "
+        f"FROM e{_KCORE_ROUNDS} GROUP BY src"
+    )
+
+
+@register("q_kcore_suppliers", oracle=_kcore_oracle())
+def q_kcore_suppliers(spark, sf_dir):
+    """3-core of the symmetrized customer-supplier purchase graph via
+    fixed-round iterative peeling — the density filter that strips hangers-on
+    before community/fraud analysis. The oracle unrolls the identical peel
+    rounds as CTEs, so the fixed-point is verified structurally, not just
+    row-counted; convergence at test scale is pinned in
+    tests/test_round6_ops.py. See ``operators/graph.py::kcore_peel`` for the
+    one-front-shuffle per-round shape."""
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return kcore_peel(symmetrize(edges), k=_KCORE_K, rounds=_KCORE_ROUNDS)

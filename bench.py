@@ -114,6 +114,8 @@ HEADLINE = [
     "q_neyman_sample",
     # round 6 (cont. 5): integer-exact CUSUM argmax on the calendar frame
     "q_cusum_changepoint",
+    # round 6 (cont. 6): 8-round k-core peel (localCheckpoint per round)
+    "q_kcore_suppliers",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

