@@ -65,10 +65,9 @@ GATE_WINDOW = [
     # q_hll_merge_daily is tolerance-checked so it stays outside the
     # all-oracled window, as do rows-only q_approx_quantiles and
     # sim_ann_pq_trained; see tools/oracle_check.py)
-    "q_bpe_train_merges", "q_word_pmi",
+    "q_bpe_train_merges",
     "q_hybrid_rrf_search", "q_stream_stream_left_join",
     "q_group_ols", "q_mad_outliers", "q_embedding_covariance",
-    "q_max_concurrent_sessions", "q_gdpr_erasure_audit",
     "q_pit_scd2_enrich",
     "q_dau_wau_stickiness", "q_entity_resolution",
     "q_first_touch_attribution",
@@ -91,6 +90,8 @@ GATE_WINDOW = [
     "q_frequent_itemsets", "q_neyman_sample",
     "q_cusum_changepoint", "q_seasonal_decompose",
     "q_kcore_suppliers",
+    "q_multimodal_scene_cuts", "q_phrase_search",
+    "dedup_sorted_neighborhood",
     # (q_pagerank_suppliers displaced: it is the slowest gate entry (~8s in
     # BENCH_r03) and is pinned by bench + STRESS + its unrolled-CTE oracle
     # under the local mirror; its slot witnesses the NEW streaming connector)

@@ -341,3 +341,46 @@ def perceptual_hash_images(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(batches, PHASH_SCHEMA)
+
+
+LUMA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("luma", IntegerType()),
+    ]
+)
+
+
+def frame_luma(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_k: int = 5,
+) -> DataFrame:
+    """Per-sampled-frame brightness proxy: REAL byte math over the binary
+    payload — each frame's luma is the sum of its byte range mod 256 (the
+    stand-in for a decoded frame's mean luminance; a real decoder changes
+    only the arithmetic inside this function, not the plan). Same 1→N
+    partition-local explode as ``sample_video_frames``; zero shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, lumas = [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(p)
+                n_frames, stride = fake_video_meta(buf)
+                for f in range(0, n_frames, every_k):
+                    chunk = buf[f * stride : f * stride + stride]
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    lumas.append(sum(chunk) % 256)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "luma": pd.Series(lumas, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, LUMA_SCHEMA)

@@ -417,3 +417,101 @@ def dedup_incremental_q(spark, sf_dir):
         batch, corpus_bands, num_hashes=NUM_HASHES, band_size=BAND_SIZE
     )
     return survivors.select("doc_id", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood near-dup blocking (SNM)
+# ---------------------------------------------------------------------------
+
+_SNM_WINDOW = 4  # each doc meets the next W-1 docs in signature order
+_SNM_MAX_HAMMING = 4
+_SNM_POSITIONS = 16
+
+
+def _snm_oracle() -> str:
+    means = ", ".join(
+        f"AVG(CAST(strpos('0123456789abcdef', substr(th, {p}, 1)) - 1 AS DOUBLE)) AS m{p}"
+        for p in range(1, _SNM_POSITIONS + 1)
+    )
+    bits = " || ".join(
+        f"CASE WHEN m{p} >= 7.5 THEN '1' ELSE '0' END"
+        for p in range(1, _SNM_POSITIONS + 1)
+    )
+    ham = " + ".join(
+        f"CASE WHEN substr(s1, {p}, 1) <> substr(s2, {p}, 1) THEN 1 ELSE 0 END"
+        for p in range(1, _SNM_POSITIONS + 1)
+    )
+    lead_rows = " UNION ALL ".join(
+        f"SELECT doc_id AS d1, simhash AS s1, "
+        f"LEAD(doc_id, {i}) OVER w{i} AS d2, LEAD(simhash, {i}) OVER w{i} AS s2 "
+        f"FROM sig WINDOW w{i} AS (ORDER BY simhash, doc_id)"
+        for i in range(1, _SNM_WINDOW)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+),
+th AS (SELECT doc_id, md5(tok) AS th FROM toks),
+means AS (SELECT doc_id, {means} FROM th GROUP BY doc_id),
+sig AS (SELECT doc_id, {bits} AS simhash FROM means),
+cand AS ({lead_rows})
+SELECT d1, d2, CAST({ham} AS BIGINT) AS hamming
+FROM cand
+WHERE d2 IS NOT NULL AND {ham} <= {_SNM_MAX_HAMMING}
+"""
+
+
+@register("dedup_sorted_neighborhood", oracle=_snm_oracle())
+def dedup_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood near-dup blocking (Hernández & Stolfo, SIGMOD
+    1995): sort by the simhash signature, compare each record only with its
+    next W−1 neighbors in sort order — the THIRD blocking shape in the dedup
+    family (LSH banding = hash blocking, q-grams = inverted-index blocking,
+    SNM = sort blocking; SNM wins when near-dups cluster under a good sort
+    key and the candidate budget must be strictly linear, exactly (W−1)·n).
+
+    The window pass is W−1 LEADs over one ordering (no self-join); at 100 TB
+    the global signature sort is a repartitionByRange — the same shape as
+    the Z-order write — and Spark's window runs it in one pass. Hamming
+    verification on the fixed-width signature is 16 codegen CASE terms,
+    exact integers."""
+    sig = simhash(spread(T(spark, sf_dir, "documents")), positions=_SNM_POSITIONS)
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("simhash", "doc_id")
+    # window exprs must be top-level projections — compute the W-1 leads as
+    # plain columns first, then pack/explode in a second select
+    lead_cols = sig.select(
+        F.col("doc_id").alias("d1"),
+        F.col("simhash").alias("s1"),
+        *[
+            F.lead("doc_id", i).over(w).alias(f"ld{i}")
+            for i in range(1, _SNM_WINDOW)
+        ],
+        *[
+            F.lead("simhash", i).over(w).alias(f"ls{i}")
+            for i in range(1, _SNM_WINDOW)
+        ],
+    )
+    packed = F.array(
+        *[
+            F.struct(
+                F.col(f"ld{i}").alias("d2"), F.col(f"ls{i}").alias("s2")
+            )
+            for i in range(1, _SNM_WINDOW)
+        ]
+    )
+    cand = (
+        lead_cols.select("d1", "s1", F.explode(packed).alias("c"))
+        .select("d1", "s1", F.col("c.d2").alias("d2"), F.col("c.s2").alias("s2"))
+        .filter(F.col("d2").isNotNull())
+    )
+    ham = sum(
+        F.when(
+            F.substring("s1", p, 1) != F.substring("s2", p, 1), F.lit(1)
+        ).otherwise(F.lit(0))
+        for p in range(1, _SNM_POSITIONS + 1)
+    )
+    return cand.select(
+        "d1", "d2", ham.cast("bigint").alias("hamming")
+    ).filter(F.col("hamming") <= _SNM_MAX_HAMMING)

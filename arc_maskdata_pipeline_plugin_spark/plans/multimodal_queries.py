@@ -7,6 +7,8 @@ transport) end-to-end.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..operators.multimodal import attach_binary_payload, extract_image_features
 from .registry import T, register
 
@@ -197,3 +199,62 @@ def q_multimodal_phash(spark, sf_dir):
 
     d = spread(T(spark, sf_dir, "documents"))
     return perceptual_hash_images(attach_png_payload(d.select("doc_id")))
+
+
+_CUT_THRESHOLD = 64
+
+
+@register(
+    "q_multimodal_scene_cuts",
+    oracle=f"""
+WITH p AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+meta AS (
+  SELECT doc_id, text, n, n % 30 + 1 AS n_frames,
+         greatest(n // (n % 30 + 1), 1) AS stride
+  FROM p
+),
+bytes AS (
+  SELECT doc_id, n_frames, stride,
+         CAST((i - 1) // stride AS BIGINT) AS f,
+         ascii(substr(text, i, 1)) AS b
+  FROM meta, UNNEST(range(1, n + 1)) AS t(i)
+),
+luma AS (
+  SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+         CAST(SUM(b) % 256 AS INTEGER) AS luma
+  FROM bytes
+  WHERE f % 5 = 0 AND f < n_frames
+  GROUP BY doc_id, f
+)
+SELECT doc_id, frame_idx, luma,
+       CASE WHEN abs(luma - LAG(luma) OVER (PARTITION BY doc_id
+                                            ORDER BY frame_idx))
+                 > {_CUT_THRESHOLD}
+            THEN TRUE ELSE FALSE END AS is_cut
+FROM luma
+""",
+)
+def q_multimodal_scene_cuts(spark, sf_dir):
+    """Scene-cut detection over sampled video frames: per-frame luma (REAL
+    byte arithmetic over the binary payload in Arrow-batched mapInPandas —
+    the decoder stub seam) followed by a LAG window per video flagging
+    brightness jumps above the threshold. The multimodal 1→N explode stays
+    partition-local; the only shuffle is the per-video window partitioning —
+    the shape a real shot-boundary pass (histogram diff between consecutive
+    decoded frames) would keep unchanged."""
+    from pyspark.sql import Window as W
+
+    from ..operators.multimodal import frame_luma
+
+    d = T(spark, sf_dir, "documents")
+    frames = frame_luma(attach_binary_payload(d), every_k=5)
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    prev = F.lag("luma").over(w)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "luma",
+        F.when(F.abs(F.col("luma") - prev) > _CUT_THRESHOLD, F.lit(True))
+        .otherwise(F.lit(False))
+        .alias("is_cut"),
+    )

@@ -534,3 +534,80 @@ def q_zipf_slope(spark, sf_dir):
         * 1_000_000
     ).cast("bigint")
     return m.select("n", slope.alias("slope_fp6"))
+
+
+# ---------------------------------------------------------------------------
+# Phrase search over positional postings
+# ---------------------------------------------------------------------------
+
+_PHRASES = [
+    (1, "table", "hash"),
+    (2, "customer", "join"),
+    (3, "big", "order"),
+]
+_PHRASE_TOP = 10
+
+
+@register(
+    "q_phrase_search",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+post AS (
+  SELECT doc_id, i AS pos, toks[i] AS term
+  FROM tk, UNNEST(range(1, len(toks) + 1)) AS t(i)
+),
+q(query_id, w1, w2) AS (
+  VALUES {", ".join(f"({i}, '{a}', '{b}')" for i, a, b in _PHRASES)}
+),
+hits AS (
+  SELECT q.query_id, a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+  FROM q
+  JOIN post a ON a.term = q.w1
+  JOIN post b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = q.w2
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, n_matches,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY n_matches DESC, doc_id) AS INTEGER)
+         AS rank
+FROM hits
+QUALIFY rank <= {_PHRASE_TOP}
+""",
+)
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase search ("w1 w2" adjacency) over POSITIONAL postings —
+    the IR capability plain bag-of-words BM25 cannot express. Postings carry
+    token positions (posexplode); a phrase hit is an equi-join of the two
+    term's postings on (doc, pos+1) — co-partitioned by doc, never a scan of
+    full documents per query. The (tiny) phrase table broadcasts onto the
+    postings, so the corpus is tokenized once for all queries; at 100 TB the
+    postings land bucketed by term (operators/joins.py::write_bucketed) and
+    each phrase touches only its two term partitions."""
+    docs = spread(T(spark, sf_dir, "documents"))
+    toks = F.expr(
+        "filter(transform(split(lower(trim(text)), '\\\\s+'), "
+        "t -> regexp_replace(t, '[^a-z0-9]', '')), t -> t != '')"
+    )
+    post = docs.select("doc_id", F.posexplode(toks).alias("pos0", "term")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "term"
+    ).persist()  # one tokenize pass serves both phrase sides
+    q = spark.createDataFrame(_PHRASES, ["query_id", "w1", "w2"])
+    a = post.alias("a").join(
+        F.broadcast(q), F.col("a.term") == F.col("w1")
+    )
+    b = post.alias("b")
+    hits = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1)
+            & (F.col("b.term") == F.col("w2")),
+        )
+        .groupBy("query_id", F.col("a.doc_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_matches"), "doc_id")
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _PHRASE_TOP)
+    )

@@ -116,6 +116,10 @@ HEADLINE = [
     "q_cusum_changepoint",
     # round 6 (cont. 6): 8-round k-core peel (localCheckpoint per round)
     "q_kcore_suppliers",
+    # round 6 (cont. 7): phrase search over positional postings; SNM
+    # sort-blocking dedup (global signature sort, linear candidate budget)
+    "q_phrase_search",
+    "dedup_sorted_neighborhood",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -664,3 +664,33 @@ def test_neyman_broadcast_allocation(spark):
     a = props("q_neyman_sample", spark)
     assert a["broadcasts"] >= 2
     assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+
+
+def test_scene_cuts_partition_local_explode(spark):
+    """Frame explode rides the scan in Python; only the per-video window
+    shuffles."""
+    a = props("q_multimodal_scene_cuts", spark)
+    assert a["python_ops"] >= 1
+    assert a["exchanges"] <= 2
+
+
+def test_phrase_search_broadcast_queries(spark):
+    """The phrase table broadcasts; postings are cached for both phrase
+    sides (corpus tokenized once)."""
+    plan = (
+        QUERIES["q_phrase_search"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("InMemoryTableScan") >= 2
+    a = props("q_phrase_search", spark)
+    assert a["broadcasts"] >= 1 and a["python_ops"] == 0
+
+
+def test_snm_no_self_join(spark):
+    """SNM candidates come from LEAD windows over one ordering — no join
+    operators at all, bounded exchanges."""
+    a = props("dedup_sorted_neighborhood", spark)
+    assert a["sort_merge_joins"] == 0 and a["broadcasts"] == 0
+    assert a["python_ops"] == 0

@@ -819,3 +819,78 @@ def test_kcore_fixed_rounds_converged(spark, sf_medium):
     # one more peel on the surviving subgraph: all degrees already >= k
     assert eight.filter(SF.col("degree") < g._KCORE_K).count() == 0
     assert len(survivors) > 0
+
+
+# ---------------------------------------------------------------------------
+# scene cuts
+# ---------------------------------------------------------------------------
+
+
+def test_scene_cuts_luma_and_flags(spark, sf_small):
+    from arc_maskdata_pipeline_plugin_spark.plans.multimodal_queries import (
+        _CUT_THRESHOLD,
+        q_multimodal_scene_cuts,
+    )
+
+    rows = q_multimodal_scene_cuts(spark, sf_small).collect()
+    assert len(rows) > 0
+    assert all(0 <= r.luma <= 255 for r in rows)
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, frames in by_doc.items():
+        frames.sort(key=lambda r: r.frame_idx)
+        assert frames[0].is_cut is False  # no predecessor -> never a cut
+        for prev, cur in zip(frames, frames[1:]):
+            assert cur.is_cut == (abs(cur.luma - prev.luma) > _CUT_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# phrase search
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_search_adjacency_semantics(spark):
+    import arc_maskdata_pipeline_plugin_spark.plans.search2 as s2
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the table hash join wins", "s"),
+            (2, "hash table is reversed here", "s"),   # "table hash" absent
+            (3, "table hash table hash again", "s"),   # two occurrences
+        ],
+        ["doc_id", "text", "source"],
+    )
+    orig_t = s2.T
+    try:
+        s2.T = lambda sp, sf, name: docs  # noqa: ARG005
+        out = {
+            (r.query_id, r.doc_id): r.n_matches
+            for r in s2.q_phrase_search(spark, "x").collect()
+        }
+    finally:
+        s2.T = orig_t
+    assert out[(1, 1)] == 1
+    assert out[(1, 3)] == 2
+    assert (1, 2) not in out  # reversed order is not the phrase
+
+
+# ---------------------------------------------------------------------------
+# sorted neighborhood
+# ---------------------------------------------------------------------------
+
+
+def test_snm_candidate_budget_is_linear(spark, sf_small):
+    from arc_maskdata_pipeline_plugin_spark.plans.dedup import (
+        _SNM_WINDOW,
+        dedup_sorted_neighborhood,
+    )
+    from arc_maskdata_pipeline_plugin_spark.plans.registry import T
+
+    n_docs = T(spark, sf_small, "documents").count()
+    pairs = dedup_sorted_neighborhood(spark, sf_small).collect()
+    # candidate budget is strictly linear: at most (W-1) * n pairs even
+    # before the hamming filter
+    assert len(pairs) <= (_SNM_WINDOW - 1) * n_docs
+    assert all(r.d1 != r.d2 for r in pairs)
+    assert all(0 <= r.hamming <= 4 for r in pairs)
