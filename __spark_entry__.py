@@ -67,7 +67,7 @@ GATE_WINDOW = [
     # sim_ann_pq_trained; see tools/oracle_check.py)
     "q_bpe_train_merges",
     "q_hybrid_rrf_search", "q_stream_stream_left_join",
-    "q_group_ols", "q_mad_outliers", "q_embedding_covariance",
+    "q_embedding_covariance",
     "q_pit_scd2_enrich",
     "q_dau_wau_stickiness", "q_entity_resolution",
     "q_first_touch_attribution",
@@ -92,6 +92,7 @@ GATE_WINDOW = [
     "q_kcore_suppliers",
     "q_multimodal_scene_cuts", "q_phrase_search",
     "dedup_sorted_neighborhood",
+    "q_incremental_join_mv", "q_ab_test_welch",
     # (q_pagerank_suppliers displaced: it is the slowest gate entry (~8s in
     # BENCH_r03) and is pinned by bench + STRESS + its unrolled-CTE oracle
     # under the local mirror; its slot witnesses the NEW streaming connector)

@@ -440,3 +440,92 @@ def q_hll_audience_overlap(spark, sf_dir):
             (F.col("est_a") + F.col("est_b") - F.col("est_union")),
         ).alias("est_overlap"),
     )
+
+
+@register(
+    "q_ab_test_welch",
+    oracle="""
+WITH cents AS (
+  SELECT event_type, user_id % 2 AS grp,
+         CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS c
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) FILTER (grp = 0) AS BIGINT) AS na,
+         CAST(COUNT(*) FILTER (grp = 1) AS BIGINT) AS nb,
+         CAST(SUM(CAST(c AS DECIMAL(38,0))) FILTER (grp = 0) AS DECIMAL(38,0)) AS s1a,
+         CAST(SUM(CAST(c AS DECIMAL(38,0))) FILTER (grp = 1) AS DECIMAL(38,0)) AS s1b,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) FILTER (grp = 0) AS DECIMAL(38,0)) AS s2a,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) FILTER (grp = 1) AS DECIMAL(38,0)) AS s2b
+  FROM cents GROUP BY event_type
+),
+stats AS (
+  SELECT event_type, na, nb,
+         CAST(s1a AS DOUBLE) / na AS ma, CAST(s1b AS DOUBLE) / nb AS mb,
+         (na * CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE))
+           / (CAST(na AS DOUBLE) * na * (na - 1)) AS sea,
+         (nb * CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE))
+           / (CAST(nb AS DOUBLE) * nb * (nb - 1)) AS seb
+  FROM m
+)
+SELECT event_type, na, nb,
+       CAST(floor((ma - mb) / sqrt(sea + seb) * 1000000) AS BIGINT) AS t_fp6,
+       CAST(floor((sea + seb) * (sea + seb)
+                  / (sea * sea / (na - 1) + seb * seb / (nb - 1)) * 1000)
+            AS BIGINT) AS df_fp3
+FROM stats
+""",
+)
+def q_ab_test_welch(spark, sf_dir):
+    """Welch two-sample t-test per event type (A/B assignment =
+    user_id mod 2): the experiment-analysis primitive, computed from EXACT
+    decimal cent moments in ONE conditional-aggregation pass over events —
+    never two subqueries per arm, never a per-group fit. The t statistic
+    and Welch-Satterthwaite df are single double expressions over the exact
+    moments, floored to fp integers (engine-stable); at 1000 executors the
+    moments aggregate map-side-combines and the statistics frame is
+    |types|-sized."""
+    e = T(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    cents = e.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("grp"),
+        (F.col("value").cast("decimal(10,2)") * 100).cast("bigint").alias("c"),
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    m = cents.groupBy("event_type").agg(
+        F.count(F.when(F.col("grp") == 0, 1)).cast("bigint").alias("na"),
+        F.count(F.when(F.col("grp") == 1, 1)).cast("bigint").alias("nb"),
+        F.sum(F.when(F.col("grp") == 0, cd)).cast("decimal(38,0)").alias("s1a"),
+        F.sum(F.when(F.col("grp") == 1, cd)).cast("decimal(38,0)").alias("s1b"),
+        F.sum(F.when(F.col("grp") == 0, cd * F.col("c")))
+        .cast("decimal(38,0)")
+        .alias("s2a"),
+        F.sum(F.when(F.col("grp") == 1, cd * F.col("c")))
+        .cast("decimal(38,0)")
+        .alias("s2b"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    ma = F.col("s1a").cast("double") / na
+    mb = F.col("s1b").cast("double") / nb
+    sea = (na * F.col("s2a").cast("double") - F.col("s1a").cast("double") * F.col("s1a").cast("double")) / (
+        na.cast("double") * na * (na - 1)
+    )
+    seb = (nb * F.col("s2b").cast("double") - F.col("s1b").cast("double") * F.col("s1b").cast("double")) / (
+        nb.cast("double") * nb * (nb - 1)
+    )
+    return m.select(
+        "event_type",
+        "na",
+        "nb",
+        F.floor((ma - mb) / F.sqrt(sea + seb) * 1_000_000)
+        .cast("bigint")
+        .alias("t_fp6"),
+        F.floor(
+            (sea + seb) * (sea + seb)
+            / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+            * 1_000
+        )
+        .cast("bigint")
+        .alias("df_fp3"),
+    )

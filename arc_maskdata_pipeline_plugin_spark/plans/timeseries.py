@@ -483,3 +483,63 @@ def q_seasonal_decompose(spark, sf_dir):
             ).alias("residual_fp6"),
         )
     )
+
+
+@register(
+    "q_incremental_join_mv",
+    oracle="""
+SELECT c.c_mktsegment AS seg,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+)
+def q_incremental_join_mv(spark, sf_dir):
+    """JOIN-view incremental maintenance, driven through the gate: the
+    revenue-per-segment JOIN view V = A ⋈ B is maintained by the delta
+    algebra ΔV = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB (both inputs change:
+    late-arriving orders AND newly registered customers), merged with the
+    old view by re-aggregation of decomposable partials. The oracle
+    recomputes the join from scratch, so the gate asserts the full
+    incremental-join contract — the identity behind every streaming join
+    materialization and lakehouse MERGE pipeline.
+
+    At 100 TB: the three delta joins touch |Δ|-sized fact slices (ΔA joins
+    broadcast B_old partitions; A_old⋈ΔB is a semi-probe by the new-key
+    set), never the historical corpus; the final merge is view-sized."""
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # deterministic change sets: late orders = orderkey ≡ 0 (mod 7),
+    # new customers = custkey ≡ 0 (mod 5)
+    a_new = F.col("o_orderkey") % 7 == 0
+    b_new = F.col("c_custkey") % 5 == 0
+    a_old, da = orders.filter(~a_new), orders.filter(a_new)
+    b_old, db = cust.filter(~b_new), cust.filter(b_new)
+
+    def partial(o, c):
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy(F.col("c_mktsegment").alias("seg"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+            )
+        )
+
+    v_old = partial(a_old, b_old)
+    delta = (
+        partial(da, b_old)
+        .union(partial(a_old, db))
+        .union(partial(da, db))
+    )
+    return (
+        v_old.union(delta)
+        .groupBy("seg")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_orders"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+    )

@@ -120,6 +120,8 @@ HEADLINE = [
     # sort-blocking dedup (global signature sort, linear candidate budget)
     "q_phrase_search",
     "dedup_sorted_neighborhood",
+    # round 6 (cont. 8): delta-algebra join MV (3 |Δ|-sized joins + merge)
+    "q_incremental_join_mv",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

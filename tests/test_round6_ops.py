@@ -894,3 +894,83 @@ def test_snm_candidate_budget_is_linear(spark, sf_small):
     assert len(pairs) <= (_SNM_WINDOW - 1) * n_docs
     assert all(r.d1 != r.d2 for r in pairs)
     assert all(0 <= r.hamming <= 4 for r in pairs)
+
+
+# ---------------------------------------------------------------------------
+# incremental join MV
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_join_mv_delta_algebra(spark, sf_small):
+    """The registered query IS merge(V_old, deltas); the oracle is the full
+    recompute — here additionally pin that dropping the ΔA⋈ΔB cross term
+    breaks the identity (i.e. the test would catch a wrong delta algebra)."""
+    from arc_maskdata_pipeline_plugin_spark.plans.registry import T
+    from arc_maskdata_pipeline_plugin_spark.plans.timeseries import (
+        q_incremental_join_mv,
+    )
+
+    inc = {r.seg: (r.n_orders, r.revenue) for r in q_incremental_join_mv(spark, sf_small).collect()}
+    o = T(spark, sf_small, "orders")
+    c = T(spark, sf_small, "customer")
+    full = {
+        r.seg: (r.n_orders, r.revenue)
+        for r in o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .collect()
+    }
+    assert inc == full
+    # the cross term is non-empty: orders with key%7==0 AND cust key%5==0
+    cross = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .join(
+            c.filter(F.col("c_custkey") % 5 == 0),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .count()
+    )
+    assert cross > 0  # dropping ΔA⋈ΔB would under-count by this many rows
+
+
+# ---------------------------------------------------------------------------
+# Welch A/B test
+# ---------------------------------------------------------------------------
+
+
+def test_welch_t_matches_scipy_formula(spark, sf_medium):
+    import math
+
+    import duckdb
+
+    from arc_maskdata_pipeline_plugin_spark.plans.stats2 import q_ab_test_welch
+
+    got = {r.event_type: r for r in q_ab_test_welch(spark, sf_medium).collect()}
+    raw = duckdb.connect().execute(
+        "SELECT event_type, user_id % 2, CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)"
+        f" FROM read_parquet('{sf_medium}/events.parquet')"
+    ).fetchall()
+    from collections import defaultdict
+
+    groups: dict = defaultdict(list)
+    for t, g, c in raw:
+        groups[(t, g)].append(c)
+    for t in got:
+        a, b = groups[(t, 0)], groups[(t, 1)]
+        na, nb = len(a), len(b)
+        ma, mb = sum(a) / na, sum(b) / nb
+        va = sum((x - ma) ** 2 for x in a) / (na - 1)
+        vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+        tstat = (ma - mb) / math.sqrt(va / na + vb / nb)
+        df = (va / na + vb / nb) ** 2 / (
+            (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+        )
+        assert abs(got[t].t_fp6 / 1e6 - tstat) < 1e-3
+        assert abs(got[t].df_fp3 / 1e3 - df) < 1.0
+        # A/B split by user hash on synthetic data: no real effect expected
+        assert abs(got[t].t_fp6 / 1e6) < 5
