@@ -69,7 +69,6 @@ GATE_WINDOW = [
     "q_hybrid_rrf_search", "q_stream_stream_left_join",
     "q_embedding_covariance",
     "q_pit_scd2_enrich",
-    "q_dau_wau_stickiness", "q_entity_resolution",
     "q_first_touch_attribution",
     # round-3/4 additions the driver never witnessed (displaced 20 stable
     # judge-verified queries to r05: q_unigram_logprob, q_text_clean, q_length_bucket_batches,
@@ -93,6 +92,7 @@ GATE_WINDOW = [
     "q_multimodal_scene_cuts", "q_phrase_search",
     "dedup_sorted_neighborhood",
     "q_incremental_join_mv", "q_ab_test_welch",
+    "q_mode_per_group", "q_percentile_disc_exact",
     # (q_pagerank_suppliers displaced: it is the slowest gate entry (~8s in
     # BENCH_r03) and is pinned by bench + STRESS + its unrolled-CTE oracle
     # under the local mirror; its slot witnesses the NEW streaming connector)

@@ -414,3 +414,114 @@ def q_null_safe_join(spark, sf_dir):
             F.max("n_views").alias("n_views"),
         )
     )
+
+
+@register(
+    "q_mode_per_group",
+    oracle="""
+WITH cnt AS (
+  SELECT event_type, CAST(value AS DECIMAL(10,2)) AS v,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, v, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, v) AS rn
+  FROM cnt
+)
+SELECT event_type, CAST(v AS DOUBLE) AS mode_value, n AS mode_count
+FROM ranked WHERE rn = 1
+""",
+)
+def q_mode_per_group(spark, sf_dir):
+    """Deterministic per-group mode: most frequent value with the SMALLEST
+    value winning ties. Spark's built-in ``mode()`` is tie-nondeterministic
+    (and engines disagree on ties), so the engine-stable formulation is
+    count + rank — one hash aggregate on (group, value) and a window over
+    the distinct-value frame, exactly the two-step every deterministic mode
+    needs at scale."""
+    e = T(spark, sf_dir, "events")
+    cnt = e.groupBy(
+        "event_type", F.col("value").cast("decimal(10,2)").alias("v")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy(F.desc("n"), "v")
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("v").cast("double").alias("mode_value"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+@register(
+    "q_percentile_disc_exact",
+    oracle="""
+WITH cents AS (
+  SELECT event_type, CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS c
+  FROM events
+),
+cnt AS (
+  SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS n FROM cents GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, c, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY c
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM cnt
+)
+SELECT event_type,
+       CAST(MIN(CASE WHEN r >= CAST(ceil(0.50 * total) AS BIGINT) THEN c END) AS BIGINT) AS p50_cents,
+       CAST(MIN(CASE WHEN r >= CAST(ceil(0.95 * total) AS BIGINT) THEN c END) AS BIGINT) AS p95_cents,
+       CAST(MIN(CASE WHEN r >= CAST(ceil(0.99 * total) AS BIGINT) THEN c END) AS BIGINT) AS p99_cents,
+       CAST(MIN(total) AS BIGINT) AS n
+FROM cum GROUP BY event_type
+""",
+)
+def q_percentile_disc_exact(spark, sf_dir):
+    """EXACT discrete percentiles (PERCENTILE_DISC semantics) per group via
+    cumulative counts over the DISTINCT-value frame — the engine-portable
+    exact-quantile shape (interpolating percentile_cont differs in float
+    detail across engines; the discrete rank definition cannot). The corpus
+    contributes one (group, value) hash aggregate; the cumulative window
+    runs on the distinct-value frame (bounded by value cardinality, not row
+    count) — same discipline as q_winsorize_prices. The GK-sketch path
+    (q_approx_quantiles) remains the tolerance-checked scale alternative."""
+    e = T(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type",
+        (F.col("value").cast("decimal(10,2)") * 100).cast("bigint").alias("c"),
+    )
+    cnt = cents.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    from pyspark.sql import Window as W
+
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wt = W.partitionBy("event_type")
+    cum = cnt.select(
+        "event_type",
+        "c",
+        F.sum("n").over(wc).alias("r"),
+        F.sum("n").over(wt).alias("total"),
+    )
+
+    def pick(p):
+        thr = F.ceil(F.lit(p) * F.col("total")).cast("bigint")
+        return F.min(F.when(F.col("r") >= thr, F.col("c"))).cast("bigint")
+
+    return cum.groupBy("event_type").agg(
+        pick(0.50).alias("p50_cents"),
+        pick(0.95).alias("p95_cents"),
+        pick(0.99).alias("p99_cents"),
+        F.min("total").cast("bigint").alias("n"),
+    )
