@@ -65,11 +65,8 @@ GATE_WINDOW = [
     # q_hll_merge_daily is tolerance-checked so it stays outside the
     # all-oracled window, as do rows-only q_approx_quantiles and
     # sim_ann_pq_trained; see tools/oracle_check.py)
-    "q_bpe_train_merges",
-    "q_hybrid_rrf_search", "q_stream_stream_left_join",
+    "q_stream_stream_left_join",
     "q_embedding_covariance",
-    "q_pit_scd2_enrich",
-    "q_first_touch_attribution",
     # round-3/4 additions the driver never witnessed (displaced 20 stable
     # judge-verified queries to r05: q_unigram_logprob, q_text_clean, q_length_bucket_batches,
     # q_time_resample, q_profile_orders, q_udtf_term_freqs,
@@ -93,6 +90,12 @@ GATE_WINDOW = [
     "dedup_sorted_neighborhood",
     "q_incremental_join_mv", "q_ab_test_welch",
     "q_mode_per_group", "q_percentile_disc_exact",
+    # round-6 additions, sixth batch (experimentation/survival family;
+    # displacing q_bpe_train_merges, q_hybrid_rrf_search,
+    # q_pit_scd2_enrich, q_first_touch_attribution — all benched and/or
+    # pytest-pinned, green under the local mirror)
+    "q_cuped_adjustment", "q_kaplan_meier",
+    "q_diff_in_diff", "q_user_entropy",
     # (q_pagerank_suppliers displaced: it is the slowest gate entry (~8s in
     # BENCH_r03) and is pinned by bench + STRESS + its unrolled-CTE oracle
     # under the local mirror; its slot witnesses the NEW streaming connector)

@@ -529,3 +529,335 @@ def q_ab_test_welch(spark, sf_dir):
         .cast("bigint")
         .alias("df_fp3"),
     )
+
+
+@register(
+    "q_cuped_adjustment",
+    oracle="""
+WITH cents AS (
+  SELECT user_id, event_type,
+         CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 0 ELSE 1 END
+           AS period,
+         CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS c
+  FROM events
+),
+per_user AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CASE WHEN period = 0 THEN c ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN period = 1 THEN c ELSE 0 END) AS BIGINT) AS y
+  FROM cents GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+  FROM per_user GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(floor((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * 1000000) AS BIGINT) AS theta_fp6,
+       CAST(floor(
+         (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         * 1000000) AS BIGINT) AS var_reduction_fp6
+FROM m
+""",
+)
+def q_cuped_adjustment(spark, sf_dir):
+    """CUPED (Deng et al., WSDM 2013): per metric, the regression
+    coefficient theta = cov(pre, post)/var(pre) of each user's pre-period
+    covariate against their experiment-period metric, plus the variance
+    reduction it buys (= rho², the fraction of metric variance the
+    pre-period explains) — the standard trick that shrinks A/B confidence
+    intervals without more traffic.
+
+    One pass builds per-user (pre, post) exact cent totals (user-keyed
+    map-side-combined aggregate); a second multi-aggregate collapses them
+    to five exact DECIMAL moments per metric; theta and rho² are single
+    double expressions floored to fp6. Nothing larger than the user frame
+    ever shuffles."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts", "value")
+    period = F.when(
+        F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), 0
+    ).otherwise(1)
+    cents = e.select(
+        "user_id",
+        "event_type",
+        period.alias("period"),
+        (F.col("value").cast("decimal(10,2)") * 100).cast("bigint").alias("c"),
+    )
+    per_user = cents.groupBy("event_type", "user_id").agg(
+        F.sum(F.when(F.col("period") == 0, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("period") == 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    m = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xd).cast("decimal(38,0)").alias("sx"),
+        F.sum(yd).cast("decimal(38,0)").alias("sy"),
+        F.sum(xd * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(xd * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(yd * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy, syy = (
+        F.col("sxx").cast("double"),
+        F.col("sxy").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    return m.select(
+        "event_type",
+        "n",
+        F.floor(cov_n / varx_n * 1_000_000).cast("bigint").alias("theta_fp6"),
+        F.floor(cov_n * cov_n / (varx_n * vary_n) * 1_000_000)
+        .cast("bigint")
+        .alias("var_reduction_fp6"),
+    )
+
+
+@register(
+    "q_kaplan_meier",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS start_day FROM events GROUP BY user_id
+),
+first_purchase AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS conv_day
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+horizon AS (SELECT MAX(CAST(ts AS DATE)) AS h FROM events),
+subj AS (
+  SELECT f.user_id,
+         CASE WHEN p.conv_day IS NULL
+              THEN date_diff('day', f.start_day, horizon.h)
+              ELSE date_diff('day', f.start_day, p.conv_day) END AS t,
+         CASE WHEN p.conv_day IS NULL THEN 0 ELSE 1 END AS event
+  FROM first_seen f LEFT JOIN first_purchase p USING (user_id)
+  CROSS JOIN horizon
+),
+times AS (
+  SELECT t,
+         CAST(SUM(event) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS leaving
+  FROM subj GROUP BY t
+),
+risk AS (
+  SELECT t, d,
+         SUM(leaving) OVER (ORDER BY t DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS n_at_risk
+  FROM times
+)
+SELECT t, d, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(SUM(CASE WHEN d > 0 AND n_at_risk > d
+                     THEN CAST(floor(ln(CAST(n_at_risk - d AS DOUBLE) / n_at_risk)
+                                     * 1000000000) AS BIGINT)
+                     WHEN d > 0 THEN -99000000000
+                     ELSE 0 END)
+            OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS log_survival_fp9
+FROM risk
+WHERE d > 0
+""",
+)
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival estimator (JASA 1958) for time-to-first-purchase
+    with right censoring (users who never purchase are censored at the
+    observation horizon): S(t) = Π_{t_i ≤ t} (1 − d_i/n_i). The product is
+    carried in LOG space with each factor's ln floored to fp9 BEFORE the
+    cumulative sum — exact integer accumulation, so the curve is
+    engine-stable (a floating cumulative product is neither). Events
+    collapse to one row per user, then one row per distinct event time; the
+    at-risk counts come from a reverse cumulative sum — every frame after
+    the first user-keyed aggregate is duration-grain."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("start_day")
+    )
+    first_purchase = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("conv_day"))
+    )
+    horizon = e.agg(F.max(F.col("ts").cast("date")).alias("h"))
+    subj = (
+        first_seen.join(first_purchase, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("conv_day").isNull(),
+                F.datediff(F.col("h"), F.col("start_day")),
+            )
+            .otherwise(F.datediff(F.col("conv_day"), F.col("start_day")))
+            .alias("t"),
+            F.when(F.col("conv_day").isNull(), 0).otherwise(1).alias("event"),
+        )
+    )
+    times = subj.groupBy("t").agg(
+        F.sum("event").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+    )
+    from pyspark.sql import Window as W
+
+    w_desc = W.orderBy(F.desc("t")).rowsBetween(W.unboundedPreceding, 0)
+    risk = times.select(
+        "t",
+        "d",
+        F.sum("leaving").over(w_desc).alias("n_at_risk"),
+    )
+    # n_at_risk == d (everyone remaining converts) => S hits exactly 0;
+    # the log-space product gets a finite sentinel factor (-99 fp9) instead
+    # of ln(0) = -inf, identically in both engines
+    term = (
+        F.when(
+            (F.col("d") > 0) & (F.col("n_at_risk") > F.col("d")),
+            F.floor(
+                F.log(
+                    (F.col("n_at_risk") - F.col("d")).cast("double")
+                    / F.col("n_at_risk")
+                )
+                * 1_000_000_000
+            ).cast("bigint"),
+        )
+        .when(F.col("d") > 0, F.lit(-99_000_000_000).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint"))
+    )
+    w_asc = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        risk.withColumn("term", term)
+        .withColumn("log_survival_fp9", F.sum("term").over(w_asc).cast("bigint"))
+        .filter(F.col("d") > 0)
+        .select("t", "d", "n_at_risk", "log_survival_fp9")
+    )
+
+
+@register(
+    "q_diff_in_diff",
+    oracle="""
+WITH cells AS (
+  SELECT event_type,
+         user_id % 2 AS treated,
+         CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 0 ELSE 1 END AS post,
+         CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS c
+  FROM events
+),
+m AS (
+  SELECT event_type, treated, post,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s
+  FROM cells GROUP BY 1, 2, 3
+),
+wide AS (
+  SELECT event_type,
+         MAX(CASE WHEN treated = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS tp,
+         MAX(CASE WHEN treated = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS tr,
+         MAX(CASE WHEN treated = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS cp,
+         MAX(CASE WHEN treated = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS cr,
+         CAST(SUM(n) AS BIGINT) AS n_total
+  FROM m GROUP BY event_type
+)
+SELECT event_type, n_total,
+       CAST(floor(((tp - tr) - (cp - cr)) * 10000) AS BIGINT) AS did_cents_fp4
+FROM wide
+""",
+)
+def q_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences estimate per metric (treated = user_id mod
+    2, post = second half of the observation window): the quasi-experimental
+    workhorse when randomization isn't available. All four cell means come
+    from ONE conditional aggregate of exact decimal cents; the estimator is
+    a single double expression floored to fp4 — nothing beyond the
+    |metrics|×4 cell frame ever exists after the one fact pass."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts", "value")
+    cells = e.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("treated"),
+        F.when(F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), 0)
+        .otherwise(1)
+        .alias("post"),
+        (F.col("value").cast("decimal(10,2)") * 100).cast("bigint").alias("c"),
+    )
+    m = cells.groupBy("event_type", "treated", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+
+    def cell(t, p):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), mean)
+        )
+
+    wide = m.groupBy("event_type").agg(
+        cell(1, 1).alias("tp"),
+        cell(1, 0).alias("tr"),
+        cell(0, 1).alias("cp"),
+        cell(0, 0).alias("cr"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return wide.select(
+        "event_type",
+        "n_total",
+        F.floor(((F.col("tp") - F.col("tr")) - (F.col("cp") - F.col("cr"))) * 10_000)
+        .cast("bigint")
+        .alias("did_cents_fp4"),
+    )
+
+
+@register(
+    "q_user_entropy",
+    oracle="""
+WITH cnt AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS nt
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT user_id, CAST(SUM(nt) AS BIGINT) AS n FROM cnt GROUP BY user_id)
+SELECT c.user_id, CAST(MIN(t.n) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(-(CAST(c.nt AS DOUBLE) / t.n)
+                           * ln(CAST(c.nt AS DOUBLE) / t.n)
+                           * 1000000000) AS BIGINT)) AS BIGINT) AS entropy_fp9
+FROM cnt c JOIN tot t ON c.user_id = t.user_id
+GROUP BY c.user_id
+""",
+)
+def q_user_entropy(spark, sf_dir):
+    """Behavioral diversity: Shannon entropy of each user's event-type
+    distribution — the bot/power-user screen (near-zero entropy = single-
+    action automation; maximal = uniform across types). Each −p·ln p term
+    floors to an fp9 integer BEFORE the per-user sum (engine-stable); the
+    (user, type) count and the per-user rollup share one user-keyed
+    shuffle."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type")
+    cnt = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nt")
+    )
+    from pyspark.sql import Window as W
+
+    wu = W.partitionBy("user_id")
+    p = F.col("nt").cast("double") / F.sum("nt").over(wu)
+    term = F.floor(-p * F.log(p) * 1_000_000_000).cast("bigint")
+    withn = cnt.select(
+        "user_id",
+        F.sum("nt").over(wu).cast("bigint").alias("n"),
+        term.alias("term"),
+    )
+    return withn.groupBy("user_id").agg(
+        F.min("n").cast("bigint").alias("n_events"),
+        F.sum("term").cast("bigint").alias("entropy_fp9"),
+    )

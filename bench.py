@@ -122,6 +122,9 @@ HEADLINE = [
     "dedup_sorted_neighborhood",
     # round 6 (cont. 8): delta-algebra join MV (3 |Δ|-sized joins + merge)
     "q_incremental_join_mv",
+    # round 6 (cont. 9): CUPED + Kaplan-Meier (user-frame experimentation)
+    "q_cuped_adjustment",
+    "q_kaplan_meier",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

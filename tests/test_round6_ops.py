@@ -974,3 +974,63 @@ def test_welch_t_matches_scipy_formula(spark, sf_medium):
         assert abs(got[t].df_fp3 / 1e3 - df) < 1.0
         # A/B split by user hash on synthetic data: no real effect expected
         assert abs(got[t].t_fp6 / 1e6) < 5
+
+
+# ---------------------------------------------------------------------------
+# experimentation family
+# ---------------------------------------------------------------------------
+
+
+def test_cuped_on_correlated_construction(spark):
+    import arc_maskdata_pipeline_plugin_spark.plans.stats2 as st2
+    import datetime as dt
+
+    # construct users whose post value == 2 * pre value -> theta == 2 and
+    # variance reduction == 100%
+    rows = []
+    eid = 0
+    for u in range(40):
+        pre = 10.0 + u
+        rows.append((eid, dt.datetime(2024, 1, 5), u, "m", pre)); eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 20), u, "m", 2 * pre)); eid += 1
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    orig_t = st2.T
+    try:
+        st2.T = lambda sp, sf, name: events  # noqa: ARG005
+        out = st2.q_cuped_adjustment(spark, "x").collect()
+    finally:
+        st2.T = orig_t
+    r = out[0]
+    assert r.theta_fp6 == 2_000_000 - 1 or r.theta_fp6 == 2_000_000  # floor
+    assert r.var_reduction_fp6 >= 999_999
+
+
+def test_kaplan_meier_survival_monotone(spark, sf_medium):
+    import math
+
+    from arc_maskdata_pipeline_plugin_spark.plans.stats2 import q_kaplan_meier
+
+    rows = sorted(q_kaplan_meier(spark, sf_medium).collect(), key=lambda r: r.t)
+    assert len(rows) > 0
+    # survival is non-increasing, within (0, 1]
+    prev = 0
+    for r in rows:
+        assert r.log_survival_fp9 <= prev
+        prev = r.log_survival_fp9
+        assert r.n_at_risk >= r.d > 0
+    s_last = math.exp(rows[-1].log_survival_fp9 / 1e9)
+    assert 0 <= s_last < 1
+
+
+def test_user_entropy_bounds(spark, sf_medium):
+    import math
+
+    from arc_maskdata_pipeline_plugin_spark.plans.stats2 import q_user_entropy
+
+    rows = q_user_entropy(spark, sf_medium).collect()
+    assert len(rows) == 150
+    hmax = math.log(5) * 1e9  # 5 event types
+    for r in rows:
+        assert -5 <= r.entropy_fp9 <= hmax + 5  # fp9 floor slack
