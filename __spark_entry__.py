@@ -66,7 +66,6 @@ GATE_WINDOW = [
     # all-oracled window, as do rows-only q_approx_quantiles and
     # sim_ann_pq_trained; see tools/oracle_check.py)
     "q_stream_stream_left_join",
-    "q_embedding_covariance",
     # round-3/4 additions the driver never witnessed (displaced 20 stable
     # judge-verified queries to r05: q_unigram_logprob, q_text_clean, q_length_bucket_batches,
     # q_time_resample, q_profile_orders, q_udtf_term_freqs,
@@ -96,6 +95,7 @@ GATE_WINDOW = [
     # pytest-pinned, green under the local mirror)
     "q_cuped_adjustment", "q_kaplan_meier",
     "q_diff_in_diff", "q_user_entropy",
+    "q_nested_subsets",
     # (q_pagerank_suppliers displaced: it is the slowest gate entry (~8s in
     # BENCH_r03) and is pinned by bench + STRESS + its unrolled-CTE oracle
     # under the local mirror; its slot witnesses the NEW streaming connector)

@@ -854,3 +854,61 @@ def q_neyman_sample(spark, sf_dir):
     return ranked.join(F.broadcast(alloc), "event_type").filter(
         F.col("rk") <= F.col("kh")
     ).select("event_id", "event_type", "rk", "kh")
+
+
+_NEST_MAX_LEVEL = 6
+
+
+@register(
+    "q_nested_subsets",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id,
+         (CAST(('0x' || substr(md5('nest:' || CAST(doc_id AS VARCHAR)), 1, 12))
+               AS BIGINT) + 1) / 281474976710657.0 AS u
+  FROM documents
+),
+lv AS (
+  SELECT doc_id,
+         LEAST(CAST(floor(-ln(u) / ln(2)) AS BIGINT), {_NEST_MAX_LEVEL})
+           AS level
+  FROM u
+)
+SELECT level,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM lv GROUP BY level
+""",
+)
+def q_nested_subsets(spark, sf_dir):
+    """Nested scaling-law subsets: each doc draws a deterministic md5
+    uniform u and gets level = floor(-log2(u)) (capped) — "level ≥ k" is a
+    ~2^-k sample AND the subsets are NESTED by construction
+    (level ≥ k+1 ⊂ level ≥ k), which is what a scaling-law sweep needs:
+    the 1% corpus is a strict subset of the 2% corpus, so loss differences
+    between runs are attributable to size, not resampling noise. Pure
+    projection + one 7-row aggregate; membership is reproducible from
+    doc_id alone (no stored sample lists at 100 TB)."""
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("nest:"), F.col("doc_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(281474976710657.0)
+    level = F.least(
+        F.floor(-F.log(u) / F.log(F.lit(2.0))).cast("bigint"),
+        F.lit(_NEST_MAX_LEVEL).cast("bigint"),
+    )
+    return docs.select("doc_id", level.alias("level")).groupBy("level").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.max("doc_id").cast("bigint").alias("max_id"),
+    )

@@ -1034,3 +1034,32 @@ def test_user_entropy_bounds(spark, sf_medium):
     hmax = math.log(5) * 1e9  # 5 event types
     for r in rows:
         assert -5 <= r.entropy_fp9 <= hmax + 5  # fp9 floor slack
+
+
+def test_nested_subsets_are_nested_and_halving(spark, sf_medium):
+    import hashlib
+    import math
+
+    from arc_maskdata_pipeline_plugin_spark.plans.training import (
+        _NEST_MAX_LEVEL,
+        q_nested_subsets,
+    )
+
+    rows = {r.level: r.n_docs for r in q_nested_subsets(spark, sf_medium).collect()}
+    assert sum(rows.values()) == 500
+    # cumulative "level >= k" counts roughly halve per level
+    cum = [sum(n for lv, n in rows.items() if lv >= k) for k in range(_NEST_MAX_LEVEL)]
+    assert cum[0] == 500
+    for a, b in zip(cum, cum[1:]):
+        assert b <= a  # nested by construction
+
+    # independent Python recompute of the level assignment
+    def level(doc_id):
+        h = hashlib.md5(f"nest:{doc_id}".encode()).hexdigest()[:12]
+        u = (int(h, 16) + 1) / 281474976710657.0
+        return min(int(math.floor(-math.log(u) / math.log(2.0))), _NEST_MAX_LEVEL)
+
+    expect: dict[int, int] = {}
+    for d in range(500):
+        expect[level(d)] = expect.get(level(d), 0) + 1
+    assert rows == expect
