@@ -74,7 +74,7 @@ GATE_WINDOW = [
     # q_domain_mix_rebalance, q_quality_percentile_filter,
     # q_passage_dedup_stats, q_training_shards, sim_ann_pq)
     "q_python_datasource", "q_stream_threshold_alert",
-    "q_auto_join_revenue", "q_incremental_moments",
+    "q_auto_join_revenue",
     "q_stream_dedup_within_watermark",
     # round-4 families, second half: privacy analytics, Z-order layout,
     # integer PageRank, data-quality screens, interpolation, card masking
@@ -95,7 +95,7 @@ GATE_WINDOW = [
     # pytest-pinned, green under the local mirror)
     "q_cuped_adjustment", "q_kaplan_meier",
     "q_diff_in_diff", "q_user_entropy",
-    "q_nested_subsets",
+    "q_nested_subsets", "q_poisson_bootstrap_ci",
     # (q_pagerank_suppliers displaced: it is the slowest gate entry (~8s in
     # BENCH_r03) and is pinned by bench + STRESS + its unrolled-CTE oracle
     # under the local mirror; its slot witnesses the NEW streaming connector)

@@ -861,3 +861,152 @@ def q_user_entropy(spark, sf_dir):
         F.min("n").cast("bigint").alias("n_events"),
         F.sum("term").cast("bigint").alias("entropy_fp9"),
     )
+
+
+# Poisson(1) CDF thresholds (full-precision Python literals, inlined into
+# BOTH engines) for the inverse-CDF draw of per-replicate bootstrap weights.
+_POIS_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+]
+_BOOT_B = 32
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+def _boot_oracle() -> str:
+    u = (
+        "((CAST(('0x' || substr(md5('pb:{b}:' || CAST(event_id AS VARCHAR)), 1, 12)) "
+        "AS BIGINT) + 1) / 281474976710657.0)"
+    )
+    w_cols = ", ".join(
+        f"{_pois_case_sql(u.format(b=b))} AS w{b}" for b in range(_BOOT_B)
+    )
+    rep_sums = ", ".join(
+        f"CAST(SUM(CAST(w{b} AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS s{b}, "
+        f"CAST(SUM(w{b}) AS BIGINT) AS m{b}"
+        for b in range(_BOOT_B)
+    )
+    means_list = ", ".join(
+        f"CAST(s{b} AS DOUBLE) / m{b}" for b in range(_BOOT_B)
+    )
+    return f"""
+WITH cents AS (
+  SELECT event_id, event_type,
+         CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS c
+  FROM events
+),
+w AS (SELECT event_type, c, {w_cols} FROM cents),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_all,
+         {rep_sums}
+  FROM w GROUP BY event_type
+),
+reps AS (
+  SELECT event_type, n,
+         CAST(s_all AS DOUBLE) / n AS mean_cents,
+         list_sort([{means_list}]) AS ms
+  FROM agg
+)
+SELECT event_type, n,
+       CAST(floor(mean_cents * 10000) AS BIGINT) AS mean_fp4,
+       CAST(floor(ms[2] * 10000) AS BIGINT) AS ci_lo_fp4,
+       CAST(floor(ms[{_BOOT_B - 1}] * 10000) AS BIGINT) AS ci_hi_fp4
+FROM reps
+"""
+
+
+@register("q_poisson_bootstrap_ci", oracle=_boot_oracle())
+def q_poisson_bootstrap_ci(spark, sf_dir):
+    """Poisson bootstrap confidence intervals (Chamandy et al., Google
+    2012 — "Estimating uncertainty for massive data streams"): classic
+    resampling needs n draws WITH replacement per replicate (impossible
+    across partitions); at scale each row instead draws an independent
+    Poisson(1) weight per replicate, which converges to the multinomial
+    bootstrap and needs ONE pass. 32 replicate means come from 64
+    conditional sums in a single map-side-combined aggregate; the CI is the
+    2nd/31st order statistic of the sorted replicate means (~94% coverage).
+
+    Engine parity: weights are inverse-CDF draws from md5 uniforms against
+    full-precision Python-literal thresholds (identical in both engines);
+    replicate numerators accumulate exact DECIMAL(38,0); each mean is one
+    double division, sorted as a fixed 32-element array. Production swaps
+    md5 for xxhash64 — same seam as MinHash."""
+    e = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    cents = e.select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(10,2)") * 100).cast("bigint").alias("c"),
+    )
+
+    def u(b):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"pb:{b}:"), F.col("event_id").cast("string")
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            + 1
+        ) / F.lit(281474976710657.0)
+
+    def w(b):
+        expr = F.lit(6)
+        for k in range(len(_POIS_CDF) - 1, -1, -1):
+            expr = F.when(u(b) < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(expr)
+        return expr
+
+    weighted = cents.select(
+        "event_type",
+        "c",
+        *[w(b).alias(f"w{b}") for b in range(_BOOT_B)],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s_all"),
+    ]
+    for b in range(_BOOT_B):
+        aggs.append(
+            F.sum(F.col(f"w{b}").cast("decimal(38,0)") * F.col("c"))
+            .cast("decimal(38,0)")
+            .alias(f"s{b}")
+        )
+        aggs.append(F.sum(f"w{b}").cast("bigint").alias(f"m{b}"))
+    agg = weighted.groupBy("event_type").agg(*aggs)
+    means = F.array_sort(
+        F.array(
+            *[
+                (F.col(f"s{b}").cast("double") / F.col(f"m{b}"))
+                for b in range(_BOOT_B)
+            ]
+        )
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.floor(F.col("s_all").cast("double") / F.col("n") * 10_000)
+        .cast("bigint")
+        .alias("mean_fp4"),
+        F.floor(F.element_at(means, 2) * 10_000).cast("bigint").alias("ci_lo_fp4"),
+        F.floor(F.element_at(means, _BOOT_B - 1) * 10_000)
+        .cast("bigint")
+        .alias("ci_hi_fp4"),
+    )

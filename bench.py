@@ -125,6 +125,8 @@ HEADLINE = [
     # round 6 (cont. 9): CUPED + Kaplan-Meier (user-frame experimentation)
     "q_cuped_adjustment",
     "q_kaplan_meier",
+    # round 6 (cont. 10): 32-replicate Poisson bootstrap in ONE pass
+    "q_poisson_bootstrap_ci",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

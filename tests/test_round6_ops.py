@@ -1063,3 +1063,27 @@ def test_nested_subsets_are_nested_and_halving(spark, sf_medium):
     for d in range(500):
         expect[level(d)] = expect.get(level(d), 0) + 1
     assert rows == expect
+
+
+def test_poisson_bootstrap_ci_brackets_mean(spark, sf_medium):
+    import math
+
+    import duckdb
+
+    from arc_maskdata_pipeline_plugin_spark.plans.stats2 import (
+        q_poisson_bootstrap_ci,
+    )
+
+    rows = {r.event_type: r for r in q_poisson_bootstrap_ci(spark, sf_medium).collect()}
+    raw = duckdb.connect().execute(
+        "SELECT event_type, AVG(CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)),"
+        " STDDEV_SAMP(CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)), COUNT(*)"
+        f" FROM read_parquet('{sf_medium}/events.parquet') GROUP BY 1"
+    ).fetchall()
+    for t, mean, sd, n in raw:
+        r = rows[t]
+        assert r.ci_lo_fp4 <= r.mean_fp4 <= r.ci_hi_fp4
+        # CI width should be within a factor ~3 of the CLT 2*1.86*se band
+        se = sd / math.sqrt(n)
+        width = (r.ci_hi_fp4 - r.ci_lo_fp4) / 1e4
+        assert 0.5 * se < width < 12 * se
