@@ -96,6 +96,7 @@ GATE_WINDOW = [
     "q_cuped_adjustment", "q_kaplan_meier",
     "q_diff_in_diff", "q_user_entropy",
     "q_nested_subsets", "q_poisson_bootstrap_ci",
+    "q_multimodal_silence", "q_dedup_method_agreement",
     # (q_pagerank_suppliers displaced: it is the slowest gate entry (~8s in
     # BENCH_r03) and is pinned by bench + STRESS + its unrolled-CTE oracle
     # under the local mirror; its slot witnesses the NEW streaming connector)
@@ -124,7 +125,6 @@ GATE_WINDOW = [
     "q_ewma_daily_value", "q_compaction_plan",
     # round-4 families, third wave: flagship metadata-driven stage, rolling
     # window, behavioral analytics, one-pass feature stats
-    "q_temperature_mix", "q_rag_index_build",
     # round-6 additions, second batch (displacing q_feature_correlation,
     # q_value_histogram, q_incremental_rollup, q_winsorize_prices to r05 —
     # their formulas are independently numpy-cross-checked in

@@ -384,3 +384,47 @@ def frame_luma(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, LUMA_SCHEMA)
+
+
+ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("mean_b", LongType()),
+    ]
+)
+
+
+def chunk_energy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    chunk: int = 64,
+) -> DataFrame:
+    """Per-chunk mean amplitude over binary payloads (floored integer) —
+    the PCM-energy stub behind silence detection; real decoders replace the
+    byte mean with RMS over decoded samples at the same seam. Partition-
+    local 1→N explode, Arrow-batched."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, chunks, nb, mb = [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(p)
+                for ci in range((len(buf) + chunk - 1) // chunk):
+                    piece = buf[ci * chunk : (ci + 1) * chunk]
+                    ids.append(doc_id)
+                    chunks.append(ci)
+                    nb.append(len(piece))
+                    mb.append(sum(piece) // len(piece))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk": pd.Series(chunks, dtype="int64"),
+                    "n_bytes": pd.Series(nb, dtype="int64"),
+                    "mean_b": pd.Series(mb, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, ENERGY_SCHEMA)

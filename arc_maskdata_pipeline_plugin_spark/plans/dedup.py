@@ -515,3 +515,97 @@ def dedup_sorted_neighborhood(spark, sf_dir):
     return cand.select(
         "d1", "d2", ham.cast("bigint").alias("hamming")
     ).filter(F.col("hamming") <= _SNM_MAX_HAMMING)
+
+
+# ---------------------------------------------------------------------------
+# Dedup-method agreement (meta-analysis of the candidate generators)
+# ---------------------------------------------------------------------------
+
+
+def _agreement_oracle() -> str:
+    mh_inner = _minhash_oracle().strip()
+    assert mh_inner.startswith("WITH")
+    # splice the minhash CTE chain with the pair CTEs into ONE WITH block
+    mh_body = mh_inner[len("WITH") :].strip()
+    head, select = mh_body.rsplit("SELECT DISTINCT", 1)
+    cmp_rows = " UNION ALL ".join(
+        f"""SELECT '{a}' AS method_a, '{b}' AS method_b,
+            (SELECT COUNT(*) FROM {a}) AS n_a,
+            (SELECT COUNT(*) FROM {b}) AS n_b,
+            (SELECT COUNT(*) FROM {a} SEMI JOIN {b}
+              ON {a}.d1 = {b}.d1 AND {a}.d2 = {b}.d2) AS n_common"""
+        for a, b in [("mh", "jc"), ("mh", "ct"), ("jc", "ct")]
+    )
+    return f"""
+WITH {head.rstrip().rstrip(',')},
+mh AS (SELECT DISTINCT {select}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d1, d2,
+         CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) AS jac,
+         CAST(n_common AS DOUBLE) / LEAST(s1.n, s2.n) AS cont
+  FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+),
+jc AS (SELECT d1, d2 FROM scored WHERE jac >= 0.5),
+ct AS (SELECT d1, d2 FROM scored WHERE cont >= 0.8),
+cmps AS ({cmp_rows})
+SELECT method_a, method_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(floor(n_common * 1000000.0 / (n_a + n_b - n_common)) AS BIGINT)
+         AS agreement_fp6
+FROM cmps
+"""
+
+
+@register("q_dedup_method_agreement", oracle=_agreement_oracle())
+def q_dedup_method_agreement(spark, sf_dir):
+    """Meta-analysis of the three shingle-based candidate generators
+    (MinHash-LSH, exact Jaccard, overlap-containment): pairwise candidate-set
+    agreement as a Jaccard of pair sets — the calibration readout an
+    operator of a real dedup pipeline uses to tune bands/thresholds before
+    a 100 TB run (LSH should RECALL most exact-Jaccard pairs; containment
+    should diverge, that's its point).
+
+    One shingle pipeline feeds all three methods (shared `sh` persist);
+    the method outputs are near-dup-sized frames, so the three set
+    comparisons are trivia joins."""
+    sh = word_shingles(
+        spread(T(spark, sf_dir, "documents")), distinct=False
+    ).persist()
+    sig = minhash_signatures(sh, num_hashes=NUM_HASHES)
+    mh = lsh_candidate_pairs(sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE).select(
+        "d1", "d2"
+    )
+    jc = jaccard_pairs(sh, threshold=0.5).select("d1", "d2")
+    ct = containment_pairs(sh, threshold=0.8).select("d1", "d2")
+    sets = {"mh": mh.persist(), "jc": jc.persist(), "ct": ct.persist()}
+    out = None
+    for a, b in [("mh", "jc"), ("mh", "ct"), ("jc", "ct")]:
+        na = sets[a].count()
+        nb = sets[b].count()
+        nc = sets[a].join(sets[b], ["d1", "d2"], "semi").count()
+        row = spark.createDataFrame(
+            [(a, b, na, nb, nc)],
+            ["method_a", "method_b", "n_a", "n_b", "n_common"],
+        )
+        out = row if out is None else out.union(row)
+    return out.select(
+        "method_a",
+        "method_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.floor(
+            F.col("n_common")
+            * 1_000_000.0
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .cast("bigint")
+        .alias("agreement_fp6"),
+    )

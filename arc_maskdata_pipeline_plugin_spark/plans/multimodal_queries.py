@@ -258,3 +258,77 @@ def q_multimodal_scene_cuts(spark, sf_dir):
         .otherwise(F.lit(False))
         .alias("is_cut"),
     )
+
+
+_SIL_CHUNK = 64  # bytes per analysis chunk
+_SIL_THRESHOLD = 93  # low-amplitude threshold (~p25 of chunk means)
+
+
+@register(
+    "q_multimodal_silence",
+    oracle=f"""
+WITH p AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+bytes AS (
+  SELECT doc_id, CAST((i - 1) // {_SIL_CHUNK} AS BIGINT) AS chunk,
+         ascii(substr(text, i, 1)) AS b
+  FROM p, UNNEST(range(1, n + 1)) AS t(i)
+),
+energy AS (
+  SELECT doc_id, chunk,
+         CAST(COUNT(*) AS BIGINT) AS n_bytes,
+         CAST(floor(SUM(b) * 1.0 / COUNT(*)) AS BIGINT) AS mean_b
+  FROM bytes GROUP BY 1, 2
+),
+flagged AS (
+  SELECT doc_id, chunk FROM energy WHERE mean_b < {_SIL_THRESHOLD}
+),
+isl AS (
+  SELECT doc_id, chunk,
+         CASE WHEN chunk - LAG(chunk) OVER (PARTITION BY doc_id ORDER BY chunk)
+                   = 1 THEN 0 ELSE 1 END AS new_seg
+  FROM flagged
+),
+isl2 AS (
+  SELECT doc_id, chunk,
+         SUM(COALESCE(new_seg, 1)) OVER (PARTITION BY doc_id ORDER BY chunk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM isl
+)
+SELECT doc_id, CAST(seg AS BIGINT) AS seg,
+       CAST(MIN(chunk) AS BIGINT) AS start_chunk,
+       CAST(MAX(chunk) AS BIGINT) AS end_chunk,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks
+FROM isl2 GROUP BY doc_id, seg
+""",
+)
+def q_multimodal_silence(spark, sf_dir):
+    """Silence-segment detection over audio payloads — the audio twin of
+    ``q_multimodal_scene_cuts``: per fixed-size byte chunk, mean amplitude
+    (REAL byte arithmetic over the binary payload; an actual PCM decoder
+    slots into the same seam); below-threshold chunks merge into maximal
+    silent segments via gaps-and-islands. Chunk energies explode
+    partition-locally; the island windows are the only shuffle
+    (co-partitioned per doc) — the VAD-preprocessing shape (trim/split on
+    silence before ASR) at corpus scale."""
+    from pyspark.sql import Window as W
+
+    from ..operators.multimodal import chunk_energy
+
+    d = T(spark, sf_dir, "documents")
+    energy = chunk_energy(attach_binary_payload(d), chunk=_SIL_CHUNK)
+    flagged = energy.filter(F.col("mean_b") < _SIL_THRESHOLD)
+    w = W.partitionBy("doc_id").orderBy("chunk")
+    isl = flagged.withColumn(
+        "new_seg",
+        F.when(F.col("chunk") - F.lag("chunk").over(w) == 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "seg",
+        F.sum("new_seg").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return isl.groupBy("doc_id", F.col("seg").cast("bigint").alias("seg")).agg(
+        F.min("chunk").cast("bigint").alias("start_chunk"),
+        F.max("chunk").cast("bigint").alias("end_chunk"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+    )

@@ -1087,3 +1087,35 @@ def test_poisson_bootstrap_ci_brackets_mean(spark, sf_medium):
         se = sd / math.sqrt(n)
         width = (r.ci_hi_fp4 - r.ci_lo_fp4) / 1e4
         assert 0.5 * se < width < 12 * se
+
+
+def test_silence_segments_are_maximal_runs(spark, sf_small):
+    from arc_maskdata_pipeline_plugin_spark.plans.multimodal_queries import (
+        q_multimodal_silence,
+    )
+
+    segs = q_multimodal_silence(spark, sf_small).collect()
+    assert len(segs) > 0
+    by_doc: dict[int, list] = {}
+    for r in segs:
+        assert r.n_chunks == r.end_chunk - r.start_chunk + 1  # contiguous
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r.start_chunk)
+        for a, b in zip(rs, rs[1:]):
+            assert b.start_chunk > a.end_chunk + 1  # maximal (gap between)
+
+
+def test_dedup_method_agreement_recall_structure(spark, sf_medium):
+    from arc_maskdata_pipeline_plugin_spark.plans.dedup import (
+        q_dedup_method_agreement,
+    )
+
+    rows = {(r.method_a, r.method_b): r for r in q_dedup_method_agreement(spark, sf_medium).collect()}
+    assert set(rows) == {("mh", "jc"), ("mh", "ct"), ("jc", "ct")}
+    for r in rows.values():
+        assert 0 <= r.n_common <= min(r.n_a, r.n_b)
+        assert 0 <= r.agreement_fp6 <= 1_000_000
+    # LSH at these band settings recalls most exact-Jaccard(>=0.5) pairs
+    mh_jc = rows[("mh", "jc")]
+    assert mh_jc.n_common >= 0.8 * mh_jc.n_b
