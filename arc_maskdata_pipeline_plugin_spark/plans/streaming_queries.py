@@ -526,3 +526,48 @@ def q_python_datasource_stream(spark, sf_dir):
         .alias("total_value"),
     )
     return run_available_now(agg, f"pyds_stream_{_uuid.uuid4().hex[:8]}")
+
+
+@register(
+    "q_stream_funnel_tracker",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+       CAST(floor(epoch(p.purchase_ts) - epoch(v.view_ts)) AS BIGINT)
+         AS latency_s
+FROM v JOIN c ON v.user_id = c.user_id JOIN p ON c.user_id = p.user_id
+""",
+)
+def q_stream_funnel_tracker(spark, sf_dir):
+    """STATEFUL streaming ordered-funnel tracker
+    (``streaming/funnel.py::funnel_completions``): one exactly-once
+    completion row per user the moment view → click → purchase closes in
+    strict event-time order, carried across micro-batches in three-integer
+    state. The availableNow drain equals the batch SQL (v = MIN view,
+    c = MIN click > v, p = MIN purchase > c); multi-batch state carry is
+    pinned separately in tests/test_stream_funnel.py."""
+    import uuid as _uuid
+
+    from ..streaming.events import read_events_stream, run_available_now
+    from ..streaming.funnel import funnel_completions
+
+    stream = read_events_stream(spark, sf_dir)
+    out = funnel_completions(stream)
+    return run_available_now(
+        out, f"funnel_{_uuid.uuid4().hex[:8]}", output_mode="append"
+    )
