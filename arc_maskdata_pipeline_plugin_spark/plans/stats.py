@@ -525,3 +525,79 @@ def q_percentile_disc_exact(spark, sf_dir):
         pick(0.99).alias("p99_cents"),
         F.min("total").cast("bigint").alias("n"),
     )
+
+
+_EQD_BUCKETS = 16
+
+
+@register(
+    "q_equidepth_histogram",
+    oracle=f"""
+WITH cents AS (
+  SELECT event_type, CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS c
+  FROM events
+),
+cnt AS (
+  SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS n FROM cents GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, c, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY c
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM cnt
+),
+assigned AS (
+  SELECT event_type, c, n,
+         LEAST(CAST(floor((r - n) * {_EQD_BUCKETS} * 1.0 / total) AS BIGINT),
+               {_EQD_BUCKETS - 1}) AS bucket
+  FROM cum
+)
+SELECT event_type, bucket,
+       CAST(MIN(c) AS BIGINT) AS lo_cents,
+       CAST(MAX(c) AS BIGINT) AS hi_cents,
+       CAST(SUM(n) AS BIGINT) AS n_rows
+FROM assigned GROUP BY event_type, bucket
+""",
+)
+def q_equidepth_histogram(spark, sf_dir):
+    """Equi-DEPTH histogram (equal-count buckets) per group — the statistic
+    real optimizers keep (equi-width q_value_histogram mis-sizes skewed
+    data; equi-depth bounds every bucket's selectivity error). A distinct
+    value lands in bucket floor(rank_before_it·B/total) — computed from
+    cumulative counts over the distinct-VALUE frame, the same
+    no-global-sort discipline as q_percentile_disc_exact; a value whose
+    duplicates straddle a boundary stays whole in its first bucket (the
+    standard end-biased convention), so bucket populations deviate only by
+    duplicate mass, never by engine."""
+    e = T(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type",
+        (F.col("value").cast("decimal(10,2)") * 100).cast("bigint").alias("c"),
+    )
+    cnt = cents.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    from pyspark.sql import Window as W
+
+    wc = (
+        W.partitionBy("event_type").orderBy("c").rowsBetween(W.unboundedPreceding, 0)
+    )
+    wt = W.partitionBy("event_type")
+    cum = cnt.select(
+        "event_type",
+        "c",
+        "n",
+        F.sum("n").over(wc).alias("r"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    bucket = F.least(
+        F.floor((F.col("r") - F.col("n")) * _EQD_BUCKETS * 1.0 / F.col("total"))
+        .cast("bigint"),
+        F.lit(_EQD_BUCKETS - 1).cast("bigint"),
+    )
+    return cum.withColumn("bucket", bucket).groupBy("event_type", "bucket").agg(
+        F.min("c").cast("bigint").alias("lo_cents"),
+        F.max("c").cast("bigint").alias("hi_cents"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+    )

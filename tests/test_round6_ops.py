@@ -1119,3 +1119,25 @@ def test_dedup_method_agreement_recall_structure(spark, sf_medium):
     # LSH at these band settings recalls most exact-Jaccard(>=0.5) pairs
     mh_jc = rows[("mh", "jc")]
     assert mh_jc.n_common >= 0.8 * mh_jc.n_b
+
+
+def test_equidepth_histogram_properties(spark, sf_medium):
+    from arc_maskdata_pipeline_plugin_spark.plans.stats import (
+        _EQD_BUCKETS,
+        q_equidepth_histogram,
+    )
+
+    rows = q_equidepth_histogram(spark, sf_medium).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, bs in by_type.items():
+        bs.sort(key=lambda r: r.bucket)
+        total = sum(r.n_rows for r in bs)
+        target = total / _EQD_BUCKETS
+        for r in bs:
+            assert r.lo_cents <= r.hi_cents
+            # equal-depth up to duplicate mass (values here are near-unique)
+            assert 0.5 * target <= r.n_rows <= 2 * target
+        for a, b in zip(bs, bs[1:]):
+            assert a.hi_cents < b.lo_cents  # disjoint, ordered ranges
