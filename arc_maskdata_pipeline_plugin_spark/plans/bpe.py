@@ -202,3 +202,56 @@ def q_bpe_encode(spark, sf_dir):
         )
     )
     return out
+
+
+def _fertility_oracle(n_merges: int) -> str:
+    return f"""{_bpe_cte_chain(n_merges)}
+, vocab AS (
+  SELECT word, len(string_split_regex(trim(seq), '\\s+')) AS n_sym FROM w{n_merges}
+),
+occ AS (
+  SELECT source, unnest({_TOKS_SQL}) AS word FROM documents
+)
+SELECT o.source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(v.n_sym) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(CASE WHEN v.n_sym = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_single_token,
+       CAST(floor(SUM(v.n_sym) * 1000000.0 / COUNT(*)) AS BIGINT)
+         AS fertility_fp6
+FROM occ o JOIN vocab v USING (word)
+GROUP BY o.source
+"""
+
+
+@register("q_bpe_fertility", oracle=_fertility_oracle(N_MERGES))
+def q_bpe_fertility(spark, sf_dir):
+    """Tokenizer FERTILITY per source (mean BPE tokens per word — the
+    standard tokenizer-quality metric; fertility near 1 means the vocab
+    serves that source well, high fertility flags domains the tokenizer
+    fragments and therefore over-charges in context budget). Same shipped-
+    artifact application shape as q_bpe_encode: the vocabulary-sized
+    word→symbol-count map joins the corpus tokens on the word key; one
+    corpus tokenize, per-source aggregates, merge loop never re-runs."""
+    from ..operators.search import _TOKENS
+
+    _, final = _train_bpe(spark, sf_dir, N_MERGES)
+    vocab = final.select(
+        "word", F.size(F.split(F.trim("seq"), " +")).alias("n_sym")
+    )
+    docs = spread(T(spark, sf_dir, "documents"))
+    occ = docs.select("source", F.explode(F.expr(_TOKENS)).alias("word"))
+    return (
+        occ.join(vocab, "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+            F.sum(F.when(F.col("n_sym") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_single_token"),
+            F.floor(F.sum("n_sym") * 1_000_000.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("fertility_fp6"),
+        )
+    )

@@ -1141,3 +1141,16 @@ def test_equidepth_histogram_properties(spark, sf_medium):
             assert 0.5 * target <= r.n_rows <= 2 * target
         for a, b in zip(bs, bs[1:]):
             assert a.hi_cents < b.lo_cents  # disjoint, ordered ranges
+
+
+def test_bpe_fertility_bounds(spark, sf_medium):
+    from arc_maskdata_pipeline_plugin_spark.plans.bpe import q_bpe_fertility
+
+    rows = q_bpe_fertility(spark, sf_medium).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.n_bpe_tokens >= r.n_words  # >= 1 symbol per word
+        assert 0 <= r.n_single_token <= r.n_words
+        assert r.fertility_fp6 >= 1_000_000
+        # fertility consistent with its components
+        assert r.fertility_fp6 == r.n_bpe_tokens * 1_000_000 // r.n_words
