@@ -693,7 +693,10 @@ cum AS (
 ),
 pos AS (
   SELECT r.doc_id, r.source, r.n_chars,
-         CAST(floor((r.rk - 1) * (n.n_g - 1) / (r.n_s - 1)) AS BIGINT) + 1 AS p
+         CASE WHEN r.n_s = 1
+              THEN CAST(floor((n.n_g - 1) / 2.0) AS BIGINT) + 1
+              ELSE CAST(floor((r.rk - 1) * (n.n_g - 1) / (r.n_s - 1))
+                        AS BIGINT) + 1 END AS p
   FROM ranked r CROSS JOIN n
 )
 SELECT pos.doc_id, pos.source, pos.n_chars,
@@ -736,12 +739,20 @@ def q_quantile_normalize(spark, sf_dir):
         "doc_id",
         "source",
         "n_chars",
-        (
+        # single-doc sources (n_s = 1) map to the global MEDIAN position —
+        # the 0/0 rank ratio would otherwise go NaN and silently DROP the
+        # doc at the join (pinned in tests)
+        F.when(
+            F.col("n_s") == 1,
+            F.floor((F.col("n_g") - 1) / 2.0).cast("bigint") + 1,
+        )
+        .otherwise(
             F.floor(
                 (F.col("rk") - 1) * (F.col("n_g") - 1) / (F.col("n_s") - 1)
             ).cast("bigint")
             + 1
-        ).alias("p"),
+        )
+        .alias("p"),
     )
     return pos.join(
         F.broadcast(cum),

@@ -1154,3 +1154,21 @@ def test_bpe_fertility_bounds(spark, sf_medium):
         assert r.fertility_fp6 >= 1_000_000
         # fertility consistent with its components
         assert r.fertility_fp6 == r.n_bpe_tokens * 1_000_000 // r.n_words
+
+
+def test_quantile_normalize_single_doc_source_not_dropped(spark):
+    import arc_maskdata_pipeline_plugin_spark.plans.training as tr
+
+    docs = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "b", 999)],
+        ["doc_id", "source", "n_chars"],
+    )
+    orig_t = tr.T
+    try:
+        tr.T = lambda sp, sf, name: docs  # noqa: ARG005
+        out = {r.doc_id: r for r in tr.q_quantile_normalize(spark, "x").collect()}
+    finally:
+        tr.T = orig_t
+    assert set(out) == {1, 2, 3, 4}  # the singleton source must NOT vanish
+    # singleton maps to the global median position (2nd of 4 sorted values)
+    assert out[4].norm_chars == 20
