@@ -595,6 +595,14 @@ def q_dedup_method_agreement(spark, sf_dir):
             ["method_a", "method_b", "n_a", "n_b", "n_common"],
         )
         out = row if out is None else out.union(row)
+    # the comparisons are fully materialized into literal rows above —
+    # release the caches NOW: `sh` is the SAME logical fragment the other
+    # dedup queries scan, and a lingering cache entry would silently turn
+    # their audited parquet scans into InMemoryTableScans (plan-invariant
+    # pollution across queries)
+    for df in sets.values():
+        df.unpersist()
+    sh.unpersist()
     return out.select(
         "method_a",
         "method_b",
