@@ -73,7 +73,6 @@ GATE_WINDOW = [
     # q_bigram_logprob, q_embedding_truncate_mrl, q_decontaminate_ngrams,
     # q_domain_mix_rebalance, q_quality_percentile_filter,
     # q_passage_dedup_stats, q_training_shards, sim_ann_pq)
-    "q_stream_threshold_alert",
     # round-4 families, second half: privacy analytics, Z-order layout,
     # integer PageRank, data-quality screens, interpolation, card masking
     "q_k_anonymity_suppress",
@@ -96,7 +95,7 @@ GATE_WINDOW = [
     "q_nested_subsets", "q_poisson_bootstrap_ci",
     "q_multimodal_silence", "q_dedup_method_agreement",
     "q_stream_funnel_tracker", "q_equidepth_histogram",
-    "q_bpe_fertility",
+    "q_bpe_fertility", "q_abandonment_detection",
     # (q_pagerank_suppliers displaced: it is the slowest gate entry (~8s in
     # BENCH_r03) and is pinned by bench + STRESS + its unrolled-CTE oracle
     # under the local mirror; its slot witnesses the NEW streaming connector)

@@ -494,3 +494,69 @@ def q_revenue_concentration(spark, sf_dir):
         "n_top80",
         "share_ppm",
     )
+
+
+@register(
+    "q_abandonment_detection",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_purchase_ts
+  FROM events
+),
+views AS (
+  SELECT user_id,
+         CASE WHEN next_purchase_ts IS NULL
+                   OR next_purchase_ts > ts + INTERVAL 60 MINUTE
+              THEN 1 ELSE 0 END AS abandoned
+  FROM seq WHERE event_type = 'view'
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(SUM(abandoned) AS BIGINT) AS n_abandoned,
+       CAST(floor(SUM(abandoned) * 1000000.0 / COUNT(*)) AS BIGINT)
+         AS abandon_ppm
+FROM views GROUP BY user_id
+""",
+)
+def q_abandonment_detection(spark, sf_dir):
+    """CEP ABSENCE pattern — "view NOT followed by a purchase within 60
+    minutes" (cart abandonment): the negative-pattern query MATCH_RECOGNIZE
+    engines sell, expressed as ONE ordered window: the reverse-running MIN
+    of purchase timestamps gives every view its next purchase in O(n) per
+    user, so absence is a plain comparison — never a per-view range
+    self-join (which at 100 TB multiplies the event table by the pattern
+    window). One user_id shuffle; the per-user rollup is co-partitioned."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    nxt = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    seq = e.withColumn("next_purchase_ts", nxt)
+    views = seq.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.when(
+            F.col("next_purchase_ts").isNull()
+            | (
+                F.col("next_purchase_ts")
+                > F.col("ts") + F.expr("INTERVAL 60 MINUTES")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("abandoned"),
+    )
+    return views.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_views"),
+        F.sum("abandoned").cast("bigint").alias("n_abandoned"),
+        F.floor(F.sum("abandoned") * 1_000_000.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("abandon_ppm"),
+    )

@@ -1172,3 +1172,33 @@ def test_quantile_normalize_single_doc_source_not_dropped(spark):
     assert set(out) == {1, 2, 3, 4}  # the singleton source must NOT vanish
     # singleton maps to the global median position (2nd of 4 sorted values)
     assert out[4].norm_chars == 20
+
+
+def test_abandonment_absence_pattern(spark):
+    import datetime as dt
+
+    import arc_maskdata_pipeline_plugin_spark.plans.behavior as beh
+
+    base = dt.datetime(2024, 1, 1)
+
+    def t(m):
+        return base + dt.timedelta(minutes=m)
+
+    rows = [
+        (1, t(0), 1, "view"),       # converted at +30 -> not abandoned
+        (2, t(30), 1, "purchase"),
+        (3, t(100), 1, "view"),     # no later purchase -> abandoned
+        (4, t(0), 2, "view"),       # purchase at +61 -> outside window
+        (5, t(61), 2, "purchase"),
+        (6, t(120), 2, "view"),     # purchase exists but EARLIER -> abandoned
+    ]
+    events = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    orig_t = beh.T
+    try:
+        beh.T = lambda sp, sf, name: events  # noqa: ARG005
+        out = {r.user_id: r for r in beh.q_abandonment_detection(spark, "x").collect()}
+    finally:
+        beh.T = orig_t
+    assert out[1].n_views == 2 and out[1].n_abandoned == 1
+    assert out[2].n_views == 2 and out[2].n_abandoned == 2
+    assert out[2].abandon_ppm == 1_000_000
