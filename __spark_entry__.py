@@ -61,84 +61,50 @@ from arc_maskdata_pipeline_plugin_spark.plans.registry import REGISTRY
 # rest with green representatives of each family. Everything else follows in
 # registry order and is exercised by tools/oracle_check.py + judge runs.
 GATE_WINDOW = [
-    # round-5 additions (new code = highest witness priority; all oracled —
-    # q_hll_merge_daily is tolerance-checked so it stays outside the
-    # all-oracled window, as do rows-only q_approx_quantiles and
-    # sim_ann_pq_trained; see tools/oracle_check.py)
-    "q_stream_stream_left_join",
-    # round-3/4 additions the driver never witnessed (displaced 20 stable
-    # judge-verified queries to r05: q_unigram_logprob, q_text_clean, q_length_bucket_batches,
-    # q_time_resample, q_profile_orders, q_udtf_term_freqs,
-    # q_recursive_month_spine, q_variant_extract, q_feature_binning,
-    # q_bigram_logprob, q_embedding_truncate_mrl, q_decontaminate_ngrams,
-    # q_domain_mix_rebalance, q_quality_percentile_filter,
-    # q_passage_dedup_stats, q_training_shards, sim_ann_pq)
-    # round-4 families, second half: privacy analytics, Z-order layout,
-    # integer PageRank, data-quality screens, interpolation, card masking
-    "q_k_anonymity_suppress",
-    "q_data_quality_audit",
-    # round-6 additions, fifth batch (displacing q_bloom_dedup_screen and
-    # q_zorder_layout — both benched, stress-run and pytest-pinned)
-    "q_frequent_itemsets", "q_neyman_sample",
-    "q_cusum_changepoint", "q_seasonal_decompose",
-    "q_kcore_suppliers",
-    "q_multimodal_scene_cuts", "q_phrase_search",
-    "dedup_sorted_neighborhood",
-    "q_incremental_join_mv", "q_ab_test_welch",
-    "q_mode_per_group", "q_percentile_disc_exact",
-    # round-6 additions, sixth batch (experimentation/survival family;
-    # displacing q_bpe_train_merges, q_hybrid_rrf_search,
-    # q_pit_scd2_enrich, q_first_touch_attribution — all benched and/or
-    # pytest-pinned, green under the local mirror)
-    "q_cuped_adjustment", "q_kaplan_meier",
-    "q_diff_in_diff", "q_user_entropy",
-    "q_nested_subsets", "q_poisson_bootstrap_ci",
-    "q_multimodal_silence", "q_dedup_method_agreement",
-    "q_stream_funnel_tracker", "q_equidepth_histogram",
-    "q_bpe_fertility", "q_abandonment_detection",
-    # (q_pagerank_suppliers displaced: it is the slowest gate entry (~8s in
-    # BENCH_r03) and is pinned by bench + STRESS + its unrolled-CTE oracle
-    # under the local mirror; its slot witnesses the NEW streaming connector)
-    "q_python_datasource_stream",
-    "q_mask_credit_cards",
-    # round-6 additions, fourth batch (displacing the one-aggregate
-    # k-anon/l-div audits — the suppress query witnesses the family and
-    # q_t_closeness_audit its exactness discipline — plus q_outlier_customers,
-    # q_key_skew_profile, q_gap_fill_interpolate, all numpy/pytest-pinned
-    # and green under the local mirror)
-    "q_benford_audit", "q_sequence_gaps", "q_user_journeys",
-    "q_revenue_concentration", "q_zipf_slope",
-    # event/streaming family — re-witness after the TZ-independent
-    # timestamp-ingestion change this round (landed AFTER the r03 gate ran;
-    # q_datetime_functions reads orders, not events, so it keeps its r03
-    # witness and yields its slot to the capstone pipeline)
-    # (r04 curation: the six r03-green stream/event re-witness slots yield
-    # to this round's NEW queries — q_sessionize_events, q_event_transitions
-    # and q_ewma_daily_value all exercise the same TZ-independent events
-    # ingestion path, and the displaced six stay green under
-    # tools/oracle_check.py's identical local gate)
-    "q_sessionize_events", "q_corpus_prepare_e2e",
-    # round-6 additions (new code = highest witness priority)
+    # CURATION POLICY (VERDICT r02 #2): the driver's correctness gate
+    # records the FIRST 50 registered queries, so every query added or
+    # materially changed THIS round gets a slot; displaced queries are all
+    # (a) green under tools/oracle_check.py's identical local gate,
+    # (b) benched and/or pytest-pinned, and (c) witnessed by a prior
+    # round's CORRECTNESS_r{N}.json. Tolerance-checked sketch queries
+    # (q_hll_*, q_approx_*) stay OUTSIDE the window — a rows-only driver
+    # record would burn an oracled slot.
+    #
+    # --- carried flagships (one witness per load-bearing family) ---
+    "q_stream_stream_left_join",   # watermark-eviction-exact stream join
+    "q_k_anonymity_suppress",      # privacy enforcement window
+    "q_data_quality_audit",        # Deequ-style one-scan rule audit
+    "q_mask_credit_cards",         # JVM-anchored format-preserving masking
+    "q_sessionize_events",         # TZ-independent events ingestion path
+    "q_corpus_prepare_e2e",        # capstone composed lineage
+    "q_python_datasource_stream",  # streaming Python connector (new code)
+    #
+    # --- round-6 additions: dedup / corpus statistics ---
     "q_substring_span_dedup", "dedup_containment_pairs",
-    "q_corpus_drift_kl", "q_event_transitions",
-    "q_ewma_daily_value", "q_compaction_plan",
-    # round-4 families, third wave: flagship metadata-driven stage, rolling
-    # window, behavioral analytics, one-pass feature stats
-    # round-6 additions, second batch (displacing q_feature_correlation,
-    # q_value_histogram, q_incremental_rollup, q_winsorize_prices to r05 —
-    # their formulas are independently numpy-cross-checked in
-    # tests/test_stats2.py and stay green under the local gate mirror)
-    "q_t_closeness_audit", "q_table_fingerprint",
-    "q_ngram_diversity", "q_weighted_sample",
-    # round-6 additions, third batch (displacing q_cohort_retention,
-    # q_funnel_conversion, q_userdata_lifecycle, q_rolling_revenue_7d to r05
-    # — all stay green under the local mirror; q_stream_fingerprint
-    # witnesses the streaming path; q_hll_audience_overlap stays OUTSIDE the
-    # window with the other tolerance-checked sketches, where a rows-only
-    # driver record would burn an oracled slot)
-    "q_lateral_top_orders",
-    "q_pareto_orders", "q_quantile_normalize",
-    "q_stream_fingerprint",
+    "dedup_sorted_neighborhood", "q_dedup_method_agreement",
+    "q_corpus_drift_kl", "q_ngram_diversity", "q_zipf_slope",
+    "q_bpe_fertility", "q_phrase_search",
+    #
+    # --- round-6: time-series / monitoring / integrity ---
+    "q_ewma_daily_value", "q_cusum_changepoint", "q_seasonal_decompose",
+    "q_table_fingerprint", "q_stream_fingerprint", "q_sequence_gaps",
+    "q_benford_audit", "q_compaction_plan", "q_incremental_join_mv",
+    #
+    # --- round-6: sampling / statistics / experimentation ---
+    "q_weighted_sample", "q_neyman_sample", "q_nested_subsets",
+    "q_quantile_normalize", "q_equidepth_histogram",
+    "q_mode_per_group", "q_percentile_disc_exact",
+    "q_ab_test_welch", "q_cuped_adjustment", "q_diff_in_diff",
+    "q_kaplan_meier", "q_poisson_bootstrap_ci", "q_user_entropy",
+    #
+    # --- round-6: privacy / relational surface / graph ---
+    "q_t_closeness_audit", "q_lateral_top_orders", "q_pareto_orders",
+    "q_frequent_itemsets", "q_kcore_suppliers",
+    #
+    # --- round-6: behavior / events / multimodal / streaming state ---
+    "q_event_transitions", "q_user_journeys", "q_revenue_concentration",
+    "q_abandonment_detection", "q_stream_funnel_tracker",
+    "q_multimodal_scene_cuts", "q_multimodal_silence",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 
