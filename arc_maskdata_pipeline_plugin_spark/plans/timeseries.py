@@ -543,3 +543,173 @@ def q_incremental_join_mv(spark, sf_dir):
             F.sum("rev").cast("double").alias("revenue"),
         )
     )
+
+
+_PSI_BUCKETS = 10
+
+
+@register(
+    "q_psi_drift",
+    oracle=f"""
+WITH cents AS (
+  SELECT event_type,
+         CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 0 ELSE 1 END AS half,
+         CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS c
+  FROM events
+),
+refv AS (
+  SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS n
+  FROM cents WHERE half = 0 GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, c, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY c
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM refv
+),
+bounds AS (
+  SELECT event_type,
+         list_sort(list(cut)) AS bnds
+  FROM (
+    SELECT cum.event_type, k,
+           MIN(CASE WHEN r >= CAST(ceil(k * total / {_PSI_BUCKETS}.0) AS BIGINT)
+                    THEN c END) AS cut
+    FROM cum, UNNEST(range(1, {_PSI_BUCKETS})) AS t(k)
+    GROUP BY cum.event_type, k
+  ) GROUP BY event_type
+),
+assigned AS (
+  SELECT s.event_type, s.half,
+         len(list_filter(b.bnds, x -> x < s.c)) AS bucket
+  FROM cents s JOIN bounds b ON s.event_type = b.event_type
+),
+grid AS (
+  SELECT b.event_type, t.k AS bucket
+  FROM bounds b, UNNEST(range(0, {_PSI_BUCKETS})) AS t(k)
+),
+counts AS (
+  SELECT g.event_type, g.bucket,
+         CAST(COALESCE(SUM(CASE WHEN a.half = 0 THEN 1 END), 0) AS BIGINT) AS n_ref,
+         CAST(COALESCE(SUM(CASE WHEN a.half = 1 THEN 1 END), 0) AS BIGINT) AS n_cur
+  FROM grid g LEFT JOIN assigned a
+    ON a.event_type = g.event_type AND a.bucket = g.bucket
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, CAST(SUM(n_ref) AS BIGINT) AS tr,
+         CAST(SUM(n_cur) AS BIGINT) AS tc
+  FROM counts GROUP BY event_type
+)
+SELECT c.event_type, t.tr AS n_ref, t.tc AS n_cur,
+       CAST(SUM(CAST(floor(
+         ((c.n_ref + 1.0) / (t.tr + {_PSI_BUCKETS}) - (c.n_cur + 1.0) / (t.tc + {_PSI_BUCKETS}))
+         * ln(((c.n_ref + 1.0) * (t.tc + {_PSI_BUCKETS}))
+              / ((c.n_cur + 1.0) * (t.tr + {_PSI_BUCKETS})))
+         * 1000000000) AS BIGINT)) AS BIGINT) AS psi_fp9
+FROM counts c JOIN tot t ON c.event_type = t.event_type
+GROUP BY c.event_type, t.tr, t.tc
+""",
+)
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index (the production ML-monitoring drift
+    metric): reference = first half of the window, current = second half;
+    buckets are the REFERENCE's own deciles (equi-depth cuts from cumulative
+    counts over the distinct-value frame — the standard PSI convention, so
+    a stable distribution scores ~0 by construction), smoothed +1, each
+    (p−q)·ln(p/q) term floored to fp9 BEFORE the sum.
+
+    Scale shape: one pass buckets both halves against the broadcast
+    per-type boundary arrays (9 values each); the decile computation reuses
+    the distinct-value cumulative-count discipline — the corpus is never
+    globally sorted. PSI > 0.2 is the conventional retrain alarm."""
+    e = T(spark, sf_dir, "events").select("event_type", "ts", "value")
+    cents = e.select(
+        "event_type",
+        F.when(F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), 0)
+        .otherwise(1)
+        .alias("half"),
+        (F.col("value").cast("decimal(10,2)") * 100).cast("bigint").alias("c"),
+    ).persist()  # both halves consumed twice (boundary build + assignment)
+    refv = (
+        cents.filter(F.col("half") == 0)
+        .groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = refv.select(
+        "event_type",
+        "c",
+        F.sum("n").over(wc).alias("r"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    ks = F.explode(F.sequence(F.lit(1), F.lit(_PSI_BUCKETS - 1))).alias("k")
+    cuts = (
+        cum.select("event_type", "c", "r", "total")
+        .select("event_type", "c", "r", "total", ks)
+        .groupBy("event_type", "k")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("r")
+                    >= F.ceil(F.col("k") * F.col("total") / _PSI_BUCKETS).cast(
+                        "bigint"
+                    ),
+                    F.col("c"),
+                )
+            ).alias("cut")
+        )
+    )
+    bounds = cuts.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("cut")).alias("bnds")
+    )
+    assigned = cents.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "half",
+        F.size(F.filter(F.col("bnds"), lambda x: x < F.col("c"))).alias("bucket"),
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(_PSI_BUCKETS - 1))).alias("bucket"),
+    )
+    counts = (
+        grid.join(assigned, ["event_type", "bucket"], "left")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("half") == 0, 1)), F.lit(0)
+            ).cast("bigint").alias("n_ref"),
+            F.coalesce(
+                F.sum(F.when(F.col("half") == 1, 1)), F.lit(0)
+            ).cast("bigint").alias("n_cur"),
+        )
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n_ref").cast("bigint").alias("tr"),
+        F.sum("n_cur").cast("bigint").alias("tc"),
+    )
+    b = F.lit(_PSI_BUCKETS)
+    p = (F.col("n_ref") + 1.0) / (F.col("tr") + b)
+    q = (F.col("n_cur") + 1.0) / (F.col("tc") + b)
+    ratio = ((F.col("n_ref") + 1.0) * (F.col("tc") + b)) / (
+        (F.col("n_cur") + 1.0) * (F.col("tr") + b)
+    )
+    term = F.floor((p - q) * F.log(ratio) * 1_000_000_000).cast("bigint")
+    out = (
+        counts.join(tot, "event_type")
+        .select("event_type", "tr", "tc", term.alias("t"))
+        .groupBy("event_type", "tr", "tc")
+        .agg(F.sum("t").cast("bigint").alias("psi_fp9"))
+        .select(
+            "event_type",
+            F.col("tr").alias("n_ref"),
+            F.col("tc").alias("n_cur"),
+            "psi_fp9",
+        )
+    )
+    return out

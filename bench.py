@@ -127,6 +127,9 @@ HEADLINE = [
     "q_kaplan_meier",
     # round 6 (cont. 10): 32-replicate Poisson bootstrap in ONE pass
     "q_poisson_bootstrap_ci",
+    # round 6 (cont. 11): PSI drift (reference-decile buckets, both halves
+    # bucketed against broadcast boundary arrays in one pass)
+    "q_psi_drift",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

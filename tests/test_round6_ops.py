@@ -1202,3 +1202,32 @@ def test_abandonment_absence_pattern(spark):
     assert out[1].n_views == 2 and out[1].n_abandoned == 1
     assert out[2].n_views == 2 and out[2].n_abandoned == 2
     assert out[2].abandon_ppm == 1_000_000
+
+
+def test_psi_zero_for_identical_and_large_for_shifted(spark):
+    import datetime as dt
+
+    import arc_maskdata_pipeline_plugin_spark.plans.timeseries as ts
+
+    rows = []
+    eid = 0
+    # metric "same": identical distribution in both halves -> PSI ~ 0
+    # metric "shift": values double in the second half -> large PSI
+    for d in range(30):
+        half_day = dt.datetime(2024, 1, 1 + d)
+        for i in range(20):
+            v = 10.0 + (i % 10)
+            rows.append((eid, half_day, i, "same", v)); eid += 1
+            rows.append((eid, half_day, i, "shift", v if d < 15 else v * 2)); eid += 1
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    orig_t = ts.T
+    try:
+        ts.T = lambda sp, sf, name: events  # noqa: ARG005
+        out = {r.event_type: r for r in ts.q_psi_drift(spark, "x").collect()}
+    finally:
+        ts.T = orig_t
+    assert abs(out["same"].psi_fp9) < 20_000_000  # ~0.02: stable
+    assert out["shift"].psi_fp9 > 200_000_000  # > 0.2: the retrain alarm
+    assert out["same"].n_ref == out["same"].n_cur == 300
