@@ -71,7 +71,6 @@ GATE_WINDOW = [
     # record would burn an oracled slot.
     #
     # --- carried flagships (one witness per load-bearing family) ---
-    "q_k_anonymity_suppress",      # privacy enforcement window
     "q_data_quality_audit",        # Deequ-style one-scan rule audit
     "q_mask_credit_cards",         # JVM-anchored format-preserving masking
     "q_sessionize_events",         # TZ-independent events ingestion path
@@ -86,7 +85,7 @@ GATE_WINDOW = [
     #
     # --- round-6: time-series / monitoring / integrity ---
     "q_ewma_daily_value", "q_cusum_changepoint", "q_seasonal_decompose",
-    "q_psi_drift",
+    "q_psi_drift", "q_seasonal_anomaly",
     "q_table_fingerprint", "q_stream_fingerprint", "q_sequence_gaps",
     "q_benford_audit", "q_compaction_plan", "q_incremental_join_mv",
     #

@@ -713,3 +713,108 @@ def q_psi_drift(spark, sf_dir):
         )
     )
     return out
+
+
+@register(
+    "q_seasonal_anomaly",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(10,2))) * 100 AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+trend AS (
+  SELECT event_type, day, cents,
+         CAST(floor(SUM(cents) OVER w * 1000000.0 / COUNT(*) OVER w) AS BIGINT)
+           AS trend_fp6
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+resid AS (
+  SELECT event_type, day, cents,
+         cents * 1000000 - trend_fp6 AS r
+  FROM trend
+),
+med AS (
+  SELECT event_type,
+         (list_sort(list(r)))[CAST(ceil(COUNT(*) / 2.0) AS BIGINT)] AS med_r
+  FROM resid GROUP BY event_type
+),
+mad AS (
+  SELECT r.event_type,
+         (list_sort(list(abs(r.r - m.med_r))))
+           [CAST(ceil(COUNT(*) / 2.0) AS BIGINT)] AS mad_r
+  FROM resid r JOIN med m ON r.event_type = m.event_type
+  GROUP BY r.event_type
+)
+SELECT r.event_type, strftime(r.day, '%Y-%m-%d') AS day,
+       CAST(r.r AS BIGINT) AS residual_fp6,
+       CAST(m.med_r AS BIGINT) AS med_fp6,
+       CAST(d.mad_r AS BIGINT) AS mad_fp6
+FROM resid r
+JOIN med m ON r.event_type = m.event_type
+JOIN mad d ON r.event_type = d.event_type
+WHERE abs(r.r - m.med_r) * 10000 > 44478 * d.mad_r
+""",
+)
+def q_seasonal_anomaly(spark, sf_dir):
+    """Seasonal-adjusted anomaly days: detrend (7-day centered MA, as in
+    q_seasonal_decompose), then flag days whose residual departs from the
+    per-type median by more than 3·1.4826·MAD — the robust z-score over the
+    detrended series, immune to the outliers it hunts (a mean/stddev screen
+    is not). Exact integer discipline end-to-end: residuals are fp6
+    integers, the median/MAD come from sorted-array element extraction on
+    the CALENDAR-sized frame (both engines index the same sorted list), and
+    the flag comparison is integer-scaled (4.4478 → 44478/10000) — no float
+    threshold anywhere."""
+    e = T(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(10,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    resid = daily.select(
+        "event_type",
+        "day",
+        (
+            F.col("cents") * 1_000_000
+            - F.floor(
+                F.sum("cents").over(w) * 1_000_000.0 / F.count(F.lit(1)).over(w)
+            ).cast("bigint")
+        ).alias("r"),
+    ).persist()  # calendar-sized; feeds median, MAD, and the flag scan
+    med = resid.groupBy("event_type").agg(
+        F.element_at(
+            F.array_sort(F.collect_list("r")),
+            F.ceil(F.count(F.lit(1)) / 2.0).cast("int"),
+        ).alias("med_r")
+    )
+    mad = (
+        resid.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.element_at(
+                F.array_sort(F.collect_list(F.abs(F.col("r") - F.col("med_r")))),
+                F.ceil(F.count(F.lit(1)) / 2.0).cast("int"),
+            ).alias("mad_r")
+        )
+    )
+    return (
+        resid.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(
+            F.abs(F.col("r") - F.col("med_r")) * 10_000
+            > F.lit(44_478) * F.col("mad_r")
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("r").cast("bigint").alias("residual_fp6"),
+            F.col("med_r").cast("bigint").alias("med_fp6"),
+            F.col("mad_r").cast("bigint").alias("mad_fp6"),
+        )
+    )

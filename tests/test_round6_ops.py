@@ -1231,3 +1231,29 @@ def test_psi_zero_for_identical_and_large_for_shifted(spark):
     assert abs(out["same"].psi_fp9) < 20_000_000  # ~0.02: stable
     assert out["shift"].psi_fp9 > 200_000_000  # > 0.2: the retrain alarm
     assert out["same"].n_ref == out["same"].n_cur == 300
+
+
+def test_seasonal_anomaly_flags_planted_spike(spark):
+    import datetime as dt
+
+    import arc_maskdata_pipeline_plugin_spark.plans.timeseries as ts
+
+    rows = []
+    eid = 0
+    for d in range(30):
+        v = 100.0 if d != 14 else 1000.0  # planted 10x spike on day 15
+        rows.append((eid, dt.datetime(2024, 1, 1 + d), 1, "x", v))
+        eid += 1
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    orig_t = ts.T
+    try:
+        ts.T = lambda sp, sf, name: events  # noqa: ARG005
+        out = ts.q_seasonal_anomaly(spark, "x").collect()
+    finally:
+        ts.T = orig_t
+    days = {r.day for r in out}
+    assert "2024-01-15" in days  # the spike is flagged
+    # neighbours inside the spike's MA window may co-flag; far days must not
+    assert "2024-01-05" not in days and "2024-01-25" not in days
