@@ -73,7 +73,6 @@ GATE_WINDOW = [
     # --- carried flagships (one witness per load-bearing family) ---
     "q_data_quality_audit",        # Deequ-style one-scan rule audit
     "q_mask_credit_cards",         # JVM-anchored format-preserving masking
-    "q_sessionize_events",         # TZ-independent events ingestion path
     "q_corpus_prepare_e2e",        # capstone composed lineage
     "q_python_datasource_stream",  # streaming Python connector (new code)
     #
@@ -92,16 +91,17 @@ GATE_WINDOW = [
     # --- round-6: sampling / statistics / experimentation ---
     "q_weighted_sample", "q_neyman_sample", "q_nested_subsets",
     "q_quantile_normalize", "q_equidepth_histogram",
-    "q_mode_per_group", "q_percentile_disc_exact",
+    "q_percentile_disc_exact",
     "q_ab_test_welch", "q_cuped_adjustment", "q_diff_in_diff",
     "q_kaplan_meier", "q_poisson_bootstrap_ci", "q_user_entropy",
+    "q_power_analysis", "q_gini_concentration", "q_rfm_segments",
     #
     # --- round-6: privacy / relational surface / graph ---
     "q_t_closeness_audit", "q_lateral_top_orders", "q_pareto_orders",
     "q_frequent_itemsets", "q_kcore_suppliers",
     #
     # --- round-6: behavior / events / multimodal / streaming state ---
-    "q_event_transitions", "q_user_journeys", "q_revenue_concentration",
+    "q_event_transitions", "q_revenue_concentration",
     "q_abandonment_detection", "q_stream_funnel_tracker",
     "q_multimodal_scene_cuts", "q_multimodal_silence",
 ]

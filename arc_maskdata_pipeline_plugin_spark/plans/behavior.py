@@ -560,3 +560,146 @@ def q_abandonment_detection(spark, sf_dir):
         .cast("bigint")
         .alias("abandon_ppm"),
     )
+
+
+@register(
+    "q_gini_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT c.c_mktsegment AS seg, o.o_custkey,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT seg, cents,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents, o_custkey) AS i,
+         COUNT(*) OVER (PARTITION BY seg) AS n
+  FROM rev
+),
+m AS (
+  SELECT seg, CAST(MIN(n) AS BIGINT) AS n,
+         CAST(SUM(CAST(i AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0)) AS swx,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx
+  FROM ranked GROUP BY seg
+)
+SELECT seg, n,
+       CAST(floor((2.0 * CAST(swx AS DOUBLE) / (n * CAST(sx AS DOUBLE))
+                   - (n + 1.0) / n) * 1000000) AS BIGINT) AS gini_fp6
+FROM m
+""",
+)
+def q_gini_concentration(spark, sf_dir):
+    """Gini coefficient of customer revenue per segment — the inequality
+    complement to q_revenue_concentration's 80/20 count (a segment can pass
+    the 80/20 screen while its long tail collapses; Gini sees the whole
+    Lorenz curve). Exact rank formulation G = 2Σi·x_(i)/(nΣx) − (n+1)/n:
+    ranks come from a window over the CUSTOMER-sized per-segment frame
+    (the fact table contributes one map-side-combined aggregate), the rank-
+    weighted sums accumulate in DECIMAL(38,0), and the coefficient is one
+    double expression floored to fp6."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("seg").orderBy("cents", "o_custkey")
+    ranked = rev.select(
+        "seg",
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("seg")).alias("n"),
+    )
+    m = ranked.groupBy("seg").agg(
+        F.min("n").cast("bigint").alias("n"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("swx"),
+        F.sum(F.col("cents").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sx"),
+    )
+    gini = F.floor(
+        (
+            2.0 * F.col("swx").cast("double") / (F.col("n") * F.col("sx").cast("double"))
+            - (F.col("n") + 1.0) / F.col("n")
+        )
+        * 1_000_000
+    ).cast("bigint")
+    return m.select("seg", "n", gini.alias("gini_fp6"))
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         date_diff('day', MAX(CAST(ts AS DATE)),
+                   (SELECT MAX(CAST(ts AS DATE)) FROM events)) AS recency_d,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(value AS DECIMAL(10,2))) * 100 AS BIGINT) AS monetary
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+scored AS (
+  SELECT user_id,
+         NTILE(5) OVER (ORDER BY recency_d DESC, user_id) AS r,
+         NTILE(5) OVER (ORDER BY frequency, user_id) AS f,
+         NTILE(5) OVER (ORDER BY monetary, user_id) AS m
+  FROM per_user
+)
+SELECT CAST(r AS BIGINT) * 100 + f * 10 + m AS rfm_code,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MIN(user_id) AS BIGINT) AS sample_user
+FROM scored GROUP BY 1
+""",
+)
+def q_rfm_segments(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary quintiles — the
+    marketing-analytics classic): per-buyer stats reduce the event log to a
+    user-sized frame in one pass; each dimension's quintile is an NTILE
+    with a deterministic (metric, user_id) tie-break so both engines cut
+    identically; the 3-digit code histogram is the |5³|-bounded output.
+    Higher digit = better (most recent / most frequent / highest spend)."""
+    e = T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    horizon = e.agg(F.max(F.col("ts").cast("date")).alias("h"))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("last_day"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            (F.sum(F.col("value").cast("decimal(10,2)")) * 100)
+            .cast("bigint")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.datediff(F.col("h"), F.col("last_day")).alias("recency_d"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = per_user.select(
+        "user_id",
+        F.ntile(5).over(Window.orderBy(F.desc("recency_d"), "user_id")).alias("r"),
+        F.ntile(5).over(Window.orderBy("frequency", "user_id")).alias("f"),
+        F.ntile(5).over(Window.orderBy("monetary", "user_id")).alias("m"),
+    )
+    return (
+        scored.groupBy(
+            (F.col("r").cast("bigint") * 100 + F.col("f") * 10 + F.col("m")).alias(
+                "rfm_code"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.min("user_id").cast("bigint").alias("sample_user"),
+        )
+    )

@@ -1010,3 +1010,73 @@ def q_poisson_bootstrap_ci(spark, sf_dir):
         .cast("bigint")
         .alias("ci_hi_fp4"),
     )
+
+
+# z constants as full-precision Python literals (both engines): 1.96 / 0.84
+# for alpha=0.05 two-sided, power=0.80
+_Z_ALPHA = 1.959963984540054
+_Z_BETA = 0.8416212335729143
+
+
+@register(
+    "q_power_analysis",
+    oracle=f"""
+WITH cents AS (
+  SELECT event_type, CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS c
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS s2
+  FROM cents GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(floor(({_Z_ALPHA!r} + {_Z_BETA!r})
+                  * sqrt(2.0 * (n * CAST(s2 AS DOUBLE)
+                                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * (n - 1))
+                         / (n / 2.0))
+                  * 10000) AS BIGINT) AS mde_cents_fp4,
+       CAST(floor(CAST(s1 AS DOUBLE) / n * 10000) AS BIGINT) AS mean_cents_fp4
+FROM m
+""",
+)
+def q_power_analysis(spark, sf_dir):
+    """Experiment power analysis: the minimum detectable effect
+    (alpha = 0.05 two-sided, power = 0.80) for an A/B split of the CURRENT
+    traffic — MDE = (z_a + z_b)·sqrt(2s²/(n/2)) — the pre-launch sizing
+    answer every experiment review asks for. Variance from exact decimal
+    moments in one pass; z quantiles are full-precision Python literals
+    inlined into both engines; one floored double expression at the end."""
+    e = T(spark, sf_dir, "events").select("event_type", "value")
+    cents = e.select(
+        "event_type",
+        (F.col("value").cast("decimal(10,2)") * 100).cast("bigint").alias("c"),
+    )
+    m = cents.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    n = F.col("n")
+    # SAMPLE variance: (n·S2 − S1²) / (n·(n−1)) — not the SE² shape Welch
+    # uses (that divides by a further n)
+    var = (
+        n * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / (n.cast("double") * (n - 1))
+    mde = F.floor(
+        (_Z_ALPHA + _Z_BETA) * F.sqrt(2.0 * var / (n / 2.0)) * 10_000
+    ).cast("bigint")
+    return m.select(
+        "event_type",
+        "n",
+        mde.alias("mde_cents_fp4"),
+        F.floor(F.col("s1").cast("double") / n * 10_000)
+        .cast("bigint")
+        .alias("mean_cents_fp4"),
+    )

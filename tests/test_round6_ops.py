@@ -1257,3 +1257,54 @@ def test_seasonal_anomaly_flags_planted_spike(spark):
     assert "2024-01-15" in days  # the spike is flagged
     # neighbours inside the spike's MA window may co-flag; far days must not
     assert "2024-01-05" not in days and "2024-01-25" not in days
+
+
+def test_gini_extremes(spark):
+    import arc_maskdata_pipeline_plugin_spark.plans.behavior as beh
+
+    # equal revenues -> Gini ~ 0; one whale -> Gini -> (n-1)/n
+    orders_eq = [(k, k, 100.0) for k in range(1, 11)]
+    orders_whale = [(1, 1, 1000.0)] + [(k, k, 0.01) for k in range(2, 11)]
+    cust = [(k, "S") for k in range(1, 11)]
+
+    def run(orders):
+        o = spark.createDataFrame(orders, ["o_orderkey", "o_custkey", "o_totalprice"])
+        c = spark.createDataFrame(cust, ["c_custkey", "c_mktsegment"])
+        orig_t = beh.T
+        try:
+            beh.T = lambda sp, sf, name: o if name == "orders" else c  # noqa: ARG005
+            return beh.q_gini_concentration(spark, "x").collect()[0]
+        finally:
+            beh.T = orig_t
+
+    assert abs(run(orders_eq).gini_fp6) <= 1
+    assert run(orders_whale).gini_fp6 > 850_000  # near (n-1)/n = 0.9
+
+
+def test_rfm_codes_within_range(spark, sf_medium):
+    from arc_maskdata_pipeline_plugin_spark.plans.behavior import q_rfm_segments
+
+    rows = q_rfm_segments(spark, sf_medium).collect()
+    total = sum(r.n_users for r in rows)
+    assert total == 150  # every buyer coded exactly once
+    for r in rows:
+        d1, d2, d3 = r.rfm_code // 100, r.rfm_code // 10 % 10, r.rfm_code % 10
+        assert 1 <= d1 <= 5 and 1 <= d2 <= 5 and 1 <= d3 <= 5
+
+
+def test_power_analysis_shrinks_with_n(spark):
+    import arc_maskdata_pipeline_plugin_spark.plans.stats2 as st2
+
+    # same distribution, 4x the rows -> MDE halves (1/sqrt(n))
+    # sizes divisible by 7 so both arms see the identical distribution
+    small = [(i, "a", 10.0 + (i % 7)) for i in range(210)]
+    big = [(i, "b", 10.0 + (i % 7)) for i in range(840)]
+    events = spark.createDataFrame(small + big, ["event_id", "event_type", "value"])
+    orig_t = st2.T
+    try:
+        st2.T = lambda sp, sf, name: events  # noqa: ARG005
+        out = {r.event_type: r for r in st2.q_power_analysis(spark, "x").collect()}
+    finally:
+        st2.T = orig_t
+    ratio = out["a"].mde_cents_fp4 / out["b"].mde_cents_fp4
+    assert 1.9 < ratio < 2.1
