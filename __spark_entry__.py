@@ -71,13 +71,13 @@ GATE_WINDOW = [
     # record would burn an oracled slot.
     #
     # --- carried flagships (one witness per load-bearing family) ---
-    "q_data_quality_audit",        # Deequ-style one-scan rule audit
     "q_mask_credit_cards",         # JVM-anchored format-preserving masking
     "q_corpus_prepare_e2e",        # capstone composed lineage
     "q_python_datasource_stream",  # streaming Python connector (new code)
     #
     # --- round-6 additions: dedup / corpus statistics ---
     "q_substring_span_dedup", "dedup_containment_pairs",
+    "q_source_copy_matrix",
     "dedup_sorted_neighborhood", "q_dedup_method_agreement",
     "q_corpus_drift_kl", "q_ngram_diversity", "q_zipf_slope",
     "q_bpe_fertility", "q_phrase_search",

@@ -617,3 +617,66 @@ def q_dedup_method_agreement(spark, sf_dir):
         .cast("bigint")
         .alias("agreement_fp6"),
     )
+
+
+@register(
+    "q_source_copy_matrix",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS tk
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_slice(tk, i, i + {_SPAN_N - 1}), ' ')) AS h
+  FROM toks, unnest(range(1, len(tk) - {_SPAN_N} + 2)) AS u(i)
+  WHERE len(tk) >= {_SPAN_N}
+),
+su AS (SELECT DISTINCT source, h FROM spans)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_spans
+FROM su a JOIN su b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+""",
+)
+def q_source_copy_matrix(spark, sf_dir):
+    """Cross-SOURCE copying matrix: how many distinct 8-token spans each
+    source pair shares — the provenance/licensing screen that tells you
+    which feeds are mirroring each other before you weight them as
+    independent (the same span machinery as q_substring_span_dedup, rolled
+    up to source grain). One corpus explode → distinct (source, span-hash)
+    — source-cardinality-bounded per hash — then group-then-count on the
+    hash bucket; the matrix is |sources|² rows."""
+    docs = spread(T(spark, sf_dir, "documents"))
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    spans = (
+        docs.select("source", tokens.alias("tk"))
+        .filter(F.size("tk") >= _SPAN_N)
+        .select(
+            "source",
+            F.explode(
+                F.sequence(F.lit(1), F.size(F.col("tk")) - (_SPAN_N - 1))
+            ).alias("start"),
+            F.col("tk"),
+        )
+        .select(
+            "source",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("tk"), F.col("start"), _SPAN_N))
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    a, b = spans.alias("a"), spans.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_spans"))
+    )

@@ -17,7 +17,7 @@ from ..operators.text import (
     with_quality_score,
     with_token_stats,
 )
-from .registry import T, register
+from .registry import T, register, spread
 
 
 @register(
@@ -754,3 +754,14 @@ def q_entity_resolution(spark, sf_dir):
         ).alias("canonical_name"),
         F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("total_acctbal"),
     )
+
+
+@register("q_compression_quality", oracle=None)  # no SQL engine has DEFLATE
+def q_compression_quality(spark, sf_dir):
+    """zlib compression-ratio filter signal per doc (rows-only by design —
+    DuckDB has no DEFLATE; exact values are cross-computed against Python's
+    zlib in tests/test_round6_ops.py). See
+    operators/text.py::compression_quality."""
+    from ..operators.text import compression_quality
+
+    return compression_quality(spread(T(spark, sf_dir, "documents")))

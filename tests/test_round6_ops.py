@@ -1308,3 +1308,33 @@ def test_power_analysis_shrinks_with_n(spark):
         st2.T = orig_t
     ratio = out["a"].mde_cents_fp4 / out["b"].mde_cents_fp4
     assert 1.9 < ratio < 2.1
+
+
+def test_compression_quality_matches_python_zlib(spark, sf_small):
+    import zlib
+
+    import duckdb
+
+    from arc_maskdata_pipeline_plugin_spark.plans.text import q_compression_quality
+
+    got = {r.doc_id: r for r in q_compression_quality(spark, sf_small).collect()}
+    raw = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_small}/documents.parquet')"
+    ).fetchall()
+    assert len(got) == len(raw)
+    for doc_id, text in raw:
+        b = text.encode("utf-8")
+        c = len(zlib.compress(b, 6))
+        r = got[doc_id]
+        assert (r.raw_bytes, r.compressed_bytes) == (len(b), c)
+        assert r.ratio_fp6 == c * 1_000_000 // max(len(b), 1)
+    # repetitive text compresses better than the corpus norm
+    rep = spark.createDataFrame(
+        [(1, "spam " * 100, "s")], ["doc_id", "text", "source"]
+    )
+    from arc_maskdata_pipeline_plugin_spark.operators.text import (
+        compression_quality,
+    )
+
+    rr = compression_quality(rep).collect()[0]
+    assert rr.ratio_fp6 < min(r.ratio_fp6 for r in got.values())

@@ -547,6 +547,42 @@ def main():
         "one map-side-combined aggregate; md5 is the cost — swap xxhash64 in prod for ~3×",
     )
 
+    def bootstrap_stress():
+        from pyspark.sql import functions as SF
+
+        cdf = [0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+               0.9810118431238463, 0.9963401531726563, 0.9994058151824183]
+        base = events.select(
+            "etype", (F.xxhash64("event_id") % 10000).alias("c")
+        )
+
+        def u(b):
+            return (
+                (F.xxhash64(F.concat(F.lit(f"pb:{b}:"), F.col("c").cast("string")))
+                 % 1_000_000_003 + 1_000_000_003) % 1_000_000_003
+            ) / 1_000_000_003.0
+
+        def w(b):
+            expr = F.lit(6)
+            for k in range(len(cdf) - 1, -1, -1):
+                expr = F.when(u(b) < F.lit(cdf[k]), F.lit(k)).otherwise(expr)
+            return expr
+
+        aggs = []
+        for b in range(32):
+            aggs.append(F.sum(w(b) * F.col("c")).alias(f"s{b}"))
+        (
+            base.groupBy("etype").agg(*aggs)
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    timed(
+        "Poisson bootstrap, 32 replicates (20M rows, xxhash64 weights)",
+        20_000_000,
+        bootstrap_stress,
+        "64 conditional sums in ONE aggregate; md5→xxhash64 swap is the prod path",
+    )
+
     # ---- report ----------------------------------------------------------
     lines = [
         "# STRESS — synthetic ~100× scale-up measurements (local[32])",
