@@ -71,7 +71,6 @@ GATE_WINDOW = [
     # record would burn an oracled slot.
     #
     # --- carried flagships (one witness per load-bearing family) ---
-    "q_mask_credit_cards",         # JVM-anchored format-preserving masking
     "q_corpus_prepare_e2e",        # capstone composed lineage
     "q_python_datasource_stream",  # streaming Python connector (new code)
     #
@@ -101,7 +100,7 @@ GATE_WINDOW = [
     "q_frequent_itemsets", "q_kcore_suppliers",
     #
     # --- round-6: behavior / events / multimodal / streaming state ---
-    "q_event_transitions", "q_revenue_concentration",
+    "q_event_transitions", "q_revenue_concentration", "q_cohort_ltv_curve",
     "q_abandonment_detection", "q_stream_funnel_tracker",
     "q_multimodal_scene_cuts", "q_multimodal_silence",
 ]

@@ -703,3 +703,94 @@ def q_rfm_segments(spark, sf_dir):
             F.min("user_id").cast("bigint").alias("sample_user"),
         )
     )
+
+
+@register(
+    "q_cohort_ltv_curve",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+),
+rev AS (
+  SELECT e.user_id,
+         CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7 AS BIGINT)
+           AS wk,
+         f.cohort_day,
+         CAST(CAST(e.value AS DECIMAL(10,2)) * 100 AS BIGINT) AS cents
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+),
+cohort_wk AS (
+  SELECT CAST(date_trunc('week', cohort_day) AS DATE) AS cohort_week, wk,
+         CAST(SUM(cents) AS BIGINT) AS wk_cents
+  FROM rev GROUP BY 1, 2
+),
+sizes AS (
+  SELECT CAST(date_trunc('week', cohort_day) AS DATE) AS cohort_week,
+         CAST(COUNT(*) AS BIGINT) AS cohort_users
+  FROM first_seen GROUP BY 1
+)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week, c.wk,
+       s.cohort_users,
+       CAST(SUM(c.wk_cents) OVER (PARTITION BY c.cohort_week ORDER BY c.wk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_cents,
+       CAST(floor(SUM(c.wk_cents) OVER (PARTITION BY c.cohort_week ORDER BY c.wk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            * 1.0 / s.cohort_users) AS BIGINT) AS ltv_cents_per_user
+FROM cohort_wk c JOIN sizes s ON c.cohort_week = s.cohort_week
+""",
+)
+def q_cohort_ltv_curve(spark, sf_dir):
+    """Cumulative lifetime-value curve per signup cohort (the revenue twin
+    of q_cohort_retention): purchase cents roll up to (cohort-week, week
+    offset), then a cumulative window on that CALENDAR-GRAIN frame yields
+    each cohort's LTV trajectory per member — the payback-period readout.
+    Events touch two co-partitioned user-keyed steps (first-seen + the
+    revenue join); every window after runs on the |weeks|² frame. Exact
+    integer cents end-to-end; per-user LTV floors once."""
+    e = T(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_day")) / 7
+            )
+            .cast("bigint")
+            .alias("wk"),
+            F.date_trunc("week", F.col("cohort_day"))
+            .cast("date")
+            .alias("cohort_week"),
+            (F.col("value").cast("decimal(10,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    cohort_wk = rev.groupBy("cohort_week", "wk").agg(
+        F.sum("cents").cast("bigint").alias("wk_cents")
+    )
+    sizes = first_seen.groupBy(
+        F.date_trunc("week", F.col("cohort_day")).cast("date").alias("cohort_week")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cohort_users"))
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("wk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("wk_cents").over(w)
+    return (
+        cohort_wk.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "wk",
+            "cohort_users",
+            cum.cast("bigint").alias("cum_cents"),
+            F.floor(cum * 1.0 / F.col("cohort_users"))
+            .cast("bigint")
+            .alias("ltv_cents_per_user"),
+        )
+    )
