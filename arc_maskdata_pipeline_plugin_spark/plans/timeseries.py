@@ -677,16 +677,24 @@ def q_psi_drift(spark, sf_dir):
         "event_type",
         F.explode(F.sequence(F.lit(0), F.lit(_PSI_BUCKETS - 1))).alias("bucket"),
     )
+    # aggregate the fact-sized assignment FIRST (map-side combined), THEN
+    # zero-fill against the grid — joining the 50-row grid to raw rows
+    # would be a fact-sized sort-merge join (caught by the plan audit)
+    raw_counts = assigned.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cur"),
+    )
     counts = (
-        grid.join(assigned, ["event_type", "bucket"], "left")
-        .groupBy("event_type", "bucket")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("half") == 0, 1)), F.lit(0)
-            ).cast("bigint").alias("n_ref"),
-            F.coalesce(
-                F.sum(F.when(F.col("half") == 1, 1)), F.lit(0)
-            ).cast("bigint").alias("n_cur"),
+        grid.join(F.broadcast(raw_counts), ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.col("n_ref"), F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).cast("bigint").alias("n_cur"),
         )
     )
     tot = counts.groupBy("event_type").agg(

@@ -694,3 +694,47 @@ def test_snm_no_self_join(spark):
     a = props("dedup_sorted_neighborhood", spark)
     assert a["sort_merge_joins"] == 0 and a["broadcasts"] == 0
     assert a["python_ops"] == 0
+
+
+# ---------------------------------------------------------------------------
+# round-6 late batches: monitoring / experimentation / marketing analytics
+# ---------------------------------------------------------------------------
+
+
+def test_psi_no_fact_sized_join(spark):
+    """Both halves bucket against broadcast boundary arrays; the grid
+    zero-fill joins TINY aggregated counts — never the raw assignment."""
+    a = props("q_psi_drift", spark)
+    assert a["sort_merge_joins"] == 0
+    assert a["broadcasts"] >= 2 and a["python_ops"] == 0
+
+
+def test_bootstrap_single_aggregate(spark):
+    """32 replicates = 64 conditional sums in ONE map-side-combined
+    aggregate: one scan, one exchange, no joins."""
+    a = props("q_poisson_bootstrap_ci", spark)
+    assert a["scans"] == 1 and a["exchanges"] == 1
+    assert a["sort_merge_joins"] == 0 and a["broadcasts"] == 0
+
+
+def test_experimentation_one_pass_aggregates(spark):
+    """CUPED / power analysis / abandonment: single scan, bounded
+    exchanges, zero joins beyond broadcasts."""
+    for name, max_ex in [
+        ("q_cuped_adjustment", 2),
+        ("q_power_analysis", 1),
+        ("q_abandonment_detection", 1),
+    ]:
+        a = props(name, spark)
+        assert a["scans"] == 1, name
+        assert a["exchanges"] <= max_ex, name
+        assert a["sort_merge_joins"] == 0, name
+
+
+def test_marketing_frames_stay_small(spark):
+    """Gini / RFM / LTV: the fact table collapses to user- or calendar-
+    grain frames before any window; dims broadcast."""
+    for name in ["q_gini_concentration", "q_rfm_segments", "q_cohort_ltv_curve"]:
+        a = props(name, spark)
+        assert a["sort_merge_joins"] == 0, name
+        assert a["python_ops"] == 0, name
