@@ -130,6 +130,15 @@ HEADLINE = [
     # round 6 (cont. 11): PSI drift (reference-decile buckets, both halves
     # bucketed against broadcast boundary arrays in one pass)
     "q_psi_drift",
+    # round 7: remaining >1s r04-gate-window queries (VERDICT r04 #6) —
+    # cross-source copy matrix (banded pair join), seasonal decomposition +
+    # anomaly monitors (calendar-frame aggregates), LTV curves (cohort
+    # cumulative window), scene-cut detection (Arrow batch pHash deltas)
+    "q_source_copy_matrix",
+    "q_seasonal_decompose",
+    "q_seasonal_anomaly",
+    "q_cohort_ltv_curve",
+    "q_multimodal_scene_cuts",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
@@ -156,7 +165,17 @@ def _previous_round_queries() -> tuple[str, dict]:
         with open(best[1]) as f:
             doc = json.load(f)
         # the driver wraps our JSON line under "parsed"
-        queries = doc.get("queries") or doc.get("parsed", {}).get("queries", {})
+        queries = doc.get("queries") or (doc.get("parsed") or {}).get(
+            "queries", {}
+        )
+        if not queries:
+            # r04: the one-line JSON overflowed the driver's stdout tail
+            # (parsed: null). The per-query map now lives in a side file
+            # (BENCH_DETAIL_r{N}.json, snapshotted per round).
+            detail = os.path.join(here, f"BENCH_DETAIL_r{best[0]:02d}.json")
+            if os.path.exists(detail):
+                with open(detail) as f:
+                    queries = json.load(f).get("queries", {})
         return f"r{best[0]:02d}", queries
     except (OSError, json.JSONDecodeError):
         return "", {}
@@ -168,6 +187,12 @@ def main():
     spark = get_spark("bench")
     qs = entry_mod.queries()
     names = [n for n in HEADLINE if n in qs]
+    # local-iteration escape hatch: bench only a comma-separated subset
+    # (the driver never sets this, so its runs cover the full headline set)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = set(only.split(","))
+        names = [n for n in names if n in keep]
     timings = {}
     cold = {}
     # warm the JVM + parquet footer cache with one cheap action
@@ -234,20 +259,46 @@ def main():
             if adj > 1.3:
                 regressions[name] = round(adj, 2)
 
-    out = {
+    # The driver records only a bounded stdout TAIL: at ~75 headline queries
+    # the full per-query map overflowed it and BENCH_r04.json came back
+    # "parsed": null (VERDICT r04 what's-wrong #3). The final line is now
+    # COMPACT (totals + regression flags + top-10 slowest, well under 1 KB);
+    # the full per-query timing map goes to BENCH_DETAIL.json, snapshotted
+    # per round as BENCH_DETAIL_r{N}.json for the regression comparison.
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "cold": cold,
         "cold_total": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": detail["sf"],
+        "cold_total": detail["cold_total"],
+        "n_queries": len(timings),
+        "top10_slowest": top10,
+        "detail_file": "BENCH_DETAIL.json",
+    }
     if prev:
-        out["vs_prev_round"] = prev_round
-        out["regressions_gt_1_3x"] = regressions
-        if uniform_slowdown:
-            out["uniform_slowdown_x"] = uniform_slowdown
-    print(json.dumps(out))
+        for doc in (out, detail):
+            doc["vs_prev_round"] = prev_round
+            doc["regressions_gt_1_3x"] = regressions
+            if uniform_slowdown:
+                doc["uniform_slowdown_x"] = uniform_slowdown
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    line = json.dumps(out)
+    assert len(line) < 2048, f"final bench line too long ({len(line)} B)"
+    print(line)
 
 
 if __name__ == "__main__":
