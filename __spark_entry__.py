@@ -70,39 +70,54 @@ GATE_WINDOW = [
     # (q_hll_*, q_approx_*) stay OUTSIDE the window — a rows-only driver
     # record would burn an oracled slot.
     #
-    # --- carried flagships (one witness per load-bearing family) ---
-    "q_corpus_prepare_e2e",        # capstone composed lineage
-    "q_python_datasource_stream",  # streaming Python connector (new code)
+    # ROUND-7 WINDOW (VERDICT r04 next-round #2 / ADVICE r04): filled
+    # entirely from the 78-query never-driver-witnessed backlog (union of
+    # CORRECTNESS_r01..r04 keys vs queries()), prioritizing the
+    # scale-critical and masking-anchor queries the verdict named, plus the
+    # one materially-CHANGED query this round (q_rfm_segments — NTILE
+    # windows replaced by broadcast quintile cut-points, same oracle). The
+    # ~24 remaining oracled backlog queries rotate in next round.
     #
-    # --- round-6 additions: dedup / corpus statistics ---
-    "q_substring_span_dedup", "dedup_containment_pairs",
-    "q_source_copy_matrix",
-    "dedup_sorted_neighborhood", "q_dedup_method_agreement",
-    "q_corpus_drift_kl", "q_ngram_diversity", "q_zipf_slope",
-    "q_bpe_fertility", "q_phrase_search",
+    # --- masking anchors (JVM-PBKDF2-anchored VALUES oracles) ---
+    "q_mask_credit_cards", "q_mask_pipeline_stage", "q_userdata_lifecycle",
     #
-    # --- round-6: time-series / monitoring / integrity ---
-    "q_ewma_daily_value", "q_cusum_changepoint", "q_seasonal_decompose",
-    "q_psi_drift", "q_seasonal_anomaly",
-    "q_table_fingerprint", "q_stream_fingerprint", "q_sequence_gaps",
-    "q_benford_audit", "q_compaction_plan", "q_incremental_join_mv",
+    # --- retrieval / ranking (one postings shuffle designs) ---
+    "q_inverted_index", "q_tfidf_top_terms", "q_bm25_search",
+    "q_unigram_logprob", "q_bigram_logprob", "q_word_pmi",
+    "q_hybrid_rrf_search", "q_rag_index_build",
     #
-    # --- round-6: sampling / statistics / experimentation ---
-    "q_weighted_sample", "q_neyman_sample", "q_nested_subsets",
-    "q_quantile_normalize", "q_equidepth_histogram",
-    "q_percentile_disc_exact",
-    "q_ab_test_welch", "q_cuped_adjustment", "q_diff_in_diff",
-    "q_kaplan_meier", "q_poisson_bootstrap_ci", "q_user_entropy",
-    "q_power_analysis", "q_gini_concentration", "q_rfm_segments",
+    # --- tokenizer / graph iteratives ---
+    "q_bpe_train_merges", "q_bpe_encode",
+    "q_pagerank_suppliers", "q_triangle_count",
     #
-    # --- round-6: privacy / relational surface / graph ---
-    "q_t_closeness_audit", "q_lateral_top_orders", "q_pareto_orders",
-    "q_frequent_itemsets", "q_kcore_suppliers",
+    # --- privacy / governance ---
+    "q_k_anonymity_audit", "q_l_diversity_audit", "q_k_anonymity_suppress",
+    "q_pseudonymize_referential", "q_dp_noisy_counts", "q_gdpr_erasure_audit",
     #
-    # --- round-6: behavior / events / multimodal / streaming state ---
-    "q_event_transitions", "q_revenue_concentration", "q_cohort_ltv_curve",
-    "q_abandonment_detection", "q_stream_funnel_tracker",
-    "q_multimodal_scene_cuts", "q_multimodal_silence",
+    # --- streaming state (replay-idempotent single-file streams) ---
+    "q_stream_dedup_within_watermark", "q_stream_cms_cells",
+    "q_stream_stream_left_join", "q_stream_threshold_alert",
+    #
+    # --- training-set prep ---
+    "q_decontaminate_ngrams", "q_domain_mix_rebalance",
+    "q_quality_percentile_filter", "q_passage_dedup_stats",
+    "q_training_shards", "q_temperature_mix", "q_exact_k_per_group",
+    #
+    # --- entity resolution / ANN ---
+    "q_entity_resolution", "sim_ann_pq",
+    #
+    # --- behavior / events ---
+    "q_funnel_conversion", "q_cohort_retention", "q_dau_wau_stickiness",
+    "q_first_touch_attribution", "q_user_journeys",
+    "q_max_concurrent_sessions", "q_rfm_segments",
+    #
+    # --- quality / layout / skew ---
+    "q_heavy_hitters_cms", "q_zorder_layout", "q_data_quality_audit",
+    "q_key_skew_profile", "q_outlier_customers",
+    #
+    # --- statistics ---
+    "q_group_ols", "q_mad_outliers", "q_embedding_covariance",
+    "q_incremental_moments",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 

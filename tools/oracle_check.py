@@ -250,6 +250,12 @@ def main():
         if not ok:
             failed.append(name)
         print(("PASS " if ok else "FAIL ") + str(res))
+        # Some queries persist small shared fragments (shingles, BPE vocab,
+        # daily aggregates). Drop them between queries — a lingering cache on
+        # a fragment shared across queries flips later plans to
+        # InMemoryTableScan and accumulates pressure over the 226-query
+        # single-session sweep (bench.py already does this).
+        spark.catalog.clearCache()
     print(f"\n{len(qs) - len(failed)}/{len(qs) if not only else len(only)} ok; failed: {failed}")
     return 1 if failed else 0
 

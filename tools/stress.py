@@ -474,7 +474,9 @@ def main():
 
         out = duplicated_spans(docs2, n=8)
         out.write.format("noop").mode("overwrite").save()
-        out.unpersist = getattr(out, "unpersist", None)  # spans cache freed on GC
+        # duplicated_spans persists the span frame internally; drop it so the
+        # 1M-doc cache doesn't stay pinned and skew later stress timings
+        spark.catalog.clearCache()
 
     timed(
         "substring span dedup (1M docs × 60 tokens, 8-gram spans)",
