@@ -139,6 +139,9 @@ HEADLINE = [
     "q_seasonal_anomaly",
     "q_cohort_ltv_curve",
     "q_multimodal_scene_cuts",
+    # round 7 (cont.): exact distributed NTILE via range partitioning —
+    # regression-watch the de-weaked RFM plan
+    "q_rfm_segments",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -738,3 +738,24 @@ def test_marketing_frames_stay_small(spark):
         a = props(name, spark)
         assert a["sort_merge_joins"] == 0, name
         assert a["python_ops"] == 0, name
+
+
+def test_rfm_no_frame_wide_sort(spark):
+    """VERDICT r04 #3: the three NTILE(5) windows over the full buyer frame
+    are gone — quintiles come from distinct-value cumulative counts plus a
+    value-PARTITIONED row_number. No ntile anywhere, and no unpartitioned
+    window may order by user_id (the signature of a frame-wide sort; the
+    remaining unpartitioned windows run on distinct-METRIC frames only)."""
+    import re
+
+    df = QUERIES["q_rfm_segments"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan.lower()
+    # Window node shape: `Window [fns], [partitionSpec], [orderSpec]`
+    for fns, part, order in re.findall(
+        r"Window (\[[^\]]*\]), \[([^\]]*)\], \[([^\]]*)\]", plan
+    ):
+        if not part.strip():
+            assert "user_id" not in order, (
+                "unpartitioned window sorts the full buyer frame: " + order
+            )
