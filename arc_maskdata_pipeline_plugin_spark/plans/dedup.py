@@ -86,11 +86,52 @@ def dedup_minhash_pairs_fast(spark, sf_dir):
     """PRODUCTION MinHash path: same one-scan signature pipeline and banding
     as `dedup_minhash_pairs`, but the hash family is JVM xxhash64 instead of
     md5-prefix — ~2.9× cheaper per shingle (STRESS.md). md5 stays the
-    DuckDB-reproducible oracle path; this variant is rows-only and exists so
-    the bench records the rate a real 100 TB dedup would see."""
+    DuckDB-reproducible oracle path.
+
+    Rows-only by nature (DuckDB has no xxhash64), so the quality check rides
+    IN the plan (VERDICT r04 #5, the trained-ANN ``recall_at_k`` pattern):
+    each candidate pair carries membership flags for both hash families plus
+    the global candidate-set Jaccard between them (``agreement_fp6``, a
+    broadcast 1-row aggregate over the full-outer pair union). Two different
+    random hash families band differently near the similarity threshold, so
+    agreement < 1 by design; `tests/test_similarity_recall.py` pins the
+    floor. The flagged pair frame is near-dup-sized — the persist is tiny
+    and private to this query."""
     sh = word_shingles(spread(T(spark, sf_dir, "documents")), distinct=False)
-    sig = minhash_signatures(sh, num_hashes=NUM_HASHES, hash_fn="xxhash64")
-    return lsh_candidate_pairs(sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
+    fast = lsh_candidate_pairs(
+        minhash_signatures(sh, num_hashes=NUM_HASHES, hash_fn="xxhash64"),
+        num_hashes=NUM_HASHES,
+        band_size=BAND_SIZE,
+    ).select("d1", "d2", F.lit(1).alias("in_fast"))
+    slow = lsh_candidate_pairs(
+        minhash_signatures(sh, num_hashes=NUM_HASHES),
+        num_hashes=NUM_HASHES,
+        band_size=BAND_SIZE,
+    ).select("d1", "d2", F.lit(1).alias("in_md5"))
+    flagged = (
+        fast.join(slow, ["d1", "d2"], "full_outer")
+        .select(
+            "d1",
+            "d2",
+            F.coalesce("in_fast", F.lit(0)).alias("in_fast"),
+            F.coalesce("in_md5", F.lit(0)).alias("in_md5"),
+        )
+        .persist()  # near-dup-sized; consumers: the agreement agg + output
+    )
+    stats = flagged.agg(
+        F.sum("in_fast").alias("nf"),
+        F.sum("in_md5").alias("nm"),
+        F.sum(F.col("in_fast") * F.col("in_md5")).alias("nc"),
+    )
+    return flagged.crossJoin(F.broadcast(stats)).select(
+        "d1",
+        "d2",
+        "in_fast",
+        "in_md5",
+        F.floor(F.col("nc") * 1_000_000.0 / (F.col("nf") + F.col("nm") - F.col("nc")))
+        .cast("bigint")
+        .alias("agreement_fp6"),
+    )
 
 
 @register(

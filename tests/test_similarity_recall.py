@@ -106,3 +106,25 @@ def test_trained_pq_recall_at_least_deterministic(spark):
     r_det, r_trn = _recall(det, truth), _recall(trn, truth)
     assert r_trn >= r_det, (r_trn, r_det)
     assert r_trn >= 0.15, r_trn
+
+
+def test_minhash_fast_path_agreement_floor(spark):
+    """The xxhash64 production MinHash path must largely agree with the
+    md5 oracle path: candidate-set Jaccard between the two hash families,
+    computed IN the plan (VERDICT r04 #5), stays above a pinned floor.
+    Two random hash families band differently near the similarity
+    threshold, so agreement < 1 by design — but the planted near-dup pairs
+    must be found by both (observed 0.80 at sf0.001 / 0.76 at sf0.01)."""
+    from arc_maskdata_pipeline_plugin_spark.plans.dedup import (
+        dedup_minhash_pairs_fast,
+    )
+
+    df = dedup_minhash_pairs_fast(spark, SF)
+    row = df.agg(
+        F.min("agreement_fp6").alias("agree"),
+        F.sum(F.col("in_fast") * F.col("in_md5")).alias("n_both"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert row.n > 0
+    assert row.n_both > 0
+    assert row.agree >= 600_000, row.agree
