@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -99,4 +99,82 @@ def grouped_quantiles(
         df.select(*keys, value_col)
         .groupBy(*keys)
         .applyInPandas(quantiles, schema)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Threshold seam for the exact-rank percentile family (VERDICT r04 #7):
+# winsorize / quantile-normalize / equi-depth share this helper. Two modes:
+#
+# * mode="exact" (default) — PERCENTILE_DISC semantics: the threshold for
+#   probability p is the smallest value whose cumulative count reaches
+#   ceil(p * n), from cumulative counts over the DISTINCT-value frame
+#   (bounded by value cardinality; the corpus is never globally sorted).
+#   Engine-exact, DuckDB-oracle-checkable.
+# * mode="approx" — one ``percentile_approx`` aggregate (mergeable GK
+#   partials): no window, no distinct-value frame, O(accuracy) state at any
+#   cardinality. The 100 TB path for near-unique metrics; rank error
+#   <= n/accuracy makes it rows-only across engines.
+# ---------------------------------------------------------------------------
+
+
+def quantile_thresholds(
+    df: DataFrame,
+    value_col: str,
+    probs: dict[str, float],
+    group_cols: tuple[str, ...] = (),
+    mode: str = "exact",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Thresholds for the given probabilities over an integer value column.
+
+    probs maps output column name -> probability in (0, 1]. Output: one row
+    per group (a single global row when ``group_cols`` is empty) carrying
+    ``group_cols`` plus one BIGINT column per probs entry.
+    """
+    gc = list(group_cols)
+    if mode == "approx":
+        names = list(probs)
+        pcts = F.percentile_approx(
+            F.col(value_col), [probs[k] for k in names], accuracy
+        )
+        agg = df.groupBy(*gc).agg(pcts.alias("_q"))
+        return agg.select(
+            *gc,
+            *[F.col("_q")[i].cast("bigint").alias(k) for i, k in enumerate(names)],
+        )
+    if mode != "exact":
+        raise ValueError(f"unknown quantile mode: {mode!r}")
+    cnt = df.groupBy(*gc, value_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    totals = cnt.groupBy(*gc).agg(F.sum("_n").alias("_total"))
+    if gc:
+        wc = (
+            Window.partitionBy(*gc)
+            .orderBy(value_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        joined = cnt.join(F.broadcast(totals), gc)
+    else:
+        wc = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+        joined = cnt.crossJoin(F.broadcast(totals))
+    cum = joined.select(
+        *gc,
+        value_col,
+        F.sum("_n").over(wc).alias("_r"),
+        F.col("_total"),
+    )
+    return cum.groupBy(*gc).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("_r") >= F.ceil(F.lit(p) * F.col("_total")).cast("bigint"),
+                    F.col(value_col),
+                )
+            )
+            .cast("bigint")
+            .alias(name)
+            for name, p in probs.items()
+        ]
     )

@@ -143,7 +143,7 @@ FROM u CROSS JOIN th
 GROUP BY th.lo, th.hi
 """,
 )
-def q_winsorize_prices(spark, sf_dir):
+def q_winsorize_prices(spark, sf_dir, mode="exact"):
     """Winsorization (tail clipping at the exact p1/p99): thresholds are the
     smallest values whose CUMULATIVE count reaches ceil(p*n) — computed by
     sorting only the DISTINCT price values with their counts (a frame
@@ -151,26 +151,20 @@ def q_winsorize_prices(spark, sf_dir):
     never globally sorted), then broadcast back for the clip pass. Exact
     integer cents end-to-end, so thresholds and clipped sums are
     engine-identical — interpolated-percentile clipping is not (float
-    rounding differs across engines). At 100 TB swap the exact rank scan
-    for ``approx_percentile`` at the same seam."""
+    rounding differs across engines). The threshold seam is the shared
+    ``operators/quantiles.quantile_thresholds`` helper; the registered
+    query runs mode="exact" (oracle-checkable), and
+    ``q_winsorize_prices_approx`` runs the same plan with the
+    Greenwald-Khanna ``percentile_approx`` aggregate — the 100 TB path for
+    near-unique value columns (no distinct-value frame, no window,
+    mergeable O(accuracy) state)."""
+    from ..operators.quantiles import quantile_thresholds
+
     orders = T(spark, sf_dir, "orders")
     u = orders.select(
         (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("cents")
     )
-    pc = u.groupBy("cents").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    n_tot = pc.agg(F.sum("cnt").alias("n"))
-    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = pc.select("cents", F.sum("cnt").over(w).alias("c")).crossJoin(
-        F.broadcast(n_tot)
-    )
-    th = cum.agg(
-        F.min(
-            F.when(F.col("c") >= F.ceil(0.01 * F.col("n")).cast("bigint"), F.col("cents"))
-        ).alias("lo"),
-        F.min(
-            F.when(F.col("c") >= F.ceil(0.99 * F.col("n")).cast("bigint"), F.col("cents"))
-        ).alias("hi"),
-    )
+    th = quantile_thresholds(u, "cents", {"lo": 0.01, "hi": 0.99}, mode=mode)
     clipped = u.crossJoin(F.broadcast(th))
     return clipped.groupBy(
         F.col("lo").cast("bigint").alias("lo_cents"),
@@ -187,6 +181,18 @@ def q_winsorize_prices(spark, sf_dir):
         .cast("bigint")
         .alias("sum_clipped_cents"),
     )
+
+
+@register("q_winsorize_prices_approx", oracle=None)  # GK sketch ≠ exact rank
+def q_winsorize_prices_approx(spark, sf_dir):
+    """The 100 TB winsorize mode: identical plan to ``q_winsorize_prices``
+    except the p1/p99 thresholds come from ONE ``percentile_approx``
+    aggregate (mergeable Greenwald-Khanna partials, no distinct-value frame,
+    no window) through the same ``quantile_thresholds`` seam. Rows-only: GK
+    rank error (≤ n/accuracy) makes thresholds engine-inexact by design;
+    ``tests/test_round7_ops.py`` pins the approx thresholds inside the exact
+    thresholds' neighborhood instead."""
+    return q_winsorize_prices(spark, sf_dir, mode="approx")
 
 
 @register(
@@ -569,7 +575,10 @@ def q_equidepth_histogram(spark, sf_dir):
     no-global-sort discipline as q_percentile_disc_exact; a value whose
     duplicates straddle a boundary stays whole in its first bucket (the
     standard end-biased convention), so bucket populations deviate only by
-    duplicate mass, never by engine."""
+    duplicate mass, never by engine. At 100 TB (value cardinality approaching
+    row count) swap the cumulative stage for B-1 approx bucket boundaries via
+    ``operators/quantiles.quantile_thresholds(mode="approx")`` and assign by
+    broadcast range probe — the seam q_winsorize_prices_approx exercises."""
     e = T(spark, sf_dir, "events")
     cents = e.select(
         "event_type",

@@ -719,7 +719,10 @@ def q_quantile_normalize(spark, sf_dir):
     range-probes it for the single value whose cumulative interval covers
     its target position. Everything is exact integer arithmetic
     (floor((rk-1)(N-1)/(n_s-1)) in bigints) — engine-stable with no doubles
-    anywhere."""
+    anywhere. At 100 TB (near-unique values) the distinct-value CDF stage
+    swaps for sketched reference quantiles through the shared
+    ``operators/quantiles.quantile_thresholds(mode="approx")`` seam — the
+    trade q_winsorize_prices_approx demonstrates and tests bound."""
     docs = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
     ranked = docs.select(

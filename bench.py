@@ -142,6 +142,10 @@ HEADLINE = [
     # round 7 (cont.): exact distributed NTILE via range partitioning —
     # regression-watch the de-weaked RFM plan
     "q_rfm_segments",
+    # round 7 (cont.): the two winsorize threshold modes — exact rank over
+    # the distinct-value frame vs one mergeable GK aggregate (100 TB mode)
+    "q_winsorize_prices",
+    "q_winsorize_prices_approx",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
