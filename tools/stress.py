@@ -625,6 +625,161 @@ def main():
         "64 conditional sums in ONE aggregate; md5→xxhash64 swap is the prod path",
     )
 
+    # ---- round-7 monitor shapes (VERDICT r04 #8) -------------------------
+
+    def psi_stress():
+        # PSI core: reference-half decile cuts from distinct-value cumulative
+        # counts, then ONE pass bucketing both halves against the broadcast
+        # 9-value boundary arrays (mirrors plans/timeseries.q_psi_drift).
+        from pyspark.sql import Window as W
+
+        cents = events.select(
+            "etype",
+            (F.col("event_id") % 2).alias("half"),
+            (F.col("value") * 100).cast("bigint").alias("c"),
+        )
+        refv = (
+            cents.filter(F.col("half") == 0)
+            .groupBy("etype", "c")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        wc = W.partitionBy("etype").orderBy("c").rowsBetween(W.unboundedPreceding, 0)
+        wt = W.partitionBy("etype")
+        cum = refv.select(
+            "etype", "c", F.sum("n").over(wc).alias("r"), F.sum("n").over(wt).alias("t")
+        )
+        cuts = (
+            cum.select(
+                "etype",
+                "c",
+                "r",
+                "t",
+                F.explode(F.sequence(F.lit(1), F.lit(9))).alias("k"),
+            )
+            .filter(F.col("r") >= F.ceil(F.col("k") * F.col("t") / 10).cast("bigint"))
+            .groupBy("etype", "k")
+            .agg(F.min("c").alias("cut"))
+            .groupBy("etype")
+            .agg(F.sort_array(F.collect_list("cut")).alias("cuts"))
+        )
+        bucketed = (
+            cents.join(F.broadcast(cuts), "etype")
+            .select(
+                "etype",
+                "half",
+                F.aggregate(
+                    "cuts",
+                    F.lit(0),
+                    lambda acc, cut: acc + F.when(F.col("c") >= cut, 1).otherwise(0),
+                ).alias("bucket"),
+            )
+            .groupBy("etype", "half", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        bucketed.write.format("noop").mode("overwrite").save()
+
+    timed(
+        "PSI drift monitor (20M events, per-type reference deciles)",
+        20_000_000,
+        psi_stress,
+        "decile cuts on the distinct-value frame; one bucketing pass, broadcast cuts",
+    )
+
+    def seasonal_anomaly_stress():
+        # Seasonal-adjusted anomaly core: daily aggregate -> day-of-week
+        # median detrend -> MAD z-score (mirrors q_seasonal_anomaly: all
+        # windows run on the CALENDAR-sized daily frame).
+        from pyspark.sql import Window as W
+
+        daily = (
+            events.groupBy("etype", F.to_date("ts").alias("day"))
+            .agg(F.sum((F.col("value") * 100).cast("bigint")).alias("cents"))
+        )
+        wdow = W.partitionBy("etype", F.dayofweek("day"))
+        med = daily.withColumn(
+            "dow_med", F.expr("percentile(cents, 0.5)").over(wdow)
+        ).withColumn("resid", F.col("cents") - F.col("dow_med"))
+        wt = W.partitionBy("etype")
+        mad = med.withColumn(
+            "mad", F.expr("percentile(abs(resid), 0.5)").over(wt)
+        ).select(
+            "etype",
+            "day",
+            (F.col("resid") / (F.lit(1.4826) * F.col("mad"))).alias("z"),
+        )
+        mad.filter(F.abs("z") > 3).write.format("noop").mode("overwrite").save()
+
+    timed(
+        "seasonal-adjusted anomaly monitor (20M events -> daily MAD z)",
+        20_000_000,
+        seasonal_anomaly_stress,
+        "one daily aggregate crosses the shuffle; all windows on the calendar frame",
+    )
+
+    def ltv_stress():
+        # Cohort LTV curve core: first-seen day per user, weekly cohort
+        # revenue, cumulative over week offsets (mirrors q_cohort_ltv_curve:
+        # two user-keyed shuffles + windows on the cohort-week frame).
+        from pyspark.sql import Window as W
+
+        first = events.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("c0"))
+        rev = (
+            events.join(first, "user_id")
+            .select(
+                F.date_trunc("week", "c0").cast("date").alias("cw"),
+                (F.datediff(F.to_date("ts"), F.col("c0")) / 7)
+                .cast("bigint")
+                .alias("wk"),
+                (F.col("value") * 100).cast("bigint").alias("cents"),
+            )
+            .groupBy("cw", "wk")
+            .agg(F.sum("cents").alias("wk_cents"))
+        )
+        wcum = W.partitionBy("cw").orderBy("wk").rowsBetween(W.unboundedPreceding, 0)
+        rev.withColumn("cum", F.sum("wk_cents").over(wcum)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    timed(
+        "cohort LTV curves (20M events, 1M users)",
+        20_000_000,
+        ltv_stress,
+        "two user-keyed shuffles; cumulative windows on the cohort-week frame",
+    )
+
+    def copy_matrix_stress():
+        # Cross-source copy matrix core: 8-gram shingle -> (source-pair)
+        # overlap counts via group-then-enumerate on the shingle bucket
+        # (mirrors q_source_copy_matrix: never a doc-pair self-join).
+        sh = docs2.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, 53), "
+                    "i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i, 8))))"
+                )
+            ).alias("h"),
+        )
+        per_src = sh.groupBy("h").agg(
+            F.collect_set("source").alias("srcs")
+        )
+        pairs = per_src.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (a, i) -> "
+                    "transform(slice(srcs, i + 2, size(srcs)), b -> struct(a, b))))"
+                )
+            ).alias("p")
+        ).groupBy("p.a", "p.b").agg(F.count(F.lit(1)).alias("shared"))
+        pairs.write.format("noop").mode("overwrite").save()
+
+    timed(
+        "cross-source copy matrix (1M docs, 20 sources, 8-gram shingles)",
+        n_docs2,
+        copy_matrix_stress,
+        "one shingle shuffle; pair enumeration bounded by sources-per-shingle",
+    )
+
     # ---- report ----------------------------------------------------------
     lines = [
         "# STRESS — synthetic ~100× scale-up measurements (local[32])",
