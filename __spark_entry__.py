@@ -51,6 +51,7 @@ from arc_maskdata_pipeline_plugin_spark.plans import stats  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import stats2  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import rag  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import bpe  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import curation  # noqa: F401
 
 from arc_maskdata_pipeline_plugin_spark.plans.registry import REGISTRY
 

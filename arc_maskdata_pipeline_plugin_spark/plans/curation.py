@@ -1,0 +1,437 @@
+"""Corpus-curation operators for LLM training-data pipelines (round 7).
+
+Four curation stages that sit between raw ingestion and training-set prep,
+each in its scale-correct shape:
+
+* **Boilerplate segment dedup** (CCNet-style line dedup, applied to 10-token
+  segments since the synthetic corpus has no newlines): segments whose
+  document frequency ≥ 2 are boilerplate; the audit counts instance and
+  token mass removed per source. One segment-hash shuffle; the boilerplate
+  set is heavy-hitter-sized and broadcasts back.
+* **Unigram perplexity filter** (the KenLM-filter stand-in every web-corpus
+  pipeline runs): per-doc mean negative log-likelihood under the corpus's
+  own add-1-smoothed unigram LM, flagging the worst quartile via the exact
+  p75 rank cut. Vocab-sized LM broadcasts; corpus contributes one token
+  count shuffle and one doc aggregate.
+* **DSIR importance weights** (Xie et al. 2023, hashed-ngram importance
+  resampling — unigram variant): per-doc Σ count·(ln p_target − ln p_bg)
+  with target = English docs, background = the rest; the top-k frame is a
+  TakeOrderedAndProject, never a global sort.
+* **N-gram novelty curve** (dataset-curation diminishing-returns readout):
+  fraction of each source's distinct 3-grams first seen in that source
+  (first = lexicographic MIN(source) — deterministic), two ngram-keyed
+  aggregates.
+
+Float parity: every logarithm is floored to fp9 integer BEFORE any sum
+(fp-floored-logs rule); all accumulations are exact BIGINT; published means
+are floor-divided. Tokenization is the repo-wide ``\\s+`` split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import T, register, spread
+
+_SEG = 10  # tokens per pseudo-line segment
+_TOP_DSIR = 50
+
+_TOKS_CTE = r"""
+toks AS (
+  SELECT doc_id, source, lang, string_split_regex(trim(text), '\s+') AS tk
+  FROM documents
+)"""
+
+
+@register(
+    "q_boilerplate_segments",
+    oracle=f"""
+WITH {_TOKS_CTE},
+segs AS (
+  SELECT doc_id, source,
+         unnest(list_transform(
+           range(1, CAST(ceil(len(tk) / {_SEG}.0) AS BIGINT) + 1),
+           i -> array_to_string(list_slice(tk, (i - 1) * {_SEG} + 1, i * {_SEG}), ' ')
+         )) AS seg
+  FROM toks
+),
+sized AS (
+  SELECT doc_id, source, seg, CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_tok
+  FROM segs
+),
+freq AS (
+  SELECT seg, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dfreq
+  FROM sized GROUP BY seg
+)
+SELECT s.source,
+       CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_seg_instances,
+       CAST(SUM(CASE WHEN f.dfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler_instances,
+       CAST(COUNT(DISTINCT CASE WHEN f.dfreq >= 2 THEN s.seg END) AS BIGINT)
+         AS n_boiler_segs,
+       CAST(SUM(CASE WHEN f.dfreq >= 2 THEN s.n_tok ELSE 0 END) AS BIGINT)
+         AS tokens_removed
+FROM sized s JOIN freq f ON s.seg = f.seg
+GROUP BY s.source
+""",
+)
+def q_boilerplate_segments(spark, sf_dir):
+    """CCNet-style boilerplate removal audit at segment grain: a 10-token
+    segment appearing in ≥ 2 distinct documents is boilerplate (headers,
+    footers, nav chrome in real corpora; planted copies here). Per-source
+    readout of instance and token mass removed.
+
+    Scale shape: segments explode partition-locally (≤ n_tok/10 per doc);
+    document frequency is ONE segment-keyed count shuffle; the boilerplate
+    set (df ≥ 2) is heavy-hitter-sized and joins back as a broadcast — the
+    corpus-sized segment frame is never shuffled a second time (same
+    discipline as ``duplicated_spans``)."""
+    d = spread(T(spark, sf_dir, "documents"))
+    tk = F.split(F.trim(F.col("text")), r"\s+")
+    segs = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.ceil(F.size(tk) / float(_SEG)).cast("bigint")
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(tk, (i - 1) * _SEG + 1, _SEG)
+                ),
+            )
+        ).alias("seg"),
+    ).withColumn("n_tok", F.size(F.split(F.col("seg"), " ")).cast("bigint"))
+    freq = segs.groupBy("seg").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("dfreq")
+    )
+    boiler = freq.filter(F.col("dfreq") >= 2).select(
+        "seg", F.lit(1).alias("is_boiler")
+    )
+    flagged = segs.join(F.broadcast(boiler), "seg", "left").withColumn(
+        "is_boiler", F.coalesce("is_boiler", F.lit(0))
+    )
+    return flagged.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_seg_instances"),
+        F.sum("is_boiler").cast("bigint").alias("n_boiler_instances"),
+        F.countDistinct(F.when(F.col("is_boiler") == 1, F.col("seg")))
+        .cast("bigint")
+        .alias("n_boiler_segs"),
+        F.sum(F.when(F.col("is_boiler") == 1, F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_removed"),
+    )
+
+
+@register(
+    "q_perplexity_filter",
+    oracle=f"""
+WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, source, unnest(tk) AS w FROM toks),
+lm AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w
+),
+consts AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM lm
+),
+lp AS (
+  SELECT w, CAST(floor(ln((c + 1.0) / (n + v)) * 1000000000) AS BIGINT) AS lp9
+  FROM lm CROSS JOIN consts
+),
+docs_nll AS (
+  SELECT t.doc_id, t.source,
+         CAST(-SUM(lp.lp9) AS BIGINT) AS nll9_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM tok t JOIN lp ON t.w = lp.w
+  GROUP BY t.doc_id, t.source
+),
+scored AS (
+  SELECT doc_id, source,
+         CAST(floor(nll9_sum / (n_tok * 1000.0)) AS BIGINT) AS nll_fp6
+  FROM docs_nll
+),
+vc AS (
+  SELECT nll_fp6, CAST(COUNT(*) AS BIGINT) AS cnt FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT nll_fp6,
+         SUM(cnt) OVER (ORDER BY nll_fp6
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r,
+         (SELECT SUM(cnt) FROM vc) AS tot
+  FROM vc
+),
+cut AS (
+  SELECT MIN(CASE WHEN r >= CAST(ceil(0.75 * tot) AS BIGINT)
+                  THEN nll_fp6 END) AS p75
+  FROM cum
+)
+SELECT s.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN s.nll_fp6 > cut.p75 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(floor(SUM(s.nll_fp6) * 1.0 / COUNT(*)) AS BIGINT) AS mean_nll_fp6
+FROM scored s CROSS JOIN cut
+GROUP BY s.source
+""",
+)
+def q_perplexity_filter(spark, sf_dir):
+    """Unigram-perplexity quality filter (the KenLM-filter stand-in): score
+    every document by its mean token NLL under the corpus's own
+    add-1-smoothed unigram LM and flag docs ABOVE the exact p75 cut (the
+    worst quartile — high perplexity ≈ word soup / OCR noise in real
+    corpora). Per-word log-probabilities are floored to fp9 integers before
+    any aggregation, so doc scores are exact BIGINT sums — engine-identical.
+
+    Scale shape: the LM is vocab-sized and broadcasts onto the token stream;
+    the corpus pays one token-count shuffle and one doc-grain aggregate; the
+    p75 threshold reuses the exact-rank discipline (distinct fp6-score
+    frame), with the ``quantile_thresholds(mode="approx")`` seam as the
+    100 TB swap."""
+    from ..operators.quantiles import quantile_thresholds
+
+    d = spread(T(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    lm = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    consts = lm.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    lp = (
+        lm.crossJoin(F.broadcast(consts))
+        .select(
+            "w",
+            F.floor(
+                F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v")))
+                * 1_000_000_000
+            )
+            .cast("bigint")
+            .alias("lp9"),
+        )
+    )
+    scored = (
+        tok.join(F.broadcast(lp), "w")
+        .groupBy("doc_id", "source")
+        .agg(
+            (-F.sum("lp9")).cast("bigint").alias("nll9_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.floor(F.col("nll9_sum") / (F.col("n_tok") * 1000.0))
+            .cast("bigint")
+            .alias("nll_fp6"),
+        )
+    )
+    cut = quantile_thresholds(scored, "nll_fp6", {"p75": 0.75})
+    return (
+        scored.crossJoin(F.broadcast(cut))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("nll_fp6") > F.col("p75"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.floor(F.sum("nll_fp6") * 1.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_nll_fp6"),
+        )
+    )
+
+
+@register(
+    "q_dsir_importance",
+    oracle=f"""
+WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, source, lang, unnest(tk) AS w FROM toks),
+tgt AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok WHERE lang = 'en' GROUP BY w
+),
+bg AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok WHERE lang <> 'en' GROUP BY w
+),
+vocab AS (
+  SELECT w FROM tgt UNION SELECT w FROM bg
+),
+consts AS (
+  SELECT (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM tgt) AS nt,
+         (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM bg) AS nb,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM vocab) AS v
+),
+lw AS (
+  SELECT vocab.w,
+         CAST(floor(ln((COALESCE(tgt.c, 0) + 1.0) / (consts.nt + consts.v))
+                    * 1000000000) AS BIGINT)
+         - CAST(floor(ln((COALESCE(bg.c, 0) + 1.0) / (consts.nb + consts.v))
+                      * 1000000000) AS BIGINT) AS dw9
+  FROM vocab LEFT JOIN tgt ON vocab.w = tgt.w
+             LEFT JOIN bg ON vocab.w = bg.w
+             CROSS JOIN consts
+),
+docw AS (
+  SELECT t.doc_id, t.source, t.lang,
+         CAST(SUM(lw.dw9) AS BIGINT) AS weight9
+  FROM tok t JOIN lw ON t.w = lw.w
+  GROUP BY t.doc_id, t.source, t.lang
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY weight9 DESC, doc_id) AS INTEGER)
+         AS rank,
+       doc_id, source, lang, weight9
+FROM docw
+QUALIFY rank <= {_TOP_DSIR}
+""",
+)
+def q_dsir_importance(spark, sf_dir):
+    """DSIR-style importance weights (Xie et al. 2023, unigram variant):
+    score each document by Σ_w count_w · (ln p_target(w) − ln p_bg(w)) with
+    target = English docs and background = everything else, both
+    add-1-smoothed over the shared vocabulary; the top-k highest-weight docs
+    are the ones importance resampling would keep. Per-word deltas are
+    fp9-floored integers, so doc weights are exact BIGINT sums and the
+    (weight DESC, doc_id) ranking is engine-total.
+
+    Scale shape: both LMs are vocab-sized broadcasts; the corpus pays one
+    token shuffle for each LM count and one doc-grain aggregate; the top-k
+    is orderBy+limit → TakeOrderedAndProject (per-partition heaps, k-sized
+    merge — no global sort)."""
+    d = spread(T(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("w"),
+    )
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+    bg = (
+        tok.filter(F.col("lang") != "en")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    )
+    vocab = tgt.select("w").union(bg.select("w")).distinct()
+    consts = (
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("bigint").alias("nt"))
+        .crossJoin(
+            bg.agg(F.coalesce(F.sum("cb"), F.lit(0)).cast("bigint").alias("nb"))
+        )
+        .crossJoin(vocab.agg(F.count(F.lit(1)).cast("bigint").alias("v")))
+    )
+    lw = (
+        vocab.join(tgt, "w", "left")
+        .join(bg, "w", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "w",
+            (
+                F.floor(
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                        / (F.col("nt") + F.col("v"))
+                    )
+                    * 1_000_000_000
+                ).cast("bigint")
+                - F.floor(
+                    F.log(
+                        (F.coalesce(F.col("cb"), F.lit(0)) + 1.0)
+                        / (F.col("nb") + F.col("v"))
+                    )
+                    * 1_000_000_000
+                ).cast("bigint")
+            ).alias("dw9"),
+        )
+    )
+    docw = (
+        tok.join(F.broadcast(lw), "w")
+        .groupBy("doc_id", "source", "lang")
+        .agg(F.sum("dw9").cast("bigint").alias("weight9"))
+    )
+    top = docw.orderBy(F.desc("weight9"), "doc_id").limit(_TOP_DSIR)
+    from pyspark.sql import Window
+
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("weight9"), "doc_id"))
+        .cast("int")
+        .alias("rank"),
+        "doc_id",
+        "source",
+        "lang",
+        "weight9",
+    )
+
+
+@register(
+    "q_ngram_novelty",
+    oracle=f"""
+WITH {_TOKS_CTE},
+grams AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS g
+  FROM toks
+),
+firsts AS (
+  SELECT g, MIN(source) AS first_source FROM grams GROUP BY g
+),
+novel AS (
+  SELECT first_source AS source, CAST(COUNT(*) AS BIGINT) AS n_novel
+  FROM firsts GROUP BY 1
+),
+totals AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct FROM grams GROUP BY 1
+)
+SELECT t.source, t.n_distinct,
+       CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(floor(COALESCE(n.n_novel, 0) * 1000000.0 / t.n_distinct) AS BIGINT)
+         AS novelty_fp6
+FROM totals t LEFT JOIN novel n ON t.source = n.source
+""",
+)
+def q_ngram_novelty(spark, sf_dir):
+    """N-gram novelty curve per source (the diminishing-returns readout a
+    curation pipeline uses to decide whether the next crawl batch still adds
+    information): the fraction of each source's distinct 3-grams FIRST seen
+    in that source, with "first" = lexicographic MIN(source) so the curve is
+    deterministic without any ingestion-order column.
+
+    Scale shape: distinct (source, 3-gram) pairs are one shuffle; the
+    first-source attribution is a second ngram-keyed aggregate; everything
+    downstream is source-cardinality-sized."""
+    d = spread(T(spark, sf_dir, "documents"))
+    tk = F.split(F.trim("text"), r"\s+")
+    grams = (
+        d.select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(tk) - 2, F.lit(1))),
+                    lambda i: F.concat_ws(" ", F.slice(tk, i, 3)),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    firsts = grams.groupBy("g").agg(F.min("source").alias("first_source"))
+    novel = firsts.groupBy(F.col("first_source").alias("source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_novel")
+    )
+    totals = grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct")
+    )
+    return totals.join(novel, "source", "left").select(
+        "source",
+        "n_distinct",
+        F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        F.floor(
+            F.coalesce("n_novel", F.lit(0)) * 1_000_000.0 / F.col("n_distinct")
+        )
+        .cast("bigint")
+        .alias("novelty_fp6"),
+    )

@@ -146,6 +146,14 @@ HEADLINE = [
     # the distinct-value frame vs one mergeable GK aggregate (100 TB mode)
     "q_winsorize_prices",
     "q_winsorize_prices_approx",
+    # round 7 (cont. 2): corpus-curation family — boilerplate segment dedup
+    # (segment-hash shuffle + broadcast heavy-hitter set), unigram
+    # perplexity filter (vocab LM broadcast), DSIR importance top-k,
+    # 3-gram novelty attribution
+    "q_boilerplate_segments",
+    "q_perplexity_filter",
+    "q_dsir_importance",
+    "q_ngram_novelty",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -759,3 +759,25 @@ def test_rfm_no_frame_wide_sort(spark):
             assert "user_id" not in order, (
                 "unpartitioned window sorts the full buyer frame: " + order
             )
+
+
+def test_curation_family_shapes(spark):
+    """Round-7 curation ops keep their scale shapes: boilerplate set and
+    unigram LMs broadcast back onto corpus-sized frames (no corpus-sized
+    sort-merge joins), DSIR's top-k is TakeOrderedAndProject — never a
+    global sort — and everything stays JVM-side."""
+    for name in [
+        "q_boilerplate_segments",
+        "q_perplexity_filter",
+        "q_dsir_importance",
+        "q_ngram_novelty",
+    ]:
+        a = props(name, spark)
+        assert a["python_ops"] == 0, name
+        assert a["scans"] >= 1, name
+    df = QUERIES["q_dsir_importance"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    bp = QUERIES["q_boilerplate_segments"](spark, SF)
+    plan_bp = bp._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_bp or "BroadcastExchange" in plan_bp

@@ -58,3 +58,94 @@ def test_winsorize_approx_thresholds_near_exact(spark):
     # clip fractions stay in the same ballpark (±1% of n absolute)
     assert abs(approx.n_clipped_low - exact.n_clipped_low) <= exact.n * 0.01 + 2
     assert abs(approx.n_clipped_high - exact.n_clipped_high) <= exact.n * 0.01 + 2
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+def test_boilerplate_segments_flags_shared_segment(spark, tmp_path):
+    """Two docs sharing their first 10-token segment -> that segment is
+    boilerplate; the unique tails are not."""
+    seg = " ".join(f"w{i}" for i in range(10))
+    rows = [
+        (0, seg + " unique0 tail0", "en", "a"),
+        (1, seg + " unique1 tail1", "en", "b"),
+        (2, "completely different words here now ok fine yes no maybe", "en", "a"),
+    ]
+    d = _docs(spark, rows)
+    d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.curation import (
+        q_boilerplate_segments,
+    )
+
+    out = {r.source: r for r in q_boilerplate_segments(spark, str(tmp_path)).collect()}
+    assert out["a"].n_boiler_instances == 1 and out["b"].n_boiler_instances == 1
+    assert out["a"].tokens_removed == 10
+    # doc 2's segments are unique -> only doc 0 contributes boilerplate to 'a'
+    assert out["a"].n_boiler_segs == 1
+
+
+def test_perplexity_filter_flags_rare_word_soup(spark, tmp_path):
+    """Docs made of hapax words score higher NLL than docs of common words;
+    the worst quartile lands in n_flagged."""
+    common = " ".join(["the"] * 20)
+    rows = [(i, common, "en", "common") for i in range(6)] + [
+        (10 + j, " ".join(f"rare{10 + j}_{k}" for k in range(20)), "en", "soup")
+        for j in range(2)
+    ]
+    d = _docs(spark, rows)
+    d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.curation import (
+        q_perplexity_filter,
+    )
+
+    out = {r.source: r for r in q_perplexity_filter(spark, str(tmp_path)).collect()}
+    assert out["soup"].n_flagged == out["soup"].n_docs  # all word-soup docs flagged
+    assert out["common"].n_flagged == 0
+    assert out["soup"].mean_nll_fp6 > out["common"].mean_nll_fp6
+
+
+def test_dsir_importance_prefers_target_like_docs(spark, tmp_path):
+    """Docs wordier in the target (en) vocabulary outrank background-like
+    docs; ranking is (weight DESC, doc_id)."""
+    rows = (
+        [(i, "alpha beta gamma delta", "en", "t") for i in range(3)]
+        + [(10 + i, "omega psi chi phi", "de", "b") for i in range(3)]
+        + [(20, "alpha beta gamma delta", "de", "mixed")]  # en-like text, bg lang
+    )
+    d = _docs(spark, rows)
+    d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.curation import (
+        q_dsir_importance,
+    )
+
+    out = q_dsir_importance(spark, str(tmp_path)).collect()
+    ranks = {r.doc_id: r.rank for r in out}
+    weights = {r.doc_id: r.weight9 for r in out}
+    # the en-like doc written in 'de' still scores like the target docs
+    assert weights[20] == weights[0]
+    # background-vocab docs score strictly lower
+    assert weights[10] < weights[0]
+    # deterministic tie-break by doc_id among equal weights
+    tied = sorted([d_ for d_, w in weights.items() if w == weights[0]])
+    assert [ranks[d_] for d_ in tied] == sorted(ranks[d_] for d_ in tied)
+
+
+def test_ngram_novelty_attributes_first_source(spark, tmp_path):
+    """A trigram shared by sources a and b counts as novel only for a
+    (lexicographic first); b's unique trigrams stay its own."""
+    rows = [
+        (0, "x y z q r s", "en", "a"),   # trigrams: xyz yzq zqr qrs
+        (1, "x y z u v w", "en", "b"),   # xyz (seen in a) + yzu zuv uvw
+    ]
+    d = _docs(spark, rows)
+    d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.curation import (
+        q_ngram_novelty,
+    )
+
+    out = {r.source: r for r in q_ngram_novelty(spark, str(tmp_path)).collect()}
+    assert out["a"].n_distinct == 4 and out["a"].n_novel == 4
+    assert out["b"].n_distinct == 4 and out["b"].n_novel == 3
+    assert out["b"].novelty_fp6 == 750_000
