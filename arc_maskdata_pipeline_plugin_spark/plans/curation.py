@@ -435,3 +435,126 @@ def q_ngram_novelty(spark, sf_dir):
         .cast("bigint")
         .alias("novelty_fp6"),
     )
+
+
+_SD_CELLS = 8
+_SD_TAU = 0.4
+_SD_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "q_semdedup",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt({_SD_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm FROM e
+  WHERE vec_id < {_SD_CELLS}
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_SD_DOT.format(a='e.embedding', b='c.cvec')} / (e.nrm * c.cnrm) DESC,
+                      c.cent_id) AS rn
+    FROM e JOIN cents c ON TRUE
+  ) t WHERE rn = 1
+),
+m AS (
+  SELECT a.cell, e.vec_id, e.embedding, e.nrm
+  FROM assign a JOIN e ON a.vec_id = e.vec_id
+),
+pairs AS (
+  SELECT x.cell, x.vec_id AS v1, y.vec_id AS v2
+  FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE {_SD_DOT.format(a='x.embedding', b='y.embedding')} / (x.nrm * y.nrm)
+        >= {_SD_TAU}
+),
+dropped AS (
+  SELECT cell, COUNT(DISTINCT v2) AS n_dropped FROM pairs GROUP BY cell
+),
+np AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs FROM pairs GROUP BY cell),
+members AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members FROM assign GROUP BY cell)
+SELECT mem.cell,
+       mem.n_members,
+       CAST(COALESCE(np.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(mem.n_members - COALESCE(d.n_dropped, 0) AS BIGINT) AS n_kept
+FROM members mem
+LEFT JOIN np ON mem.cell = np.cell
+LEFT JOIN dropped d ON mem.cell = d.cell
+""",
+)
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    embeddings, then pruning near-identical vectors WITHIN each cluster —
+    the economics that make embedding dedup tractable at scale (pairwise
+    search inside cells instead of all-pairs over the corpus). Clusters
+    come from the deterministic IVF quantizer (first-n seeds — same
+    pluggable-training seam as ``sim_ann_ivf``; swap KMeans centroids in
+    production, identical pruning machinery); within a cluster a vector is
+    dropped when a SMALLER-id member sits above the cosine threshold (the
+    deterministic keep-canonical-minimum rule standing in for the paper's
+    keep-one-per-group sweep). Per-cluster audit: members, duplicate pairs,
+    dropped, kept.
+
+    Scale shape: assignment is one broadcast-centroid pass with a map-side
+    ``max_by`` argmax; the intra-cell pair join is co-partitioned on the
+    cell key and bounded by cell population (cap viral cells the way
+    ``lsh_candidate_pairs`` caps buckets when a production run needs it)."""
+    from ..operators.dedup import _dot, with_norm
+    from ..operators.similarity import ivf_assignments, ivf_centroids
+
+    e = T(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(e, n_cells=_SD_CELLS)
+    assign = ivf_assignments(e, cents).select(
+        F.col("m_vec_id").alias("vec_id"), "cell"
+    )
+    m = (
+        with_norm(e.select("vec_id", "embedding"))
+        .join(assign, "vec_id")
+        .select("cell", "vec_id", "embedding", "_norm")
+    )
+    x, y = m.alias("x"), m.alias("y")
+    cos = _dot(F.col("x.embedding"), F.col("y.embedding")) / (
+        F.col("x._norm") * F.col("y._norm")
+    )
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .filter(cos >= _SD_TAU)
+        .select(F.col("x.cell").alias("cell"), F.col("x.vec_id").alias("v1"), F.col("y.vec_id").alias("v2"))
+        .persist()  # near-dup-sized; consumers: pair count + dropped count
+    )
+    np_ = pairs.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs")
+    )
+    dropped = pairs.groupBy("cell").agg(
+        F.countDistinct("v2").cast("bigint").alias("n_dropped")
+    )
+    members = assign.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return (
+        members.join(np_, "cell", "left")
+        .join(dropped, "cell", "left")
+        .select(
+            "cell",
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+            (F.col("n_members") - F.coalesce("n_dropped", F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )

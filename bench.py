@@ -154,6 +154,8 @@ HEADLINE = [
     "q_perplexity_filter",
     "q_dsir_importance",
     "q_ngram_novelty",
+    # round 7 (cont. 3): SemDeDup — cluster-then-prune semantic dedup
+    "q_semdedup",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

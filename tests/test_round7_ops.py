@@ -149,3 +149,32 @@ def test_ngram_novelty_attributes_first_source(spark, tmp_path):
     assert out["a"].n_distinct == 4 and out["a"].n_novel == 4
     assert out["b"].n_distinct == 4 and out["b"].n_novel == 3
     assert out["b"].novelty_fp6 == 750_000
+
+
+def test_semdedup_drops_higher_id_twin(spark, tmp_path):
+    """Two identical vectors land in the same cluster; the higher id is
+    dropped, the lower kept. An orthogonal vector survives."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),   # centroid seed 0
+        (1, [0.0, 1.0, 0.0, 0.0], 0),   # centroid seed 1
+        (2, [1.0, 0.0, 0.0, 0.0], 0),   # twin of 0 -> dropped
+        (3, [0.0, 0.0, 1.0, 0.0], 0),   # near-orthogonal: kept
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).select(
+        "vec_id",
+        F.col("embedding").cast("array<float>").alias("embedding"),
+        "label",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    import arc_maskdata_pipeline_plugin_spark.plans.curation as cur
+
+    orig_cells = cur._SD_CELLS
+    cur._SD_CELLS = 2
+    try:
+        out = {r.cell: r for r in cur.q_semdedup(spark, str(tmp_path)).collect()}
+    finally:
+        cur._SD_CELLS = orig_cells
+    # cell 0 holds vecs {0, 2, 3}: the identical pair (0,2) drops vec 2 only
+    assert out[0].n_members == 3
+    assert out[0].n_dup_pairs == 1 and out[0].n_dropped == 1 and out[0].n_kept == 2
+    assert out[1].n_members == 1 and out[1].n_dropped == 0
