@@ -87,12 +87,15 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
 
 
-def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def attach_png_payload(
+    df: DataFrame, id_col: str = "doc_id", dims: tuple[int, int] | None = None
+) -> DataFrame:
     """Render a REAL grayscale PNG per row — width=(id%16)+1,
-    height=(id%12)+1, deterministic gradient pixels — via the stdlib encoder
-    in ``operators.imaging``. Dimensions are pure id arithmetic, so a SQL
-    oracle can verify what the real decoder reads back; the payload is a
-    genuine zlib-compressed PNG stream, not a marker."""
+    height=(id%12)+1 (or the fixed ``dims=(w, h)`` when given — the aHash
+    convention of hashing on a common grid), deterministic gradient pixels —
+    via the stdlib encoder in ``operators.imaging``. Dimensions are pure id
+    arithmetic, so a SQL oracle can verify what the real decoder reads back;
+    the payload is a genuine zlib-compressed PNG stream, not a marker."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -103,9 +106,42 @@ def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         out = []
         for i in ids:
             i = int(i)
-            w, h = i % 16 + 1, i % 12 + 1
+            w, h = dims if dims else (i % 16 + 1, i % 12 + 1)
             yy, xx = np.mgrid[0:h, 0:w]
             out.append(png_encode(((xx * 17 + yy * 31 + i) % 256).astype(np.uint8)))
+        return pd.Series(out)
+
+    return df.withColumn("payload", render(F.col(id_col)))
+
+
+def attach_png_payload_grouped(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    dims: tuple[int, int] = (8, 8),
+    group: int = 4,
+) -> DataFrame:
+    """Render real PNGs with PLANTED near-duplicate structure: ids in the
+    same ``group``-sized block share a gradient pattern (odd multiplier
+    ``2*(id//group)+1`` scrambles the pattern per block — a purely ADDITIVE
+    id term would shift every pixel equally and leave the above-mean bits
+    degenerate corpus-wide), while members differ by a tiny additive offset
+    — near-identical hashes within a block, distinct across blocks. The
+    formula is pure id arithmetic, so a SQL oracle reproduces every bit."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from .imaging import png_encode
+
+    w, h = dims
+
+    @pandas_udf(BinaryType())
+    def render(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = ((xx * 17 + yy * 31) * (2 * (i // group) + 1) + i) % 256
+            out.append(png_encode(px.astype(np.uint8)))
         return pd.Series(out)
 
     return df.withColumn("payload", render(F.col(id_col)))

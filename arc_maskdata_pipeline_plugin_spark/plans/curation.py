@@ -558,3 +558,52 @@ def q_semdedup(spark, sf_dir):
             .alias("n_kept"),
         )
     )
+
+
+def _confusion_oracle() -> str:
+    from .text import _lang_oracle
+
+    return f"""
+WITH scored AS ({_lang_oracle()}),
+cells AS (
+  SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+  FROM scored GROUP BY lang, lang_pred
+),
+tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang FROM cells GROUP BY lang)
+SELECT c.lang, c.lang_pred, c.n, t.n_lang,
+       CAST(floor(c.n * 1000000.0 / t.n_lang) AS BIGINT) AS share_fp6
+FROM cells c JOIN tot t ON c.lang = t.lang
+"""
+
+
+@register("q_language_confusion", oracle=_confusion_oracle())
+def q_language_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: the stopword-ratio classifier's
+    predictions against the corpus's labeled ``lang`` column, with each
+    cell's share of its true-language row — the quality readout that tells
+    a curation pipeline whether its language filter is safe to trust before
+    it routes 100 TB by predicted language (the diagonal share is per-class
+    recall; off-diagonal mass shows which languages leak into which).
+
+    Scale shape: scoring is pure JVM expressions per document (zero
+    shuffle); the matrix is one (lang, lang_pred) count aggregate over at
+    most |langs|² cells, and the per-language totals join is
+    matrix-sized."""
+    from ..operators.text import with_language_scores
+
+    d = spread(T(spark, sf_dir, "documents"))
+    cells = (
+        with_language_scores(d)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = cells.groupBy("lang").agg(F.sum("n").cast("bigint").alias("n_lang"))
+    return cells.join(tot, "lang").select(
+        "lang",
+        "lang_pred",
+        "n",
+        "n_lang",
+        F.floor(F.col("n") * 1_000_000.0 / F.col("n_lang"))
+        .cast("bigint")
+        .alias("share_fp6"),
+    )

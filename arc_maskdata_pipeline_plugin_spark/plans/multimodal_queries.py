@@ -332,3 +332,109 @@ def q_multimodal_silence(spark, sf_dir):
         F.max("chunk").cast("bigint").alias("end_chunk"),
         F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
     )
+
+
+_PHD_BANDS = 4  # 4 bands × 16 bits over the 8×8 hash
+_PHD_MAXHAM = 6
+
+
+@register(
+    "q_multimodal_phash_dedup",
+    oracle=f"""
+WITH grid AS (
+  SELECT doc_id, gx.x AS x, gy.y AS y,
+         ((gx.x * 17 + gy.y * 31) * (2 * (doc_id // 4) + 1) + doc_id) % 256 AS p
+  FROM documents CROSS JOIN range(8) gx(x) CROSS JOIN range(8) gy(y)
+),
+s AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS total
+  FROM grid GROUP BY doc_id
+),
+ph AS (
+  SELECT g.doc_id,
+         string_agg(CASE WHEN g.p * s.n > s.total THEN '1' ELSE '0' END, ''
+                    ORDER BY g.y, g.x) AS bits
+  FROM grid g JOIN s USING (doc_id) GROUP BY g.doc_id
+),
+bands AS (
+  SELECT doc_id, b.i AS band, substr(bits, b.i * 16 + 1, 16) AS key
+  FROM ph CROSS JOIN range({_PHD_BANDS}) b(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.d1, c.d2,
+         CAST(len(list_filter(range(1, 65),
+              i -> substr(p1.bits, i, 1) <> substr(p2.bits, i, 1))) AS INTEGER)
+           AS hamming
+  FROM cand c JOIN ph p1 ON c.d1 = p1.doc_id JOIN ph p2 ON c.d2 = p2.doc_id
+)
+SELECT d1, d2, hamming FROM scored WHERE hamming <= {_PHD_MAXHAM}
+""",
+)
+def q_multimodal_phash_dedup(spark, sf_dir):
+    """Image near-duplicate detection by BANDED perceptual hash — the visual
+    analogue of SimHash dedup, over genuinely decoded pixels: every document
+    renders a real 8×8 PNG (the aHash common-grid convention), the stdlib
+    decoder reads it back, and the above-mean bitstring splits into 4
+    16-bit bands; images sharing ANY band become candidates (two hashes
+    within Hamming distance 6 of each other must agree on at least one of 4
+    bands — pigeonhole, the SimHash band guarantee) and candidates verify
+    with an exact Hamming check. The oracle reproduces every bit from the
+    generative pixel formula with no image codec, so a hash match proves
+    the full encode→decode→hash→band→verify path.
+
+    Scale shape: decode+hash ride the scan partition-local (mapInPandas);
+    banding is a 4× explode of 64-bit rows; the bucket join shuffles only
+    (band, key) pairs — never all-pairs over the image corpus; verification
+    touches candidate pairs only (cap viral buckets the
+    ``lsh_dropped_buckets`` way when a production corpus needs it)."""
+    from ..operators.multimodal import (
+        attach_png_payload_grouped,
+        perceptual_hash_images,
+    )
+    from .registry import spread
+
+    d = spread(T(spark, sf_dir, "documents"))
+    ph = (
+        perceptual_hash_images(attach_png_payload_grouped(d.select("doc_id")))
+        .select("doc_id", F.col("phash_bits").alias("bits"))
+        .persist()  # consumers: band explode + two verification probes
+    )
+    bands = ph.select(
+        "doc_id",
+        "bits",
+        F.explode(F.sequence(F.lit(0), F.lit(_PHD_BANDS - 1))).alias("band"),
+    ).select(
+        "doc_id",
+        "band",
+        F.expr("substr(bits, band * 16 + 1, 16)").alias("key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    p1 = ph.select(F.col("doc_id").alias("d1"), F.col("bits").alias("b1"))
+    p2 = ph.select(F.col("doc_id").alias("d2"), F.col("bits").alias("b2"))
+    return (
+        cand.join(p1, "d1")
+        .join(p2, "d2")
+        .withColumn(
+            "hamming",
+            F.expr(
+                "size(filter(sequence(1, 64), i -> substr(b1, i, 1) != substr(b2, i, 1)))"
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= _PHD_MAXHAM)
+        .select("d1", "d2", "hamming")
+    )

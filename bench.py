@@ -156,6 +156,10 @@ HEADLINE = [
     "q_ngram_novelty",
     # round 7 (cont. 3): SemDeDup — cluster-then-prune semantic dedup
     "q_semdedup",
+    # round 7 (cont. 4): language-ID confusion matrix; banded-pHash image
+    # near-dup (real decode, 4×16-bit bands, exact Hamming verify)
+    "q_language_confusion",
+    "q_multimodal_phash_dedup",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

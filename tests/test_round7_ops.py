@@ -178,3 +178,24 @@ def test_semdedup_drops_higher_id_twin(spark, tmp_path):
     assert out[0].n_members == 3
     assert out[0].n_dup_pairs == 1 and out[0].n_dropped == 1 and out[0].n_kept == 2
     assert out[1].n_members == 1 and out[1].n_dropped == 0
+
+
+def test_phash_dedup_finds_planted_quads(spark, tmp_path):
+    """Ids in the same 4-block render near-identical images -> all three
+    within-block pairs of block 0 surface with small hamming; the pair
+    (3, 4) straddles blocks with different gradient patterns and must NOT
+    appear at hamming <= 6."""
+    rows = [(i, "t", "en", "s") for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.multimodal_queries import (
+        q_multimodal_phash_dedup,
+    )
+
+    pairs = {(r.d1, r.d2): r.hamming for r in q_multimodal_phash_dedup(
+        spark, str(tmp_path)
+    ).collect()}
+    for a, b in [(0, 1), (0, 2), (1, 2), (4, 5), (5, 6)]:
+        assert (a, b) in pairs, (a, b)
+        assert pairs[(a, b)] <= 6
+    assert (3, 4) not in pairs
