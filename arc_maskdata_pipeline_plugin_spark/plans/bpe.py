@@ -255,3 +255,63 @@ def q_bpe_fertility(spark, sf_dir):
             .alias("fertility_fp6"),
         )
     )
+
+
+@register(
+    "q_bpe_roundtrip",
+    oracle=f"""{_bpe_cte_chain(N_MERGES)}
+, audit AS (
+  SELECT word, n,
+         len(string_split_regex(trim(seq), '\\s+')) AS n_sym,
+         CASE WHEN replace(replace(seq, ' ', ''), '</w>', '') = word
+              THEN 1 ELSE 0 END AS lossless
+  FROM w{N_MERGES}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(lossless) AS BIGINT) AS n_lossless,
+       CAST(COUNT(*) - SUM(lossless) AS BIGINT) AS n_lossy,
+       CAST(SUM(n * n_sym) AS BIGINT) AS corpus_tokens,
+       CAST(SUM(n * len(word)) AS BIGINT) AS corpus_chars,
+       CAST(floor(SUM(n * n_sym) * 1000000.0 / SUM(n * len(word))) AS BIGINT)
+         AS tokens_per_char_fp6
+FROM audit
+""",
+)
+def q_bpe_roundtrip(spark, sf_dir):
+    """Tokenizer round-trip audit — the invariant a BPE artifact must hold
+    before it ships: stripping separators (and the ``</w>`` terminal) from
+    every trained segmentation must reproduce the original word EXACTLY, for
+    the whole vocabulary (``n_lossy`` = 0, enforced by test). Also reports
+    corpus-weighted compression (BPE tokens per character) — the number that
+    tells you whether the merge budget was worth it.
+
+    Scale shape: the audit runs entirely on the VOCABULARY frame (the merge
+    loop's output, thousands of rows at any corpus size) — zero additional
+    corpus passes; string equality is exact in both engines."""
+    _, final = _train_bpe(spark, sf_dir, N_MERGES)
+    audit = final.select(
+        "word",
+        "n",
+        F.size(F.split(F.trim("seq"), " +")).cast("bigint").alias("n_sym"),
+        F.when(
+            F.regexp_replace(F.regexp_replace("seq", " ", ""), "</w>", "")
+            == F.col("word"),
+            1,
+        )
+        .otherwise(0)
+        .alias("lossless"),
+    )
+    return audit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("lossless").cast("bigint").alias("n_lossless"),
+        (F.count(F.lit(1)) - F.sum("lossless")).cast("bigint").alias("n_lossy"),
+        F.sum(F.col("n") * F.col("n_sym")).cast("bigint").alias("corpus_tokens"),
+        F.sum(F.col("n") * F.length("word")).cast("bigint").alias("corpus_chars"),
+        F.floor(
+            F.sum(F.col("n") * F.col("n_sym"))
+            * 1_000_000.0
+            / F.sum(F.col("n") * F.length("word"))
+        )
+        .cast("bigint")
+        .alias("tokens_per_char_fp6"),
+    )

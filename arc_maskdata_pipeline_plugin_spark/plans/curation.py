@@ -607,3 +607,245 @@ def q_language_confusion(spark, sf_dir):
         .cast("bigint")
         .alias("share_fp6"),
     )
+
+
+_NLL_CTE = f"""
+WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, source, unnest(tk) AS w FROM toks),
+lm AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w
+),
+consts AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM lm
+),
+lp AS (
+  SELECT w, CAST(floor(ln((c + 1.0) / (n + v)) * 1000000000) AS BIGINT) AS lp9
+  FROM lm CROSS JOIN consts
+),
+scored AS (
+  SELECT t.doc_id, t.source,
+         CAST(floor(-SUM(lp.lp9) / (COUNT(*) * 1000.0)) AS BIGINT) AS nll_fp6
+  FROM tok t JOIN lp ON t.w = lp.w
+  GROUP BY t.doc_id, t.source
+)"""
+
+
+def _doc_nll(spark, sf_dir):
+    """Per-doc mean token NLL (fp6 BIGINT) under the corpus's add-1 unigram
+    LM — the shared scoring stage of q_perplexity_filter and
+    q_curriculum_shards. Vocab-sized LM broadcasts; one token shuffle, one
+    doc aggregate."""
+    d = spread(T(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    lm = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    consts = lm.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    lp = lm.crossJoin(F.broadcast(consts)).select(
+        "w",
+        F.floor(
+            F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v"))) * 1_000_000_000
+        )
+        .cast("bigint")
+        .alias("lp9"),
+    )
+    return (
+        tok.join(F.broadcast(lp), "w")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.floor(-F.sum("lp9") / (F.count(F.lit(1)) * 1000.0))
+            .cast("bigint")
+            .alias("nll_fp6"),
+        )
+    )
+
+
+@register(
+    "q_curriculum_shards",
+    oracle=f"""{_NLL_CTE},
+vc AS (SELECT nll_fp6, CAST(COUNT(*) AS BIGINT) AS cnt FROM scored GROUP BY 1),
+cum AS (
+  SELECT nll_fp6,
+         SUM(cnt) OVER (ORDER BY nll_fp6
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r,
+         (SELECT SUM(cnt) FROM vc) AS tot
+  FROM vc
+),
+cuts AS (
+  SELECT MIN(CASE WHEN r >= CAST(ceil(0.2 * tot) AS BIGINT) THEN nll_fp6 END) AS c1,
+         MIN(CASE WHEN r >= CAST(ceil(0.4 * tot) AS BIGINT) THEN nll_fp6 END) AS c2,
+         MIN(CASE WHEN r >= CAST(ceil(0.6 * tot) AS BIGINT) THEN nll_fp6 END) AS c3,
+         MIN(CASE WHEN r >= CAST(ceil(0.8 * tot) AS BIGINT) THEN nll_fp6 END) AS c4
+  FROM cum
+),
+binned AS (
+  SELECT s.doc_id, s.nll_fp6,
+         CASE WHEN s.nll_fp6 <= c.c1 THEN 0
+              WHEN s.nll_fp6 <= c.c2 THEN 1
+              WHEN s.nll_fp6 <= c.c3 THEN 2
+              WHEN s.nll_fp6 <= c.c4 THEN 3
+              ELSE 4 END AS stage
+  FROM scored s CROSS JOIN cuts c
+)
+SELECT CAST(stage AS INTEGER) AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(nll_fp6) AS BIGINT) AS nll_min,
+       CAST(MAX(nll_fp6) AS BIGINT) AS nll_max,
+       CAST(MIN(doc_id) AS BIGINT) AS sample_doc
+FROM binned GROUP BY stage
+""",
+)
+def q_curriculum_shards(spark, sf_dir):
+    """Curriculum sharding (easy→hard training order): documents bin into 5
+    difficulty stages at the EXACT nll quintile cuts (easy = low perplexity
+    first — the curriculum-learning convention), with per-stage population
+    and score range. The cut points come from the shared
+    ``quantile_thresholds`` seam (exact mode here, GK-approx at 100 TB),
+    broadcast onto the scored frame for a CASE-bucketed assignment — the
+    write path is then the same one-shuffle sharded write as
+    ``q_training_shards``."""
+    from ..operators.quantiles import quantile_thresholds
+
+    scored = _doc_nll(spark, sf_dir)
+    cuts = quantile_thresholds(
+        scored, "nll_fp6", {"c1": 0.2, "c2": 0.4, "c3": 0.6, "c4": 0.8}
+    )
+    stage = (
+        F.when(F.col("nll_fp6") <= F.col("c1"), 0)
+        .when(F.col("nll_fp6") <= F.col("c2"), 1)
+        .when(F.col("nll_fp6") <= F.col("c3"), 2)
+        .when(F.col("nll_fp6") <= F.col("c4"), 3)
+        .otherwise(4)
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .withColumn("stage", stage.cast("int"))
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("nll_fp6").cast("bigint").alias("nll_min"),
+            F.max("nll_fp6").cast("bigint").alias("nll_max"),
+            F.min("doc_id").cast("bigint").alias("sample_doc"),
+        )
+    )
+
+
+_HN_ANCHORS = 20  # vec_id in [100, 120) — clear of the IVF centroid seeds
+
+
+@register(
+    "q_hard_negatives",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, embedding,
+         sqrt({_SD_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+anchors AS (
+  SELECT vec_id AS query_id, label AS q_label, embedding AS qvec, nrm AS qnrm
+  FROM e WHERE vec_id >= 100 AND vec_id < 100 + {_HN_ANCHORS}
+),
+scored AS (
+  SELECT a.query_id, a.q_label, e.vec_id, e.label,
+         {_SD_DOT.format(a='a.qvec', b='e.embedding')} / (a.qnrm * e.nrm)
+           AS cosine
+  FROM anchors a JOIN e ON e.vec_id <> a.query_id
+),
+neg AS (
+  SELECT query_id, vec_id AS hard_neg_id,
+         CAST(floor(cosine * 1000000) AS BIGINT) AS neg_cos_fp6
+  FROM (
+    SELECT query_id, vec_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rn
+    FROM scored WHERE label <> q_label
+  ) WHERE rn = 1
+),
+pos AS (
+  SELECT query_id, vec_id AS hard_pos_id,
+         CAST(floor(cosine * 1000000) AS BIGINT) AS pos_cos_fp6
+  FROM (
+    SELECT query_id, vec_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine ASC, vec_id) AS rn
+    FROM scored WHERE label = q_label
+  ) WHERE rn = 1
+)
+SELECT a.query_id, a.q_label,
+       n.hard_neg_id, n.neg_cos_fp6,
+       p.hard_pos_id, p.pos_cos_fp6
+FROM anchors a
+JOIN neg n ON a.query_id = n.query_id
+JOIN pos p ON a.query_id = p.query_id
+""",
+)
+def q_hard_negatives(spark, sf_dir):
+    """Hard-example mining for contrastive embedding training (the triplet /
+    InfoNCE batch-construction step): for each anchor, the hardest NEGATIVE
+    is the most-similar vector with a DIFFERENT label (the one the model
+    most confuses) and the hardest POSITIVE the least-similar vector with
+    the SAME label (the one it least recognizes). Deterministic (cosine,
+    vec_id) tie-breaks keep both engines choosing identically.
+
+    Scale shape: the anchor set broadcasts onto ONE corpus scan; both
+    argmaxes are map-side ``max_by``/``min_by`` hash aggregates keyed by
+    anchor (the ``ivf_assignments`` discipline — never a corpus×anchor
+    sort). At 100 TB the exact scan swaps for the IVF/PQ candidate
+    generation in ``operators/similarity.py`` with this same scoring."""
+    from ..operators.dedup import _dot, with_norm
+
+    e = with_norm(
+        T(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    )
+    anchors = e.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _HN_ANCHORS)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qvec"),
+        F.col("_norm").alias("qnrm"),
+    )
+    cos = _dot(F.col("qvec"), F.col("embedding")) / (F.col("qnrm") * F.col("_norm"))
+    scored = (
+        e.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_label",
+            "vec_id",
+            "label",
+            cos.alias("cosine"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("label") != F.col("q_label"))
+        .groupBy("query_id")
+        .agg(
+            F.expr("max_by(vec_id, struct(cosine, -vec_id))").alias("hard_neg_id"),
+            F.floor(F.max(F.struct("cosine", (-F.col("vec_id")).alias("nid")))["cosine"] * 1_000_000)
+            .cast("bigint")
+            .alias("neg_cos_fp6"),
+        )
+    )
+    pos = (
+        scored.filter(F.col("label") == F.col("q_label"))
+        .groupBy("query_id")
+        .agg(
+            F.expr("min_by(vec_id, struct(cosine, vec_id))").alias("hard_pos_id"),
+            F.floor(F.min(F.struct("cosine", F.col("vec_id").alias("pid")))["cosine"] * 1_000_000)
+            .cast("bigint")
+            .alias("pos_cos_fp6"),
+        )
+    )
+    return (
+        anchors.select("query_id", "q_label")
+        .join(neg, "query_id")
+        .join(pos, "query_id")
+        .select(
+            "query_id", "q_label", "hard_neg_id", "neg_cos_fp6",
+            "hard_pos_id", "pos_cos_fp6",
+        )
+    )

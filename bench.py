@@ -160,6 +160,11 @@ HEADLINE = [
     # near-dup (real decode, 4×16-bit bands, exact Hamming verify)
     "q_language_confusion",
     "q_multimodal_phash_dedup",
+    # round 7 (cont. 5): tokenizer round-trip audit (vocab-frame-only),
+    # curriculum sharding (exact quintile cuts), hard-example mining
+    "q_bpe_roundtrip",
+    "q_curriculum_shards",
+    "q_hard_negatives",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

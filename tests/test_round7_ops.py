@@ -199,3 +199,57 @@ def test_phash_dedup_finds_planted_quads(spark, tmp_path):
         assert (a, b) in pairs, (a, b)
         assert pairs[(a, b)] <= 6
     assert (3, 4) not in pairs
+
+
+def test_bpe_roundtrip_lossless(spark):
+    """Every trained segmentation must reassemble to its word exactly."""
+    from arc_maskdata_pipeline_plugin_spark.plans.bpe import q_bpe_roundtrip
+
+    row = q_bpe_roundtrip(spark, SF).collect()[0]
+    assert row.n_words > 0
+    assert row.n_lossy == 0
+    assert row.n_lossless == row.n_words
+    # BPE can't produce more tokens than characters (merging only shrinks
+    # below chars+terminal); sanity-bound the compression readout
+    assert 0 < row.tokens_per_char_fp6 <= 2_000_000
+
+
+def test_curriculum_stages_ordered_and_partition(spark):
+    """Stages tile the nll range in order and partition the corpus."""
+    from arc_maskdata_pipeline_plugin_spark.plans.curation import (
+        q_curriculum_shards,
+    )
+
+    rows = sorted(q_curriculum_shards(spark, SF).collect(), key=lambda r: r.stage)
+    assert [r.stage for r in rows] == list(range(len(rows)))
+    for a, b in zip(rows, rows[1:]):
+        assert a.nll_max <= b.nll_min
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_docs for r in rows) == n_docs
+
+
+def test_hard_negatives_semantics(spark, tmp_path):
+    """Constructed geometry: anchor 100 (label 0) sits nearest to vec 1
+    (label 1 -> hard negative) and shares label 0 with the near-orthogonal
+    vec 2 (-> hard positive)."""
+    rows = [
+        (1, [0.9, 0.1, 0.0], 1),    # closest to the anchor, other label
+        (2, [0.1, 0.0, 0.9], 0),    # same label, far away
+        (3, [0.8, 0.2, 0.0], 0),    # same label, close (NOT the hard positive)
+        (100, [1.0, 0.0, 0.0], 0),  # anchor
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"), "label"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.curation import q_hard_negatives
+
+    out = q_hard_negatives(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.query_id == 100 and r.hard_neg_id == 1 and r.hard_pos_id == 2
+    assert r.neg_cos_fp6 > r.pos_cos_fp6
