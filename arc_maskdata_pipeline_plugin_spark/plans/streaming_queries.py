@@ -571,3 +571,54 @@ def q_stream_funnel_tracker(spark, sf_dir):
     return run_available_now(
         out, f"funnel_{_uuid.uuid4().hex[:8]}", output_mode="append"
     )
+
+
+_HYST_LOW = 2_000  # $20 — re-arm level
+_HYST_HIGH = 12_000  # $120 — alert level
+
+
+@register(
+    "q_stream_hysteresis_alert",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(CAST(value AS DECIMAL(10,2)) * 100) AS BIGINT) AS vc
+  FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN vc > {_HYST_HIGH} THEN 1
+                 WHEN vc < {_HYST_LOW} THEN 0 END AS regime
+  FROM c
+),
+carried AS (
+  SELECT *,
+         last_value(regime IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_regime
+  FROM marked
+)
+SELECT user_id, event_id AS alert_event_id, ts AS alert_ts,
+       CAST(vc AS BIGINT) AS value_cents
+FROM carried
+WHERE vc > {_HYST_HIGH} AND COALESCE(prev_regime, 0) = 0
+""",
+)
+def q_stream_hysteresis_alert(spark, sf_dir):
+    """Flap-damped alerting (hysteresis / Schmitt trigger — the damping
+    every production monitor applies so a metric oscillating around the cut
+    doesn't page on every crossing): one alert per LOW→HIGH regime
+    transition per user, re-armed only after the value falls below the low
+    threshold. Streaming side is a per-key regime bit in
+    ``applyInPandasWithState`` (streaming/hysteresis.py); the batch oracle
+    is the non-recursive formulation — an event alerts iff it exceeds
+    ``high`` and the most recent regime-defining event before it was a low
+    (``last_value IGNORE NULLS`` carry-forward window per user)."""
+    from ..streaming.hysteresis import hysteresis_alerts
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = hysteresis_alerts(stream, low_cents=_HYST_LOW, high_cents=_HYST_HIGH)
+    return run_available_now(
+        out, f"stream_hysteresis_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
