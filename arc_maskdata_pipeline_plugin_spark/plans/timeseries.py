@@ -826,3 +826,125 @@ def q_seasonal_anomaly(spark, sf_dir):
             F.col("mad_r").cast("bigint").alias("mad_fp6"),
         )
     )
+
+
+@register(
+    "q_theil_sen_trend",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(10,2))) * 100 AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, day, cents,
+         date_diff('day', (SELECT MIN(CAST(ts AS DATE)) FROM events), day) AS x
+  FROM daily
+),
+slopes AS (
+  SELECT a.event_type,
+         CAST(floor((b.cents - a.cents) * 1000000.0 / (b.x - a.x)) AS BIGINT)
+           AS s6
+  FROM idx a JOIN idx b
+    ON a.event_type = b.event_type AND a.x < b.x
+),
+vc AS (
+  SELECT event_type, s6, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM slopes GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, s6,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY s6
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r,
+         SUM(cnt) OVER (PARTITION BY event_type) AS tot
+  FROM vc
+),
+med AS (
+  SELECT event_type,
+         MIN(CASE WHEN r >= CAST(ceil(0.5 * tot) AS BIGINT) THEN s6 END)
+           AS slope_fp6,
+         CAST(MIN(tot) AS BIGINT) AS n_pairs
+  FROM cum GROUP BY event_type
+),
+nd AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1
+)
+SELECT m.event_type, nd.n_days, m.n_pairs, m.slope_fp6
+FROM med m JOIN nd ON m.event_type = nd.event_type
+""",
+)
+def q_theil_sen_trend(spark, sf_dir):
+    """Theil–Sen robust trend (the median of all pairwise slopes — up to
+    ~29% outlier contamination cannot move it, unlike the OLS slope in
+    ``q_group_ols``): daily revenue per event type, every day-pair's slope
+    as an exact fp6 integer (``floor((Δcents·10⁶)/Δdays)`` — integer
+    arithmetic, engine-identical), median via the exact-rank discipline.
+
+    Scale shape: the corpus collapses to the CALENDAR-grain daily frame in
+    one shuffle; the O(days²) pair join and everything after run on
+    calendar-bounded frames (a year of days = 66k pairs per type) — the
+    classic trick that makes a quadratic estimator free at any corpus
+    size. The median reuses the distinct-value cumulative-count rank cut
+    partitioned by event type."""
+    e = T(spark, sf_dir, "events")
+    t0 = e.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(10,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .crossJoin(F.broadcast(t0))
+        .select(
+            "event_type",
+            "day",
+            "cents",
+            F.datediff("day", "d0").cast("bigint").alias("x"),
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.floor(
+            (F.col("b.cents") - F.col("a.cents"))
+            * 1_000_000.0
+            / (F.col("b.x") - F.col("a.x"))
+        )
+        .cast("bigint")
+        .alias("s6"),
+    )
+    vc = slopes.groupBy("event_type", "s6").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("s6")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = vc.select(
+        "event_type",
+        "s6",
+        F.sum("cnt").over(wc).alias("r"),
+        F.sum("cnt").over(wt).alias("tot"),
+    )
+    med = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("r") >= F.ceil(0.5 * F.col("tot")).cast("bigint"),
+                F.col("s6"),
+            )
+        ).alias("slope_fp6"),
+        F.min("tot").cast("bigint").alias("n_pairs"),
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    return med.join(nd, "event_type").select(
+        "event_type", "n_days", "n_pairs", "slope_fp6"
+    )

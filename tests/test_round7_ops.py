@@ -253,3 +253,28 @@ def test_hard_negatives_semantics(spark, tmp_path):
     r = out[0]
     assert r.query_id == 100 and r.hard_neg_id == 1 and r.hard_pos_id == 2
     assert r.neg_cos_fp6 > r.pos_cos_fp6
+
+
+def test_theil_sen_ignores_outlier_day(spark, tmp_path):
+    """A perfect slope-100 line with one wild outlier day: the pairwise-
+    slope median stays exactly 100 cents/day (OLS would not)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, tzinfo=datetime.timezone.utc)
+    rows = []
+    for d in range(9):
+        v = 100.0 + d * 1.0 if d != 4 else 10_000.0  # day 4 is the outlier
+        rows.append((d, base + datetime.timedelta(days=d), 1, "purchase", v, "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.timeseries import (
+        q_theil_sen_trend,
+    )
+
+    out = {r.event_type: r for r in q_theil_sen_trend(spark, str(tmp_path)).collect()}
+    r = out["purchase"]
+    assert r.n_days == 9 and r.n_pairs == 36
+    # line slope = 1.00/day = 100 cents/day = 100_000_000 fp6... (cents*1e6)
+    assert r.slope_fp6 == 100 * 1_000_000
