@@ -849,3 +849,48 @@ def q_hard_negatives(spark, sf_dir):
             "hard_pos_id", "pos_cos_fp6",
         )
     )
+
+
+_FH_BUCKETS = 64
+
+
+@register(
+    "q_feature_hashing",
+    oracle=f"""
+WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % {_FH_BUCKETS}
+           AS bucket
+  FROM tok
+)
+SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS tf
+FROM b GROUP BY doc_id, bucket
+""",
+)
+def q_feature_hashing(spark, sf_dir):
+    """Hashing-trick featurization (Weinberger et al. 2009 — the fixed-width
+    sparse text vectorizer quality classifiers train on at corpus scale,
+    where a learned vocabulary index would itself be a 100 TB shuffle): each
+    token hashes into one of 64 buckets (md5-prefix bucket — engine-portable
+    where native hash families are not) and the per-(doc, bucket) term
+    frequency is the sparse vector entry. Stateless, vocabulary-free, and
+    identically computable on any future batch — the property that makes the
+    trick production-safe for incremental corpora.
+
+    Scale shape: tokenize + hash ride the scan; one map-side-combined
+    (doc, bucket) aggregate is the only shuffle; output is bounded by
+    docs × buckets."""
+    d = spread(T(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint")
+        % _FH_BUCKETS
+    )
+    return (
+        tok.select("doc_id", bucket.cast("int").alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )

@@ -278,3 +278,30 @@ def test_theil_sen_ignores_outlier_day(spark, tmp_path):
     assert r.n_days == 9 and r.n_pairs == 36
     # line slope = 1.00/day = 100 cents/day = 100_000_000 fp6... (cents*1e6)
     assert r.slope_fp6 == 100 * 1_000_000
+
+
+def test_feature_hashing_deterministic_and_complete(spark, tmp_path):
+    """Same token always lands in the same bucket; per-doc tf masses sum to
+    the doc's token count (nothing dropped by the trick)."""
+    rows = [
+        (0, "a b a c", "en", "s"),
+        (1, "a d", "en", "s"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.curation import (
+        q_feature_hashing,
+    )
+
+    out = q_feature_hashing(spark, str(tmp_path)).collect()
+    mass = {}
+    buckets_for_a = set()
+    for r in out:
+        mass[r.doc_id] = mass.get(r.doc_id, 0) + r.tf
+    assert mass == {0: 4, 1: 2}
+    # 'a' appears in both docs: the bucket holding tf>=2 in doc 0 must also
+    # exist in doc 1 (same hash -> same bucket across docs)
+    d0 = {r.bucket: r.tf for r in out if r.doc_id == 0}
+    d1 = {r.bucket: r.tf for r in out if r.doc_id == 1}
+    a_bucket = [b for b, tf in d0.items() if tf == 2]
+    assert len(a_bucket) == 1 and a_bucket[0] in d1
