@@ -894,3 +894,135 @@ def q_feature_hashing(spark, sf_dir):
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
+
+
+_CH_SHARDS_A = 8
+_CH_SHARDS_B = 9
+_CH_VNODES = 16  # virtual nodes per shard
+
+
+def _ring_sql(n_shards: int, alias: str) -> str:
+    """Ring positions for n_shards × _CH_VNODES virtual nodes (md5 of
+    'shard:vnode' → 48-bit position — engine-portable hex arithmetic)."""
+    return f"""
+{alias} AS (
+  SELECT s.i AS shard, v.j AS vnode,
+         CAST(('0x' || substr(md5(CAST(s.i AS VARCHAR) || ':' ||
+               CAST(v.j AS VARCHAR)), 1, 12)) AS BIGINT) AS pos
+  FROM range({n_shards}) s(i) CROSS JOIN range({_CH_VNODES}) v(j)
+)"""
+
+
+@register(
+    "q_consistent_hash_shards",
+    oracle=f"""
+WITH docs_h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+           AS pos
+  FROM documents
+),
+{_ring_sql(_CH_SHARDS_A, "ring_a")},
+{_ring_sql(_CH_SHARDS_B, "ring_b")},
+asg_a AS (
+  SELECT doc_id, shard FROM (
+    SELECT d.doc_id, r.shard,
+           ROW_NUMBER() OVER (PARTITION BY d.doc_id
+             ORDER BY (CASE WHEN r.pos >= d.pos THEN r.pos - d.pos
+                            ELSE r.pos - d.pos + 281474976710656 END),
+                      r.shard, r.vnode) AS rn
+    FROM docs_h d CROSS JOIN ring_a r
+  ) WHERE rn = 1
+),
+asg_b AS (
+  SELECT doc_id, shard FROM (
+    SELECT d.doc_id, r.shard,
+           ROW_NUMBER() OVER (PARTITION BY d.doc_id
+             ORDER BY (CASE WHEN r.pos >= d.pos THEN r.pos - d.pos
+                            ELSE r.pos - d.pos + 281474976710656 END),
+                      r.shard, r.vnode) AS rn
+    FROM docs_h d CROSS JOIN ring_b r
+  ) WHERE rn = 1
+)
+SELECT a.shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved_on_grow
+FROM asg_a a JOIN asg_b b ON a.doc_id = b.doc_id
+GROUP BY a.shard
+""",
+)
+def q_consistent_hash_shards(spark, sf_dir):
+    """Consistent-hash shard assignment with a REBALANCE audit — the
+    sharding scheme an incremental 100 TB corpus store needs: when the
+    cluster grows 8→9 shards, only keys whose ring arc lands on the new
+    shard's virtual nodes move (~1/9 of the corpus), where naive
+    ``hash % n`` reassigns nearly everything. Ring positions are md5-prefix
+    integers (engine-portable); each doc goes to the first virtual node
+    clockwise from its own position (wraparound via modular distance), ties
+    broken (shard, vnode) — fully deterministic. Output: per-shard
+    population under 8 shards and how many of its docs the 9th shard would
+    steal.
+
+    Scale shape: both rings are tiny literal frames broadcast onto ONE
+    corpus scan; the clockwise-successor argmin is a map-side ``min_by``
+    per doc (never a corpus×ring sort); the audit is one shard-keyed
+    aggregate."""
+    d = spread(T(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("pos"),
+    )
+
+    def ring(n_shards):
+        spark_ = d.sparkSession
+        shards = spark_.range(n_shards).select(F.col("id").alias("shard"))
+        vnodes = spark_.range(_CH_VNODES).select(F.col("id").alias("vnode"))
+        return shards.crossJoin(vnodes).select(
+            "shard",
+            "vnode",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("shard").cast("string"),
+                            F.col("vnode").cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("rpos"),
+        )
+
+    def assign(ring_df, out_name):
+        dist = F.when(
+            F.col("rpos") >= F.col("pos"), F.col("rpos") - F.col("pos")
+        ).otherwise(F.col("rpos") - F.col("pos") + (1 << 48))
+        return (
+            d.crossJoin(F.broadcast(ring_df))
+            .select("doc_id", "shard", "vnode", dist.alias("dist"))
+            .groupBy("doc_id")
+            .agg(
+                F.expr("min_by(shard, struct(dist, shard, vnode))").alias(out_name)
+            )
+        )
+
+    a = assign(ring(_CH_SHARDS_A), "shard")
+    b = assign(ring(_CH_SHARDS_B), "shard_b")
+    return (
+        a.join(b, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("shard") != F.col("shard_b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_moved_on_grow"),
+        )
+    )

@@ -341,3 +341,87 @@ def q_kcore_suppliers(spark, sf_dir):
         .distinct()
     )
     return kcore_peel(symmetrize(edges), k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle(rounds: int) -> str:
+    head = """
+WITH e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+r0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)"""
+    its = []
+    for i in range(1, rounds + 1):
+        its.append(f""",
+n{i} AS (
+  SELECT e.dst AS node, r.lbl, CAST(COUNT(*) AS BIGINT) AS c
+  FROM edges e JOIN r{i - 1} r ON e.src = r.node
+  GROUP BY e.dst, r.lbl
+),
+r{i} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+    FROM n{i}
+  ) WHERE rn = 1
+)""")
+    tail = f"""
+SELECT lbl AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(node) AS BIGINT) AS min_member
+FROM r{rounds} GROUP BY lbl"""
+    return head + "".join(its) + tail
+
+
+@register("q_label_propagation", oracle=_lpa_oracle(_LPA_ROUNDS))
+def q_label_propagation(spark, sf_dir):
+    """Community detection by SYNCHRONOUS label propagation (Raghavan et al.
+    2007) over the symmetrized customer–supplier graph — 4 fixed rounds,
+    every vertex simultaneously adopting its neighborhood's most frequent
+    label with the (count DESC, label ASC) tie-break. The async variant is
+    scan-order-dependent; the synchronous fixed-round snapshot is fully
+    deterministic, so the DuckDB oracle unrolls the identical recurrence
+    one CTE per round (the ``q_pagerank_suppliers`` discipline).
+
+    Scale shape: edges shuffle once and persist src-partitioned; each round
+    is one co-partitioned join + one (node, label) count + one map-side
+    ``max_by`` argmax — 2 shuffles/round, labels never wider than a vertex
+    id. ``localCheckpoint`` per round caps the lineage the way
+    ``kcore_peel`` does."""
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = (
+        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("src")
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("n2"), "lbl")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        labels = (
+            counts.groupBy(F.col("n2").alias("node"))
+            .agg(F.expr("max_by(lbl, struct(c, -lbl))").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("node").cast("bigint").alias("min_member"),
+    )

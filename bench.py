@@ -165,6 +165,12 @@ HEADLINE = [
     "q_bpe_roundtrip",
     "q_curriculum_shards",
     "q_hard_negatives",
+    # round 7 (cont. 6): robust trend, hashing-trick featurizer,
+    # consistent-hash rebalance audit, synchronous label propagation
+    "q_theil_sen_trend",
+    "q_feature_hashing",
+    "q_consistent_hash_shards",
+    "q_label_propagation",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
@@ -231,12 +237,18 @@ def main():
         t0 = time.perf_counter()
         n = qs[name](spark, sf_dir).count()
         cold[name] = round(time.perf_counter() - t0, 3)
+        # Adaptive warm-run count (wall-clock budget: ~100 headline queries):
+        # sub-0.5s queries get ONE warm run — the regression checker ignores
+        # sub-0.5s pairs as scheduler noise, so extra samples are wasted
+        # wall; >=3s queries get two (their run-to-run variance is small);
+        # the mid range keeps the full median-of-3.
+        runs = 1 if cold[name] < 0.5 else (2 if cold[name] >= 3 else WARM_RUNS)
         warm = []
-        for _ in range(WARM_RUNS):
+        for _ in range(runs):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
             warm.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(warm)[len(warm) // 2], 3)
+        timings[name] = round(sorted(warm)[(len(warm) - 1) // 2], 3)
         print(
             f"# {name}: warm median {timings[name]}s of "
             f"{[round(w, 3) for w in sorted(warm)]} / cold {cold[name]}s ({n} rows)",

@@ -305,3 +305,55 @@ def test_feature_hashing_deterministic_and_complete(spark, tmp_path):
     d1 = {r.bucket: r.tf for r in out if r.doc_id == 1}
     a_bucket = [b for b, tf in d0.items() if tf == 2]
     assert len(a_bucket) == 1 and a_bucket[0] in d1
+
+
+def test_consistent_hash_minimal_movement(spark, tmp_path):
+    """Growing 8 -> 9 shards moves roughly 1/9 of keys (the consistent-
+    hashing guarantee); naive hash%n would move ~8/9. Allow generous slack
+    for the 16-vnode ring's variance."""
+    rows = [(i, "t", "en", "s") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.curation import (
+        q_consistent_hash_shards,
+    )
+
+    out = q_consistent_hash_shards(spark, str(tmp_path)).collect()
+    n = sum(r.n_docs for r in out)
+    moved = sum(r.n_moved_on_grow for r in out)
+    assert n == 2000
+    frac = moved / n
+    assert 0.02 < frac < 0.35, frac  # ~1/9 expected; far below hash%n's ~8/9
+
+
+def test_label_propagation_two_components(spark, tmp_path):
+    """Two disjoint customer-supplier cliques converge to two communities
+    that never mix."""
+    # component A: customers 1,2 x supplier 1; component B: customer 10 x
+    # suppliers 10, 11
+    orders = spark.createDataFrame(
+        [(100, 1), (101, 2), (200, 10), (201, 10)],
+        ["o_orderkey", "o_custkey"],
+    )
+    li = spark.createDataFrame(
+        [(100, 1), (101, 1), (200, 10), (201, 11)],
+        ["l_orderkey", "l_suppkey"],
+    )
+    orders.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.graph import (
+        q_label_propagation,
+    )
+
+    rows = q_label_propagation(spark, str(tmp_path)).collect()
+    # nodes: A = {2, 4, 3}; B = {20, 21, 23} (2c / 2s+1 encoding)
+    a_nodes, b_nodes = {2, 4, 3}, {20, 21, 23}
+    total = sum(r.n_members for r in rows)
+    assert total == 6
+    # every community's min_member stays within one side
+    for r in rows:
+        assert (r.min_member in a_nodes) != (r.min_member in b_nodes)
+    # membership mass never crosses: communities rooted in A hold exactly
+    # A's population
+    a_mass = sum(r.n_members for r in rows if r.min_member in a_nodes)
+    assert a_mass == 3
