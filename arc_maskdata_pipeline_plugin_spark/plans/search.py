@@ -239,3 +239,124 @@ def q_bigram_logprob(spark, sf_dir):
     from ..operators.search import bigram_logprob
 
     return bigram_logprob(T(spark, sf_dir, "documents"))
+
+
+# nDCG@10 discount weights as exact integer literals (floor(1e9/log2(i+1)))
+# computed ONCE in Python and embedded identically in both engines — the
+# q_ewma_daily_value weight-table discipline: the discount table cannot
+# diverge across engines because neither engine computes it.
+import math as _math
+
+_NDCG_W = [int(1_000_000_000 / _math.log2(i + 1)) for i in range(1, BM25_K + 1)]
+
+
+def _ndcg_oracle() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, q in BM25_QUERIES for t in q.split()
+    )
+    wvals = ", ".join(f"({i + 1}, {w})" for i, w in enumerate(_NDCG_W))
+    return f"""
+WITH bm AS (
+{_bm25_oracle()}
+),
+ndcg_qt AS (SELECT * FROM (VALUES {vals}) AS t(query_id, term)),
+wt AS (SELECT * FROM (VALUES {wvals}) AS t(rnk, w)),
+doc_terms AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+),
+rels AS (
+  SELECT q.query_id, p.doc_id, CAST(COUNT(*) AS BIGINT) AS rel
+  FROM ndcg_qt q JOIN doc_terms p ON q.term = p.term
+  GROUP BY q.query_id, p.doc_id
+),
+dcg AS (
+  SELECT b.query_id,
+         CAST(SUM(r.rel * wt.w) AS BIGINT) AS dcg,
+         CAST(COUNT(*) AS BIGINT) AS n_ranked
+  FROM bm b JOIN rels r ON b.query_id = r.query_id AND b.doc_id = r.doc_id
+  JOIN wt ON b.rank = wt.rnk
+  GROUP BY b.query_id
+),
+ideal AS (
+  SELECT query_id, CAST(SUM(rel * wt.w) AS BIGINT) AS idcg
+  FROM (
+    SELECT query_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, doc_id) AS rn
+    FROM rels
+  ) t JOIN wt ON t.rn = wt.rnk
+  WHERE rn <= {BM25_K}
+  GROUP BY query_id
+)
+SELECT d.query_id, d.n_ranked, d.dcg, i.idcg,
+       CAST(floor(d.dcg * 1000000.0 / i.idcg) AS BIGINT) AS ndcg_fp6
+FROM dcg d JOIN ideal i ON d.query_id = i.query_id
+"""
+
+
+@register("q_search_ndcg", oracle=_ndcg_oracle())
+def q_search_ndcg(spark, sf_dir):
+    """Retrieval-quality evaluation: nDCG@10 of the BM25 ranking against a
+    term-frequency graded relevance (rel(q, d) = total query-term occurrences in d —
+    the label-free proxy a pipeline uses to sanity-check a ranker before
+    human judgments exist). Discount weights are exact fp9 integer LITERALS
+    embedded identically in both engines, gains are integers, so DCG/IDCG
+    are exact BIGINT sums and the score is a floored fp6 ratio.
+
+    Scale shape: relevance comes from the same one-postings-shuffle join as
+    BM25 itself (query terms broadcast); the ideal ranking needs only docs
+    with rel ≥ 1 (the postings join's output), top-10 per query via a
+    query-partitioned window over that bounded candidate frame."""
+    from ..operators.search import _TOKENS, bm25_search
+
+    docs = T(spark, sf_dir, "documents")
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, q in BM25_QUERIES for t in q.split()],
+        "query_id int, term string",
+    )
+    bm = bm25_search(docs, qt, k=BM25_K, k1=_K1, b=_B).select(
+        "query_id", "doc_id", "rank"
+    )
+    tok = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
+    rels = (
+        tok.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rel"))
+    )
+    w_arr = F.array(*[F.lit(w) for w in _NDCG_W])
+    dcg = (
+        bm.join(rels, ["query_id", "doc_id"])
+        .select(
+            "query_id",
+            (F.col("rel") * F.element_at(w_arr, F.col("rank"))).alias("g"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum("g").cast("bigint").alias("dcg"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ranked"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("rel"), "doc_id")
+    )
+    ideal = (
+        rels.withColumn("rn", rn)
+        .filter(F.col("rn") <= BM25_K)
+        .select(
+            "query_id",
+            (F.col("rel") * F.element_at(w_arr, F.col("rn"))).alias("g"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("g").cast("bigint").alias("idcg"))
+    )
+    return dcg.join(ideal, "query_id").select(
+        "query_id",
+        "n_ranked",
+        "dcg",
+        "idcg",
+        F.floor(F.col("dcg") * 1_000_000.0 / F.col("idcg"))
+        .cast("bigint")
+        .alias("ndcg_fp6"),
+    )

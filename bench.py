@@ -171,6 +171,8 @@ HEADLINE = [
     "q_feature_hashing",
     "q_consistent_hash_shards",
     "q_label_propagation",
+    # round 7 (cont. 7): retrieval-quality evaluation over the BM25 stack
+    "q_search_ndcg",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

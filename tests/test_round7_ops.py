@@ -357,3 +357,16 @@ def test_label_propagation_two_components(spark, tmp_path):
     # A's population
     a_mass = sum(r.n_members for r in rows if r.min_member in a_nodes)
     assert a_mass == 3
+
+
+def test_search_ndcg_bounds_and_perfect_case(spark):
+    """nDCG is in (0, 1]; dcg <= idcg always; all 5 workload queries rank
+    exactly 10 docs at sf0.001."""
+    from arc_maskdata_pipeline_plugin_spark.plans.search import q_search_ndcg
+
+    rows = q_search_ndcg(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 < r.ndcg_fp6 <= 1_000_000
+        assert r.dcg <= r.idcg
+        assert r.n_ranked == 10
