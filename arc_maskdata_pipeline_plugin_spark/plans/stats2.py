@@ -1080,3 +1080,101 @@ def q_power_analysis(spark, sf_dir):
         .cast("bigint")
         .alias("mean_cents_fp4"),
     )
+
+
+_DRIFT_DIMS = 16
+
+
+def _embedding_drift_oracle() -> str:
+    k = _DRIFT_DIMS
+    comps = ", ".join(
+        f"CAST(SUM(CASE WHEN half = {h} THEN u{i} END) AS DOUBLE) AS s{h}_{i}"
+        for h in (0, 1)
+        for i in range(k)
+    )
+    dot = " + ".join(f"(s0_{i} / n0) * (s1_{i} / n1)" for i in range(k))
+    n0sq = " + ".join(f"(s0_{i} / n0) * (s0_{i} / n0)" for i in range(k))
+    n1sq = " + ".join(f"(s1_{i} / n1) * (s1_{i} / n1)" for i in range(k))
+    return f"""
+WITH u AS (
+  SELECT label, vec_id % 2 AS half,
+         {", ".join(f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000) AS BIGINT) AS u{i}" for i in range(k))}
+  FROM embeddings
+),
+m AS (
+  SELECT label,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         {comps}
+  FROM u GROUP BY label
+)
+SELECT label, n0, n1,
+       CAST(floor(({dot}) / sqrt(({n0sq}) * ({n1sq})) * 1000000) AS BIGINT)
+         AS centroid_cos_fp6
+FROM m
+"""
+
+
+@register("q_embedding_drift", oracle=_embedding_drift_oracle())
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-distribution drift monitor (the check a retrieval or
+    training pipeline runs when the encoder or the corpus changes): split
+    each label's vectors into two halves and compare the HALF CENTROIDS by
+    cosine — a stable encoder scores ~1.0 per label; a drop localizes drift
+    to specific labels. Leading-16-dim fixed-point (fp6) integers make every
+    first moment an exact decimal sum (the ``q_embedding_covariance``
+    discipline); the cosine of the two mean vectors is one scalar formula
+    written in the identical association order in both engines.
+
+    Scale shape: ONE corpus scan, one (label, half)-keyed multi-aggregate
+    (map-side combined — 2·16 scalars per group cross the shuffle, never
+    vectors); everything after is label-cardinality-sized."""
+    k = _DRIFT_DIMS
+    emb = T(spark, sf_dir, "embeddings")
+    u = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        *(
+            F.floor(
+                F.element_at(F.col("embedding"), i + 1).cast("double") * 1_000_000
+            )
+            .cast("bigint")
+            .alias(f"u{i}")
+            for i in range(k)
+        ),
+    )
+    aggs = [
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    ]
+    for h in (0, 1):
+        aggs += [
+            F.sum(F.when(F.col("half") == h, F.col(f"u{i}")))
+            .cast("double")
+            .alias(f"s{h}_{i}")
+            for i in range(k)
+        ]
+    m = u.groupBy("label").agg(*aggs)
+
+    def mean(h, i):
+        return F.col(f"s{h}_{i}") / F.col(f"n{h}")
+
+    dot = mean(0, 0) * mean(1, 0)
+    m0sq = mean(0, 0) * mean(0, 0)
+    m1sq = mean(1, 0) * mean(1, 0)
+    for i in range(1, k):
+        dot = dot + mean(0, i) * mean(1, i)
+        m0sq = m0sq + mean(0, i) * mean(0, i)
+        m1sq = m1sq + mean(1, i) * mean(1, i)
+    return m.select(
+        "label",
+        "n0",
+        "n1",
+        F.floor(dot / F.sqrt(m0sq * m1sq) * 1_000_000)
+        .cast("bigint")
+        .alias("centroid_cos_fp6"),
+    )

@@ -370,3 +370,33 @@ def test_search_ndcg_bounds_and_perfect_case(spark):
         assert 0 < r.ndcg_fp6 <= 1_000_000
         assert r.dcg <= r.idcg
         assert r.n_ranked == 10
+
+
+def test_embedding_drift_detects_shifted_half(spark, tmp_path):
+    """Label 0: both halves share a direction -> cosine ~= 1. Label 1: the
+    odd half is rotated to an orthogonal direction -> cosine ~= 0."""
+    import random
+
+    rng = random.Random(7)
+
+    def vec(base, jitter=0.05):
+        return [b + rng.uniform(-jitter, jitter) for b in base]
+
+    e0 = [1.0] + [0.0] * 63
+    e1 = [0.0, 1.0] + [0.0] * 62
+    rows = []
+    for i in range(40):
+        rows.append((i * 2, vec(e0), 0))        # label 0, even half
+        rows.append((i * 2 + 1, vec(e0), 0))    # label 0, odd half: same dir
+    for i in range(40):
+        rows.append((1000 + i * 2, vec(e0), 1))      # label 1 even: e0
+        rows.append((1000 + i * 2 + 1, vec(e1), 1))  # label 1 odd: e1 (drift)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"), "label"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.stats2 import q_embedding_drift
+
+    out = {r.label: r for r in q_embedding_drift(spark, str(tmp_path)).collect()}
+    assert out[0].centroid_cos_fp6 > 990_000
+    assert abs(out[1].centroid_cos_fp6) < 200_000
