@@ -875,3 +875,73 @@ def q_cohort_ltv_curve(spark, sf_dir):
             .alias("ltv_cents_per_user"),
         )
     )
+
+
+@register(
+    "q_rolling_retention_d7",
+    oracle="""
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+nxt AS (
+  SELECT user_id, day,
+         LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+  FROM active
+),
+horizon AS (SELECT MAX(CAST(ts AS DATE)) AS h FROM events)
+SELECT strftime(n.day, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN n.next_day IS NOT NULL
+                      AND date_diff('day', n.day, n.next_day) <= 7
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_returned_7d,
+       CAST(floor(SUM(CASE WHEN n.next_day IS NOT NULL
+                            AND date_diff('day', n.day, n.next_day) <= 7
+                           THEN 1 ELSE 0 END) * 1000000.0 / COUNT(*)) AS BIGINT)
+         AS retention_fp6
+FROM nxt n CROSS JOIN horizon
+WHERE date_diff('day', n.day, horizon.h) >= 7
+GROUP BY n.day
+""",
+)
+def q_rolling_retention_d7(spark, sf_dir):
+    """Rolling 7-day return rate (the product-health curve next to the
+    cohort triangle): of the users active on day d, the share active again
+    within the next 7 days. "Any activity within 7 days" reduces to "the
+    NEXT active day is within 7" on the distinct user-day frame, so one
+    user-partitioned LEAD replaces a 7-wide range self-join; days closer
+    than 7 to the data horizon are censored out rather than reported as
+    artificially low.
+
+    Scale shape: events collapse to the distinct (user, day) frame in one
+    shuffle; the LEAD window partitions by user; the readout is a
+    calendar-sized aggregate."""
+    e = T(spark, sf_dir, "events")
+    active = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    nxt = active.withColumn("next_day", F.lead("day").over(w))
+    horizon = e.agg(F.max(F.col("ts").cast("date")).alias("h"))
+    returned = F.when(
+        F.col("next_day").isNotNull()
+        & (F.datediff("next_day", "day") <= 7),
+        1,
+    ).otherwise(0)
+    return (
+        nxt.crossJoin(F.broadcast(horizon))
+        .filter(F.datediff("h", "day") >= 7)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.sum(returned).cast("bigint").alias("n_returned_7d"),
+            F.floor(F.sum(returned) * 1_000_000.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("retention_fp6"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_active",
+            "n_returned_7d",
+            "retention_fp6",
+        )
+    )

@@ -400,3 +400,36 @@ def test_embedding_drift_detects_shifted_half(spark, tmp_path):
     out = {r.label: r for r in q_embedding_drift(spark, str(tmp_path)).collect()}
     assert out[0].centroid_cos_fp6 > 990_000
     assert abs(out[1].centroid_cos_fp6) < 200_000
+
+
+def test_rolling_retention_censoring_and_rate(spark, tmp_path):
+    """User A returns on day+3 (retained), user B never returns, user C is
+    active only inside the censored tail; the horizon-adjacent days are
+    excluded."""
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1, 10, 0, tzinfo=datetime.timezone.utc)
+
+    def ev(i, user, day):
+        return (i, base + datetime.timedelta(days=day), user, "view", 1.0, "{}")
+
+    rows = [
+        ev(0, 1, 0), ev(1, 1, 3),      # A: day0 retained via day3
+        ev(2, 2, 0),                   # B: day0 never returns
+        ev(3, 3, 9),                   # C: active only in the censored tail
+        ev(4, 9, 10),                  # horizon anchor (day 10)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.behavior import (
+        q_rolling_retention_d7,
+    )
+
+    out = {r.day: r for r in q_rolling_retention_d7(spark, str(tmp_path)).collect()}
+    assert "2024-03-01" in out and len(out) <= 2  # day3 reported too (<=h-7)
+    d0 = out["2024-03-01"]
+    assert d0.n_active == 2 and d0.n_returned_7d == 1
+    assert d0.retention_fp6 == 500_000
+    assert "2024-03-10" not in out  # censored horizon day
