@@ -1026,3 +1026,111 @@ def q_consistent_hash_shards(spark, sf_dir):
             .alias("n_moved_on_grow"),
         )
     )
+
+
+_EP_SHARDS = 64
+
+
+@register(
+    "q_epoch_shuffle",
+    oracle=f"""
+WITH asg AS (
+  SELECT d.doc_id, e.i AS epoch,
+         CAST(('0x' || substr(md5(CAST(e.i AS VARCHAR) || ':' ||
+               CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % {_EP_SHARDS}
+           AS shard
+  FROM documents d CROSS JOIN range(2) e(i)
+),
+sizes AS (
+  SELECT epoch, shard, CAST(COUNT(*) AS BIGINT) AS n
+  FROM asg GROUP BY epoch, shard
+),
+overlap AS (
+  SELECT CAST(SUM(CASE WHEN a.shard = b.shard THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_same,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM asg a JOIN asg b ON a.doc_id = b.doc_id AND a.epoch = 0 AND b.epoch = 1
+)
+SELECT s.epoch,
+       CAST(SUM(s.n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_shards_used,
+       CAST(MIN(s.n) AS BIGINT) AS min_shard,
+       CAST(MAX(s.n) AS BIGINT) AS max_shard,
+       CAST(floor(o.n_same * 1000000.0 / o.n) AS BIGINT) AS same_shard_fp6
+FROM sizes s CROSS JOIN overlap o
+GROUP BY s.epoch, o.n_same, o.n
+""",
+)
+def q_epoch_shuffle(spark, sf_dir):
+    """Epoch-deterministic data reshuffling audit — multi-epoch training
+    needs a DIFFERENT, reproducible order each epoch WITHOUT materializing
+    new corpus copies: shard = md5(epoch, doc_id) % 64 is a pure projection,
+    so epoch N's layout is one shuffle away from the stored corpus and
+    bit-reproducible on any rerun. The audit shows (a) shard balance per
+    epoch (min/max population) and (b) cross-epoch decorrelation — the
+    fraction of docs landing in the same shard across epochs should sit
+    near 1/64, i.e. the orders genuinely differ.
+
+    Scale shape: assignment rides the scan (2× explode for the two audited
+    epochs); one (epoch, shard) count aggregate plus a doc-keyed self-join
+    that co-partitions on doc_id."""
+    d = spread(T(spark, sf_dir, "documents")).select("doc_id")
+    asg = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(1))).alias("epoch"),
+    ).select(
+        "doc_id",
+        "epoch",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("epoch").cast("string"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _EP_SHARDS
+        ).alias("shard"),
+    )
+    sizes = asg.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = asg.filter(F.col("epoch") == 0).select("doc_id", F.col("shard").alias("s0"))
+    b = asg.filter(F.col("epoch") == 1).select("doc_id", F.col("shard").alias("s1"))
+    overlap = (
+        a.join(b, "doc_id")
+        .agg(
+            F.sum(F.when(F.col("s0") == F.col("s1"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_same"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    return (
+        sizes.groupBy("epoch")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_shards_used"),
+            F.min("n").cast("bigint").alias("min_shard"),
+            F.max("n").cast("bigint").alias("max_shard"),
+        )
+        .crossJoin(F.broadcast(overlap))
+        .select(
+            "epoch",
+            "n_docs",
+            "n_shards_used",
+            "min_shard",
+            "max_shard",
+            F.floor(F.col("n_same") * 1_000_000.0 / F.col("n"))
+            .cast("bigint")
+            .alias("same_shard_fp6"),
+        )
+    )

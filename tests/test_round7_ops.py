@@ -433,3 +433,19 @@ def test_rolling_retention_censoring_and_rate(spark, tmp_path):
     assert d0.n_active == 2 and d0.n_returned_7d == 1
     assert d0.retention_fp6 == 500_000
     assert "2024-03-10" not in out  # censored horizon day
+
+
+def test_epoch_shuffle_decorrelates(spark, tmp_path):
+    """Epoch layouts are permutations of the same corpus (equal doc counts)
+    and decorrelate across epochs: same-shard fraction sits near 1/64."""
+    rows = [(i, "t", "en", "s") for i in range(4000)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.curation import q_epoch_shuffle
+
+    out = {r.epoch: r for r in q_epoch_shuffle(spark, str(tmp_path)).collect()}
+    assert out[0].n_docs == out[1].n_docs == 4000
+    assert out[0].n_shards_used == 64
+    # 1/64 = 15625 fp6; allow binomial slack around it
+    assert 5_000 < out[0].same_shard_fp6 < 40_000
+    assert out[0].same_shard_fp6 == out[1].same_shard_fp6
