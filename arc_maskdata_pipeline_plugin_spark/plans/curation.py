@@ -195,7 +195,13 @@ def q_perplexity_filter(spark, sf_dir):
     tok = d.select(
         "doc_id", "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
     )
-    lm = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # vocab-sized persist: without it the consts/lp branches re-scan the
+    # corpus (plan-audit: 9 document scans)
+    lm = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
     consts = lm.agg(
         F.sum("c").cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("v"),
@@ -305,15 +311,20 @@ def q_dsir_importance(spark, sf_dir):
         "lang",
         F.explode(F.split(F.trim("text"), r"\s+")).alias("w"),
     )
+    # both LMs are VOCAB-sized: persist so vocab/consts/lw derive from the
+    # caches instead of re-scanning the corpus per branch (plan-audit: the
+    # un-persisted plan paid 9 document scans)
     tgt = (
         tok.filter(F.col("lang") == "en")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+        .persist()
     )
     bg = (
         tok.filter(F.col("lang") != "en")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+        .persist()
     )
     vocab = tgt.select("w").union(bg.select("w")).distinct()
     consts = (
@@ -513,14 +524,20 @@ def q_semdedup(spark, sf_dir):
     from ..operators.similarity import ivf_assignments, ivf_centroids
 
     e = T(spark, sf_dir, "embeddings")
-    cents = ivf_centroids(e, n_cells=_SD_CELLS)
+    cents = ivf_centroids(e, n_cells=_SD_CELLS).persist()  # tiny
     assign = ivf_assignments(e, cents).select(
         F.col("m_vec_id").alias("vec_id"), "cell"
     )
+    # the cell-keyed member frame feeds BOTH sides of the intra-cell pair
+    # join plus the membership count: persist it (this is the
+    # cluster-partitioned store a production SemDeDup writes once at
+    # ingest) instead of re-running assignment per consumer — the
+    # un-persisted plan paid 14 embedding scans (plan-audit finding)
     m = (
         with_norm(e.select("vec_id", "embedding"))
         .join(assign, "vec_id")
         .select("cell", "vec_id", "embedding", "_norm")
+        .persist()
     )
     x, y = m.alias("x"), m.alias("y")
     cos = _dot(F.col("x.embedding"), F.col("y.embedding")) / (
@@ -542,7 +559,7 @@ def q_semdedup(spark, sf_dir):
     dropped = pairs.groupBy("cell").agg(
         F.countDistinct("v2").cast("bigint").alias("n_dropped")
     )
-    members = assign.groupBy("cell").agg(
+    members = m.groupBy("cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
     )
     return (
@@ -639,7 +656,14 @@ def _doc_nll(spark, sf_dir):
     tok = d.select(
         "doc_id", "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
     )
-    lm = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # the LM is VOCAB-sized: persist it so the consts aggregate and the
+    # scoring join read the cache instead of re-scanning the corpus (the
+    # un-persisted plan paid 9 document scans — plan-audit finding)
+    lm = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
     consts = lm.agg(
         F.sum("c").cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("v"),
