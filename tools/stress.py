@@ -780,6 +780,40 @@ def main():
         "one shingle shuffle; pair enumeration bounded by sources-per-shingle",
     )
 
+    def boilerplate_stress():
+        # CCNet-style segment dedup core: 10-token segments, df>=2 segment
+        # set broadcast back (mirrors plans/curation.q_boilerplate_segments)
+        tk = F.split(F.trim("text"), r"\s+")
+        segs = docs2.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.ceil(F.size(tk) / 10.0).cast("bigint")),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice(tk, (i - 1) * 10 + 1, 10))
+                    ),
+                )
+            ).alias("seg"),
+        )
+        freq = segs.groupBy("seg").agg(
+            F.countDistinct("doc_id").cast("bigint").alias("dfreq")
+        )
+        boiler = freq.filter(F.col("dfreq") >= 2).select("seg")
+        (
+            segs.join(F.broadcast(boiler), "seg", "semi")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_boiler_instances"))
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    timed(
+        "boilerplate segment dedup (1M docs x 6 segments)",
+        n_docs2,
+        boilerplate_stress,
+        "one segment-hash shuffle; df>=2 heavy-hitter set broadcast back",
+    )
+
     # ---- report ----------------------------------------------------------
     lines = [
         "# STRESS — synthetic ~100× scale-up measurements (local[32])",
