@@ -781,3 +781,33 @@ def test_curation_family_shapes(spark):
     bp = QUERIES["q_boilerplate_segments"](spark, SF)
     plan_bp = bp._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan_bp or "BroadcastExchange" in plan_bp
+
+
+def test_round7_late_additions_shapes(spark):
+    """Freeze the scale shapes of the late round-7 operators: pure-JVM
+    expression pipelines with bounded shuffles, no corpus-sized sorts."""
+    for name, max_ex in [
+        ("q_feature_hashing", 2),     # tokenize+hash ride the scan
+        ("q_embedding_drift", 2),     # one (label, half) multi-aggregate
+        ("q_rolling_retention_d7", 4),  # user-day distinct + LEAD + daily agg
+        ("q_epoch_shuffle", 9),       # 2-epoch explode + counts + overlap join
+    ]:
+        a = props(name, spark)
+        assert a["python_ops"] == 0, name
+        assert a["exchanges"] <= max_ex, (name, a["exchanges"])
+        assert a["sort_merge_joins"] == 0, name
+
+
+def test_theil_sen_pairs_on_calendar_frame(spark):
+    """The O(days^2) pair join must consume the DAILY aggregate, not raw
+    events: the slope join's inputs are aggregates (every scan feeds a
+    groupBy before any join)."""
+    import re
+
+    df = QUERIES["q_theil_sen_trend"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # raw-event self-join would put two event-scan subtrees under one
+    # SortMergeJoin/BroadcastHashJoin without intervening HashAggregate
+    assert "CartesianProduct" not in plan
+    a = props("q_theil_sen_trend", spark)
+    assert a["python_ops"] == 0
