@@ -948,3 +948,63 @@ def q_theil_sen_trend(spark, sf_dir):
     return med.join(nd, "event_type").select(
         "event_type", "n_days", "n_pairs", "slope_fp6"
     )
+
+
+@register(
+    "q_delivery_sla_monthly",
+    oracle="""
+WITH lag_days AS (
+  SELECT strftime(CAST(date_trunc('month', o.o_orderdate) AS DATE), '%Y-%m')
+           AS month,
+         CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS d
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+vc AS (SELECT month, d, CAST(COUNT(*) AS BIGINT) AS cnt FROM lag_days GROUP BY 1, 2),
+cum AS (
+  SELECT month, d,
+         SUM(cnt) OVER (PARTITION BY month ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r,
+         SUM(cnt) OVER (PARTITION BY month) AS tot
+  FROM vc
+)
+SELECT month,
+       CAST(MIN(tot) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN r >= CAST(ceil(0.5 * tot) AS BIGINT) THEN d END)
+            AS BIGINT) AS p50_days,
+       CAST(MIN(CASE WHEN r >= CAST(ceil(0.95 * tot) AS BIGINT) THEN d END)
+            AS BIGINT) AS p95_days
+FROM cum GROUP BY month
+""",
+)
+def q_delivery_sla_monthly(spark, sf_dir):
+    """Monthly order→ship SLA percentiles (the supply-chain health
+    readout a fulfilment dashboard tracks): exact p50/p95 of the
+    order-to-ship lag per order month, through the GROUPED path of the
+    shared ``operators/quantiles.quantile_thresholds`` seam — the same
+    exact-rank discipline as the global winsorize thresholds, partitioned
+    by month over the distinct-LAG frame (lag cardinality is bounded by the
+    shipping window, dozens of values, so the cumulative window is
+    calendar×lag-sized at any corpus scale; the GK-approx mode remains the
+    swap for unbounded-cardinality metrics).
+
+    Scale shape: one orders⋈lineitem join on the order key (co-partitioned)
+    collapses straight into the (month, lag) count aggregate — the corpus
+    never sorts; everything after is month×lag-sized."""
+    from ..operators.quantiles import quantile_thresholds
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            ),
+            F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("d"),
+        )
+    )
+    counts = lag.groupBy("month").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    th = quantile_thresholds(
+        lag, "d", {"p50_days": 0.5, "p95_days": 0.95}, group_cols=("month",)
+    )
+    return counts.join(th, "month").select("month", "n", "p50_days", "p95_days")

@@ -449,3 +449,29 @@ def test_epoch_shuffle_decorrelates(spark, tmp_path):
     # 1/64 = 15625 fp6; allow binomial slack around it
     assert 5_000 < out[0].same_shard_fp6 < 40_000
     assert out[0].same_shard_fp6 == out[1].same_shard_fp6
+
+
+def test_delivery_sla_grouped_percentiles(spark, tmp_path):
+    """Constructed month with lags [1..10]: p50 -> 5, p95 -> 10 under
+    PERCENTILE_DISC semantics (smallest value with cum count >= ceil(p*n))."""
+    import datetime
+
+    od = datetime.date(2024, 5, 1)
+    orders = spark.createDataFrame(
+        [(i, od) for i in range(10)], ["o_orderkey", "o_orderdate"]
+    )
+    li = spark.createDataFrame(
+        [(i, od + datetime.timedelta(days=i + 1)) for i in range(10)],
+        ["l_orderkey", "l_shipdate"],
+    )
+    orders.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.timeseries import (
+        q_delivery_sla_monthly,
+    )
+
+    out = q_delivery_sla_monthly(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.month == "2024-05" and r.n == 10
+    assert r.p50_days == 5 and r.p95_days == 10
