@@ -1,0 +1,60 @@
+"""Property tests for round-7 arithmetic cores: the NTILE closed form and
+the exact-rank quantile thresholds, against plain-Python references."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _ntile_reference(n: int, buckets: int = 5) -> list[int]:
+    """Spark/DuckDB NTILE semantics: first (n mod b) buckets get one extra."""
+    q, r = divmod(n, buckets)
+    out = []
+    for b in range(1, buckets + 1):
+        out += [b] * (q + (1 if b <= r else 0))
+    return out
+
+
+def _bucket_closed_form(k: int, n: int, buckets: int = 5) -> int:
+    """The integer closed form used by q_rfm_segments' distributed NTILE."""
+    q, r = divmod(n, buckets)
+    head = r * (q + 1)
+    if k <= head:
+        return (k + q) // (q + 1)
+    return r + (k - head + q - 1) // q
+
+
+@given(st.integers(min_value=1, max_value=2000))
+@settings(max_examples=200, deadline=None)
+def test_ntile_closed_form_matches_reference(n):
+    ref = _ntile_reference(n)
+    got = [_bucket_closed_form(k, n) for k in range(1, n + 1)]
+    assert got == ref
+
+
+def _threshold_reference(values: list[int], p: float) -> int:
+    """PERCENTILE_DISC: smallest value whose cumulative count >= ceil(p*n)."""
+    s = sorted(values)
+    return s[math.ceil(p * len(s)) - 1]
+
+
+@given(
+    st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60),
+    st.floats(min_value=0.01, max_value=1.0),
+)
+@settings(max_examples=60, deadline=None)
+def test_quantile_thresholds_exact_matches_disc_reference(spark, values, p):
+    from pyspark.sql import functions as F
+
+    from arc_maskdata_pipeline_plugin_spark.operators.quantiles import (
+        quantile_thresholds,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], ["v"]).select(
+        F.col("v").cast("bigint").alias("v")
+    )
+    got = quantile_thresholds(df, "v", {"t": p}).collect()[0].t
+    assert got == _threshold_reference(values, p)
