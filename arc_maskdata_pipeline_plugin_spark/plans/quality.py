@@ -423,3 +423,94 @@ def q_sequence_gaps(spark, sf_dir):
             (F.col("hi") - F.col("lo") + 1 - F.col("present")).cast("bigint"),
         )
     )
+
+
+@register(
+    "q_referential_integrity",
+    oracle="""
+SELECT rel, n_child, n_orphans FROM (
+  SELECT 'orders.custkey->customer' AS rel,
+         CAST(COUNT(*) AS BIGINT) AS n_child,
+         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orphans, 1 AS ord
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'lineitem.orderkey->orders',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN ok.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), 2
+  FROM lineitem l LEFT JOIN orders ok ON l.l_orderkey = ok.o_orderkey
+  UNION ALL
+  SELECT 'lineitem.partkey->part',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), 3
+  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+  UNION ALL
+  SELECT 'lineitem.suppkey->supplier',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), 4
+  FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+) ORDER BY ord
+""",
+)
+def q_referential_integrity(spark, sf_dir):
+    """Referential-integrity audit across the star schema's four foreign-key
+    relationships — the data-contract check an ingestion pipeline runs
+    before anything joins: child rows counted once, orphans = children
+    whose parent key is absent. Each relationship is ONE left join
+    collapsing into a count/sum aggregate; the dimension sides (customer,
+    part, supplier) broadcast, and the fact-fact relationship
+    (lineitem→orders) co-partitions on the order key. At 100 TB the
+    pattern is the same four joins — or their bloom-filter pre-screen
+    (``q_bloom_dedup_screen``'s machinery) when even the anti-join's
+    shuffle must be avoided."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+
+    def rel(name, child, parent, ck, pk):
+        return (
+            child.join(parent, child[ck] == parent[pk], "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_child"),
+                F.sum(F.when(parent[pk].isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+            .select(F.lit(name).alias("rel"), "n_child", "n_orphans")
+        )
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    out = rel(
+        "orders.custkey->customer",
+        orders,
+        T(spark, sf_dir, "customer").select("c_custkey"),
+        "o_custkey",
+        "c_custkey",
+    )
+    out = out.union(
+        rel(
+            "lineitem.orderkey->orders",
+            li,
+            orders.select("o_orderkey"),
+            "l_orderkey",
+            "o_orderkey",
+        )
+    )
+    out = out.union(
+        rel(
+            "lineitem.partkey->part",
+            li,
+            T(spark, sf_dir, "part").select("p_partkey"),
+            "l_partkey",
+            "p_partkey",
+        )
+    )
+    return out.union(
+        rel(
+            "lineitem.suppkey->supplier",
+            li,
+            T(spark, sf_dir, "supplier").select("s_suppkey"),
+            "l_suppkey",
+            "s_suppkey",
+        )
+    )

@@ -475,3 +475,36 @@ def test_delivery_sla_grouped_percentiles(spark, tmp_path):
     r = out[0]
     assert r.month == "2024-05" and r.n == 10
     assert r.p50_days == 5 and r.p95_days == 10
+
+
+def test_referential_integrity_counts_orphans(spark, tmp_path):
+    """A planted orphan custkey and orphan partkey are each counted once;
+    intact relationships report zero."""
+    import datetime
+
+    d = datetime.date(2024, 1, 1)
+    spark.createDataFrame([(1,), (2,)], ["c_custkey"]).write.parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    spark.createDataFrame(
+        [(10, 1, d), (11, 99, d)], ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame([(5,)], ["p_partkey"]).write.parquet(
+        str(tmp_path / "part.parquet")
+    )
+    spark.createDataFrame([(7,)], ["s_suppkey"]).write.parquet(
+        str(tmp_path / "supplier.parquet")
+    )
+    spark.createDataFrame(
+        [(10, 5, 7), (11, 999, 7)], ["l_orderkey", "l_partkey", "l_suppkey"]
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.quality import (
+        q_referential_integrity,
+    )
+
+    out = {r.rel: r for r in q_referential_integrity(spark, str(tmp_path)).collect()}
+    assert out["orders.custkey->customer"].n_orphans == 1
+    assert out["lineitem.orderkey->orders"].n_orphans == 0
+    assert out["lineitem.partkey->part"].n_orphans == 1
+    assert out["lineitem.suppkey->supplier"].n_orphans == 0
+    assert out["lineitem.partkey->part"].n_child == 2
