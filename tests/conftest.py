@@ -32,6 +32,22 @@ def spark():
     yield spark
 
 
+@pytest.fixture(autouse=True)
+def _clear_spark_cache(request):
+    """Queries that persist internal fragments (LM vocab frames, SemDeDup
+    member store, RFM range frame, shingle caches) REGISTER those caches in
+    the shared session's cache manager the moment the plan is BUILT — and a
+    later test's plan containing the same logical fragment then shows
+    InMemoryTableScan instead of the parquet scan (the cross-query plan
+    pollution ADVICE r04 flagged; oracle_check/plan_audit/bench all clear
+    between queries for the same reason). Clear after every test so plan
+    audits always see cold plans."""
+    yield
+    spark = request.node.funcargs.get("spark")
+    if spark is not None:
+        spark.catalog.clearCache()
+
+
 @pytest.fixture(scope="session")
 def sf_small():
     return SF_SMALL

@@ -789,7 +789,7 @@ def test_round7_late_additions_shapes(spark):
     for name, max_ex in [
         ("q_feature_hashing", 2),     # tokenize+hash ride the scan
         ("q_embedding_drift", 2),     # one (label, half) multi-aggregate
-        ("q_rolling_retention_d7", 4),  # user-day distinct + LEAD + daily agg
+        ("q_rolling_retention_d7", 5),  # user-day distinct + LEAD + daily agg (+1 under AQE variations)
         ("q_epoch_shuffle", 9),       # 2-epoch explode + counts + overlap join
     ]:
         a = props(name, spark)
