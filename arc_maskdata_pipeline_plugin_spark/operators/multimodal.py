@@ -139,8 +139,15 @@ def attach_png_payload_grouped(
         out = []
         for i in ids:
             i = int(i)
+            g = i // group
+            # affine pattern class per block: ~128 odd multipliers × 256
+            # offsets ≈ 32k distinct patterns — a single mod-256 multiplier
+            # aliases every 128th block into the same image and turns every
+            # LSH bucket viral at corpus scale (observed in the 200k stress)
+            a = 2 * (g * 1103515245 % 128) + 1
+            b = g * 40503 % 256
             yy, xx = np.mgrid[0:h, 0:w]
-            px = ((xx * 17 + yy * 31) * (2 * (i // group) + 1) + i) % 256
+            px = ((xx * 17 + yy * 31) * a + b + i % group) % 256
             out.append(png_encode(px.astype(np.uint8)))
         return pd.Series(out)
 

@@ -343,7 +343,8 @@ _PHD_MAXHAM = 6
     oracle=f"""
 WITH grid AS (
   SELECT doc_id, gx.x AS x, gy.y AS y,
-         ((gx.x * 17 + gy.y * 31) * (2 * (doc_id // 4) + 1) + doc_id) % 256 AS p
+         ((gx.x * 17 + gy.y * 31) * (2 * ((doc_id // 4) * 1103515245 % 128) + 1)
+          + (doc_id // 4) * 40503 % 256 + doc_id % 4) % 256 AS p
   FROM documents CROSS JOIN range(8) gx(x) CROSS JOIN range(8) gy(y)
 ),
 s AS (

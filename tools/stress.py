@@ -814,6 +814,65 @@ def main():
         "one segment-hash shuffle; df>=2 heavy-hitter set broadcast back",
     )
 
+    def phash_dedup_stress():
+        # banded-pHash image near-dup at 200k REAL PNG encode+decode round
+        # trips (mirrors q_multimodal_phash_dedup: Arrow-batched stdlib
+        # codec, 4×16-bit bands, exact Hamming verify)
+        from arc_maskdata_pipeline_plugin_spark.operators.multimodal import (
+            attach_png_payload_grouped,
+            perceptual_hash_images,
+        )
+
+        ids = spark.range(0, 200_000, 1, sc.defaultParallelism * 2).select(
+            F.col("id").alias("doc_id")
+        )
+        ph = (
+            perceptual_hash_images(attach_png_payload_grouped(ids))
+            .select("doc_id", F.col("phash_bits").alias("bits"))
+            .persist()
+        )
+        bands = ph.select(
+            "doc_id",
+            "bits",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+        ).select(
+            "doc_id", "band", F.expr("substr(bits, band * 16 + 1, 16)").alias("key")
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+            .distinct()
+        )
+        p1 = ph.select(F.col("doc_id").alias("d1"), F.col("bits").alias("b1"))
+        p2 = ph.select(F.col("doc_id").alias("d2"), F.col("bits").alias("b2"))
+        (
+            cand.join(p1, "d1")
+            .join(p2, "d2")
+            .withColumn(
+                "hamming",
+                F.expr(
+                    "size(filter(sequence(1, 64), i -> substr(b1, i, 1) != substr(b2, i, 1)))"
+                ),
+            )
+            .filter(F.col("hamming") <= 6)
+            .agg(F.count(F.lit(1)))
+            .write.format("noop").mode("overwrite").save()
+        )
+        spark.catalog.clearCache()
+
+    timed(
+        "banded-pHash image near-dup (200k real PNG decode round trips)",
+        200_000,
+        phash_dedup_stress,
+        "decode+hash ride the scan; band bucket join; exact Hamming verify",
+    )
+
     # ---- report ----------------------------------------------------------
     lines = [
         "# STRESS — synthetic ~100× scale-up measurements (local[32])",
