@@ -945,3 +945,110 @@ def q_rolling_retention_d7(spark, sf_dir):
             "retention_fp6",
         )
     )
+
+
+@register(
+    "q_position_attribution",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id AS pid, user_id, ts AS pts,
+         CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT p.pid, p.v, e.event_type AS channel, e.ts, e.event_id,
+         ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY e.ts, e.event_id) AS r,
+         COUNT(*) OVER (PARTITION BY p.pid) AS n
+  FROM purchases p
+  JOIN events e ON e.user_id = p.user_id
+   AND e.event_type <> 'purchase'
+   AND e.ts < p.pts AND e.ts >= p.pts - INTERVAL 7 DAY
+),
+credited AS (
+  SELECT channel, pid, v, r, n,
+         CASE
+           WHEN n = 1 THEN v
+           WHEN n = 2 AND r = 1 THEN v // 2
+           WHEN n = 2 AND r = 2 THEN v - v // 2
+           WHEN r = 1 THEN v * 2 // 5
+                         + (v - 2 * (v * 2 // 5)
+                            - (n - 2) * ((v - 2 * (v * 2 // 5)) // (n - 2)))
+           WHEN r = n THEN v * 2 // 5
+           ELSE (v - 2 * (v * 2 // 5)) // (n - 2)
+         END AS credit
+  FROM touches
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(credit) AS BIGINT) AS credit_cents
+FROM credited GROUP BY channel
+""",
+)
+def q_position_attribution(spark, sf_dir):
+    """Position-based (U-shaped) multi-touch attribution — the marketing
+    standard between first-touch's and last-touch's biases: each purchase's
+    revenue splits 40% to the first touch, 40% to the last, 20% shared by
+    the middles, over the touches in the 7-day pre-purchase window. All
+    splitting is exact integer-cents floor arithmetic with the remainder
+    assigned to the FIRST touch (n=1 → 100%, n=2 → 50/50), so per-channel
+    credit sums are engine-identical and conserve each purchase's value to
+    the cent (pinned by test).
+
+    Scale shape: purchases join the event stream co-partitioned on user_id
+    with the 7-day predicate riding the join; ranks and counts are windows
+    PARTITIONED by purchase id (journey-sized partitions); the readout is
+    one channel aggregate."""
+    e = T(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        (F.col("value").cast("decimal(10,2)") * 100).cast("bigint").alias("v"),
+    )
+    touches = (
+        e.filter(F.col("event_type") != "purchase")
+        .join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("ts") < F.col("pts"))
+            & (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 7 DAY")),
+        )
+        .select("pid", "v", F.col("event_type").alias("channel"), "ts", "event_id")
+    )
+    w = Window.partitionBy("pid").orderBy("ts", "event_id")
+    wn = Window.partitionBy("pid")
+    ranked = touches.select(
+        "pid",
+        "v",
+        "channel",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    forty = F.floor(F.col("v") * 2 / 5).cast("bigint")
+    mid_pool = F.col("v") - 2 * forty
+    mid_each = F.floor(mid_pool / (F.col("n") - 2)).cast("bigint")
+    credit = (
+        F.when(F.col("n") == 1, F.col("v"))
+        .when(
+            (F.col("n") == 2) & (F.col("r") == 1),
+            F.floor(F.col("v") / 2).cast("bigint"),
+        )
+        .when(
+            (F.col("n") == 2) & (F.col("r") == 2),
+            F.col("v") - F.floor(F.col("v") / 2).cast("bigint"),
+        )
+        .when(
+            F.col("r") == 1,
+            forty + (mid_pool - (F.col("n") - 2) * mid_each),
+        )
+        .when(F.col("r") == F.col("n"), forty)
+        .otherwise(mid_each)
+    )
+    return (
+        ranked.withColumn("credit", credit)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("credit").cast("bigint").alias("credit_cents"),
+        )
+    )

@@ -508,3 +508,35 @@ def test_referential_integrity_counts_orphans(spark, tmp_path):
     assert out["lineitem.partkey->part"].n_orphans == 1
     assert out["lineitem.suppkey->supplier"].n_orphans == 0
     assert out["lineitem.partkey->part"].n_child == 2
+
+
+def test_position_attribution_conserves_value(spark, tmp_path):
+    """A 3-touch journey splits 40/20/40 with the floor remainder on the
+    first touch; credit conserves the purchase value to the cent."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, tzinfo=datetime.timezone.utc)
+
+    def ev(i, mins, typ, v=0.0):
+        return (i, t0 + datetime.timedelta(minutes=mins), 1, typ, v, "{}")
+
+    rows = [
+        ev(0, 0, "view"),
+        ev(1, 10, "click"),
+        ev(2, 20, "view"),
+        ev(3, 30, "purchase", 1.01),  # 101 cents: first 40, middle 21, last 40
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.behavior import (
+        q_position_attribution,
+    )
+
+    out = {r.channel: r for r in q_position_attribution(spark, str(tmp_path)).collect()}
+    # first touch (view, 40) + last touch (view, 40) = 80; the middle pool
+    # (101 - 80 = 21, remainder included) goes to the single middle click
+    assert out["view"].credit_cents + out["click"].credit_cents == 101
+    assert out["click"].credit_cents == 21
+    assert out["view"].n_touches == 2 and out["click"].n_touches == 1
