@@ -1178,3 +1178,177 @@ def q_embedding_drift(spark, sf_dir):
         .cast("bigint")
         .alias("centroid_cos_fp6"),
     )
+
+
+@register(
+    "q_logrank_test",
+    oracle="""
+WITH e AS (SELECT user_id, event_type, ts FROM events),
+first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS start_day FROM e GROUP BY user_id
+),
+first_purchase AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS conv_day
+  FROM e WHERE event_type = 'purchase' GROUP BY user_id
+),
+horizon AS (SELECT MAX(CAST(ts AS DATE)) AS h FROM e),
+subj AS (
+  SELECT f.user_id % 2 AS grp,
+         CASE WHEN p.conv_day IS NULL
+              THEN date_diff('day', f.start_day, horizon.h)
+              ELSE date_diff('day', f.start_day, p.conv_day) END AS t,
+         CASE WHEN p.conv_day IS NULL THEN 0 ELSE 1 END AS ev
+  FROM first_seen f LEFT JOIN first_purchase p ON f.user_id = p.user_id
+  CROSS JOIN horizon
+),
+counts AS (
+  SELECT grp, t, CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS leaving
+  FROM subj GROUP BY grp, t
+),
+grid AS (
+  SELECT DISTINCT t FROM counts
+),
+cells AS (
+  SELECT g.t, x.grp,
+         COALESCE(c.d, 0) AS d, COALESCE(c.leaving, 0) AS leaving
+  FROM grid g CROSS JOIN (SELECT 0 AS grp UNION ALL SELECT 1) x
+  LEFT JOIN counts c ON c.t = g.t AND c.grp = x.grp
+),
+risk AS (
+  SELECT t, grp, d,
+         SUM(leaving) OVER (PARTITION BY grp ORDER BY t DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+  FROM cells
+),
+wide AS (
+  SELECT t,
+         CAST(MAX(CASE WHEN grp = 0 THEN d END) AS BIGINT) AS d0,
+         CAST(MAX(CASE WHEN grp = 1 THEN d END) AS BIGINT) AS d1,
+         CAST(MAX(CASE WHEN grp = 0 THEN n END) AS BIGINT) AS n0,
+         CAST(MAX(CASE WHEN grp = 1 THEN n END) AS BIGINT) AS n1
+  FROM risk GROUP BY t
+),
+terms AS (
+  SELECT CAST(floor((d0 - (d0 + d1) * 1.0 * n0 / (n0 + n1)) * 1000000000)
+              AS BIGINT) AS oe9,
+         CAST(floor(((d0 + d1) * 1.0 * n0 / (n0 + n1)) * (n1 * 1.0 / (n0 + n1))
+              * ((n0 + n1 - d0 - d1) * 1.0 / (n0 + n1 - 1)) * 1000000000)
+              AS BIGINT) AS v9
+  FROM wide
+  WHERE d0 + d1 > 0 AND n0 + n1 > 1
+)
+SELECT CAST((SELECT COUNT(*) FROM subj WHERE grp = 0) AS BIGINT) AS n0_subjects,
+       CAST((SELECT COUNT(*) FROM subj WHERE grp = 1) AS BIGINT) AS n1_subjects,
+       CAST(SUM(oe9) AS BIGINT) AS sum_oe9,
+       CAST(SUM(v9) AS BIGINT) AS sum_v9,
+       CAST(floor(SUM(oe9) / sqrt(CAST(SUM(v9) AS DOUBLE) * 1000000000)
+                  * 1000000) AS BIGINT) AS z_fp6
+FROM terms
+""",
+)
+def q_logrank_test(spark, sf_dir):
+    """Log-rank test (Mantel 1966) — the survival-curve A/B comparison that
+    completes the Kaplan-Meier family: do even- and odd-id users convert at
+    different hazards? At each distinct event time the observed-minus-
+    expected conversions of group 0 and the hypergeometric variance are
+    floored to fp9 integers BEFORE summation (the fp-floored-terms rule),
+    so the z statistic is engine-identical.
+
+    Scale shape: identical to q_kaplan_meier — one user-keyed aggregate,
+    then everything runs on the duration-grain grid (distinct times × 2
+    groups) with group-partitioned reverse cumulative at-risk counts; the
+    statistic is one aggregate over that tiny frame."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("start_day")
+    )
+    first_purchase = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("conv_day"))
+    )
+    horizon = e.agg(F.max(F.col("ts").cast("date")).alias("h"))
+    subj = (
+        first_seen.join(first_purchase, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            (F.col("user_id") % 2).alias("grp"),
+            F.when(
+                F.col("conv_day").isNull(),
+                F.datediff(F.col("h"), F.col("start_day")),
+            )
+            .otherwise(F.datediff(F.col("conv_day"), F.col("start_day")))
+            .alias("t"),
+            F.when(F.col("conv_day").isNull(), 0).otherwise(1).alias("ev"),
+        )
+        .persist()  # consumers: counts + the two subject totals
+    )
+    counts = subj.groupBy("grp", "t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+    )
+    grid = counts.select("t").distinct()
+    two = subj.sparkSession.range(2).select(F.col("id").alias("grp"))
+    cells = (
+        grid.crossJoin(F.broadcast(two))
+        .join(counts, ["t", "grp"], "left")
+        .select(
+            "t",
+            "grp",
+            F.coalesce("d", F.lit(0)).alias("d"),
+            F.coalesce("leaving", F.lit(0)).alias("leaving"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w_desc = (
+        W.partitionBy("grp").orderBy(F.desc("t")).rowsBetween(W.unboundedPreceding, 0)
+    )
+    risk = cells.select(
+        "t", "grp", "d", F.sum("leaving").over(w_desc).alias("n")
+    )
+    wide = risk.groupBy("t").agg(
+        F.max(F.when(F.col("grp") == 0, F.col("d"))).cast("bigint").alias("d0"),
+        F.max(F.when(F.col("grp") == 1, F.col("d"))).cast("bigint").alias("d1"),
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).cast("bigint").alias("n0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).cast("bigint").alias("n1"),
+    )
+    dt = F.col("d0") + F.col("d1")
+    nt = F.col("n0") + F.col("n1")
+    oe9 = F.floor(
+        (F.col("d0") - dt * 1.0 * F.col("n0") / nt) * 1_000_000_000
+    ).cast("bigint")
+    v9 = F.floor(
+        (dt * 1.0 * F.col("n0") / nt)
+        * (F.col("n1") * 1.0 / nt)
+        * ((nt - dt) * 1.0 / (nt - 1))
+        * 1_000_000_000
+    ).cast("bigint")
+    terms = wide.filter((dt > 0) & (nt > 1)).select(
+        oe9.alias("oe9"), v9.alias("v9")
+    )
+    totals = subj.groupBy("grp").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n0 = totals.filter("grp = 0").select(F.col("c").alias("n0_subjects"))
+    n1 = totals.filter("grp = 1").select(F.col("c").alias("n1_subjects"))
+    stat = terms.agg(
+        F.sum("oe9").cast("bigint").alias("sum_oe9"),
+        F.sum("v9").cast("bigint").alias("sum_v9"),
+    )
+    return (
+        n0.crossJoin(n1)
+        .crossJoin(stat)
+        .select(
+            "n0_subjects",
+            "n1_subjects",
+            "sum_oe9",
+            "sum_v9",
+            F.floor(
+                F.col("sum_oe9")
+                / F.sqrt(F.col("sum_v9").cast("double") * 1_000_000_000)
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("z_fp6"),
+        )
+    )

@@ -540,3 +540,38 @@ def test_position_attribution_conserves_value(spark, tmp_path):
     assert out["view"].credit_cents + out["click"].credit_cents == 101
     assert out["click"].credit_cents == 21
     assert out["view"].n_touches == 2 and out["click"].n_touches == 1
+
+
+def test_logrank_null_and_shifted_hazards(spark, tmp_path):
+    """Identical group hazards -> z ~= 0; making group 1 convert much later
+    pushes z strongly positive (group 0 converts faster than expected)."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 9, 0, tzinfo=datetime.timezone.utc)
+    rows = []
+    eid = 0
+
+    def add(user, day, typ, v=1.0):
+        nonlocal eid
+        rows.append(
+            (eid, t0 + datetime.timedelta(days=day), user, typ, v, "{}")
+        )
+        eid += 1
+
+    # 20 users both groups seen day 0; group 0 (even) converts day u%5+1,
+    # group 1 (odd) converts day u%5+20 (much slower)
+    for u in range(40):
+        add(u, 0, "view")
+        add(u, (u % 5 + 1) if u % 2 == 0 else (u % 5 + 20), "purchase")
+    add(999, 40, "view")  # horizon anchor
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.stats2 import q_logrank_test
+
+    r = q_logrank_test(spark, str(tmp_path)).collect()[0]
+    assert r.n0_subjects + r.n1_subjects == 41
+    # group 0 converts systematically earlier -> observed-minus-expected
+    # for group 0 is positive and large relative to the variance
+    assert r.z_fp6 > 2_000_000  # z > 2 (clear separation)
