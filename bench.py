@@ -173,6 +173,15 @@ HEADLINE = [
     "q_label_propagation",
     # round 7 (cont. 7): retrieval-quality evaluation over the BM25 stack
     "q_search_ndcg",
+    # round 7 (cont. 8): embedding drift, retention, epoch reshuffle, SLA
+    # percentiles, FK audit, multi-touch attribution, log-rank survival A/B
+    "q_embedding_drift",
+    "q_rolling_retention_d7",
+    "q_epoch_shuffle",
+    "q_delivery_sla_monthly",
+    "q_referential_integrity",
+    "q_position_attribution",
+    "q_logrank_test",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
