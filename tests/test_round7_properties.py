@@ -58,3 +58,45 @@ def test_quantile_thresholds_exact_matches_disc_reference(spark, values, p):
     )
     got = quantile_thresholds(df, "v", {"t": p}).collect()[0].t
     assert got == _threshold_reference(values, p)
+
+
+def _hysteresis_state_machine(vals, low, high):
+    """The streaming operator's semantics: alert on low->high transitions."""
+    alerts, is_high = [], False
+    for i, v in enumerate(vals):
+        if v > high:
+            if not is_high:
+                alerts.append(i)
+                is_high = True
+        elif v < low:
+            is_high = False
+    return alerts
+
+
+def _hysteresis_carry_forward(vals, low, high):
+    """The batch-oracle reformulation: event i alerts iff v > high and the
+    most recent regime-defining event before it was a low (or none)."""
+    alerts, prev_regime = [], None
+    for i, v in enumerate(vals):
+        if v > high and (prev_regime is None or prev_regime == 0):
+            alerts.append(i)
+        if v > high:
+            prev_regime = 1
+        elif v < low:
+            prev_regime = 0
+    return alerts
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=100), min_size=0, max_size=120),
+    st.integers(min_value=10, max_value=40),
+    st.integers(min_value=60, max_value=90),
+)
+@settings(max_examples=300, deadline=None)
+def test_hysteresis_reformulation_equivalent(vals, low, high):
+    """The non-recursive last-regime-defining-event rule (the DuckDB
+    oracle's last_value IGNORE NULLS window) is exactly the regime state
+    machine, for every value sequence and threshold pair."""
+    assert _hysteresis_state_machine(vals, low, high) == _hysteresis_carry_forward(
+        vals, low, high
+    )
