@@ -610,3 +610,72 @@ def q_equidepth_histogram(spark, sf_dir):
         F.max("c").cast("bigint").alias("hi_cents"),
         F.sum("n").cast("bigint").alias("n_rows"),
     )
+
+
+@register(
+    "q_trimmed_mean",
+    oracle="""
+WITH cents AS (
+  SELECT event_type, CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS c
+  FROM events
+),
+vc AS (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM cents GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, c,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r,
+         SUM(cnt) OVER (PARTITION BY event_type) AS tot
+  FROM vc
+),
+cuts AS (
+  SELECT event_type,
+         MIN(CASE WHEN r >= CAST(ceil(0.10 * tot) AS BIGINT) THEN c END) AS lo,
+         MIN(CASE WHEN r >= CAST(ceil(0.90 * tot) AS BIGINT) THEN c END) AS hi
+  FROM cum GROUP BY event_type
+)
+SELECT x.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN x.c >= k.lo AND x.c <= k.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(floor(SUM(CASE WHEN x.c >= k.lo AND x.c <= k.hi THEN x.c ELSE 0 END)
+            * 1.0 / SUM(CASE WHEN x.c >= k.lo AND x.c <= k.hi THEN 1 ELSE 0 END))
+            AS BIGINT) AS trimmed_mean_cents
+FROM cents x JOIN cuts k ON x.event_type = k.event_type
+GROUP BY x.event_type
+""",
+)
+def q_trimmed_mean(spark, sf_dir):
+    """10%-trimmed mean per event type — the robust center the plain mean
+    is not (one fat-finger value moves the mean arbitrarily; the trimmed
+    mean discards everything outside the exact [p10, p90] value band).
+    Cuts come from the shared GROUPED ``quantile_thresholds`` seam (exact
+    rank over the distinct-value frame; GK-approx at unbounded
+    cardinality), broadcast back for one conditional-sum pass — the
+    winsorize shape with drop instead of clamp. Exact integer cents
+    throughout; the published mean is floor-divided."""
+    from ..operators.quantiles import quantile_thresholds
+
+    e = T(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type",
+        (F.col("value").cast("decimal(10,2)") * 100).cast("bigint").alias("c"),
+    )
+    cuts = quantile_thresholds(
+        cents, "c", {"lo": 0.10, "hi": 0.90}, group_cols=("event_type",)
+    )
+    kept = (F.col("c") >= F.col("lo")) & (F.col("c") <= F.col("hi"))
+    return (
+        cents.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.floor(
+                F.sum(F.when(kept, F.col("c")).otherwise(0))
+                * 1.0
+                / F.sum(F.when(kept, 1).otherwise(0))
+            )
+            .cast("bigint")
+            .alias("trimmed_mean_cents"),
+        )
+    )

@@ -575,3 +575,26 @@ def test_logrank_null_and_shifted_hazards(spark, tmp_path):
     # group 0 converts systematically earlier -> observed-minus-expected
     # for group 0 is positive and large relative to the variance
     assert r.z_fp6 > 2_000_000  # z > 2 (clear separation)
+
+
+def test_trimmed_mean_robust_to_outlier(spark, tmp_path):
+    """Values 1..10 dollars plus a wild $10000 outlier: the exact [p10,p90]
+    band drops the outlier (and the low tail cut keeps >= ceil semantics);
+    the plain mean would be ~10x larger."""
+    import datetime
+
+    t = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [(i, t, 1, "buy", float(i + 1), "{}") for i in range(10)]
+    rows.append((99, t, 1, "buy", 10_000.0, "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.stats import q_trimmed_mean
+
+    r = q_trimmed_mean(spark, str(tmp_path)).collect()[0]
+    assert r.n_total == 11
+    # p10 cut (ceil(0.1*11)=2nd value = 200c), p90 (ceil(9.9)=10th = 1000c):
+    # kept = 2..10 dollars -> mean = 600c
+    assert r.n_kept == 9
+    assert r.trimmed_mean_cents == 600
