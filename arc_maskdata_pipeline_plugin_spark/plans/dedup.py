@@ -721,3 +721,104 @@ def q_source_copy_matrix(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_spans"))
     )
+
+
+def _simhash_idf_oracle(positions: int = 16, prefix: int = 8) -> str:
+    sums = ", ".join(
+        f"CAST(SUM((2 * (strpos('0123456789abcdef', substr(th, {p}, 1)) - 1) - 15)"
+        f" * idf9) AS BIGINT) AS s{p}"
+        for p in range(1, positions + 1)
+    )
+    bits = " || ".join(
+        f"CASE WHEN s{p} > 0 THEN '1' ELSE '0' END"
+        for p in range(1, positions + 1)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM toks),
+dfreq AS (
+  SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY tok
+),
+idf AS (
+  SELECT tok, CAST(floor(ln(nd.n * 1.0 / df) * 1000000000) AS BIGINT) AS idf9
+  FROM dfreq CROSS JOIN nd
+),
+th AS (
+  SELECT t.doc_id, md5(t.tok) AS th, i.idf9
+  FROM toks t JOIN idf i ON t.tok = i.tok
+),
+sums AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
+sig AS (SELECT doc_id, {bits} AS simhash FROM sums)
+SELECT substr(simhash, 1, {prefix}) AS bucket,
+       COUNT(*) AS n_docs,
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+FROM sig
+GROUP BY 1
+HAVING COUNT(*) > 1
+"""
+
+
+@register("dedup_simhash_idf_buckets", oracle=_simhash_idf_oracle())
+def dedup_simhash_idf_buckets(spark, sf_dir):
+    """IDF-WEIGHTED SimHash (the Charikar 2002 form the unweighted digit
+    variant approximates): each token occurrence contributes its signed
+    digit deviation ``(2·digit − 15)`` scaled by the term's fp9-floored
+    idf, so rare, discriminative terms dominate the signature and
+    boilerplate/stopwords stop deciding bucket membership — the precision
+    fix every production SimHash applies. Integer contributions make the
+    per-position sums exact BIGINTs, hence engine-identical signatures.
+
+    Scale shape: document frequencies are one token-keyed count shuffle;
+    the vocab-sized idf frame broadcasts onto the token stream; signatures
+    are 16 conditional sums in ONE doc-grain aggregate; bucketing groups
+    by an 8-bit signature prefix — the same group-then-enumerate family as
+    the unweighted path."""
+    d = spread(T(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    nd = toks.agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
+    idf = (
+        toks.groupBy("tok")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tok",
+            F.floor(F.log(F.col("n") * 1.0 / F.col("df")) * 1_000_000_000)
+            .cast("bigint")
+            .alias("idf9"),
+        )
+    )
+    th = toks.join(F.broadcast(idf), "tok").select(
+        "doc_id", F.md5("tok").alias("th"), "idf9"
+    )
+    aggs = []
+    for p in range(1, 17):
+        dv = F.expr(f"locate(substring(th, {p}, 1), '0123456789abcdef') - 1")
+        aggs.append(
+            F.sum((2 * dv - 15) * F.col("idf9")).cast("bigint").alias(f"s{p}")
+        )
+    sums = th.groupBy("doc_id").agg(*aggs)
+    bits = F.concat(
+        *[
+            F.when(F.col(f"s{p}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in range(1, 17)
+        ]
+    )
+    sig = sums.select("doc_id", bits.alias("simhash"))
+    return (
+        sig.groupBy(F.substring("simhash", 1, 8).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

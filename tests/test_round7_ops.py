@@ -598,3 +598,30 @@ def test_trimmed_mean_robust_to_outlier(spark, tmp_path):
     # kept = 2..10 dollars -> mean = 600c
     assert r.n_kept == 9
     assert r.trimmed_mean_cents == 600
+
+
+def test_simhash_idf_ignores_boilerplate(spark, tmp_path):
+    """Two docs sharing ONLY a long boilerplate phrase but with different
+    rare content: unweighted SimHash tends to co-bucket them (the shared
+    high-df tokens dominate the majority vote); the idf-weighted signature
+    separates them because boilerplate idf ~= 0. Twin docs sharing rare
+    content DO co-bucket."""
+    boiler = " ".join(["the quick brown fox jumps over lazy dogs again today"] * 3)
+    rows = [
+        (0, boiler + " zeta11 zeta12 zeta13", "en", "s"),
+        (1, boiler + " omega21 omega22 omega23", "en", "s"),
+        (2, "alpha1 alpha2 alpha3 alpha4 alpha5 alpha6", "en", "s"),
+        (3, "alpha1 alpha2 alpha3 alpha4 alpha5 alpha6", "en", "s"),  # twin of 2
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.dedup import (
+        dedup_simhash_idf_buckets,
+    )
+
+    out = dedup_simhash_idf_buckets(spark, str(tmp_path)).collect()
+    grouped = {tuple(sorted(map(int, r.doc_ids.split(",")))) for r in out}
+    # exact twins co-bucket
+    assert any({2, 3} <= set(g) for g in grouped)
+    # the boilerplate-only pair must NOT co-bucket
+    assert not any({0, 1} <= set(g) for g in grouped)
