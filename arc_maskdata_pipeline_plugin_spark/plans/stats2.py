@@ -1352,3 +1352,121 @@ def q_logrank_test(spark, sf_dir):
             .alias("z_fp6"),
         )
     )
+
+
+@register(
+    "q_covariate_balance",
+    oracle="""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(10,2)) * 100) AS BIGINT) AS cents,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_events) AS DOUBLE) AS s_ev,
+         CAST(SUM(CAST(n_events * n_events AS DECIMAL(38,0))) AS DOUBLE) AS q_ev,
+         CAST(SUM(cents) AS DOUBLE) AS s_c,
+         CAST(SUM(CAST(cents * cents AS DECIMAL(38,0))) AS DOUBLE) AS q_c,
+         CAST(SUM(n_types) AS DOUBLE) AS s_t,
+         CAST(SUM(CAST(n_types * n_types AS DECIMAL(38,0))) AS DOUBLE) AS q_t
+  FROM u GROUP BY grp
+),
+wide AS (
+  SELECT covariate, s0 / n0 AS m0, s1 / n1 AS m1,
+         (q0 - s0 * s0 / n0) / (n0 - 1) AS v0,
+         (q1 - s1 * s1 / n1) / (n1 - 1) AS v1
+  FROM (
+    SELECT 'n_events' AS covariate,
+           MAX(CASE WHEN grp = 0 THEN n END) AS n0, MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+           MAX(CASE WHEN grp = 0 THEN s_ev END) AS s0, MAX(CASE WHEN grp = 1 THEN s_ev END) AS s1,
+           MAX(CASE WHEN grp = 0 THEN q_ev END) AS q0, MAX(CASE WHEN grp = 1 THEN q_ev END) AS q1
+    FROM m
+    UNION ALL
+    SELECT 'spend_cents',
+           MAX(CASE WHEN grp = 0 THEN n END), MAX(CASE WHEN grp = 1 THEN n END),
+           MAX(CASE WHEN grp = 0 THEN s_c END), MAX(CASE WHEN grp = 1 THEN s_c END),
+           MAX(CASE WHEN grp = 0 THEN q_c END), MAX(CASE WHEN grp = 1 THEN q_c END)
+    FROM m
+    UNION ALL
+    SELECT 'n_types',
+           MAX(CASE WHEN grp = 0 THEN n END), MAX(CASE WHEN grp = 1 THEN n END),
+           MAX(CASE WHEN grp = 0 THEN s_t END), MAX(CASE WHEN grp = 1 THEN s_t END),
+           MAX(CASE WHEN grp = 0 THEN q_t END), MAX(CASE WHEN grp = 1 THEN q_t END)
+    FROM m
+  )
+)
+SELECT covariate,
+       CAST(CASE WHEN v0 + v1 > 0
+                 THEN floor((m1 - m0) / sqrt((v0 + v1) / 2) * 1000000)
+                 WHEN m1 = m0 THEN 0
+                 ELSE 999999999999 END AS BIGINT) AS smd_fp6
+FROM wide
+""",
+)
+def q_covariate_balance(spark, sf_dir):
+    """Covariate-balance check for the even/odd experiment split — the
+    pre-readout health gate every A/B analysis should run: the standardized
+    mean difference ``(m1 − m0)/√((v0+v1)/2)`` per pre-treatment covariate
+    (events, spend, type diversity), with |SMD| > 0.1 the conventional
+    imbalance alarm. Moments are exact decimal sums from ONE user-grain
+    conditional aggregate (the Welch/CUPED discipline); the SMD formula
+    runs in identical association order in both engines, floored fp6.
+
+    Scale shape: one user-keyed aggregate reduces the corpus, one 2-row
+    group aggregate collects all twelve moments, and the unpivot/formula
+    stage is covariate-cardinality-sized."""
+    e = T(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(10,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+    ).withColumn("grp", F.col("user_id") % 2)
+
+    def moments(col, tag):
+        return [
+            F.sum(col).cast("double").alias(f"s_{tag}"),
+            F.sum((col * col).cast("decimal(38,0)")).cast("double").alias(f"q_{tag}"),
+        ]
+
+    m = u.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *moments(F.col("n_events"), "ev"),
+        *moments(F.col("cents"), "c"),
+        *moments(F.col("n_types"), "t"),
+    )
+    wide_rows = []
+    for name, tag in [("n_events", "ev"), ("spend_cents", "c"), ("n_types", "t")]:
+        wide_rows.append(
+            m.agg(
+                F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+                F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+                F.max(F.when(F.col("grp") == 0, F.col(f"s_{tag}"))).alias("s0"),
+                F.max(F.when(F.col("grp") == 1, F.col(f"s_{tag}"))).alias("s1"),
+                F.max(F.when(F.col("grp") == 0, F.col(f"q_{tag}"))).alias("q0"),
+                F.max(F.when(F.col("grp") == 1, F.col(f"q_{tag}"))).alias("q1"),
+            ).select(F.lit(name).alias("covariate"), "n0", "n1", "s0", "s1", "q0", "q1")
+        )
+    wide = wide_rows[0].union(wide_rows[1]).union(wide_rows[2])
+    m0 = F.col("s0") / F.col("n0")
+    m1 = F.col("s1") / F.col("n1")
+    v0 = (F.col("q0") - F.col("s0") * F.col("s0") / F.col("n0")) / (F.col("n0") - 1)
+    v1 = (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)
+    # a covariate that is CONSTANT within both arms has zero pooled
+    # variance: equal means are perfectly balanced (0), unequal constant
+    # means are infinitely imbalanced (sentinel) — deterministic in both
+    # engines instead of a divide-by-zero
+    smd = (
+        F.when(
+            v0 + v1 > 0,
+            F.floor((m1 - m0) / F.sqrt((v0 + v1) / 2) * 1_000_000),
+        )
+        .when(m1 == m0, F.lit(0))
+        .otherwise(F.lit(999_999_999_999))
+    )
+    return wide.select("covariate", smd.cast("bigint").alias("smd_fp6"))

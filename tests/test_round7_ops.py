@@ -625,3 +625,29 @@ def test_simhash_idf_ignores_boilerplate(spark, tmp_path):
     assert any({2, 3} <= set(g) for g in grouped)
     # the boilerplate-only pair must NOT co-bucket
     assert not any({0, 1} <= set(g) for g in grouped)
+
+
+def test_covariate_balance_detects_imbalance(spark, tmp_path):
+    """A split where odd users are twice as active shows |SMD| >> 0.1 on
+    n_events; a balanced constant covariate scores 0."""
+    import datetime
+
+    t = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    rows, eid = [], 0
+    for u in range(40):
+        k = 2 if u % 2 == 0 else 5  # odd arm more active
+        for j in range(k + (u % 3 == 0)):  # jitter so variance > 0
+            rows.append((eid, t + datetime.timedelta(hours=eid), u, "view", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.stats2 import (
+        q_covariate_balance,
+    )
+
+    out = {r.covariate: r.smd_fp6 for r in q_covariate_balance(spark, str(tmp_path)).collect()}
+    assert out["n_events"] > 100_000  # heavily imbalanced (SMD >> 0.1)
+    # n_types is constant 1 in both arms -> perfectly balanced
+    assert out["n_types"] == 0
