@@ -1008,3 +1008,73 @@ def q_delivery_sla_monthly(spark, sf_dir):
         lag, "d", {"p50_days": 0.5, "p95_days": 0.95}, group_cols=("month",)
     )
     return counts.join(th, "month").select("month", "n", "p50_days", "p95_days")
+
+
+@register(
+    "q_forecast_backtest",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(10,2))) * 100 AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+f AS (
+  SELECT event_type, day, cents,
+         LAG(cents, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc
+  FROM daily
+),
+scored AS (
+  SELECT event_type, ABS(cents - fc) AS ae,
+         CAST(floor(2000000000.0 * ABS(cents - fc) / (ABS(cents) + ABS(fc)))
+              AS BIGINT) AS smape9
+  FROM f WHERE fc IS NOT NULL AND ABS(cents) + ABS(fc) > 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(floor(SUM(ae) * 1.0 / COUNT(*)) AS BIGINT) AS mae_cents,
+       CAST(floor(SUM(smape9) * 1.0 / (COUNT(*) * 1000.0)) AS BIGINT)
+         AS smape_fp6
+FROM scored GROUP BY event_type
+""",
+)
+def q_forecast_backtest(spark, sf_dir):
+    """Seasonal-naive forecast backtest — the baseline every forecasting
+    pipeline must beat, and the harness that scores any challenger:
+    forecast(t) = actual(t−7) (same weekday last week), evaluated by MAE in
+    exact integer cents and by sMAPE with each day's ratio floored to fp9
+    BEFORE the mean (fp-floored-terms rule — a floating mean of ratios is
+    partition-order-dependent; an integer sum is not).
+
+    Scale shape: the corpus collapses to the calendar-grain daily frame in
+    one shuffle; the 7-day LAG and the error aggregate run per event type
+    on that tiny frame. Swapping a real model only changes the ``fc``
+    column — the backtest harness is model-agnostic."""
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(10,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    f = daily.withColumn("fc", F.lag("cents", 7).over(w))
+    ae = F.abs(F.col("cents") - F.col("fc"))
+    scored = f.filter(
+        F.col("fc").isNotNull() & ((F.abs("cents") + F.abs("fc")) > 0)
+    ).select(
+        "event_type",
+        ae.alias("ae"),
+        F.floor(2_000_000_000.0 * ae / (F.abs("cents") + F.abs("fc")))
+        .cast("bigint")
+        .alias("smape9"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.floor(F.sum("ae") * 1.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("mae_cents"),
+        F.floor(F.sum("smape9") * 1.0 / (F.count(F.lit(1)) * 1000.0))
+        .cast("bigint")
+        .alias("smape_fp6"),
+    )

@@ -651,3 +651,26 @@ def test_covariate_balance_detects_imbalance(spark, tmp_path):
     assert out["n_events"] > 100_000  # heavily imbalanced (SMD >> 0.1)
     # n_types is constant 1 in both arms -> perfectly balanced
     assert out["n_types"] == 0
+
+
+def test_forecast_backtest_perfect_weekly_pattern(spark, tmp_path):
+    """A perfectly weekly-periodic series backtests to MAE 0 / sMAPE 0;
+    the first 7 days (no lag-7 actual) are excluded."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, tzinfo=datetime.timezone.utc)
+    rows = []
+    for d in range(21):
+        v = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0][d % 7]
+        rows.append((d, t0 + datetime.timedelta(days=d), 1, "buy", v, "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.timeseries import (
+        q_forecast_backtest,
+    )
+
+    r = q_forecast_backtest(spark, str(tmp_path)).collect()[0]
+    assert r.n_days == 14  # 21 days minus the 7-day warmup
+    assert r.mae_cents == 0 and r.smape_fp6 == 0
