@@ -182,6 +182,12 @@ HEADLINE = [
     "q_referential_integrity",
     "q_position_attribution",
     "q_logrank_test",
+    # round 7 (cont. 9): robust center, idf-weighted simhash, experiment
+    # balance gate, forecast backtest harness
+    "q_trimmed_mean",
+    "dedup_simhash_idf_buckets",
+    "q_covariate_balance",
+    "q_forecast_backtest",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
