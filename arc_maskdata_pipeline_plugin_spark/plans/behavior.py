@@ -1052,3 +1052,86 @@ def q_position_attribution(spark, sf_dir):
             F.sum("credit").cast("bigint").alias("credit_cents"),
         )
     )
+
+
+@register(
+    "q_churn_features",
+    oracle="""
+WITH horizon AS (SELECT MAX(CAST(ts AS DATE)) AS h FROM events),
+u AS (
+  SELECT user_id,
+         MIN(CAST(ts AS DATE)) AS first_day,
+         MAX(CAST(ts AS DATE)) AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purchases,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+               THEN CAST(value AS DECIMAL(10,2)) * 100 END), 0) AS BIGINT)
+           AS spend_cents,
+         CAST(COUNT(DISTINCT date_trunc('week', ts)) AS BIGINT) AS active_weeks
+  FROM events GROUP BY user_id
+)
+SELECT u.user_id,
+       CAST(date_diff('day', u.first_day, horizon.h) AS BIGINT) AS tenure_days,
+       CAST(date_diff('day', u.last_day, horizon.h) AS BIGINT) AS recency_days,
+       u.n_events, u.n_purchases, u.spend_cents, u.active_weeks,
+       CAST(floor(u.n_events * 1000000.0
+            / greatest(date_diff('day', u.first_day, horizon.h) / 7.0, 1.0))
+            AS BIGINT) AS events_per_week_fp6
+FROM u CROSS JOIN horizon
+""",
+)
+def q_churn_features(spark, sf_dir):
+    """Churn-model feature materialization — the user-grain feature-store
+    table a retention model trains on: tenure, recency, activity volume,
+    purchase count/spend, distinct active weeks, and rate-normalized
+    activity, all from ONE pass over the event log. Exact integer features
+    (cents, day counts) with the single rate feature floor-divided — the
+    table is bit-reproducible, which is what makes offline/online feature
+    parity checkable.
+
+    Scale shape: one user-keyed multi-aggregate (map-side combined;
+    COUNT DISTINCT week is bounded by the calendar) plus a broadcast
+    1-row horizon — the corpus is touched exactly once and the output is
+    user-grain, ready for the sharded write path."""
+    e = T(spark, sf_dir, "events")
+    horizon = e.agg(F.max(F.col("ts").cast("date")).alias("h"))
+    u = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day"),
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchases"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(10,2)") * 100,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("spend_cents"),
+        F.countDistinct(F.date_trunc("week", "ts")).cast("bigint").alias(
+            "active_weeks"
+        ),
+    )
+    tenure = F.datediff(F.col("h"), F.col("first_day")).cast("bigint")
+    return u.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        tenure.alias("tenure_days"),
+        F.datediff(F.col("h"), F.col("last_day")).cast("bigint").alias(
+            "recency_days"
+        ),
+        "n_events",
+        "n_purchases",
+        "spend_cents",
+        "active_weeks",
+        F.floor(
+            F.col("n_events") * 1_000_000.0 / F.greatest(tenure / 7.0, F.lit(1.0))
+        )
+        .cast("bigint")
+        .alias("events_per_week_fp6"),
+    )

@@ -188,6 +188,7 @@ HEADLINE = [
     "dedup_simhash_idf_buckets",
     "q_covariate_balance",
     "q_forecast_backtest",
+    "q_churn_features",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -674,3 +674,26 @@ def test_forecast_backtest_perfect_weekly_pattern(spark, tmp_path):
     r = q_forecast_backtest(spark, str(tmp_path)).collect()[0]
     assert r.n_days == 14  # 21 days minus the 7-day warmup
     assert r.mae_cents == 0 and r.smape_fp6 == 0
+
+
+def test_churn_features_one_user(spark, tmp_path):
+    """Hand-checked feature vector: 3 events across 2 weeks, 1 purchase."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, tzinfo=datetime.timezone.utc)
+    rows = [
+        (0, t0, 1, "view", 0.0, "{}"),
+        (1, t0 + datetime.timedelta(days=8), 1, "purchase", 2.5, "{}"),
+        (2, t0 + datetime.timedelta(days=14), 1, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.behavior import q_churn_features
+
+    r = q_churn_features(spark, str(tmp_path)).collect()[0]
+    assert r.tenure_days == 14 and r.recency_days == 0
+    assert r.n_events == 3 and r.n_purchases == 1 and r.spend_cents == 250
+    assert r.active_weeks == 3  # Mon Jan 1, Tue Jan 9, Mon Jan 15 span 3 ISO weeks
+    assert r.events_per_week_fp6 == 1_500_000  # 3 events / 2 weeks
