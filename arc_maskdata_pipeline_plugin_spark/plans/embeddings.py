@@ -149,3 +149,154 @@ def q_embedding_truncate_mrl(spark, sf_dir):
             ",",
         ).alias("unit_fp9"),
     )
+
+
+_PCA_K = 8       # leading dims (the covariance-query convention)
+_PCA_ITERS = 10  # fixed power-iteration count, unrolled in both engines
+
+
+def _pca_oracle() -> str:
+    k, iters = _PCA_K, _PCA_ITERS
+    dims = ", ".join(
+        f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000) AS BIGINT) AS u{i}"
+        for i in range(k)
+    )
+    sums = ", ".join(
+        [f"CAST(COUNT(*) AS BIGINT) AS n"]
+        + [f"CAST(SUM(u{i}) AS DOUBLE) AS s{i}" for i in range(k)]
+        + [
+            f"CAST(SUM(CAST(u{i} * u{j} AS DECIMAL(38,0))) AS DOUBLE) AS p{i}_{j}"
+            for i in range(k)
+            for j in range(i, k)
+        ]
+    )
+    def pcol(i, j):
+        return f"p{min(i, j)}_{max(i, j)}"
+    covs = ", ".join(
+        f"CAST(floor(({pcol(i, j)} / n - (s{i} / n) * (s{j} / n)) / 1000000) AS BIGINT)"
+        f" AS m{i}_{j}"
+        for i in range(k)
+        for j in range(k)
+    )
+    its = []
+    prev = ["1000000"] * k
+    for t in range(iters):
+        raw = [
+            " + ".join(f"m{i}_{j} * ({prev[j]})" for j in range(k))
+            for i in range(k)
+        ]
+        its.append(
+            ", ".join(f"CAST({raw[i]} AS BIGINT) AS w{t}_{i}" for i in range(k))
+        )
+        mx = "GREATEST(" + ", ".join(f"ABS(w{t}_{i})" for i in range(k)) + ")"
+        its.append(
+            ", ".join(
+                f"CAST(floor(CAST(w{t}_{i} AS DOUBLE) * 1000000 / {mx}) AS BIGINT)"
+                f" AS v{t}_{i}"
+                for i in range(k)
+            )
+        )
+        prev = [f"v{t}_{i}" for i in range(k)]
+    chain = ""
+    step = 0
+    for t in range(iters):
+        chain += f", it{step} AS (SELECT *, {its[2 * t]} FROM {'cov' if t == 0 else f'it{step - 1}'})"
+        step += 1
+        chain += f", it{step} AS (SELECT *, {its[2 * t + 1]} FROM it{step - 1})"
+        step += 1
+    last = iters - 1
+    stack = " UNION ALL ".join(
+        f"SELECT {i} AS dim, v{last}_{i} AS loading_fp6, n FROM it{step - 1}"
+        for i in range(k)
+    )
+    return f"""
+WITH u AS (SELECT {dims} FROM embeddings),
+s AS (SELECT {sums} FROM u),
+cov AS (SELECT *, {covs} FROM s)
+{chain}
+SELECT CAST(dim AS INTEGER) AS dim, CAST(loading_fp6 AS BIGINT) AS loading_fp6,
+       CAST(n AS BIGINT) AS n
+FROM ({stack})
+"""
+
+
+@register("q_pca_top_component", oracle=_pca_oracle())
+def q_pca_top_component(spark, sf_dir):
+    """Top principal axis of the leading-8-dim embedding covariance by
+    POWER ITERATION, fully in-plan and engine-exact: the covariance comes
+    from the one-pass exact-moment aggregate (`q_embedding_covariance`'s
+    discipline), its entries floor to integer fixed-point, and ten
+    matrix-vector iterations unroll as scalar column expressions on the
+    1-row moment frame — each iteration renormalizes by the max absolute
+    component with floored integer arithmetic, so both engines walk the
+    identical integer sequence (the PageRank unrolled-recurrence
+    discipline applied to spectral math). No driver loop, no float
+    divergence, no convergence probe.
+
+    Scale shape: ONE corpus scan ends the data-dependent work (44 exact
+    decimal sums cross the shuffle); all ten iterations are constant-time
+    scalar algebra on one row. This is how a whitening/PCA step actually
+    runs at 100 TB: moments distributed once, the tiny eigenproblem solved
+    outside the corpus path."""
+    k, iters = _PCA_K, _PCA_ITERS
+    emb = T(spark, sf_dir, "embeddings")
+    u = emb.select(
+        *(
+            F.floor(F.element_at("embedding", i + 1).cast("double") * 1_000_000)
+            .cast("bigint")
+            .alias(f"u{i}")
+            for i in range(k)
+        )
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    aggs += [F.sum(F.col(f"u{i}")).cast("double").alias(f"s{i}") for i in range(k)]
+    aggs += [
+        F.sum((F.col(f"u{i}") * F.col(f"u{j}")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias(f"p{i}_{j}")
+        for i in range(k)
+        for j in range(i, k)
+    ]
+    m = u.agg(*aggs)
+
+    def pcol(i, j):
+        a, b = min(i, j), max(i, j)
+        return F.col(f"p{a}_{b}")
+
+    for i in range(k):
+        for j in range(k):
+            cov = (
+                pcol(i, j) / F.col("n")
+                - (F.col(f"s{i}") / F.col("n")) * (F.col(f"s{j}") / F.col("n"))
+            ) / 1_000_000
+            m = m.withColumn(f"m{i}_{j}", F.floor(cov).cast("bigint"))
+    prev = [F.lit(1_000_000).cast("bigint")] * k
+    for t in range(iters):
+        for i in range(k):
+            w = prev[0] * F.col(f"m{i}_0")
+            for j in range(1, k):
+                w = w + prev[j] * F.col(f"m{i}_{j}")
+            m = m.withColumn(f"w{t}_{i}", w.cast("bigint"))
+        mx = F.greatest(*[F.abs(F.col(f"w{t}_{i}")) for i in range(k)])
+        for i in range(k):
+            m = m.withColumn(
+                f"v{t}_{i}",
+                F.floor(F.col(f"w{t}_{i}").cast("double") * 1_000_000 / mx)
+                .cast("bigint"),
+            )
+        prev = [F.col(f"v{t}_{i}") for i in range(k)]
+    last = iters - 1
+    return m.select(
+        F.expr(
+            "stack("
+            + str(k)
+            + ", "
+            + ", ".join(f"{i}, v{last}_{i}" for i in range(k))
+            + ") AS (dim, loading_fp6)"
+        ),
+        "n",
+    ).select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("loading_fp6").cast("bigint").alias("loading_fp6"),
+        F.col("n").cast("bigint").alias("n"),
+    )

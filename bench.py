@@ -189,6 +189,7 @@ HEADLINE = [
     "q_covariate_balance",
     "q_forecast_backtest",
     "q_churn_features",
+    "q_pca_top_component",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

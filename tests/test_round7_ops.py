@@ -697,3 +697,34 @@ def test_churn_features_one_user(spark, tmp_path):
     assert r.n_events == 3 and r.n_purchases == 1 and r.spend_cents == 250
     assert r.active_weeks == 3  # Mon Jan 1, Tue Jan 9, Mon Jan 15 span 3 ISO weeks
     assert r.events_per_week_fp6 == 1_500_000  # 3 events / 2 weeks
+
+
+def test_pca_top_component_finds_dominant_axis(spark, tmp_path):
+    """Variance concentrated on dim 2: the converged loading vector is
+    (up to sign) the e2 axis — its |loading| is the 1e6 max and every
+    other dim's loading is comparatively tiny."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        v = [rng.uniform(-0.05, 0.05) for _ in range(64)]
+        v[2] += rng.choice([-1.0, 1.0])  # dominant spread on dim 2
+        rows.append((i, v, 0))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"), "label"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.embeddings import (
+        q_pca_top_component,
+    )
+
+    out = {r.dim: r.loading_fp6 for r in q_pca_top_component(spark, str(tmp_path)).collect()}
+    assert len(out) == 8
+    # the dominant axis carries the max norm (double rounding in
+    # w*1e6/max can floor the self-normalized component to 999999 —
+    # identically in both engines)
+    assert abs(out[2]) >= 999_998
+    for d, v in out.items():
+        if d != 2:
+            assert abs(v) < 150_000, (d, v)
