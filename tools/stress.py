@@ -873,6 +873,49 @@ def main():
         "decode+hash ride the scan; band bucket join; exact Hamming verify",
     )
 
+    def perplexity_stress():
+        # unigram-LM scoring core (mirrors q_perplexity_filter): 60M token
+        # explode -> vocab count -> broadcast LM -> doc-grain NLL aggregate
+        tok = docs2.select(
+            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+        )
+        lm = (
+            tok.groupBy("w")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .persist()
+        )
+        consts = lm.agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("v"),
+        )
+        lp = lm.crossJoin(F.broadcast(consts)).select(
+            "w",
+            F.floor(
+                F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v")))
+                * 1_000_000_000
+            )
+            .cast("bigint")
+            .alias("lp9"),
+        )
+        (
+            tok.join(F.broadcast(lp), "w")
+            .groupBy("doc_id")
+            .agg(
+                F.floor(-F.sum("lp9") / (F.count(F.lit(1)) * 1000.0))
+                .cast("bigint")
+                .alias("nll_fp6")
+            )
+            .write.format("noop").mode("overwrite").save()
+        )
+        spark.catalog.clearCache()
+
+    timed(
+        "unigram perplexity scoring (1M docs, 60M tokens)",
+        n_docs2,
+        perplexity_stress,
+        "vocab-sized LM broadcast; one token shuffle + one doc aggregate",
+    )
+
     # ---- report ----------------------------------------------------------
     lines = [
         "# STRESS — synthetic ~100× scale-up measurements (local[32])",
