@@ -223,21 +223,24 @@ FROM ({stack})
 @register("q_pca_top_component", oracle=_pca_oracle())
 def q_pca_top_component(spark, sf_dir):
     """Top principal axis of the leading-8-dim embedding covariance by
-    POWER ITERATION, fully in-plan and engine-exact: the covariance comes
-    from the one-pass exact-moment aggregate (`q_embedding_covariance`'s
-    discipline), its entries floor to integer fixed-point, and ten
-    matrix-vector iterations unroll as scalar column expressions on the
-    1-row moment frame — each iteration renormalizes by the max absolute
-    component with floored integer arithmetic, so both engines walk the
-    identical integer sequence (the PageRank unrolled-recurrence
-    discipline applied to spectral math). No driver loop, no float
-    divergence, no convergence probe.
+    POWER ITERATION, engine-exact: the covariance comes from the one-pass
+    exact-moment aggregate (`q_embedding_covariance`'s discipline), its
+    entries floor to integer fixed-point, and ten matrix-vector iterations
+    renormalize by the max absolute component with floored double
+    arithmetic — the identical integer sequence in every engine.
 
-    Scale shape: ONE corpus scan ends the data-dependent work (44 exact
-    decimal sums cross the shuffle); all ten iterations are constant-time
-    scalar algebra on one row. This is how a whitening/PCA step actually
-    runs at 100 TB: moments distributed once, the tiny eigenproblem solved
-    outside the corpus path."""
+    The iteration itself runs on the DRIVER from the collected 1-row moment
+    frame (the accepted O(1)-row probe pattern — same as the BPE argmax and
+    CC convergence probes): an in-plan unrolled version is equivalent but
+    pays ~6s of pure Catalyst analysis for 224 nested scalar columns, all
+    planner time independent of data size; the DuckDB oracle still walks
+    the full unrolled recurrence independently, so the Python integer loop
+    is cross-checked step for step. ONE corpus scan ends the data-dependent
+    work (44 exact decimal sums cross the shuffle); the eigenproblem is
+    8×8 and lives outside the corpus path — exactly how a whitening/PCA
+    step runs at 100 TB."""
+    import math
+
     k, iters = _PCA_K, _PCA_ITERS
     emb = T(spark, sf_dir, "embeddings")
     u = emb.select(
@@ -257,46 +260,27 @@ def q_pca_top_component(spark, sf_dir):
         for i in range(k)
         for j in range(i, k)
     ]
-    m = u.agg(*aggs)
-
-    def pcol(i, j):
-        a, b = min(i, j), max(i, j)
-        return F.col(f"p{a}_{b}")
-
-    for i in range(k):
-        for j in range(k):
-            cov = (
-                pcol(i, j) / F.col("n")
-                - (F.col(f"s{i}") / F.col("n")) * (F.col(f"s{j}") / F.col("n"))
-            ) / 1_000_000
-            m = m.withColumn(f"m{i}_{j}", F.floor(cov).cast("bigint"))
-    prev = [F.lit(1_000_000).cast("bigint")] * k
-    for t in range(iters):
-        for i in range(k):
-            w = prev[0] * F.col(f"m{i}_0")
-            for j in range(1, k):
-                w = w + prev[j] * F.col(f"m{i}_{j}")
-            m = m.withColumn(f"w{t}_{i}", w.cast("bigint"))
-        mx = F.greatest(*[F.abs(F.col(f"w{t}_{i}")) for i in range(k)])
-        for i in range(k):
-            m = m.withColumn(
-                f"v{t}_{i}",
-                F.floor(F.col(f"w{t}_{i}").cast("double") * 1_000_000 / mx)
-                .cast("bigint"),
+    row = u.agg(*aggs).collect()[0]  # O(1)-row driver probe
+    n = row["n"]
+    cov = [
+        [
+            math.floor(
+                (
+                    row[f"p{min(i, j)}_{max(i, j)}"] / n
+                    - (row[f"s{i}"] / n) * (row[f"s{j}"] / n)
+                )
+                / 1_000_000
             )
-        prev = [F.col(f"v{t}_{i}") for i in range(k)]
-    last = iters - 1
-    return m.select(
-        F.expr(
-            "stack("
-            + str(k)
-            + ", "
-            + ", ".join(f"{i}, v{last}_{i}" for i in range(k))
-            + ") AS (dim, loading_fp6)"
-        ),
-        "n",
-    ).select(
-        F.col("dim").cast("int").alias("dim"),
-        F.col("loading_fp6").cast("bigint").alias("loading_fp6"),
-        F.col("n").cast("bigint").alias("n"),
+            for j in range(k)
+        ]
+        for i in range(k)
+    ]
+    v = [1_000_000] * k
+    for _ in range(iters):
+        w = [sum(cov[i][j] * v[j] for j in range(k)) for i in range(k)]
+        mx = max(abs(x) for x in w)
+        # float mul/div then floor — the same IEEE ops the SQL oracle runs
+        v = [math.floor(float(x) * 1_000_000 / float(mx)) for x in w]
+    return spark.createDataFrame(
+        [(i, v[i], n) for i in range(k)], "dim int, loading_fp6 bigint, n bigint"
     )
