@@ -1135,3 +1135,72 @@ def q_churn_features(spark, sf_dir):
         .cast("bigint")
         .alias("events_per_week_fp6"),
     )
+
+
+@register(
+    "q_growth_accounting",
+    oracle="""
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+lagged AS (
+  SELECT user_id, day,
+         LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+  FROM active
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(SUM(CASE WHEN date_diff('day', prev_day, day) = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+       CAST(SUM(CASE WHEN prev_day IS NOT NULL
+                      AND date_diff('day', prev_day, day) > 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+FROM lagged GROUP BY day
+""",
+)
+def q_growth_accounting(spark, sf_dir):
+    """Daily growth accounting (the new/retained/resurrected decomposition
+    every growth team reports — churn is the complement on the next day's
+    row): an active user is NEW if today is their first active day,
+    RETAINED if they were also active yesterday, RESURRECTED if their
+    previous active day is older. The three classes partition each day's
+    actives exactly (pinned by test), so the series reconciles by
+    construction.
+
+    Scale shape: events collapse to the distinct (user, day) frame in one
+    shuffle; classification is a single user-partitioned LAG (the
+    ``q_rolling_retention_d7`` discipline); the readout is a calendar-sized
+    aggregate."""
+    e = T(spark, sf_dir, "events")
+    active = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagged = active.withColumn("prev_day", F.lag("day").over(w))
+    gap = F.datediff("day", "prev_day")
+    return (
+        lagged.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.sum(F.when(F.col("prev_day").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(gap == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_retained"),
+            F.sum(
+                F.when(F.col("prev_day").isNotNull() & (gap > 1), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_resurrected"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+        )
+    )

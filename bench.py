@@ -190,6 +190,7 @@ HEADLINE = [
     "q_forecast_backtest",
     "q_churn_features",
     "q_pca_top_component",
+    "q_growth_accounting",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

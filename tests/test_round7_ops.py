@@ -728,3 +728,33 @@ def test_pca_top_component_finds_dominant_axis(spark, tmp_path):
     for d, v in out.items():
         if d != 2:
             assert abs(v) < 150_000, (d, v)
+
+
+def test_growth_accounting_partitions_actives(spark, tmp_path):
+    """User A active d0,d1 (retained on d1); B active d0,d3 (resurrected on
+    d3); C first appears d3 (new). Classes partition each day's actives."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 2, 1, 8, 0, tzinfo=datetime.timezone.utc)
+    rows = [
+        (0, t0, 1, "view", 0.0, "{}"),
+        (1, t0 + datetime.timedelta(days=1), 1, "view", 0.0, "{}"),
+        (2, t0, 2, "view", 0.0, "{}"),
+        (3, t0 + datetime.timedelta(days=3), 2, "view", 0.0, "{}"),
+        (4, t0 + datetime.timedelta(days=3), 3, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.behavior import (
+        q_growth_accounting,
+    )
+
+    out = {r.day: r for r in q_growth_accounting(spark, str(tmp_path)).collect()}
+    d0, d1, d3 = out["2024-02-01"], out["2024-02-02"], out["2024-02-04"]
+    assert (d0.n_new, d0.n_retained, d0.n_resurrected) == (2, 0, 0)
+    assert (d1.n_new, d1.n_retained, d1.n_resurrected) == (0, 1, 0)
+    assert (d3.n_new, d3.n_retained, d3.n_resurrected) == (1, 0, 1)
+    for r in out.values():
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
