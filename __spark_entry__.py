@@ -71,54 +71,55 @@ GATE_WINDOW = [
     # (q_hll_*, q_approx_*) stay OUTSIDE the window — a rows-only driver
     # record would burn an oracled slot.
     #
-    # ROUND-7 WINDOW (VERDICT r04 next-round #2 / ADVICE r04): filled
-    # entirely from the 78-query never-driver-witnessed backlog (union of
-    # CORRECTNESS_r01..r04 keys vs queries()), prioritizing the
-    # scale-critical and masking-anchor queries the verdict named, plus the
-    # one materially-CHANGED query this round (q_rfm_segments — NTILE
-    # windows replaced by broadcast quintile cut-points, same oracle). The
-    # ~24 remaining oracled backlog queries rotate in next round.
+    # ROUND-6 WINDOW (VERDICT r05 next-round #1): filled entirely from the
+    # 60-query never-driver-witnessed backlog (union of CORRECTNESS_r01..r05
+    # keys vs queries()). 54 of the 60 are hash-oracled; this window takes 50
+    # of those (rows-only q_compression_quality / sim_ann_pq_trained /
+    # q_winsorize_prices_approx / q_approx_quantiles / q_hll_* stay outside
+    # per the policy above, and the 4 deferred oracled queries —
+    # q_mode_per_group, q_unpivot_measures, q_value_histogram,
+    # q_profile_orders, all simple ops with driver-witnessed family siblings
+    # — rotate into r07 with any r06 additions). The two materially-CHANGED
+    # queries this round (q_semdedup, q_multimodal_phash_dedup — viral-bucket
+    # caps + in-plan precision floors per VERDICT r05 #2/#4) are in-window.
     #
-    # --- masking anchors (JVM-PBKDF2-anchored VALUES oracles) ---
-    "q_mask_credit_cards", "q_mask_pipeline_stage", "q_userdata_lifecycle",
+    # --- scale-critical / weak-item fixes (VERDICT r05 named) ---
+    "q_pca_top_component", "q_multimodal_phash_dedup", "q_semdedup",
+    "q_label_propagation", "q_multimodal_phash",
     #
-    # --- retrieval / ranking (one postings shuffle designs) ---
-    "q_inverted_index", "q_tfidf_top_terms", "q_bm25_search",
-    "q_unigram_logprob", "q_bigram_logprob", "q_word_pmi",
-    "q_hybrid_rrf_search", "q_rag_index_build",
+    # --- corpus curation family (r05 additions) ---
+    "q_boilerplate_segments", "q_perplexity_filter", "q_dsir_importance",
+    "q_ngram_novelty", "q_language_confusion", "q_curriculum_shards",
+    "q_hard_negatives", "q_feature_hashing", "q_consistent_hash_shards",
+    "q_epoch_shuffle",
     #
-    # --- tokenizer / graph iteratives ---
-    "q_bpe_train_merges", "q_bpe_encode",
-    "q_pagerank_suppliers", "q_triangle_count",
+    # --- dedup / embeddings / ANN stragglers ---
+    "dedup_simhash_idf_buckets", "q_bloom_dedup_screen",
+    "q_embedding_truncate_mrl", "q_embedding_drift", "q_feature_correlation",
+    "q_winsorize_prices",
     #
-    # --- privacy / governance ---
-    "q_k_anonymity_audit", "q_l_diversity_audit", "q_k_anonymity_suppress",
-    "q_pseudonymize_referential", "q_dp_noisy_counts", "q_gdpr_erasure_audit",
+    # --- retrieval eval / tokenizer round-trip ---
+    "q_search_ndcg", "q_bpe_roundtrip", "q_udtf_term_freqs",
     #
-    # --- streaming state (replay-idempotent single-file streams) ---
-    "q_stream_dedup_within_watermark", "q_stream_cms_cells",
-    "q_stream_stream_left_join", "q_stream_threshold_alert",
+    # --- extensibility surface ---
+    "q_python_datasource", "q_variant_extract", "q_recursive_month_spine",
     #
-    # --- training-set prep ---
-    "q_decontaminate_ngrams", "q_domain_mix_rebalance",
-    "q_quality_percentile_filter", "q_passage_dedup_stats",
-    "q_training_shards", "q_temperature_mix", "q_exact_k_per_group",
+    # --- time series / forecast ---
+    "q_time_resample", "q_rolling_revenue_7d", "q_gap_fill_interpolate",
+    "q_theil_sen_trend", "q_forecast_backtest", "q_delivery_sla_monthly",
+    "q_incremental_rollup", "q_pit_scd2_enrich",
     #
-    # --- entity resolution / ANN ---
-    "q_entity_resolution", "sim_ann_pq",
+    # --- behavior / growth ---
+    "q_rolling_retention_d7", "q_position_attribution", "q_churn_features",
+    "q_growth_accounting", "q_auto_join_revenue",
     #
-    # --- behavior / events ---
-    "q_funnel_conversion", "q_cohort_retention", "q_dau_wau_stickiness",
-    "q_first_touch_attribution", "q_user_journeys",
-    "q_max_concurrent_sessions", "q_rfm_segments",
+    # --- statistics / experimentation ---
+    "q_logrank_test", "q_covariate_balance", "q_trimmed_mean",
+    "q_feature_binning", "q_salted_aggregation", "q_referential_integrity",
     #
-    # --- quality / layout / skew ---
-    "q_heavy_hitters_cms", "q_zorder_layout", "q_data_quality_audit",
-    "q_key_skew_profile", "q_outlier_customers",
-    #
-    # --- statistics ---
-    "q_group_ols", "q_mad_outliers", "q_embedding_covariance",
-    "q_incremental_moments",
+    # --- streaming / text utilities ---
+    "q_stream_hysteresis_alert", "q_text_clean", "q_length_bucket_batches",
+    "q_null_safe_join",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 
