@@ -336,6 +336,14 @@ def q_multimodal_silence(spark, sf_dir):
 
 _PHD_BANDS = 4  # 4 bands × 16 bits over the 8×8 hash
 _PHD_MAXHAM = 6
+# Viral-bucket cap (VERDICT r05 #2): a band key shared by more than this many
+# images is a degenerate class (identical boilerplate imagery), not
+# near-duplication — enumerating its pairs is quadratic in the class size.
+# Capped buckets are EXCLUDED from candidate generation and COUNTED in the
+# output's n_dropped_buckets audit column. 256 sits well above the organic
+# maximum of this corpus family (96 at sf0.1, 12 at sf0.01) while bounding a
+# planted viral class to cap² pairs per bucket.
+_PHD_MAXBUCKET = 256
 
 
 @register(
@@ -361,10 +369,13 @@ bands AS (
   SELECT doc_id, b.i AS band, substr(bits, b.i * 16 + 1, 16) AS key
   FROM ph CROSS JOIN range({_PHD_BANDS}) b(i)
 ),
+bsz AS (SELECT band, key, COUNT(*) AS n FROM bands GROUP BY band, key),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  JOIN bsz ON bsz.band = a.band AND bsz.key = a.key
+  WHERE bsz.n <= {_PHD_MAXBUCKET}
 ),
 scored AS (
   SELECT c.d1, c.d2,
@@ -372,8 +383,19 @@ scored AS (
               i -> substr(p1.bits, i, 1) <> substr(p2.bits, i, 1))) AS INTEGER)
            AS hamming
   FROM cand c JOIN ph p1 ON c.d1 = p1.doc_id JOIN ph p2 ON c.d2 = p2.doc_id
+),
+ver AS (SELECT d1, d2, hamming FROM scored WHERE hamming <= {_PHD_MAXHAM}),
+stats AS (
+  SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidate_pairs,
+         CAST((SELECT COUNT(*) FROM bsz WHERE n > {_PHD_MAXBUCKET}) AS BIGINT)
+           AS n_dropped_buckets,
+         CAST((SELECT COUNT(*) FROM ver) AS BIGINT) AS n_verified
 )
-SELECT d1, d2, hamming FROM scored WHERE hamming <= {_PHD_MAXHAM}
+SELECT v.d1, v.d2, v.hamming,
+       s.n_candidate_pairs, s.n_dropped_buckets,
+       CAST(floor(s.n_verified * 1000000.0 / s.n_candidate_pairs) AS BIGINT)
+         AS precision_fp6
+FROM ver v CROSS JOIN stats s
 """,
 )
 def q_multimodal_phash_dedup(spark, sf_dir):
@@ -381,18 +403,29 @@ def q_multimodal_phash_dedup(spark, sf_dir):
     analogue of SimHash dedup, over genuinely decoded pixels: every document
     renders a real 8×8 PNG (the aHash common-grid convention), the stdlib
     decoder reads it back, and the above-mean bitstring splits into 4
-    16-bit bands; images sharing ANY band become candidates (two hashes
-    within Hamming distance 6 of each other must agree on at least one of 4
-    bands — pigeonhole, the SimHash band guarantee) and candidates verify
-    with an exact Hamming check. The oracle reproduces every bit from the
-    generative pixel formula with no image codec, so a hash match proves
-    the full encode→decode→hash→band→verify path.
+    16-bit bands; images sharing ANY band become candidates, and candidates
+    verify with an exact Hamming check. Recall note: 4 bands pigeonhole-
+    guarantee a shared band only for Hamming distance ≤ 3; distances 4–6
+    are candidate-set-limited (a 2+2+1+1 split across bands is missed).
+    The oracle bands identically, so engine parity is exact; widening to
+    ≥ 7 bands would restore the guarantee at the cost of 8-bit keys, which
+    collide pathologically at corpus scale (≤ 256 keys/band). The oracle
+    reproduces every bit from the generative pixel formula with no image
+    codec, so a hash match proves the full encode→decode→hash→band→verify
+    path.
 
-    Scale shape: decode+hash ride the scan partition-local (mapInPandas);
-    banding is a 4× explode of 64-bit rows; the bucket join shuffles only
-    (band, key) pairs — never all-pairs over the image corpus; verification
-    touches candidate pairs only (cap viral buckets the
-    ``lsh_dropped_buckets`` way when a production corpus needs it)."""
+    Scale shape (VERDICT r05 #2/#4): decode+hash ride the scan
+    partition-local (mapInPandas); banding is a 4× explode of 64-bit rows;
+    pair generation is GROUP-then-enumerate per (band, key) bucket — one
+    shuffle, one task per bucket, never a shuffled self-join — with viral
+    buckets (> ``_PHD_MAXBUCKET`` members: identical boilerplate imagery)
+    EXCLUDED from enumeration and audited in ``n_dropped_buckets``;
+    verification touches candidate pairs only. Every output row carries the
+    corpus-level candidate count and the verify precision
+    (verified/candidate, fp6) so the correctness gate witnesses candidate
+    quality, not just pair cardinality
+    (``tests/test_multimodal_queries.py`` pins the floor)."""
+    from ..operators.dedup import _pairs_within
     from ..operators.multimodal import (
         attach_png_payload_grouped,
         perceptual_hash_images,
@@ -407,27 +440,34 @@ def q_multimodal_phash_dedup(spark, sf_dir):
     )
     bands = ph.select(
         "doc_id",
-        "bits",
         F.explode(F.sequence(F.lit(0), F.lit(_PHD_BANDS - 1))).alias("band"),
+        F.col("bits"),
     ).select(
         "doc_id",
         "band",
         F.expr("substr(bits, band * 16 + 1, 16)").alias("key"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .persist()  # (band,key)-sized; consumers: pair enumeration + audit
+    )
+    n_dropped = buckets.agg(
+        F.sum((F.size("ids") > _PHD_MAXBUCKET).cast("bigint")).alias(
+            "n_dropped_buckets"
         )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+    )
+    cand = (
+        buckets.filter(
+            (F.size("ids") > 1) & (F.size("ids") <= _PHD_MAXBUCKET)
+        )
+        .select(F.explode(_pairs_within(F.col("ids"))).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .distinct()
     )
     p1 = ph.select(F.col("doc_id").alias("d1"), F.col("bits").alias("b1"))
     p2 = ph.select(F.col("doc_id").alias("d2"), F.col("bits").alias("b2"))
-    return (
+    verified = (
         cand.join(p1, "d1")
         .join(p2, "d2")
         .withColumn(
@@ -436,6 +476,29 @@ def q_multimodal_phash_dedup(spark, sf_dir):
                 "size(filter(sequence(1, 64), i -> substr(b1, i, 1) != substr(b2, i, 1)))"
             ).cast("int"),
         )
-        .filter(F.col("hamming") <= _PHD_MAXHAM)
-        .select("d1", "d2", "hamming")
+        .persist()  # candidate-sized (cap-bounded); consumers: stats + output
+    )
+    stats = verified.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+        F.sum((F.col("hamming") <= _PHD_MAXHAM).cast("bigint")).alias(
+            "n_verified"
+        ),
+    ).crossJoin(F.broadcast(n_dropped))
+    return (
+        verified.filter(F.col("hamming") <= _PHD_MAXHAM)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "d1",
+            "d2",
+            "hamming",
+            "n_candidate_pairs",
+            F.coalesce("n_dropped_buckets", F.lit(0))
+            .cast("bigint")
+            .alias("n_dropped_buckets"),
+            F.floor(
+                F.col("n_verified") * 1_000_000.0 / F.col("n_candidate_pairs")
+            )
+            .cast("bigint")
+            .alias("precision_fp6"),
+        )
     )
