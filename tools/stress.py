@@ -817,7 +817,11 @@ def main():
     def phash_dedup_stress():
         # banded-pHash image near-dup at 200k REAL PNG encode+decode round
         # trips (mirrors q_multimodal_phash_dedup: Arrow-batched stdlib
-        # codec, 4×16-bit bands, exact Hamming verify)
+        # codec, 4×16-bit bands, capped group-then-enumerate, exact Hamming
+        # verify)
+        from arc_maskdata_pipeline_plugin_spark.operators.dedup import (
+            _pairs_within,
+        )
         from arc_maskdata_pipeline_plugin_spark.operators.multimodal import (
             attach_png_payload_grouped,
             perceptual_hash_images,
@@ -833,20 +837,17 @@ def main():
         )
         bands = ph.select(
             "doc_id",
-            "bits",
             F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+            "bits",
         ).select(
             "doc_id", "band", F.expr("substr(bits, band * 16 + 1, 16)").alias("key")
         )
-        a, b = bands.alias("a"), bands.alias("b")
         cand = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.key") == F.col("b.key"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+            bands.groupBy("band", "key")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .filter((F.size("ids") > 1) & (F.size("ids") <= 256))
+            .select(F.explode(_pairs_within(F.col("ids"))).alias("p"))
+            .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
             .distinct()
         )
         p1 = ph.select(F.col("doc_id").alias("d1"), F.col("bits").alias("b1"))
@@ -870,7 +871,317 @@ def main():
         "banded-pHash image near-dup (200k real PNG decode round trips)",
         200_000,
         phash_dedup_stress,
-        "decode+hash ride the scan; band bucket join; exact Hamming verify",
+        "decode+hash ride the scan; capped bucket enumeration; exact Hamming verify",
+    )
+
+    def phash_viral_stress():
+        # ADVERSARIAL corpus for the q_multimodal_phash_dedup cap (VERDICT
+        # r05 #2): 1.2M hashes where a 400k-member class is bit-identical
+        # (the boilerplate-image shape that produced the 78M-pair/463s
+        # blowup in r05's generator incident). Uncapped, its four band
+        # buckets alone enumerate 4×C(400k,2) ≈ 3.2e11 pairs; with the
+        # production cap (256) they are dropped-and-audited and the run is
+        # bounded by the organic buckets. PNG decode is skipped — this row
+        # isolates the JOIN hazard, the decode cost is the row above.
+        from arc_maskdata_pipeline_plugin_spark.operators.dedup import (
+            _pairs_within,
+        )
+
+        n = 1_200_000
+        ids = spark.range(0, n, 1, sc.defaultParallelism * 2)
+        bits = F.when(
+            F.col("id") % 3 == F.lit(0), F.lit("0" * 64)  # viral class
+        ).otherwise(
+            F.expr("lpad(bin(abs(xxhash64(cast(id as string)))), 64, '0')")
+        )
+        ph = ids.select(F.col("id").alias("doc_id"), bits.alias("bits")).persist()
+        bands = ph.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+            "bits",
+        ).select(
+            "doc_id", "band", F.expr("substr(bits, band * 16 + 1, 16)").alias("key")
+        )
+        cand = (
+            bands.groupBy("band", "key")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .filter((F.size("ids") > 1) & (F.size("ids") <= 256))
+            .select(F.explode(_pairs_within(F.col("ids"))).alias("p"))
+            .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+            .distinct()
+        )
+        p1 = ph.select(F.col("doc_id").alias("d1"), F.col("bits").alias("b1"))
+        p2 = ph.select(F.col("doc_id").alias("d2"), F.col("bits").alias("b2"))
+        (
+            cand.join(p1, "d1")
+            .join(p2, "d2")
+            .withColumn(
+                "hamming",
+                F.expr(
+                    "size(filter(sequence(1, 64), i -> substr(b1, i, 1) != substr(b2, i, 1)))"
+                ),
+            )
+            .filter(F.col("hamming") <= 6)
+            .agg(F.count(F.lit(1)))
+            .write.format("noop").mode("overwrite").save()
+        )
+        spark.catalog.clearCache()
+
+    timed(
+        "banded-pHash VIRAL class (1.2M hashes, 400k bit-identical, cap=256)",
+        1_200_000,
+        phash_viral_stress,
+        "uncapped would enumerate ~3.2e11 pairs; cap drops+audits the 4 viral buckets",
+    )
+
+    def semdedup_viral_stress():
+        # ADVERSARIAL corpus for the q_semdedup cap: 1.12M vectors, 600k of
+        # them COLLAPSED (identical embeddings in one cell — the degenerate
+        # class of a web corpus) plus 2048 healthy ~256-member cells.
+        # Uncapped, the collapsed cell alone is C(600k,2) ≈ 1.8e11 cosine
+        # pairs; the broadcast eligible-cell filter prunes it BEFORE the
+        # join, so wall-time is bounded by the ~67M healthy-cell pairs.
+        from arc_maskdata_pipeline_plugin_spark.operators.dedup import (
+            _dot,
+            with_norm,
+        )
+
+        n_healthy, n_viral, n_cells, cap = 524_288, 600_000, 2048, 512
+        healthy = spark.range(
+            0, n_healthy, 1, sc.defaultParallelism * 2
+        ).select(
+            F.col("id").alias("vec_id"),
+            (F.col("id") % n_cells).alias("cell"),
+            F.array(
+                *[
+                    (
+                        F.pmod(
+                            F.xxhash64(F.col("id").cast("string"), F.lit(i)),
+                            F.lit(1000),
+                        )
+                        / 1000.0
+                    ).cast("float")
+                    for i in range(8)
+                ]
+            ).alias("embedding"),
+        )
+        viral = spark.range(
+            n_healthy, n_healthy + n_viral, 1, sc.defaultParallelism * 2
+        ).select(
+            F.col("id").alias("vec_id"),
+            F.lit(-1).cast("bigint").alias("cell"),
+            F.array(*[F.lit(0.5).cast("float")] * 8).alias("embedding"),
+        )
+        m = with_norm(healthy.unionByName(viral)).persist()
+        members = m.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+        eligible = F.broadcast(
+            members.filter(F.col("n_members") <= cap).select("cell")
+        )
+        m_ok = m.join(eligible, "cell")
+        x, y = m_ok.alias("x"), m_ok.alias("y")
+        cos = _dot(F.col("x.embedding"), F.col("y.embedding")) / (
+            F.col("x._norm") * F.col("y._norm")
+        )
+        (
+            x.join(
+                y,
+                (F.col("x.cell") == F.col("y.cell"))
+                & (F.col("x.vec_id") < F.col("y.vec_id")),
+            )
+            .filter(cos >= 0.98)
+            .agg(F.count(F.lit(1)))
+            .write.format("noop").mode("overwrite").save()
+        )
+        spark.catalog.clearCache()
+
+    timed(
+        "SemDeDup VIRAL cell (1.12M vecs, 600k collapsed, cap=512)",
+        1_124_288,
+        semdedup_viral_stress,
+        "uncapped collapsed cell = 1.8e11 pairs; broadcast eligible filter prunes pre-join",
+    )
+
+    def lpa_stress():
+        # synchronous label propagation (mirrors q_label_propagation):
+        # 8M symmetric edges / 500k nodes, 4 rounds of co-partitioned join
+        # + (node,label) count + map-side max_by argmax, localCheckpoint
+        # per round
+        n_half, n_nodes = 4_000_000, 500_000
+        raw = (
+            spark.range(0, n_half, 1, sc.defaultParallelism * 2)
+            .select(
+                (F.col("id") % n_nodes).alias("src"),
+                F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(n_nodes)).alias(
+                    "dst"
+                ),
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        edges = (
+            raw.union(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .repartition("src")
+            .persist()
+        )
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("lbl"))
+        )
+        for _ in range(4):
+            counts = (
+                edges.join(labels, edges.src == labels.node)
+                .groupBy(F.col("dst").alias("n2"), "lbl")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            )
+            labels = (
+                counts.groupBy(F.col("n2").alias("node"))
+                .agg(F.expr("max_by(lbl, struct(c, -lbl))").alias("lbl"))
+                .localCheckpoint(eager=False)
+            )
+        (
+            labels.groupBy("lbl")
+            .agg(F.count(F.lit(1)))
+            .agg(F.count(F.lit(1)))
+            .write.format("noop").mode("overwrite").save()
+        )
+        spark.catalog.clearCache()
+
+    timed(
+        "label propagation, 4 sync rounds (8M edges, 500k nodes)",
+        8_000_000,
+        lpa_stress,
+        "edges shuffled once + persisted; 2 shuffles/round; max_by argmax",
+    )
+
+    def consistent_hash_stress():
+        # consistent-hash shard assignment + 8->9 rebalance audit (mirrors
+        # q_consistent_hash_shards) at 5M docs: both rings are 128/144-row
+        # broadcast literals; the clockwise argmin is a map-side min_by
+        d5 = spark.range(0, 5_000_000, 1, sc.defaultParallelism * 2).select(
+            F.col("id").alias("doc_id"),
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 12), 16, 10)
+            .cast("bigint")
+            .alias("pos"),
+        )
+
+        def ring(n_shards):
+            return (
+                spark.range(n_shards)
+                .select(F.col("id").alias("shard"))
+                .crossJoin(spark.range(16).select(F.col("id").alias("vnode")))
+                .select(
+                    "shard",
+                    "vnode",
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    F.col("shard").cast("string"),
+                                    F.col("vnode").cast("string"),
+                                )
+                            ),
+                            1,
+                            12,
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("bigint")
+                    .alias("rpos"),
+                )
+            )
+
+        def assign(ring_df, out_name):
+            dist = F.when(
+                F.col("rpos") >= F.col("pos"), F.col("rpos") - F.col("pos")
+            ).otherwise(F.col("rpos") - F.col("pos") + (1 << 48))
+            return (
+                d5.crossJoin(F.broadcast(ring_df))
+                .select("doc_id", "shard", "vnode", dist.alias("dist"))
+                .groupBy("doc_id")
+                .agg(
+                    F.expr("min_by(shard, struct(dist, shard, vnode))").alias(
+                        out_name
+                    )
+                )
+            )
+
+        a = assign(ring(8), "shard")
+        b = assign(ring(9), "shard_b")
+        (
+            a.join(b, "doc_id")
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(
+                    F.when(F.col("shard") != F.col("shard_b"), 1).otherwise(0)
+                ).alias("n_moved"),
+            )
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    timed(
+        "consistent-hash shards + 8->9 rebalance audit (5M docs)",
+        5_000_000,
+        consistent_hash_stress,
+        "two broadcast rings on one scan; map-side min_by; one doc-keyed join",
+    )
+
+    def epoch_shuffle_stress():
+        # epoch-deterministic reshuffle audit (mirrors q_epoch_shuffle) at
+        # 20M docs: md5(epoch, doc_id) shard is a pure projection; one
+        # (epoch, shard) aggregate + one co-partitioned doc self-join
+        d20 = spark.range(0, 20_000_000, 1, sc.defaultParallelism * 4).select(
+            F.col("id").alias("doc_id")
+        )
+        asg = d20.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(1))).alias("epoch"),
+        ).select(
+            "doc_id",
+            "epoch",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("epoch").cast("string"),
+                                F.col("doc_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 64
+            ).alias("shard"),
+        )
+        sizes = asg.groupBy("epoch", "shard").agg(F.count(F.lit(1)).alias("n"))
+        a = asg.filter(F.col("epoch") == 0).select(
+            "doc_id", F.col("shard").alias("s0")
+        )
+        b = asg.filter(F.col("epoch") == 1).select(
+            "doc_id", F.col("shard").alias("s1")
+        )
+        overlap = a.join(b, "doc_id").agg(
+            F.sum(F.when(F.col("s0") == F.col("s1"), 1).otherwise(0)).alias(
+                "n_same"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        sizes.crossJoin(F.broadcast(overlap)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timed(
+        "epoch-deterministic reshuffle audit (20M docs, 2 epochs, 64 shards)",
+        20_000_000,
+        epoch_shuffle_stress,
+        "shard is a pure md5 projection; one agg + one doc-keyed self-join",
     )
 
     def perplexity_stress():
