@@ -1019,9 +1019,9 @@ WITH daily AS (
   FROM events GROUP BY 1, 2
 ),
 f AS (
-  SELECT event_type, day, cents,
-         LAG(cents, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc
-  FROM daily
+  SELECT a.event_type, a.day, a.cents, b.cents AS fc
+  FROM daily a LEFT JOIN daily b
+    ON a.event_type = b.event_type AND b.day = a.day - 7
 ),
 scored AS (
   SELECT event_type, ABS(cents - fc) AS ae,
@@ -1045,10 +1045,15 @@ def q_forecast_backtest(spark, sf_dir):
     BEFORE the mean (fp-floored-terms rule — a floating mean of ratios is
     partition-order-dependent; an integer sum is not).
 
+    The seasonal baseline is a CALENDAR self-join on ``day − 7 days``, not a
+    7-ROW lag: on a gapped daily series a row-offset LAG silently misaligns
+    the weekday (ADVICE r05), whereas the join scores exactly the days whose
+    same-weekday-last-week actual exists and skips the rest.
+
     Scale shape: the corpus collapses to the calendar-grain daily frame in
-    one shuffle; the 7-day LAG and the error aggregate run per event type
-    on that tiny frame. Swapping a real model only changes the ``fc``
-    column — the backtest harness is model-agnostic."""
+    one shuffle; the date-shifted self-join and the error aggregate run per
+    event type on that tiny frame. Swapping a real model only changes the
+    ``fc`` column — the backtest harness is model-agnostic."""
     e = T(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
@@ -1057,8 +1062,12 @@ def q_forecast_backtest(spark, sf_dir):
         .cast("bigint")
         .alias("cents")
     )
-    w = Window.partitionBy("event_type").orderBy("day")
-    f = daily.withColumn("fc", F.lag("cents", 7).over(w))
+    fc = daily.select(
+        "event_type",
+        F.date_add("day", 7).alias("day"),
+        F.col("cents").alias("fc"),
+    )
+    f = daily.join(fc, ["event_type", "day"], "left")
     ae = F.abs(F.col("cents") - F.col("fc"))
     scored = f.filter(
         F.col("fc").isNotNull() & ((F.abs("cents") + F.abs("fc")) > 0)

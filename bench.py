@@ -197,6 +197,33 @@ WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
 # 30% plan regression from box CPU noise (BENCH_r02's uniform 1.28x)
 
 
+def _median(xs: list[float]) -> float:
+    """True median: even-length lists average the two middle samples.
+    ``sorted(xs)[(len-1)//2]`` picked the MINIMUM of a 2-sample list, which
+    optimistically biased the >=3s tier's 'warm median' (ADVICE r05)."""
+    s = sorted(xs)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+
+def _plan_sha(df) -> str:
+    """Stable fingerprint of the executed physical plan: expression ids,
+    AQE plan ids, and codegen/exchange ids are session-specific noise and
+    get normalized out, so the SAME plan hashes identically across rounds
+    and a >1.3x bench flag can be auto-adjudicated as plan-changed vs
+    environmental (VERDICT r05 next-round #3)."""
+    import hashlib
+    import re
+
+    s = df._jdf.queryExecution().executedPlan().toString()
+    s = re.sub(r"#\d+", "#x", s)
+    s = re.sub(r"\[id=[^\]]*\]", "", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=x", s)
+    s = re.sub(r"Statistics\([^)]*\)", "", s)
+    s = re.sub(r"isFinalPlan=\w+", "", s)
+    return hashlib.sha256(s.encode()).hexdigest()[:16]
+
+
 def _previous_round_queries() -> tuple[str, dict]:
     """Per-query timings from the latest BENCH_r{N}.json, for regression
     tracking (VERDICT r01 next-round #8)."""
@@ -233,6 +260,30 @@ def _previous_round_queries() -> tuple[str, dict]:
         return "", {}
 
 
+def _baseline_plan_shas() -> dict:
+    """Plan fingerprints to adjudicate regression flags against: prefer the
+    previous ROUND's committed snapshot, else the in-tree BENCH_DETAIL.json
+    from the latest full run (read BEFORE this run overwrites it)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates = sorted(
+        glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+        reverse=True,
+    ) + [os.path.join(here, "BENCH_DETAIL.json")]
+    for path in candidates:
+        try:
+            with open(path) as f:
+                shas = json.load(f).get("plan_shas") or {}
+            if shas:
+                return shas
+        except (OSError, json.JSONDecodeError):
+            continue
+    return {}
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -247,6 +298,9 @@ def main():
         names = [n for n in names if n in keep]
     timings = {}
     cold = {}
+    plan_shas = {}
+    # read BEFORE this run overwrites BENCH_DETAIL.json
+    baseline_shas = _baseline_plan_shas() if sf == "0.1" else {}
     # warm the JVM + parquet footer cache with one cheap action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     for name in names:
@@ -268,7 +322,13 @@ def main():
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
             warm.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(warm)[(len(warm) - 1) // 2], 3)
+        timings[name] = round(_median(warm), 3)
+        # plan fingerprint (no execution — planning only), for adjudicating
+        # next round's >1.3x flags as plan-changed vs environmental
+        try:
+            plan_shas[name] = _plan_sha(qs[name](spark, sf_dir))
+        except Exception:
+            pass
         print(
             f"# {name}: warm median {timings[name]}s of "
             f"{[round(w, 3) for w in sorted(warm)]} / cold {cold[name]}s ({n} rows)",
@@ -316,6 +376,22 @@ def main():
                 )
             if adj > 1.3:
                 regressions[name] = round(adj, 2)
+    # Auto-adjudicate each flag (VERDICT r05 next-round #3): a flag whose
+    # normalized physical-plan fingerprint is byte-identical to the previous
+    # round's snapshot is environmental noise, not a plan regression.
+    adjudication = {}
+    for name in regressions:
+        prev_sha, cur_sha = baseline_shas.get(name), plan_shas.get(name)
+        if prev_sha and cur_sha:
+            adjudication[name] = (
+                "environment (plan unchanged)"
+                if prev_sha == cur_sha
+                else "plan-changed"
+            )
+        else:
+            adjudication[name] = "unknown (no baseline plan sha)"
+    for name, verdict in adjudication.items():
+        print(f"#   adjudicated {name}: {verdict}", file=sys.stderr)
 
     # The driver records only a bounded stdout TAIL: at ~75 headline queries
     # the full per-query map overflowed it and BENCH_r04.json came back
@@ -334,6 +410,7 @@ def main():
         "cold": cold,
         "cold_total": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "plan_shas": plan_shas,
     }
     out = {
         "metric": "headline_queries_total",
@@ -349,6 +426,8 @@ def main():
         for doc in (out, detail):
             doc["vs_prev_round"] = prev_round
             doc["regressions_gt_1_3x"] = regressions
+            if adjudication:
+                doc["regression_adjudication"] = adjudication
             if uniform_slowdown:
                 doc["uniform_slowdown_x"] = uniform_slowdown
     here = os.path.dirname(os.path.abspath(__file__))

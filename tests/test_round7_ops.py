@@ -676,6 +676,35 @@ def test_forecast_backtest_perfect_weekly_pattern(spark, tmp_path):
     assert r.mae_cents == 0 and r.smape_fp6 == 0
 
 
+def test_forecast_backtest_gapped_calendar_stays_aligned(spark, tmp_path):
+    """Drop one day from a perfectly weekly series: the calendar self-join
+    keeps the seasonal baseline aligned (MAE stays 0) and simply skips the
+    missing day and its +7 dependent. A 7-ROW lag would have misaligned
+    every day after the gap (ADVICE r05)."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, tzinfo=datetime.timezone.utc)
+    rows = []
+    for d in range(21):
+        if d == 10:  # the gap
+            continue
+        v = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0][d % 7]
+        rows.append((d, t0 + datetime.timedelta(days=d), 1, "buy", v, "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.timeseries import (
+        q_forecast_backtest,
+    )
+
+    r = q_forecast_backtest(spark, str(tmp_path)).collect()[0]
+    # days 7..20 minus day 10 (absent) minus day 17 (its day-10 actual is
+    # missing, so fc is NULL and the row is excluded)
+    assert r.n_days == 12
+    assert r.mae_cents == 0 and r.smape_fp6 == 0
+
+
 def test_churn_features_one_user(spark, tmp_path):
     """Hand-checked feature vector: 3 events across 2 weeks, 1 purchase."""
     import datetime
