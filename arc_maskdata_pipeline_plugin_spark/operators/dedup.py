@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..cache import persisted
 
 # ---------------------------------------------------------------------------
 # shingling
@@ -407,7 +408,7 @@ def duplicated_spans(
                 "h"
             ),
         )
-        .persist()
+        .transform(persisted)
     )
     dup_hashes = (
         spans.groupBy("h")

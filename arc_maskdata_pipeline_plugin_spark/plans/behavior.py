@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .registry import T, register
+from .registry import T, persisted, register
 
 
 @register(
@@ -246,7 +246,7 @@ def q_dau_wau_stickiness(spark, sf_dir):
     so the join output is ≤7× the user-day frame, calendar-bounded) and
     count distinct per grid day. The day grid is tiny and broadcasts."""
     e = T(spark, sf_dir, "events")
-    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct().persist()
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct().transform(persisted)
     grid = ud.select("day").distinct()
     wau = (
         ud.alias("u")
@@ -738,7 +738,7 @@ def q_rfm_segments(spark, sf_dir):
         .withColumn("pid", F.spark_partition_id())
         # the rank branch and the partition-totals branch must see the SAME
         # range partitioning — persist instead of recomputing it twice
-        .persist()
+        .transform(persisted)
     )
     rn = F.row_number().over(Window.partitionBy("pid", "dim").orderBy("v", "user_id"))
     totals = rp.groupBy("pid", "dim").agg(

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .registry import T, register, spread
+from .registry import T, persisted, register, spread
 from .search import _TOKS_SQL
 
 N_MERGES = 10
@@ -101,7 +101,7 @@ def _train_bpe(spark, sf_dir, n_merges: int):
                 F.lit("  </w>  "),
             ),
         )
-        .persist()
+        .transform(persisted)
     )
     merges = []
     cur, prev = words, None

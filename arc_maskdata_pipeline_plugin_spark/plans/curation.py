@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .registry import T, register, spread
+from .registry import T, persisted, register, spread
 
 _SEG = 10  # tokens per pseudo-line segment
 _TOP_DSIR = 50
@@ -200,7 +200,7 @@ def q_perplexity_filter(spark, sf_dir):
     lm = (
         tok.groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .persist()
+        .transform(persisted)
     )
     consts = lm.agg(
         F.sum("c").cast("bigint").alias("n"),
@@ -318,13 +318,13 @@ def q_dsir_importance(spark, sf_dir):
         tok.filter(F.col("lang") == "en")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
-        .persist()
+        .transform(persisted)
     )
     bg = (
         tok.filter(F.col("lang") != "en")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
-        .persist()
+        .transform(persisted)
     )
     vocab = tgt.select("w").union(bg.select("w")).distinct()
     consts = (
@@ -550,7 +550,7 @@ def q_semdedup(spark, sf_dir):
     from ..operators.similarity import ivf_assignments, ivf_centroids
 
     e = T(spark, sf_dir, "embeddings")
-    cents = ivf_centroids(e, n_cells=_SD_CELLS).persist()  # tiny
+    cents = ivf_centroids(e, n_cells=_SD_CELLS).transform(persisted)  # tiny
     assign = ivf_assignments(e, cents).select(
         F.col("m_vec_id").alias("vec_id"), "cell"
     )
@@ -563,7 +563,7 @@ def q_semdedup(spark, sf_dir):
         with_norm(e.select("vec_id", "embedding"))
         .join(assign, "vec_id")
         .select("cell", "vec_id", "embedding", "_norm")
-        .persist()
+        .transform(persisted)
     )
     members = m.groupBy("cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
@@ -589,7 +589,7 @@ def q_semdedup(spark, sf_dir):
         )
         .filter(cos >= _SD_TAU)
         .select(F.col("x.cell").alias("cell"), F.col("x.vec_id").alias("v1"), F.col("y.vec_id").alias("v2"))
-        .persist()  # near-dup-sized; consumers: pair count + dropped count
+        .transform(persisted)  # near-dup-sized; consumers: pair count + dropped count
     )
     np_ = pairs.groupBy("cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs")
@@ -718,7 +718,7 @@ def _doc_nll(spark, sf_dir):
     lm = (
         tok.groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .persist()
+        .transform(persisted)
     )
     consts = lm.agg(
         F.sum("c").cast("bigint").alias("n"),

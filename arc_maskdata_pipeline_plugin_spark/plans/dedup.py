@@ -20,7 +20,7 @@ from ..operators.dedup import (
     simhash_buckets,
     word_shingles,
 )
-from .registry import T, register, spread
+from .registry import T, persisted, register, spread
 
 NUM_HASHES = 8
 BAND_SIZE = 2
@@ -116,7 +116,7 @@ def dedup_minhash_pairs_fast(spark, sf_dir):
             F.coalesce("in_fast", F.lit(0)).alias("in_fast"),
             F.coalesce("in_md5", F.lit(0)).alias("in_md5"),
         )
-        .persist()  # near-dup-sized; consumers: the agreement agg + output
+        .transform(persisted)  # near-dup-sized; consumers: the agreement agg + output
     )
     stats = flagged.agg(
         F.sum("in_fast").alias("nf"),

@@ -11,7 +11,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.graph import SCALE, kcore_peel, pagerank_fixed_point, symmetrize
-from .registry import T, register
+from .registry import T, persisted, register
 
 _ITERATIONS = 5
 
@@ -146,7 +146,7 @@ def q_triangle_count(spark, sf_dir):
         und.groupBy("v")
         .agg(F.collect_set("u").alias("nbrs"))
         .withColumn("deg", F.size("nbrs"))
-        .persist()  # consumers: degree probe, orientation, edge count
+        .transform(persisted)  # consumers: degree probe, orientation, edge count
     )
     # orient: keep neighbor u of v only when (deg(v), v) < (deg(u), u); the
     # neighbor's degree arrives by a vertex-frame join against the exploded
@@ -161,7 +161,7 @@ def q_triangle_count(spark, sf_dir):
         )
         .groupBy("v")
         .agg(F.collect_list("u").alias("nbrs"))
-        .persist()  # consumers: edge re-explode + both adjacency probes
+        .transform(persisted)  # consumers: edge re-explode + both adjacency probes
     )
     eo = adj_or.select(F.col("v").alias("ev"), F.explode("nbrs").alias("eu"))
     au, av = adj_or.alias("au"), adj_or.alias("av")
@@ -405,7 +405,7 @@ def q_label_propagation(spark, sf_dir):
     edges = (
         e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .repartition("src")
-        .persist()
+        .transform(persisted)
     )
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")

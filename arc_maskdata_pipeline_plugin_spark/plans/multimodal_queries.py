@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import attach_binary_payload, extract_image_features
-from .registry import T, register
+from .registry import T, persisted, register
 
 
 @register(
@@ -436,7 +436,7 @@ def q_multimodal_phash_dedup(spark, sf_dir):
     ph = (
         perceptual_hash_images(attach_png_payload_grouped(d.select("doc_id")))
         .select("doc_id", F.col("phash_bits").alias("bits"))
-        .persist()  # consumers: band explode + two verification probes
+        .transform(persisted)  # consumers: band explode + two verification probes
     )
     bands = ph.select(
         "doc_id",
@@ -450,7 +450,7 @@ def q_multimodal_phash_dedup(spark, sf_dir):
     buckets = (
         bands.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .persist()  # (band,key)-sized; consumers: pair enumeration + audit
+        .transform(persisted)  # (band,key)-sized; consumers: pair enumeration + audit
     )
     n_dropped = buckets.agg(
         F.sum((F.size("ids") > _PHD_MAXBUCKET).cast("bigint")).alias(
@@ -476,7 +476,7 @@ def q_multimodal_phash_dedup(spark, sf_dir):
                 "size(filter(sequence(1, 64), i -> substr(b1, i, 1) != substr(b2, i, 1)))"
             ).cast("int"),
         )
-        .persist()  # candidate-sized (cap-bounded); consumers: stats + output
+        .transform(persisted)  # candidate-sized (cap-bounded); consumers: stats + output
     )
     stats = verified.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),

@@ -39,6 +39,11 @@ _NTZ_AS_UTC_INSTANT = (
 )
 
 
+from ..cache import persisted, release_persisted  # noqa: F401  (re-export:
+# query modules reach tracked persists through the registry they already
+# import; see cache.py for the unpersist-hygiene contract)
+
+
 def register(name: str, oracle: str | None = None):
     """Decorator: add a (spark, sf_dir) -> DataFrame callable to the registry."""
 

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators.search import bm25_search
 from ..operators.similarity import knn_bruteforce
-from .registry import T, register, spread
+from .registry import T, persisted, register, spread
 from .search import _BASE_CTES, _TOKS_SQL, BM25_QUERIES, _B, _K1
 from .similarity import _DOT
 
@@ -94,7 +94,7 @@ def q_word_pmi(spark, sf_dir):
         )
         .filter(F.col("rn") <= _PMI_CAP)
         .drop("rn")
-        .persist()
+        .transform(persisted)
     )
     nd = capped.agg(
         F.countDistinct("doc_id").cast("bigint").alias("n_docs")
@@ -335,7 +335,7 @@ def q_corpus_drift_kl(spark, sf_dir):
     # so persist it rather than re-running the tokenize+count pipeline.
     cnt = occ.groupBy("source", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("c_s")
-    ).persist()
+    ).transform(persisted)
     glob = cnt.groupBy("term").agg(F.sum("c_s").cast("bigint").alias("c_g"))
     w = Window.orderBy(F.desc("c_g"), "term")
     vocab = (
@@ -590,7 +590,7 @@ def q_phrase_search(spark, sf_dir):
     )
     post = docs.select("doc_id", F.posexplode(toks).alias("pos0", "term")).select(
         "doc_id", (F.col("pos0") + 1).alias("pos"), "term"
-    ).persist()  # one tokenize pass serves both phrase sides
+    ).transform(persisted)  # one tokenize pass serves both phrase sides
     q = spark.createDataFrame(_PHRASES, ["query_id", "w1", "w2"])
     a = post.alias("a").join(
         F.broadcast(q), F.col("a.term") == F.col("w1")

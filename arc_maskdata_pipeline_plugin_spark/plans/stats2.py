@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .registry import T, dec, register
+from .registry import T, dec, persisted, register
 
 # ---------------------------------------------------------------------------
 # Group-wise OLS (extendedprice ~ quantity per return flag)
@@ -1282,7 +1282,7 @@ def q_logrank_test(spark, sf_dir):
             .alias("t"),
             F.when(F.col("conv_day").isNull(), 0).otherwise(1).alias("ev"),
         )
-        .persist()  # consumers: counts + the two subject totals
+        .transform(persisted)  # consumers: counts + the two subject totals
     )
     counts = subj.groupBy("grp", "t").agg(
         F.sum("ev").cast("bigint").alias("d"),

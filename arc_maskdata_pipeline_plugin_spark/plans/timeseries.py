@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .registry import T, dec, register
+from .registry import T, dec, persisted, register
 
 
 @register(
@@ -274,7 +274,7 @@ def q_ewma_daily_value(spark, sf_dir):
         (F.sum(F.col("value").cast("decimal(10,2)")) * 100)
         .cast("bigint")
         .alias("cents")
-    ).persist()  # both sides of the trailing-window self-join; calendar-sized
+    ).transform(persisted)  # both sides of the trailing-window self-join; calendar-sized
     t, s = daily.alias("t"), daily.alias("s")
     warr = F.array(*[F.lit(w) for w in _EWMA_W])
     k = F.datediff(F.col("t.day"), F.col("s.day"))
@@ -440,7 +440,7 @@ def q_seasonal_decompose(spark, sf_dir):
         (F.sum(F.col("value").cast("decimal(10,2)")) * 100)
         .cast("bigint")
         .alias("cents")
-    ).persist()  # calendar-sized; feeds trend, dow means, and overall mean
+    ).transform(persisted)  # calendar-sized; feeds trend, dow means, and overall mean
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")
@@ -630,7 +630,7 @@ def q_psi_drift(spark, sf_dir):
         .otherwise(1)
         .alias("half"),
         (F.col("value").cast("decimal(10,2)") * 100).cast("bigint").alias("c"),
-    ).persist()  # both halves consumed twice (boundary build + assignment)
+    ).transform(persisted)  # both halves consumed twice (boundary build + assignment)
     refv = (
         cents.filter(F.col("half") == 0)
         .groupBy("event_type", "c")
@@ -794,7 +794,7 @@ def q_seasonal_anomaly(spark, sf_dir):
                 F.sum("cents").over(w) * 1_000_000.0 / F.count(F.lit(1)).over(w)
             ).cast("bigint")
         ).alias("r"),
-    ).persist()  # calendar-sized; feeds median, MAD, and the flag scan
+    ).transform(persisted)  # calendar-sized; feeds median, MAD, and the flag scan
     med = resid.groupBy("event_type").agg(
         F.element_at(
             F.array_sort(F.collect_list("r")),

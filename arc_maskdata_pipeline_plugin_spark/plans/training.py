@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .registry import T, register, spread
+from .registry import T, persisted, register, spread
 
 NGRAM = 8  # word n-gram width for decontamination
 MIN_SHARED = 3  # contamination floor: pairs sharing fewer grams are noise
@@ -734,7 +734,7 @@ def q_quantile_normalize(spark, sf_dir):
     )
     dv = docs.groupBy(F.col("n_chars").alias("val")).agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
-    ).persist()  # value-frame: feeds both the CDF and the global total
+    ).transform(persisted)  # value-frame: feeds both the CDF and the global total
     n_g = dv.agg(F.sum("cnt").cast("bigint").alias("n_g"))
     wc = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
     cum = dv.select("val", "cnt", F.sum("cnt").over(wc).alias("c"))

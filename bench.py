@@ -15,6 +15,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from arc_maskdata_pipeline_plugin_spark import get_spark  # noqa: E402
+from arc_maskdata_pipeline_plugin_spark.cache import (  # noqa: E402
+    release_persisted,
+)
 
 # Headline set: one per operator family; masking/dedup join as implemented.
 HEADLINE = [
@@ -337,6 +340,7 @@ def main():
         # Some queries deliberately persist small frames (BPE vocab, PMI
         # capped doc-words, triangle edges) — drop them so the 50+-query
         # session doesn't accumulate cache pressure that skews later queries.
+        release_persisted()
         spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
 

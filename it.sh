@@ -1,0 +1,41 @@
+#!/bin/bash
+# One-shot integration run — the analogue of the reference's `it.sh`
+# (reference/it.sh:1-14 boots docker-compose + `sbt +it:test`; this repo's
+# integration surface is a SparkSession in-process, so the one-shot is the
+# three driver-facing checks run back-to-back in a clean shell):
+#
+#   1. full pytest suite
+#   2. Spark-vs-DuckDB oracle parity over every registered query
+#   3. the headline bench (one JSON line)
+#
+# Usage:  ./it.sh [sf_dir]       (default /root/testdata/sf0.01)
+# Exit:   nonzero if ANY stage fails; per-stage logs land in ./it-logs/.
+set -u
+SF_DIR="${1:-/root/testdata/sf0.01}"
+HERE="$(cd "$(dirname "$0")" && pwd)"
+LOGS="$HERE/it-logs"
+mkdir -p "$LOGS"
+fail=0
+
+echo "== [1/3] pytest =="
+if python -m pytest "$HERE/tests" -q >"$LOGS/pytest.log" 2>&1; then
+  tail -1 "$LOGS/pytest.log"
+else
+  fail=1; echo "PYTEST FAILED:"; tail -20 "$LOGS/pytest.log"
+fi
+
+echo "== [2/3] oracle parity ($SF_DIR) =="
+if python "$HERE/tools/oracle_check.py" "$SF_DIR" >"$LOGS/oracle.log" 2>"$LOGS/oracle.err"; then
+  grep "ok; failed" "$LOGS/oracle.log" | tail -1
+else
+  fail=1; echo "ORACLE CHECK FAILED:"; grep -E "^FAIL|ok; failed" "$LOGS/oracle.log" | tail -20
+fi
+
+echo "== [3/3] bench ($SF_DIR) =="
+if SPARK_GRAFT_SF_DIR="$SF_DIR" python "$HERE/bench.py" >"$LOGS/bench.log" 2>"$LOGS/bench.err"; then
+  tail -1 "$LOGS/bench.log"
+else
+  fail=1; echo "BENCH FAILED:"; tail -20 "$LOGS/bench.err"
+fi
+
+exit $fail

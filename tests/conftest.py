@@ -43,6 +43,9 @@ def _clear_spark_cache(request):
     between queries for the same reason). Clear after every test so plan
     audits always see cold plans."""
     yield
+    from arc_maskdata_pipeline_plugin_spark.cache import release_persisted
+
+    release_persisted()  # empty the tracking list too, not just the cache
     spark = request.node.funcargs.get("spark")
     if spark is not None:
         spark.catalog.clearCache()

@@ -1,0 +1,61 @@
+"""Tracked-persist hygiene (VERDICT r05 next-round #6).
+
+Queries that ``persist()`` an internal fragment cannot unpersist before
+returning (the caller's action runs later), so they route the persist
+through ``cache.persisted`` and a library caller releases everything with
+``cache.release_persisted()``. These tests pin the contract: persisting
+queries register their frames, release drops them from the session cache,
+and release is idempotent.
+"""
+
+from pyspark.sql import functions as F
+
+from arc_maskdata_pipeline_plugin_spark.cache import (
+    _PERSISTED,
+    persisted,
+    release_persisted,
+)
+
+
+def _n_cached(spark) -> int:
+    jsc = spark.sparkContext._jsc.sc()
+    return jsc.getPersistentRDDs().size()
+
+
+def test_persisted_tracks_and_release_unpersists(spark):
+    release_persisted()  # start clean (autouse fixture runs after, not before)
+    df = persisted(spark.range(10).select(F.col("id") * 2))
+    assert len(_PERSISTED) == 1
+    assert df.count() == 10  # materialize the cache
+    assert _n_cached(spark) >= 1
+    assert release_persisted() == 1
+    assert not _PERSISTED
+    assert _n_cached(spark) == 0
+    # idempotent: nothing left to release
+    assert release_persisted() == 0
+
+
+def test_query_persists_are_tracked_and_releasable(spark, tmp_path):
+    """A real registry query that persists internally (RFM's range frame and
+    the daily-activity frame in behavior.py) leaves ZERO pinned frames after
+    release_persisted()."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, tzinfo=datetime.timezone.utc)
+    rows = [
+        (i, t0 + datetime.timedelta(hours=i), i % 7, "purchase", 5.0, "{}")
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.behavior import (
+        q_rfm_segments,
+    )
+
+    release_persisted()
+    assert q_rfm_segments(spark, str(tmp_path)).count() > 0
+    assert len(_PERSISTED) >= 1  # the query registered its internal persists
+    release_persisted()
+    assert _n_cached(spark) == 0

@@ -232,6 +232,7 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entry
     from arc_maskdata_pipeline_plugin_spark import get_spark
+    from arc_maskdata_pipeline_plugin_spark.cache import release_persisted
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -256,6 +257,7 @@ def main():
         # InMemoryTableScan and accumulates pressure over the 226-query
         # single-session sweep (bench.py already does this).
         spark.catalog.clearCache()
+        release_persisted()  # drop the tracking list alongside the cache
     print(f"\n{len(qs) - len(failed)}/{len(qs) if not only else len(only)} ok; failed: {failed}")
     return 1 if failed else 0
 
