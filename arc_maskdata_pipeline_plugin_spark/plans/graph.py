@@ -425,3 +425,97 @@ def q_label_propagation(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.min("node").cast("bigint").alias("min_member"),
     )
+
+
+# Max suppliers per order admitted to pair enumeration: C(d,2) per order is
+# bounded at C(32,2)=496, so a pathological mega-order cannot blow the pair
+# join up quadratically (the same viral-bucket discipline as the LSH/SemDeDup
+# caps); TPC-H orders carry <= 7 lineitems, so nothing is dropped here and
+# the in-plan dropped_orders audit witnesses that.
+_AA_MAX_DEG = 32
+
+
+@register(
+    "q_adamic_adar",
+    oracle=f"""
+WITH e AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+d AS (SELECT o, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY o),
+dropped AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS dropped_orders FROM d
+  WHERE dg > {_AA_MAX_DEG}
+),
+p AS (
+  SELECT a.o, a.s AS s1, b.s AS s2
+  FROM e a JOIN e b ON a.o = b.o AND a.s < b.s
+),
+sc AS (
+  SELECT p.s1, p.s2, CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(SUM(CAST(floor(1000000000.0 / ln(CAST(d.dg AS DOUBLE)))
+                       AS BIGINT)) AS BIGINT) AS aa_fp9
+  FROM p JOIN d USING (o)
+  WHERE d.dg BETWEEN 2 AND {_AA_MAX_DEG}
+  GROUP BY p.s1, p.s2
+)
+SELECT CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2, n_common, aa_fp9,
+       dr.dropped_orders
+FROM sc, dropped dr
+ORDER BY aa_fp9 DESC, s1, s2 LIMIT 20
+""",
+)
+def q_adamic_adar(spark, sf_dir):
+    """Adamic–Adar link prediction over the supplier co-occurrence graph:
+    two suppliers sharing an order are "linked through" that order, and the
+    order's contribution is 1/ln(degree) — ubiquitous hub orders carry less
+    signal than rare co-occurrences (Adamic & Adar 2003). Top-20 supplier
+    pairs by score, ties broken by (s1, s2) so the LIMIT is deterministic.
+
+    Scale shape: pair enumeration happens INSIDE each order's collected
+    supplier set (sorted array → index-pair explode), so the corpus never
+    self-joins; the per-order cost is C(d,2) capped at C({_AA_MAX_DEG},2)
+    by the degree cap, with an in-plan dropped_orders audit (the same
+    viral-bucket discipline as the LSH caps). Each per-order weight floors
+    to fp9 BEFORE the pair sum; the top-k is a TakeOrdered, not a global
+    sort."""
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    grp = li.groupBy("o").agg(F.sort_array(F.collect_set("s")).alias("a"))
+    dropped = grp.agg(
+        F.sum((F.size("a") > _AA_MAX_DEG).cast("int"))
+        .cast("bigint")
+        .alias("dropped_orders")
+    )
+    pairs_expr = (
+        "flatten(transform(sequence(1, size(a) - 1), i -> "
+        "transform(sequence(i + 1, size(a)), j -> "
+        "struct(element_at(a, CAST(i AS INT)) AS s1, "
+        "element_at(a, CAST(j AS INT)) AS s2))))"
+    )
+    w = F.floor(1_000_000_000.0 / F.log(F.size("a").cast("double"))).cast(
+        "bigint"
+    )
+    p = (
+        grp.filter(
+            (F.size("a") >= 2) & (F.size("a") <= _AA_MAX_DEG)
+        )
+        .select(w.alias("w"), F.explode(F.expr(pairs_expr)).alias("pr"))
+        .select("w", F.col("pr.s1").alias("s1"), F.col("pr.s2").alias("s2"))
+    )
+    sc = p.groupBy("s1", "s2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.sum("w").cast("bigint").alias("aa_fp9"),
+    )
+    return (
+        sc.crossJoin(F.broadcast(dropped))  # 1-row audit frame
+        .select(
+            F.col("s1").cast("bigint").alias("s1"),
+            F.col("s2").cast("bigint").alias("s2"),
+            "n_common",
+            "aa_fp9",
+            "dropped_orders",
+        )
+        .orderBy(F.desc("aa_fp9"), "s1", "s2")
+        .limit(20)
+    )

@@ -372,3 +372,146 @@ def q_t_closeness_audit(spark, sf_dir):
         "c_mktsegment",
         _T_FP9,
     )
+
+
+_DPQ_BINS = 64
+
+
+@register(
+    "q_dp_quantile",
+    oracle=f"""
+WITH mm AS (
+  SELECT MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS lo,
+         MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS hi
+  FROM orders
+),
+binned AS (
+  SELECT CAST(least(floor(CAST(CAST(o_totalprice AS DECIMAL(18,2)) - m.lo
+                               AS DOUBLE)
+                          / CAST(m.hi - m.lo AS DOUBLE) * {_DPQ_BINS}),
+                    {_DPQ_BINS - 1}) AS BIGINT) AS bin,
+         m.lo AS lo, m.hi AS hi
+  FROM orders, mm m
+),
+hist AS (
+  SELECT bin, MIN(lo) AS lo, MIN(hi) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM binned GROUP BY bin
+),
+noisy AS (
+  SELECT bin, lo, hi, n,
+         n + (CASE WHEN uni < 0.5 THEN 1.0 ELSE -1.0 END)
+             * ln(1.0 - 2.0 * abs(uni - 0.5)) AS noisy_n
+  FROM (
+    SELECT *,
+           (CAST(('0x' || substr(md5('dpq:' || CAST(bin AS VARCHAR)), 1, 8))
+                 AS BIGINT) + 0.5) / 4294967296.0 AS uni
+    FROM hist
+  )
+),
+cum AS (
+  SELECT bin, lo, hi, n,
+         SUM(noisy_n) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         SUM(noisy_n) OVER () AS tot,
+         SUM(n) OVER () AS nn
+  FROM noisy
+)
+SELECT CAST(MIN(nn) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN c >= 0.5 * tot THEN bin END) AS BIGINT)
+         AS dp_median_bin,
+       CAST(MIN(CASE WHEN c >= 0.5 * tot THEN
+              floor((CAST(lo AS DOUBLE)
+                     + CAST(hi - lo AS DOUBLE) * (bin + 1) / {_DPQ_BINS})
+                    * 100) END) AS BIGINT) AS dp_median_hi_cents
+FROM cum
+""",
+)
+def q_dp_quantile(spark, sf_dir):
+    """Differentially-private median via the noisy-histogram mechanism: bin
+    the metric into 64 fixed-width buckets, add Laplace(1/ε) noise
+    to every bucket count, then walk the noisy CDF to the 50% point and
+    release that bucket's upper edge. The histogram mechanism is the
+    workhorse DP quantile (each count has sensitivity 1, the released edge
+    is data-independent given the noisy counts). Noise is drawn by
+    inverse-CDF from a DETERMINISTIC md5-seeded uniform — the same test-mode
+    seam as q_dp_noisy_counts: production swaps in SecureRandom at the same
+    expression, nothing else changes.
+
+    Scale shape: one broadcast min/max probe, one shuffle to the
+    64-row histogram frame; the noisy-CDF walk is a cumulative
+    window over those 64 rows. The corpus is never sorted (an
+    exact DP quantile via the exponential mechanism would need the full
+    order statistics; the histogram trades resolution for one aggregate)."""
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p")
+    )
+    mm = o.agg(F.min("p").alias("lo"), F.max("p").alias("hi"))
+    binned = o.crossJoin(F.broadcast(mm)).select(  # 1-row min/max frame
+        F.least(
+            F.floor(
+                (F.col("p") - F.col("lo")).cast("double")
+                / (F.col("hi") - F.col("lo")).cast("double")
+                * _DPQ_BINS
+            ),
+            F.lit(_DPQ_BINS - 1),
+        )
+        .cast("bigint")
+        .alias("bin"),
+        "lo",
+        "hi",
+    )
+    hist = binned.groupBy("bin").agg(
+        F.min("lo").alias("lo"),
+        F.min("hi").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    uni = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dpq:"), F.col("bin").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    noise = F.when(uni < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0)) * F.log(
+        F.lit(1.0) - F.lit(2.0) * F.abs(uni - F.lit(0.5))
+    )
+    noisy = hist.select(
+        "bin", "lo", "hi", "n", (F.col("n") + noise).alias("noisy_n")
+    )
+    from pyspark.sql import Window as W
+
+    wc = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy()
+    cum = noisy.select(
+        "bin",
+        "lo",
+        "hi",
+        "n",
+        F.sum("noisy_n").over(wc).alias("c"),
+        F.sum("noisy_n").over(wall).alias("tot"),
+        F.sum("n").over(wall).alias("nn"),
+    )
+    hit = F.when(F.col("c") >= 0.5 * F.col("tot"), F.col("bin"))
+    edge = F.when(
+        F.col("c") >= 0.5 * F.col("tot"),
+        F.floor(
+            (
+                F.col("lo").cast("double")
+                + (F.col("hi") - F.col("lo")).cast("double")
+                * (F.col("bin") + 1)
+                / _DPQ_BINS
+            )
+            * 100
+        ),
+    )
+    return cum.agg(
+        F.min("nn").cast("bigint").alias("n"),
+        F.min(hit).cast("bigint").alias("dp_median_bin"),
+        F.min(edge).cast("bigint").alias("dp_median_hi_cents"),
+    )

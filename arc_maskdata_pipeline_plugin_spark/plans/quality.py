@@ -514,3 +514,115 @@ def q_referential_integrity(spark, sf_dir):
             "s_suppkey",
         )
     )
+
+
+_SDRIFT_SPLIT = "2001-01-01"
+
+
+@register(
+    "q_schema_drift_audit",
+    oracle=f"""
+WITH long AS (
+  SELECT CASE WHEN o_orderdate < TIMESTAMP '{_SDRIFT_SPLIT}'
+              THEN 'old' ELSE 'new' END AS side,
+         u.col, u.val
+  FROM orders, LATERAL (VALUES
+    ('o_orderstatus', o_orderstatus),
+    ('o_orderpriority', o_orderpriority),
+    ('o_custkey', CAST(o_custkey AS VARCHAR))
+  ) AS u(col, val)
+),
+profile AS (
+  SELECT col AS column_name,
+         CAST(SUM(CASE WHEN side = 'old' THEN 1 ELSE 0 END) AS BIGINT)
+           AS old_n,
+         CAST(SUM(CASE WHEN side = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_n,
+         CAST(SUM(CASE WHEN side = 'old' AND val IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS old_nulls,
+         CAST(SUM(CASE WHEN side = 'new' AND val IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS new_nulls,
+         CAST(COUNT(DISTINCT CASE WHEN side = 'old' THEN val END)
+              AS BIGINT) AS old_distinct,
+         CAST(COUNT(DISTINCT CASE WHEN side = 'new' THEN val END)
+              AS BIGINT) AS new_distinct
+  FROM long GROUP BY col
+)
+SELECT column_name, old_n, new_n, old_nulls, new_nulls,
+       old_distinct, new_distinct,
+       CAST(CASE WHEN new_distinct * 10 > old_distinct * 11
+                   OR new_distinct * 10 < old_distinct * 9
+                 THEN 1 ELSE 0 END AS BIGINT) AS distinct_drift_flag
+FROM profile
+""",
+)
+def q_schema_drift_audit(spark, sf_dir):
+    """Column-profile drift between two snapshot eras of the same table
+    (orders before vs after the split date) — the schema/contract monitor a
+    data platform runs on every load: per column, row count, null count,
+    and distinct cardinality on both sides, plus a ±10% distinct-drift flag
+    in pure integer arithmetic. Complements q_snapshot_diff (row-level
+    delta) and q_data_quality_audit (single-snapshot rules) with the
+    era-over-era COLUMN view that catches upstream schema rot (an enum
+    gaining values, a key collapsing, nulls appearing).
+
+    Scale shape: ONE scan — the stack/unpivot is a projection and both
+    eras profile in a single column-keyed aggregate via conditional
+    old/new expressions (an old⋈new self-join would re-scan the table).
+    The two conditional countDistincts ride the same shuffle through
+    Spark's Expand; at 100 TB swap approx_count_distinct at the same seam
+    if exactness is not contractual."""
+    o = T(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderdate") < F.lit(_SDRIFT_SPLIT).cast("timestamp"),
+            F.lit("old"),
+        )
+        .otherwise(F.lit("new"))
+        .alias("side"),
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_custkey").cast("string").alias("o_custkey_s"),
+    )
+    long = o.select(
+        "side",
+        F.expr(
+            "stack(3, 'o_orderstatus', o_orderstatus, "
+            "'o_orderpriority', o_orderpriority, "
+            "'o_custkey', o_custkey_s) AS (col, val)"
+        ),
+    )
+    is_old = F.col("side") == "old"
+    is_new = F.col("side") == "new"
+    prof = long.groupBy(F.col("col").alias("column_name")).agg(
+        F.sum(is_old.cast("int")).cast("bigint").alias("old_n"),
+        F.sum(is_new.cast("int")).cast("bigint").alias("new_n"),
+        F.sum((is_old & F.col("val").isNull()).cast("int"))
+        .cast("bigint")
+        .alias("old_nulls"),
+        F.sum((is_new & F.col("val").isNull()).cast("int"))
+        .cast("bigint")
+        .alias("new_nulls"),
+        F.countDistinct(F.when(is_old, F.col("val")))
+        .cast("bigint")
+        .alias("old_distinct"),
+        F.countDistinct(F.when(is_new, F.col("val")))
+        .cast("bigint")
+        .alias("new_distinct"),
+    )
+    return prof.select(
+        "column_name",
+        "old_n",
+        "new_n",
+        "old_nulls",
+        "new_nulls",
+        "old_distinct",
+        "new_distinct",
+        F.when(
+            (F.col("new_distinct") * 10 > F.col("old_distinct") * 11)
+            | (F.col("new_distinct") * 10 < F.col("old_distinct") * 9),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("distinct_drift_flag"),
+    )

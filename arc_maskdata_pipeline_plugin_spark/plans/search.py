@@ -360,3 +360,102 @@ def q_search_ndcg(spark, sf_dir):
         .cast("bigint")
         .alias("ndcg_fp6"),
     )
+
+
+# Relevance threshold for the binary MRR/recall labels: a doc is "relevant"
+# to a query when its query-term occurrence count reaches this (rel >= 1
+# would mark nearly every ranked doc relevant and saturate both metrics).
+_REL_T = 2
+
+
+def _mrr_oracle() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, q in BM25_QUERIES for t in q.split()
+    )
+    return f"""
+WITH bm AS (
+{_bm25_oracle()}
+),
+mrr_qt AS (SELECT * FROM (VALUES {vals}) AS t(query_id, term)),
+doc_terms AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+),
+rels AS (
+  SELECT q.query_id, p.doc_id
+  FROM mrr_qt q JOIN doc_terms p ON q.term = p.term
+  GROUP BY q.query_id, p.doc_id
+  HAVING COUNT(*) >= {_REL_T}
+),
+nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rels
+         GROUP BY query_id),
+hit AS (
+  SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS hits,
+         CAST(MIN(b.rank) AS BIGINT) AS mr
+  FROM bm b JOIN rels r ON b.query_id = r.query_id AND b.doc_id = r.doc_id
+  GROUP BY b.query_id
+)
+SELECT n.query_id, n.n_rel,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits_at_k,
+       CAST(COALESCE(CAST(floor(1000000000.0 / h.mr) AS BIGINT), 0)
+            AS BIGINT) AS rr_fp9,
+       CAST(floor(1000000.0 * COALESCE(h.hits, 0) / n.n_rel) AS BIGINT)
+         AS recall_fp6
+FROM nrel n LEFT JOIN hit h ON n.query_id = h.query_id
+"""
+
+
+@register("q_mrr_recall_eval", oracle=_mrr_oracle())
+def q_mrr_recall_eval(spark, sf_dir):
+    """Retrieval evaluation, binary-label tier: reciprocal rank of the first
+    relevant hit (MRR@10 numerator) and recall@10 of the BM25 ranking
+    against the same label-free relevance proxy as q_search_ndcg, binarized
+    at rel >= _REL_T. Completes the eval suite (nDCG grades the whole
+    ranking; RR grades the first hit; recall grades coverage of the
+    relevant set). Exact integers throughout: rr is floor(1e9/rank),
+    recall is floor(1e6·hits/n_rel).
+
+    Scale shape: identical to q_search_ndcg — one postings shuffle with
+    broadcast query terms; metrics aggregate per query over the bounded
+    top-k frame."""
+    from ..operators.search import _TOKENS, bm25_search
+
+    docs = T(spark, sf_dir, "documents")
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, q in BM25_QUERIES for t in q.split()],
+        "query_id int, term string",
+    )
+    bm = bm25_search(docs, qt, k=BM25_K, k1=_K1, b=_B).select(
+        "query_id", "doc_id", "rank"
+    )
+    tok = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
+    rels = (
+        tok.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("rel"))
+        .filter(F.col("rel") >= _REL_T)
+        .select("query_id", "doc_id")
+    )
+    nrel = rels.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rel")
+    )
+    hit = (
+        bm.join(rels, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("hits"),
+            F.min("rank").cast("bigint").alias("mr"),
+        )
+    )
+    return nrel.join(hit, "query_id", "left").select(
+        "query_id",
+        "n_rel",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits_at_k"),
+        F.coalesce(
+            F.floor(1_000_000_000.0 / F.col("mr")).cast("bigint"), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("rr_fp9"),
+        F.floor(1_000_000.0 * F.coalesce(F.col("hits"), F.lit(0)) / F.col("n_rel"))
+        .cast("bigint")
+        .alias("recall_fp6"),
+    )

@@ -611,3 +611,116 @@ def q_phrase_search(spark, sf_dir):
         hits.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _PHRASE_TOP)
     )
+
+
+# Truncated rank-biased overlap (Webber et al. 2010) between the two RRF
+# input rankings, depth 10, persistence p=0.9. Per-depth weights
+# (1-p)·p^(d-1)/d are exact fp9 integer LITERALS embedded identically in
+# both engines (the q_search_ndcg discount-table discipline).
+_RBO_P = 0.9
+_RBO_W9 = [
+    int(1_000_000_000 * (1 - _RBO_P) * _RBO_P ** (d - 1))
+    for d in range(1, _RRF_DEPTH + 1)
+]  # the /d of the A_d = X_d/d term stays IN the expression, floored per term
+
+
+def _rbo_oracle() -> str:
+    base = _rrf_oracle().split("fused AS (")[0].rstrip().rstrip(",")
+    qids = ", ".join(f"({qid})" for qid, _ in BM25_QUERIES)
+    depths = ", ".join(f"({d})" for d in range(1, _RRF_DEPTH + 1))
+    wvals = ", ".join(f"({d + 1}, {w})" for d, w in enumerate(_RBO_W9))
+    return f"""{base},
+overlap_m AS (
+  SELECT bm.query_id, greatest(bm.rank, ann.rank) AS m
+  FROM bm JOIN ann ON bm.query_id = ann.query_id AND bm.doc_id = ann.doc_id
+),
+grid AS (
+  SELECT q.query_id, d.d
+  FROM (VALUES {qids}) q(query_id), (VALUES {depths}) d(d)
+),
+xd AS (
+  SELECT g.query_id, g.d, CAST(COUNT(b.m) AS BIGINT) AS x
+  FROM grid g LEFT JOIN overlap_m b
+    ON g.query_id = b.query_id AND b.m <= g.d
+  GROUP BY g.query_id, g.d
+),
+wt(d, w9) AS (VALUES {wvals})
+SELECT x.query_id,
+       CAST(MAX(CASE WHEN x.d = {_RRF_DEPTH} THEN x.x END) AS BIGINT)
+         AS overlap_at_10,
+       CAST(SUM(CAST(floor(x.x * wt.w9 * 1.0 / x.d) AS BIGINT)) AS BIGINT) AS rbo_fp9
+FROM xd x JOIN wt ON x.d = wt.d
+GROUP BY x.query_id
+"""
+
+
+@register("q_rank_biased_overlap", oracle=_rbo_oracle())
+def q_rank_biased_overlap(spark, sf_dir):
+    """Rank-biased overlap between the lexical (BM25) and semantic (cosine)
+    rankings that q_hybrid_rrf_search fuses — the ranker-agreement metric
+    that tells a search team whether two rankers are redundant (RBO → 1) or
+    complementary (RBO → 0) BEFORE investing in fusion. Truncated RBO at
+    depth 10, persistence 0.9: RBO = Σ_d (1−p)p^(d−1)·X_d/d, where X_d is
+    the prefix-overlap |L1[:d] ∩ L2[:d]| — computed as the count of docs
+    whose max(rank1, rank2) ≤ d, so overlap needs ONE inner join of the two
+    top-k lists, no per-depth set intersection. Weights are exact fp9
+    integer literals in both engines; X_d·w9/d keeps integer division
+    deterministic.
+
+    Scale shape: both rankers produce (queries × depth) candidate frames;
+    everything after is literal-grid-sized (queries × depth rows). The
+    corpus is touched only inside each ranker."""
+    docs = T(spark, sf_dir, "documents")
+    emb = T(spark, sf_dir, "embeddings")
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, q in BM25_QUERIES for t in q.split()],
+        "query_id int, term string",
+    )
+    bm = bm25_search(docs, qt, k=_RRF_DEPTH, k1=_K1, b=_B).select(
+        "query_id", "doc_id", F.col("rank").alias("rank_bm")
+    )
+    n_q = len(BM25_QUERIES)
+    queries = emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= n_q))
+    ann = knn_bruteforce(emb, queries, k=_RRF_DEPTH).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("rank_ann"),
+    )
+    both = bm.join(ann, ["query_id", "doc_id"]).select(
+        "query_id", F.greatest("rank_bm", "rank_ann").alias("m")
+    )
+    grid = spark.createDataFrame(
+        [(qid, d) for qid, _ in BM25_QUERIES for d in range(1, _RRF_DEPTH + 1)],
+        "query_id int, d int",
+    )
+    xd = (
+        grid.join(
+            F.broadcast(both),
+            (grid.query_id == both.query_id) & (both.m <= grid.d),
+            "left",
+        )
+        .groupBy(grid.query_id, "d")
+        .agg(F.count("m").cast("bigint").alias("x"))
+    )
+    w_arr = F.array(*[F.lit(w) for w in _RBO_W9])
+    return (
+        xd.select(
+            "query_id",
+            "d",
+            "x",
+            F.floor(
+                F.col("x") * F.element_at(w_arr, F.col("d")) / F.col("d")
+            )
+            .cast("bigint")
+            .alias("term"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.max(
+                F.when(F.col("d") == _RRF_DEPTH, F.col("x"))
+            )
+            .cast("bigint")
+            .alias("overlap_at_10"),
+            F.sum("term").cast("bigint").alias("rbo_fp9"),
+        )
+    )

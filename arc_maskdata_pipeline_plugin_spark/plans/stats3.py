@@ -1,0 +1,400 @@
+"""Nonparametric / categorical statistics: two-sample KS, Mann-Whitney U,
+chi-square + Cramér's V, and categorical mutual information.
+
+These are the distribution-comparison tests an experimentation or data-
+quality platform runs continuously (did the metric distribution shift? are
+two categorical features dependent?), expressed corpus-scale:
+
+* KS and Mann-Whitney collapse the corpus to the DISTINCT-VALUE count frame
+  in one shuffle (the same accepted seam as winsorize / quantile-normalize:
+  the cumulative window runs over distinct metric values, not rows; the
+  ``quantile_thresholds(mode="approx")`` GK seam is the documented swap when
+  value cardinality is unbounded).
+* chi-square / Cramér's V and mutual information reduce to the contingency-
+  CELL frame (|X|·|Y| rows — dozens), so every per-cell double term floors
+  to an integer BEFORE the sum (fp-floored-terms rule; a floating sum of
+  cell terms is partition-order-dependent, an integer sum is not).
+
+Bit-stability: all counts are exact BIGINT/DECIMAL(38,0); every double is
+derived from exact integers with the IDENTICAL expression shape in the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import T, register
+
+_KS_A, _KS_B = "purchase", "view"
+
+
+@register(
+    "q_ks_test",
+    oracle=f"""
+WITH vc AS (
+  SELECT CAST(value AS DECIMAL(18,6)) AS v,
+         CAST(SUM(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS b
+  FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+  GROUP BY 1
+),
+cum AS (
+  SELECT SUM(a) OVER w AS ca, SUM(b) OVER w AS cb,
+         SUM(a) OVER () AS n, SUM(b) OVER () AS m
+  FROM vc WINDOW w AS (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+       CAST(floor(1000000000.0
+                  * CAST(MAX(abs(CAST(ca AS DECIMAL(38,0)) * m
+                                 - CAST(cb AS DECIMAL(38,0)) * n))
+                         AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)))
+            AS BIGINT) AS ks_fp9
+FROM cum
+GROUP BY n, m
+""",
+)
+def q_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov distance between the `value`
+    distributions of two event types — the canonical "did this metric's
+    distribution shift?" test. D = max_v |F_A(v) − F_B(v)| is computed
+    EXACTLY in integers: with cumulative counts ca, cb and totals n, m,
+    |ca/n − cb/m| = |ca·m − cb·n| / (n·m), so the max runs over exact
+    DECIMAL(38,0) products and only the final normalization touches doubles
+    (identical expression in the oracle → bit-identical).
+
+    Scale shape: one shuffle collapses the corpus to the distinct-value
+    count frame; the cumulative window and max run there (the documented
+    distinct-value-frame seam)."""
+    e = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_KS_A, _KS_B))
+        .select(
+            F.col("value").cast("decimal(18,6)").alias("v"),
+            "event_type",
+        )
+    )
+    vc = e.groupBy("v").agg(
+        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()  # totals over the same distinct-value frame:
+    # the corpus is scanned ONCE (a totals sub-aggregate would duplicate the
+    # whole scan subtree in the plan)
+    cum = vc.select(
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+        F.sum("a").over(wall).alias("n"),
+        F.sum("b").over(wall).alias("m"),
+    )
+    return cum.groupBy("n", "m").agg(
+        F.floor(
+            1_000_000_000.0
+            * F.max(
+                F.abs(
+                    F.col("ca").cast("decimal(38,0)") * F.col("m")
+                    - F.col("cb").cast("decimal(38,0)") * F.col("n")
+                )
+            ).cast("double")
+            / (F.col("n").cast("double") * F.col("m").cast("double"))
+        )
+        .cast("bigint")
+        .alias("ks_fp9")
+    ).select(
+        F.col("n").cast("bigint").alias("n_a"),
+        F.col("m").cast("bigint").alias("n_b"),
+        "ks_fp9",
+    )
+
+
+@register(
+    "q_mann_whitney",
+    oracle=f"""
+WITH vc AS (
+  SELECT CAST(value AS DECIMAL(18,6)) AS v,
+         CAST(SUM(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS b
+  FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+  GROUP BY 1
+),
+rk AS (
+  SELECT a, b, a + b AS t,
+         COALESCE(SUM(a + b) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM vc
+),
+agg AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS n, CAST(SUM(b) AS BIGINT) AS m,
+         CAST(SUM(CAST(a AS DECIMAL(38,0)) * (2 * c + t + 1))
+              AS DECIMAL(38,0)) AS r2,
+         CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t)
+              AS DECIMAL(38,0)) AS ties
+  FROM rk
+)
+SELECT n AS n_a, m AS n_b,
+       CAST(r2 - CAST(n AS DECIMAL(38,0)) * (n + 1) AS BIGINT) AS u2,
+       CAST(floor(1000000.0
+             * (CAST(r2 - CAST(n AS DECIMAL(38,0)) * (n + 1) AS DOUBLE) / 2.0
+                - CAST(n AS DOUBLE) * m / 2.0)
+             / sqrt(CAST(n AS DOUBLE) * m / 12.0
+                    * ((n + m + 1)
+                       - CAST(ties AS DOUBLE)
+                         / (CAST(n + m AS DOUBLE) * (n + m - 1)))))
+            AS BIGINT) AS z_fp6
+FROM agg
+""",
+)
+def q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) between the same two event-type
+    value distributions — the nonparametric A/B test for skewed metrics
+    where Welch's t is wrong. Midranks over the pooled sample are computed
+    on the distinct-value frame in DOUBLED units so ties stay integral:
+    for a value with t pooled occurrences after c earlier ones, each
+    occurrence's doubled midrank is 2c + t + 1, so the doubled rank-sum
+    R2 = Σ a·(2c+t+1) and U2 = R2 − n(n+1) are exact DECIMAL(38,0).
+    The tie-corrected normal approximation
+    z = (U − nm/2) / sqrt(nm/12 · ((N+1) − Σ(t³−t)/(N(N−1))))
+    is derived from those exact integers with the identical expression in
+    the oracle. Same distinct-value-frame scale shape as q_ks_test."""
+    e = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_KS_A, _KS_B))
+        .select(
+            F.col("value").cast("decimal(18,6)").alias("v"),
+            "event_type",
+        )
+    )
+    vc = e.groupBy("v").agg(
+        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    rk = vc.select(
+        "a",
+        "b",
+        (F.col("a") + F.col("b")).alias("t"),
+        F.coalesce(F.sum(F.col("a") + F.col("b")).over(w), F.lit(0)).alias(
+            "c"
+        ),
+    )
+    agg = rk.agg(
+        F.sum("a").cast("bigint").alias("n"),
+        F.sum("b").cast("bigint").alias("m"),
+        F.sum(
+            F.col("a").cast("decimal(38,0)")
+            * (2 * F.col("c") + F.col("t") + 1)
+        )
+        .cast("decimal(38,0)")
+        .alias("r2"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        )
+        .cast("decimal(38,0)")
+        .alias("ties"),
+    )
+    n, m = F.col("n"), F.col("m")
+    u2 = (F.col("r2") - n.cast("decimal(38,0)") * (n + 1)).alias("u2d")
+    nn = n.cast("double")
+    mm = m.cast("double")
+    big_n = nn + mm
+    z = (
+        F.col("u2d").cast("double") / 2.0 - nn * mm / 2.0
+    ) / F.sqrt(
+        nn
+        * mm
+        / 12.0
+        * (
+            (big_n + 1)
+            - F.col("ties").cast("double") / (big_n * (big_n - 1))
+        )
+    )
+    return (
+        agg.select("n", "m", u2, F.col("ties"))
+        .select(
+            n.alias("n_a"),
+            m.alias("n_b"),
+            F.col("u2d").cast("bigint").alias("u2"),
+            F.floor(1_000_000.0 * z).cast("bigint").alias("z_fp6"),
+        )
+    )
+
+
+@register(
+    "q_chi_square_cramers_v",
+    oracle="""
+WITH obs AS (
+  SELECT n.n_name AS x, o.o_orderpriority AS y,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT x, y, k,
+         SUM(k) OVER (PARTITION BY x) AS rx,
+         SUM(k) OVER (PARTITION BY y) AS cy,
+         SUM(k) OVER () AS nn
+  FROM obs
+),
+terms AS (
+  SELECT x, y, nn,
+         CAST(floor(1000000.0
+               * (CAST(k AS DOUBLE)
+                  - CAST(rx AS DOUBLE) * cy / nn)
+               * (CAST(k AS DOUBLE)
+                  - CAST(rx AS DOUBLE) * cy / nn)
+               / (CAST(rx AS DOUBLE) * cy / nn)) AS BIGINT) AS t_fp6
+  FROM m
+)
+SELECT CAST(MIN(nn) AS BIGINT) AS n,
+       CAST((COUNT(DISTINCT x) - 1) * (COUNT(DISTINCT y) - 1) AS BIGINT)
+         AS dof,
+       CAST(SUM(t_fp6) AS BIGINT) AS chi2_fp6,
+       CAST(floor(1000000.0
+             * sqrt((CAST(SUM(t_fp6) AS DOUBLE) / 1000000.0)
+                    / (CAST(MIN(nn) AS DOUBLE)
+                       * least(COUNT(DISTINCT x) - 1,
+                               COUNT(DISTINCT y) - 1))))
+            AS BIGINT) AS cramers_v_fp6
+FROM terms
+""",
+)
+def q_chi_square_cramers_v(spark, sf_dir):
+    """Chi-square test of independence + Cramér's V effect size between
+    customer nation and order priority — the categorical-dependence screen
+    a feature platform runs across column pairs. The corpus reduces to the
+    contingency-cell frame (|nations|·|priorities| rows) in one shuffle;
+    each cell's (obs − exp)²/exp floors to fp6 BEFORE the sum, and V is
+    derived from the already-integral chi2 so both engines agree exactly.
+    Marginals come from windows over the tiny cell frame, not re-scans."""
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    obs = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("x"),
+            F.col("o_orderpriority").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    wall = Window.partitionBy()
+    m = obs.select(
+        "x",
+        "y",
+        "k",
+        F.sum("k").over(wx).alias("rx"),
+        F.sum("k").over(wy).alias("cy"),
+        F.sum("k").over(wall).alias("nn"),
+    )
+    exp = F.col("rx").cast("double") * F.col("cy") / F.col("nn")
+    # keep x/y through the term projection so the row/column cardinalities
+    # come from THIS frame's final aggregate — a separate dims sub-aggregate
+    # would duplicate the whole contingency subtree (and its scans) in the
+    # plan
+    terms = m.select(
+        "x",
+        "y",
+        "nn",
+        F.floor(
+            1_000_000.0
+            * (F.col("k").cast("double") - exp)
+            * (F.col("k").cast("double") - exp)
+            / exp
+        )
+        .cast("bigint")
+        .alias("t_fp6"),
+    )
+    chi2 = F.sum("t_fp6").cast("bigint")
+    r, c = F.countDistinct("x"), F.countDistinct("y")
+    return terms.agg(
+        F.min("nn").cast("bigint").alias("n"),
+        ((r - 1) * (c - 1)).cast("bigint").alias("dof"),
+        chi2.alias("chi2_fp6"),
+        F.floor(
+            1_000_000.0
+            * F.sqrt(
+                (chi2.cast("double") / 1_000_000.0)
+                / (F.min("nn").cast("double") * F.least(r - 1, c - 1))
+            )
+        )
+        .cast("bigint")
+        .alias("cramers_v_fp6"),
+    )
+
+
+@register(
+    "q_mutual_information",
+    oracle="""
+WITH obs AS (
+  SELECT lang AS x, source AS y, CAST(COUNT(*) AS BIGINT) AS k
+  FROM documents GROUP BY 1, 2
+),
+m AS (
+  SELECT k,
+         SUM(k) OVER (PARTITION BY x) AS rx,
+         SUM(k) OVER (PARTITION BY y) AS cy,
+         SUM(k) OVER () AS nn
+  FROM obs
+)
+SELECT CAST(MIN(nn) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CAST(floor((CAST(k AS DOUBLE) / nn)
+                 * ln(CAST(k AS DOUBLE) * nn
+                      / (CAST(rx AS DOUBLE) * cy))
+                 * 1000000000) AS BIGINT)) AS BIGINT) AS mi_fp9
+FROM m
+""",
+)
+def q_mutual_information(spark, sf_dir):
+    """Mutual information between document language and source — the
+    feature-dependence / leakage screen (is `source` secretly a language
+    label?). I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))); each cell term is
+    computed from exact counts as (k/N)·ln(k·N/(rx·cy)) and floored to fp9
+    BEFORE the sum. Same contingency-cell scale shape as the chi-square:
+    one shuffle to the cell frame, windows for marginals, integer sum."""
+    d = T(spark, sf_dir, "documents").select("lang", "source")
+    obs = d.groupBy(
+        F.col("lang").alias("x"), F.col("source").alias("y")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    m = obs.select(
+        "k",
+        F.sum("k").over(Window.partitionBy("x")).alias("rx"),
+        F.sum("k").over(Window.partitionBy("y")).alias("cy"),
+        F.sum("k").over(Window.partitionBy()).alias("nn"),
+    )
+    term = F.floor(
+        (F.col("k").cast("double") / F.col("nn"))
+        * F.log(
+            F.col("k").cast("double")
+            * F.col("nn")
+            / (F.col("rx").cast("double") * F.col("cy"))
+        )
+        * 1_000_000_000
+    ).cast("bigint")
+    return m.agg(
+        F.min("nn").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(term).cast("bigint").alias("mi_fp9"),
+    )

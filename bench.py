@@ -194,6 +194,19 @@ HEADLINE = [
     "q_churn_features",
     "q_pca_top_component",
     "q_growth_accounting",
+    # round 6 additions: nonparametric stats, ML-prep, lakehouse CDC,
+    # link prediction, retrieval eval
+    "q_ks_test",
+    "q_mann_whitney",
+    "q_target_encoding",
+    "q_calibration_ece",
+    "q_url_canonical_dedup",
+    "q_cdc_apply",
+    "q_adamic_adar",
+    "q_mrr_recall_eval",
+    "q_dp_quantile",
+    "q_schema_drift_audit",
+    "q_rank_biased_overlap",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -811,3 +811,103 @@ def test_theil_sen_pairs_on_calendar_frame(spark):
     assert "CartesianProduct" not in plan
     a = props("q_theil_sen_trend", spark)
     assert a["python_ops"] == 0
+
+
+# ---- round 6: nonparametric stats / ML-prep / CDC / link prediction ----
+
+
+def test_ks_single_scan_single_shuffle(spark):
+    """KS collapses to the distinct-value frame in ONE scan and ONE
+    exchange — totals come from windows over that frame, not a second
+    aggregate subtree."""
+    a = props("q_ks_test", spark)
+    assert a["scans"] == 1 and a["exchanges"] == 1
+    assert a["pushed_filters"] == 1  # event_type IN (...) reaches parquet
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+
+
+def test_mann_whitney_single_scan(spark):
+    a = props("q_mann_whitney", spark)
+    assert a["scans"] == 1 and a["exchanges"] == 1
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+
+
+def test_chi_square_each_table_scanned_once(spark):
+    """Contingency stats: 3 tables, 3 scans (no dims re-derivation),
+    dimension joins broadcast."""
+    a = props("q_chi_square_cramers_v", spark)
+    assert a["scans"] == 3
+    assert a["sort_merge_joins"] == 0
+
+
+def test_mutual_information_one_shuffle(spark):
+    a = props("q_mutual_information", spark)
+    assert a["scans"] == 1 and a["exchanges"] == 1
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+
+
+def test_target_encoding_one_partial_aggregate(spark):
+    """OOF encoding never re-scans per fold: one scan, agg + window."""
+    a = props("q_target_encoding", spark)
+    assert a["scans"] == 1 and a["exchanges"] <= 2
+    assert a["sort_merge_joins"] == 0
+
+
+def test_woe_iv_broadcast_dims(spark):
+    a = props("q_woe_iv", spark)
+    assert a["scans"] == 3
+    assert a["sort_merge_joins"] == 0 and a["broadcasts"] >= 2
+
+
+def test_calibration_two_scans_no_sort(spark):
+    """Min/max probe + binning: the fact table is scanned twice, joined
+    only by broadcast, never sorted."""
+    a = props("q_calibration_ece", spark)
+    assert a["scans"] == 2 and a["broadcasts"] >= 1
+    assert a["sort_merge_joins"] == 0
+
+
+def test_url_dedup_pure_projection_plus_groupby(spark):
+    a = props("q_url_canonical_dedup", spark)
+    assert a["scans"] == 1 and a["exchanges"] == 1
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+
+
+def test_cdc_apply_keyed_join_no_python(spark):
+    """Window + apply share the customer key; two table scans total."""
+    a = props("q_cdc_apply", spark)
+    assert a["scans"] == 2 and a["python_ops"] == 0
+    assert a["exchanges"] <= 3
+
+
+def test_adamic_adar_no_self_join(spark):
+    """Pair enumeration is array-local inside each order's supplier set —
+    the plan must contain NO sort-merge join (a corpus self-join here is
+    the quadratic blowup the degree cap exists to prevent)."""
+    a = props("q_adamic_adar", spark)
+    assert a["sort_merge_joins"] == 0
+    assert a["scans"] <= 2  # pairs + the dropped-orders audit branch
+    assert a["python_ops"] == 0
+
+
+def test_dp_quantile_histogram_shape(spark):
+    """Broadcast min/max probe + one shuffle to the 64-bin histogram; the
+    noisy-CDF walk stays on those 64 rows."""
+    a = props("q_dp_quantile", spark)
+    assert a["scans"] == 2 and a["broadcasts"] >= 1
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+
+
+def test_schema_drift_single_scan(spark):
+    """Both eras profile in ONE scan via conditional aggregates — an
+    old/new self-join would double the 100 TB read."""
+    a = props("q_schema_drift_audit", spark)
+    assert a["scans"] == 1
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+
+
+def test_rbo_rides_ranker_frames(spark):
+    """RBO adds no corpus-shaped work beyond the two rankers: everything
+    after them is literal-grid-sized. Bound matches the ndcg/rrf family."""
+    a = props("q_rank_biased_overlap", spark)
+    assert a["sort_merge_joins"] <= 2 and a["python_ops"] == 0

@@ -1227,6 +1227,178 @@ def main():
         "vocab-sized LM broadcast; one token shuffle + one doc aggregate",
     )
 
+    def ks_stress():
+        # two-sample KS core (mirrors q_ks_test): 20M rows, 100k distinct
+        # values -> distinct-value count frame -> cumulative + total windows
+        vals = spark.range(0, 20_000_000, 1, sc.defaultParallelism * 4).select(
+            ((F.col("id") * 2654435761) % 100_000).alias("v"),
+            (F.col("id") % 2).alias("grp"),
+            # group-1 values shifted: a real distribution difference
+            (((F.col("id") * 2654435761) + (F.col("id") % 2) * 7919) % 100_000
+             ).alias("v2"),
+        )
+        vc = vals.select(
+            F.when(F.col("grp") == 0, F.col("v")).otherwise(F.col("v2")).alias("v"),
+            "grp",
+        ).groupBy("v").agg(
+            F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("b"),
+        )
+        from pyspark.sql import Window as W
+
+        w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+        wall = W.partitionBy()
+        cum = vc.select(
+            F.sum("a").over(w).alias("ca"),
+            F.sum("b").over(w).alias("cb"),
+            F.sum("a").over(wall).alias("n"),
+            F.sum("b").over(wall).alias("m"),
+        )
+        cum.groupBy("n", "m").agg(
+            F.max(
+                F.abs(
+                    F.col("ca").cast("decimal(38,0)") * F.col("m")
+                    - F.col("cb").cast("decimal(38,0)") * F.col("n")
+                )
+            ).alias("d")
+        ).write.format("noop").mode("overwrite").save()
+
+    timed(
+        "two-sample KS test (20M rows, 100k distinct values)",
+        20_000_000,
+        ks_stress,
+        "corpus collapses to the 100k-value frame in ONE shuffle; windows run there",
+    )
+
+    def cdc_stress():
+        # CDC changelog apply core (mirrors q_cdc_apply): 20M changes over a
+        # 5M-key base; last-writer window + keyed join, both on the key
+        base = spark.range(0, 5_000_000, 1, sc.defaultParallelism * 4).select(
+            F.col("id").alias("k"), (F.col("id") % 997).cast("double").alias("bal")
+        )
+        chg = spark.range(0, 20_000_000, 1, sc.defaultParallelism * 4).select(
+            (F.col("id") % 5_000_000).alias("k"),
+            F.col("id").alias("seq"),
+            F.when((F.col("id") % 31) == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            (F.col("id") % 1009).cast("double").alias("new_bal"),
+        )
+        from pyspark.sql import Window as W
+
+        latest = (
+            chg.withColumn(
+                "rn", F.row_number().over(W.partitionBy("k").orderBy(F.desc("seq")))
+            )
+            .filter(F.col("rn") == 1)
+            .select("k", "op", "new_bal")
+        )
+        base.join(latest, "k", "left").agg(
+            F.sum((F.col("op") == "D").cast("int")).alias("n_del"),
+            F.sum(
+                F.when(F.col("op").isNull() | (F.col("op") == "U"), 1)
+            ).alias("n_live"),
+        ).write.format("noop").mode("overwrite").save()
+
+    timed(
+        "CDC changelog apply (20M changes -> 5M-key base)",
+        20_000_000,
+        cdc_stress,
+        "last-writer row_number + apply join share the key; per-key state only",
+    )
+
+    def url_stress():
+        # URL canonicalization dedup core (mirrors q_url_canonical_dedup):
+        # 20M messy URLs -> regex canonical form -> one group-by
+        urls = spark.range(0, 20_000_000, 1, sc.defaultParallelism * 4).select(
+            F.col("id"),
+            F.concat(
+                F.when(F.col("id") % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+                F.lit("://Host"),
+                (F.col("id") % 4096).cast("string"),
+                F.lit(".Example.COM"),
+                F.when(F.col("id") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+                F.lit("/p/"),
+                (F.col("id") % 65536).cast("string"),
+                F.when(F.col("id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+                F.when(
+                    F.col("id") % 2 == 0, F.lit("?utm_source=feed&ref=rss")
+                ).otherwise(F.lit("")),
+                F.when(F.col("id") % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+            ).alias("u"),
+        )
+        scheme = F.lower(F.regexp_extract("u", r"^([A-Za-z]+)://", 1))
+        host = F.regexp_replace(
+            F.lower(F.regexp_extract("u", r"^[A-Za-z]+://([^/?#]+)", 1)),
+            r":443$",
+            "",
+        )
+        path = F.regexp_replace(
+            F.regexp_extract("u", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), r"/$", ""
+        )
+        q = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_extract("u", r"\?([^#]*)", 1), r"utm_[^&]*&?", ""
+            ),
+            r"&$",
+            "",
+        )
+        urls.select(
+            F.concat(
+                scheme, F.lit("://"), host, path,
+                F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+            ).alias("c")
+        ).groupBy("c").agg(F.count(F.lit(1)).alias("n")).filter(
+            F.col("n") > 1
+        ).write.format("noop").mode("overwrite").save()
+
+    timed(
+        "URL canonicalization dedup (20M messy URLs)",
+        20_000_000,
+        url_stress,
+        "pure regex projection + one canonical-key group-by; no join, no window",
+    )
+
+    def adamic_adar_viral_stress():
+        # ADVERSARIAL: one mega-order with 50k suppliers would enumerate
+        # C(50k,2) = 1.25e9 pairs uncapped; the degree cap drops it before
+        # the explode and the audit column reports it. Organic orders (2M x
+        # <=3 suppliers) flow through: ~4M pairs.
+        li = spark.range(0, 6_000_000, 1, sc.defaultParallelism * 4).select(
+            F.when(F.col("id") < 50_000, F.lit(0))
+            .otherwise((F.col("id") % 2_000_000) + 1)
+            .alias("o"),
+            F.when(F.col("id") < 50_000, F.col("id"))
+            .otherwise(F.col("id") % 4096)
+            .alias("s"),
+        ).distinct()
+        grp = li.groupBy("o").agg(F.sort_array(F.collect_set("s")).alias("a"))
+        dropped = grp.agg(
+            F.sum((F.size("a") > 32).cast("int")).alias("dropped_orders")
+        )
+        pairs_expr = (
+            "flatten(transform(sequence(1, size(a) - 1), i -> "
+            "transform(sequence(i + 1, size(a)), j -> "
+            "struct(element_at(a, CAST(i AS INT)) AS s1, "
+            "element_at(a, CAST(j AS INT)) AS s2))))"
+        )
+        w = F.floor(1_000_000_000.0 / F.log(F.size("a").cast("double")))
+        p = (
+            grp.filter((F.size("a") >= 2) & (F.size("a") <= 32))
+            .select(w.alias("w"), F.explode(F.expr(pairs_expr)).alias("pr"))
+            .select("w", F.col("pr.s1").alias("s1"), F.col("pr.s2").alias("s2"))
+        )
+        p.groupBy("s1", "s2").agg(
+            F.count(F.lit(1)).alias("n_common"), F.sum("w").alias("aa")
+        ).crossJoin(F.broadcast(dropped)).orderBy(
+            F.desc("aa"), "s1", "s2"
+        ).limit(20).write.format("noop").mode("overwrite").save()
+
+    timed(
+        "Adamic-Adar VIRAL mega-order (6M edge rows, one 50k-supplier order, cap=32)",
+        6_000_000,
+        adamic_adar_viral_stress,
+        "ADVERSARIAL: uncapped = 1.25e9 pairs from one order; degree cap drops+audits it; organic pairs array-local, no self-join",
+    )
+
     # ---- report ----------------------------------------------------------
     lines = [
         "# STRESS — synthetic ~100× scale-up measurements (local[32])",
