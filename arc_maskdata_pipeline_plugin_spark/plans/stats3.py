@@ -398,3 +398,132 @@ def q_mutual_information(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
         F.sum(term).cast("bigint").alias("mi_fp9"),
     )
+
+
+# KMV (K-minimum-values) sketch: k = 64; the estimate is
+# (k−1)·2^48 / h_k where h_k is the k-th smallest 48-bit hash. The numerator
+# literal is computed once in Python and inlined in BOTH engines.
+_KMV_K = 64
+_KMV_NUM = 17732923532771328  # (k-1) << 48
+
+
+@register(
+    "q_kmv_distinct_merge",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+h AS (
+  SELECT day, user_id,
+         CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 12))
+              AS BIGINT) + 1 AS hv
+  FROM ud
+),
+daily_sketch AS (
+  SELECT day, hv FROM (
+    SELECT day, hv,
+           ROW_NUMBER() OVER (PARTITION BY day ORDER BY hv) AS rn
+    FROM h
+  ) WHERE rn <= 64
+),
+merged_k AS (
+  SELECT hv FROM (SELECT DISTINCT hv FROM daily_sketch)
+  ORDER BY hv LIMIT 64
+),
+direct_k AS (
+  SELECT hv FROM (SELECT DISTINCT hv FROM h) ORDER BY hv LIMIT 64
+),
+exact AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+         CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+  FROM ud
+),
+est AS (
+  SELECT (SELECT CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                      ELSE 17732923532771328 // MAX(hv) END
+          FROM merged_k) AS kmv_merged,
+         (SELECT CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                      ELSE 17732923532771328 // MAX(hv) END
+          FROM direct_k) AS kmv_direct
+)
+SELECT e.n_days, e.exact_distinct,
+       CAST(s.kmv_direct AS BIGINT) AS kmv_direct,
+       CAST(s.kmv_merged AS BIGINT) AS kmv_merged,
+       CAST(CASE WHEN s.kmv_direct = s.kmv_merged THEN 1 ELSE 0 END
+            AS BIGINT) AS merge_agrees,
+       CAST(floor(10000.0 * abs(s.kmv_direct - e.exact_distinct)
+                  / e.exact_distinct) AS BIGINT) AS err_pct_fp4
+FROM exact e, est s
+""",
+)
+def q_kmv_distinct_merge(spark, sf_dir):
+    """K-minimum-values distinct sketch with a MERGEABILITY witness — the
+    exact-oracled companion to q_hll_merge_daily (HLL estimates are
+    tolerance-gated; KMV's k smallest 48-bit hashes are deterministic
+    integers, so the driver hashes the whole sketch path). Per day the
+    sketch keeps the k smallest user-hashes; the year merges by unioning
+    daily sketches and re-taking the k smallest — the union of per-day
+    k-minima always contains the global k-minima, so the merged estimate
+    must equal the direct one EXACTLY (merge_agrees pins it in-plan), and
+    err_pct_fp4 witnesses estimator quality against the exact distinct.
+
+    Scale shape: one (day, user) distinct shuffle; daily top-k via
+    day-partitioned windows; everything after is (k · days)-sized. This is
+    the incremental-distinct contract at 100 TB: daily sketch rows are
+    kilobytes and raw events are scanned once, the day they land."""
+    e = T(spark, sf_dir, "events")
+    ud = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    hv = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    )
+    h = ud.select("day", "user_id", hv.alias("hv"))
+    wd = Window.partitionBy("day").orderBy("hv")
+    daily_sketch = (
+        h.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("day", "hv")
+    )
+    merged_k = (
+        daily_sketch.select("hv").distinct().orderBy("hv").limit(_KMV_K)
+    )
+    direct_k = h.select("hv").distinct().orderBy("hv").limit(_KMV_K)
+    exact = ud.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct"),
+        F.countDistinct("day").cast("bigint").alias("n_days"),
+    )
+    # standard KMV semantics: a non-full sketch IS the exact distinct set
+    est_expr = (
+        f"CASE WHEN count(*) < {_KMV_K} THEN count(*) "
+        f"ELSE {_KMV_NUM} div max(hv) END"
+    )
+    est_m = merged_k.agg(F.expr(est_expr).alias("kmv_merged"))
+    est_d = direct_k.agg(F.expr(est_expr).alias("kmv_direct"))
+    j = exact.crossJoin(F.broadcast(est_d)).crossJoin(F.broadcast(est_m))
+    return j.select(
+        "n_days",
+        "exact_distinct",
+        F.col("kmv_direct").cast("bigint").alias("kmv_direct"),
+        F.col("kmv_merged").cast("bigint").alias("kmv_merged"),
+        F.when(F.col("kmv_direct") == F.col("kmv_merged"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("merge_agrees"),
+        F.floor(
+            10000.0
+            * F.abs(F.col("kmv_direct") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+        )
+        .cast("bigint")
+        .alias("err_pct_fp4"),
+    )

@@ -207,6 +207,8 @@ HEADLINE = [
     "q_dp_quantile",
     "q_schema_drift_audit",
     "q_rank_biased_overlap",
+    "q_kmv_distinct_merge",
+    "q_geo_proximity_join",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

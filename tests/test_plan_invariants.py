@@ -911,3 +911,20 @@ def test_rbo_rides_ranker_frames(spark):
     after them is literal-grid-sized. Bound matches the ndcg/rrf family."""
     a = props("q_rank_biased_overlap", spark)
     assert a["sort_merge_joins"] <= 2 and a["python_ops"] == 0
+
+
+def test_kmv_bounded_branches(spark):
+    """Three deliberate passes (daily-sketch path, direct-sketch witness,
+    exact audit) and nothing quadratic; everything after the distinct is
+    (k · days)-sized."""
+    a = props("q_kmv_distinct_merge", spark)
+    assert a["scans"] <= 3
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+
+
+def test_geo_join_broadcasts_small_side(spark):
+    """Grid-cell join: the replicated supplier side broadcasts; no
+    sort-merge join, no Python, one aggregate exchange."""
+    a = props("q_geo_proximity_join", spark)
+    assert a["scans"] == 2 and a["sort_merge_joins"] == 0
+    assert a["broadcasts"] >= 1 and a["python_ops"] == 0

@@ -421,3 +421,98 @@ def test_rbo_on_fixture_corpus(spark):
     for r in rows:
         assert 0 <= r.overlap_at_10 <= 10
         assert 0 <= r.rbo_fp9 <= sum(_RBO_W9)
+
+
+def test_kmv_exact_when_sketch_not_full(spark, tmp_path):
+    """Fewer distinct users than k: the sketch IS the set → estimate exact,
+    merge agrees, error 0."""
+    rows = [(i, _T0 + datetime.timedelta(days=i % 3), i % 20, "view", 1.0, "{}")
+            for i in range(200)]
+    _write_events(spark, tmp_path, rows)
+    from arc_maskdata_pipeline_plugin_spark.plans.stats3 import (
+        q_kmv_distinct_merge,
+    )
+
+    r = q_kmv_distinct_merge(spark, str(tmp_path)).collect()[0]
+    assert r.exact_distinct == 20 and r.n_days == 3
+    assert r.kmv_direct == 20 and r.kmv_merged == 20
+    assert r.merge_agrees == 1 and r.err_pct_fp4 == 0
+
+
+def test_kmv_estimates_and_merges_when_full(spark, tmp_path):
+    """600 distinct users over 5 days: the k=64 sketch estimates within
+    KMV's deterministic error (md5-seeded, so this is a stable value), and
+    the merged-daily estimate equals the direct one exactly."""
+    rows = [
+        (i, _T0 + datetime.timedelta(days=i % 5), i % 600, "view", 1.0, "{}")
+        for i in range(3000)
+    ]
+    _write_events(spark, tmp_path, rows)
+    from arc_maskdata_pipeline_plugin_spark.plans.stats3 import (
+        q_kmv_distinct_merge,
+    )
+
+    r = q_kmv_distinct_merge(spark, str(tmp_path)).collect()[0]
+    assert r.exact_distinct == 600 and r.n_days == 5
+    assert r.merge_agrees == 1
+    assert r.kmv_direct == r.kmv_merged
+    # ~1/sqrt(64) relative error regime; generous deterministic bound
+    assert r.err_pct_fp4 < 4000
+
+
+def test_geo_candidates_match_python_brute_force(spark, tmp_path):
+    """The candidate contract: n_within_radius equals the Python
+    brute-force count of pairs within 100 km AND within the 3×3 cell
+    neighborhood (the documented recall definition)."""
+    import math
+
+    cust = spark.createDataFrame(
+        [(k, f"c{k}", 0) for k in range(1, 400)],
+        ["c_custkey", "c_name", "c_nationkey"],
+    )
+    cust.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    supp = spark.createDataFrame(
+        [(k, f"s{k}", 0) for k in range(1, 80)],
+        ["s_suppkey", "s_name", "s_nationkey"],
+    )
+    supp.write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
+
+    def cloc(k):
+        return ((k * 2654435761) % 1700000) / 10000.0 - 85.0, (
+            (k * 40503) % 3600000
+        ) / 10000.0 - 180.0
+
+    def sloc(k):
+        return (((k * 97 + 13) * 2654435761) % 1700000) / 10000.0 - 85.0, (
+            ((k * 97 + 13) * 40503) % 3600000
+        ) / 10000.0 - 180.0
+
+    def hav(a, b):
+        (la1, lo1), (la2, lo2) = a, b
+        r = 6371000.0
+        h = (
+            math.sin(math.radians(la2 - la1) / 2) ** 2
+            + math.cos(math.radians(la1))
+            * math.cos(math.radians(la2))
+            * math.sin(math.radians(lo2 - lo1) / 2) ** 2
+        )
+        return 2 * r * math.asin(math.sqrt(h))
+
+    expected = 0
+    for ck in range(1, 400):
+        for sk in range(1, 80):
+            c, s = cloc(ck), sloc(sk)
+            adj = (
+                abs(math.floor(c[0]) - math.floor(s[0])) <= 1
+                and abs(math.floor(c[1]) - math.floor(s[1])) <= 1
+            )
+            if adj and hav(c, s) <= 100_000:
+                expected += 1
+
+    from arc_maskdata_pipeline_plugin_spark.plans.geo import (
+        q_geo_proximity_join,
+    )
+
+    r = q_geo_proximity_join(spark, str(tmp_path)).collect()[0]
+    assert r.n_within_radius == expected
+    assert r.n_candidates >= r.n_within_radius
