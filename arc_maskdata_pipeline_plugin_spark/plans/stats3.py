@@ -1,5 +1,6 @@
 """Nonparametric / categorical statistics: two-sample KS, Mann-Whitney U,
-chi-square + Cramér's V, and categorical mutual information.
+chi-square + Cramér's V, categorical mutual information, and the KMV
+distinct sketch with its daily-merge witness.
 
 These are the distribution-comparison tests an experimentation or data-
 quality platform runs continuously (did the metric distribution shift? are

@@ -229,16 +229,30 @@ def _plan_sha(df) -> str:
     AQE plan ids, and codegen/exchange ids are session-specific noise and
     get normalized out, so the SAME plan hashes identically across rounds
     and a >1.3x bench flag can be auto-adjudicated as plan-changed vs
-    environmental (VERDICT r05 next-round #3)."""
+    environmental (VERDICT r05 next-round #3).
+
+    FileScan metadata (PushedFilters etc.) truncates at
+    spark.sql.maxMetadataStringLength CHARS, so exprId digit-width would
+    shift the cut point and leak session position into the hash — lift the
+    limit while printing."""
     import hashlib
     import re
 
-    s = df._jdf.queryExecution().executedPlan().toString()
+    sess = df.sparkSession
+    prev = sess.conf.get("spark.sql.maxMetadataStringLength", "100")
+    sess.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try:
+        s = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        sess.conf.set("spark.sql.maxMetadataStringLength", prev)
     s = re.sub(r"#\d+", "#x", s)
     s = re.sub(r"\[id=[^\]]*\]", "", s)
     s = re.sub(r"plan_id=\d+", "plan_id=x", s)
     s = re.sub(r"Statistics\([^)]*\)", "", s)
     s = re.sub(r"isFinalPlan=\w+", "", s)
+    # higher-order-function lambda variables (x_3, y_7, ...) carry
+    # session-monotonic suffixes — normalize the name, keep the shape
+    s = re.sub(r"\b([a-z]+)_\d+#x", r"\1_n#x", s)
     return hashlib.sha256(s.encode()).hexdigest()[:16]
 
 
@@ -326,6 +340,15 @@ def main():
         # WARM_RUNS steady-state runs, median recorded (VERDICT r02 #5:
         # single-shot warm numbers can't distinguish plan regressions from
         # box noise)
+        # Plan fingerprint FIRST, on a cache-clean session (planning only,
+        # no execution): a query that persists internal fragments plans to
+        # InMemoryTableScan once its caches are materialized, so a sha
+        # taken after the warm runs would spuriously adjudicate
+        # "plan-changed" against a fresh-build baseline.
+        try:
+            plan_shas[name] = _plan_sha(qs[name](spark, sf_dir))
+        except Exception:
+            pass
         t0 = time.perf_counter()
         n = qs[name](spark, sf_dir).count()
         cold[name] = round(time.perf_counter() - t0, 3)
@@ -341,12 +364,6 @@ def main():
             qs[name](spark, sf_dir).count()
             warm.append(time.perf_counter() - t0)
         timings[name] = round(_median(warm), 3)
-        # plan fingerprint (no execution — planning only), for adjudicating
-        # next round's >1.3x flags as plan-changed vs environmental
-        try:
-            plan_shas[name] = _plan_sha(qs[name](spark, sf_dir))
-        except Exception:
-            pass
         print(
             f"# {name}: warm median {timings[name]}s of "
             f"{[round(w, 3) for w in sorted(warm)]} / cold {cold[name]}s ({n} rows)",

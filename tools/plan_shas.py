@@ -22,12 +22,21 @@ import sys
 
 
 def plan_sha(df) -> str:
-    s = df._jdf.queryExecution().executedPlan().toString()
+    sess = df.sparkSession
+    prev = sess.conf.get("spark.sql.maxMetadataStringLength", "100")
+    sess.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try:
+        s = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        sess.conf.set("spark.sql.maxMetadataStringLength", prev)
     s = re.sub(r"#\d+", "#x", s)
     s = re.sub(r"\[id=[^\]]*\]", "", s)
     s = re.sub(r"plan_id=\d+", "plan_id=x", s)
     s = re.sub(r"Statistics\([^)]*\)", "", s)
     s = re.sub(r"isFinalPlan=\w+", "", s)
+    # higher-order-function lambda variables (x_3, y_7, ...) carry
+    # session-monotonic suffixes — normalize the name, keep the shape
+    s = re.sub(r"\b([a-z]+)_\d+#x", r"\1_n#x", s)
     return hashlib.sha256(s.encode()).hexdigest()[:16]
 
 

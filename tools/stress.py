@@ -1399,6 +1399,91 @@ def main():
         "ADVERSARIAL: uncapped = 1.25e9 pairs from one order; degree cap drops+audits it; organic pairs array-local, no self-join",
     )
 
+    def geo_stress():
+        # grid-cell proximity join core (mirrors q_geo_proximity_join):
+        # 20M points vs 100k points, 1-degree cells, 3x3 neighborhood on
+        # the smaller side, exact haversine verify on candidates
+        big = spark.range(0, 20_000_000, 1, sc.defaultParallelism * 4).select(
+            F.col("id").alias("cid"),
+            (((F.col("id") * 2654435761) % 1700000) / 10000.0 - 85.0).alias("lat"),
+            (((F.col("id") * 40503) % 3600000) / 10000.0 - 180.0).alias("lon"),
+        ).withColumn("cell_lat", F.floor("lat")).withColumn(
+            "cell_lon", F.floor("lon")
+        )
+        small = spark.range(0, 100_000, 1, sc.defaultParallelism).select(
+            F.col("id").alias("sid"),
+            ((((F.col("id") * 97 + 13) * 2654435761) % 1700000) / 10000.0 - 85.0
+             ).alias("slat"),
+            ((((F.col("id") * 97 + 13) * 40503) % 3600000) / 10000.0 - 180.0
+             ).alias("slon"),
+        )
+        s9 = small.select(
+            "sid", "slat", "slon",
+            F.explode(F.expr(
+                "flatten(transform(sequence(-1, 1), i -> "
+                "transform(sequence(-1, 1), j -> "
+                "struct(CAST(floor(slat) + i AS BIGINT) AS cell_lat, "
+                "CAST(floor(slon) + j AS BIGINT) AS cell_lon))))"
+            )).alias("cell"),
+        ).select("sid", "slat", "slon", "cell.cell_lat", "cell.cell_lon")
+        hav = (
+            "2.0 * 6371000.0 * asin(sqrt("
+            "pow(sin(radians(slat - lat) / 2), 2)"
+            " + cos(radians(lat)) * cos(radians(slat))"
+            " * pow(sin(radians(slon - lon) / 2), 2)))"
+        )
+        (
+            big.join(s9, ["cell_lat", "cell_lon"])
+            .selectExpr(f"{hav} AS dist_m")
+            .agg(
+                F.count(F.lit(1)).alias("n_cand"),
+                F.sum((F.col("dist_m") <= 100_000).cast("int")).alias("n_in"),
+            )
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    timed(
+        "geo proximity join (20M x 100k points, 1-degree cells)",
+        20_000_000,
+        geo_stress,
+        "cell-bucketed spatial join; 9x replication on the 100k side; haversine verify per candidate",
+    )
+
+    def kmv_stress():
+        # KMV sketch + merge witness core (mirrors q_kmv_distinct_merge):
+        # 20M events, 5M distinct users, 30 days; k=64 per-day sketches
+        from pyspark.sql import Window as W
+
+        ud = events.select(
+            F.to_date("ts").alias("day"), "user_id"
+        ).distinct()
+        hv = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))),
+                    1, 12,
+                ), 16, 10,
+            ).cast("bigint") + 1
+        )
+        h = ud.select("day", hv.alias("hv"))
+        daily = (
+            h.withColumn("rn", F.row_number().over(W.partitionBy("day").orderBy("hv")))
+            .filter(F.col("rn") <= 64)
+            .select("hv")
+        )
+        (
+            daily.distinct().orderBy("hv").limit(64)
+            .agg(F.expr("17732923532771328 div max(hv)").alias("est"))
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    timed(
+        "KMV distinct sketch, daily merge (20M events, 5M users)",
+        20_000_000,
+        kmv_stress,
+        "one (day,user) distinct shuffle; day-partitioned top-k windows; merge is (k*days)-sized",
+    )
+
     # ---- report ----------------------------------------------------------
     lines = [
         "# STRESS — synthetic ~100× scale-up measurements (local[32])",
