@@ -519,3 +519,82 @@ def q_adamic_adar(spark, sf_dir):
         .orderBy(F.desc("aa_fp9"), "s1", "s2")
         .limit(20)
     )
+
+
+@register(
+    "q_graph_jaccard_similarity",
+    oracle=f"""
+WITH e AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+d AS (SELECT o, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY o),
+sdeg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS nd FROM e GROUP BY s),
+p AS (
+  SELECT a.o, a.s AS s1, b.s AS s2
+  FROM e a JOIN e b ON a.o = b.o AND a.s < b.s
+),
+common AS (
+  SELECT p.s1, p.s2, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM p JOIN d USING (o)
+  WHERE d.dg BETWEEN 2 AND {_AA_MAX_DEG}
+  GROUP BY p.s1, p.s2
+)
+SELECT CAST(c.s1 AS BIGINT) AS s1, CAST(c.s2 AS BIGINT) AS s2,
+       c.n_common,
+       CAST(d1.nd + d2.nd - c.n_common AS BIGINT) AS n_union,
+       CAST(floor(1000000.0 * c.n_common / (d1.nd + d2.nd - c.n_common))
+            AS BIGINT) AS jaccard_fp6
+FROM common c
+JOIN sdeg d1 ON c.s1 = d1.s
+JOIN sdeg d2 ON c.s2 = d2.s
+ORDER BY jaccard_fp6 DESC, s1, s2 LIMIT 20
+""",
+)
+def q_graph_jaccard_similarity(spark, sf_dir):
+    """Neighborhood Jaccard similarity between suppliers — the NORMALIZED
+    companion to q_adamic_adar (AA weights shared neighbors by rarity;
+    Jaccard normalizes by both nodes' total degree, so a hub supplier
+    cannot look similar to everything just by being everywhere):
+    J(s1,s2) = |N(s1) ∩ N(s2)| / (|N(s1)| + |N(s2)| − |N∩|). The
+    intersection comes from the SAME capped array-local pair enumeration
+    as Adamic–Adar (no corpus self-join); degrees ride in on one extra
+    per-supplier aggregate joined to the (pair)-sized frame. Exact
+    integers end in one floored fp6 ratio; top-20 via TakeOrdered with
+    deterministic tie-breaks."""
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    sdeg = li.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    grp = li.groupBy("o").agg(F.sort_array(F.collect_set("s")).alias("a"))
+    pairs_expr = (
+        "flatten(transform(sequence(1, size(a) - 1), i -> "
+        "transform(sequence(i + 1, size(a)), j -> "
+        "struct(element_at(a, CAST(i AS INT)) AS s1, "
+        "element_at(a, CAST(j AS INT)) AS s2))))"
+    )
+    p = (
+        grp.filter((F.size("a") >= 2) & (F.size("a") <= _AA_MAX_DEG))
+        .select(F.explode(F.expr(pairs_expr)).alias("pr"))
+        .select(F.col("pr.s1").alias("s1"), F.col("pr.s2").alias("s2"))
+    )
+    common = p.groupBy("s1", "s2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    d1 = sdeg.select(F.col("s").alias("s1"), F.col("nd").alias("nd1"))
+    d2 = sdeg.select(F.col("s").alias("s2"), F.col("nd").alias("nd2"))
+    uni = F.col("nd1") + F.col("nd2") - F.col("n_common")
+    return (
+        common.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            F.col("s1").cast("bigint").alias("s1"),
+            F.col("s2").cast("bigint").alias("s2"),
+            "n_common",
+            uni.cast("bigint").alias("n_union"),
+            F.floor(1_000_000.0 * F.col("n_common") / uni)
+            .cast("bigint")
+            .alias("jaccard_fp6"),
+        )
+        .orderBy(F.desc("jaccard_fp6"), "s1", "s2")
+        .limit(20)
+    )

@@ -209,6 +209,7 @@ HEADLINE = [
     "q_rank_biased_overlap",
     "q_kmv_distinct_merge",
     "q_geo_proximity_join",
+    "q_graph_jaccard_similarity",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -928,3 +928,11 @@ def test_geo_join_broadcasts_small_side(spark):
     a = props("q_geo_proximity_join", spark)
     assert a["scans"] == 2 and a["sort_merge_joins"] == 0
     assert a["broadcasts"] >= 1 and a["python_ops"] == 0
+
+
+def test_graph_jaccard_no_self_join_broadcast_degrees(spark):
+    """Same capped array-local pair enumeration as Adamic-Adar; the degree
+    frames join by broadcast onto the pair-sized frame."""
+    a = props("q_graph_jaccard_similarity", spark)
+    assert a["sort_merge_joins"] == 0
+    assert a["broadcasts"] >= 2 and a["python_ops"] == 0

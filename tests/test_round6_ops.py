@@ -516,3 +516,23 @@ def test_geo_candidates_match_python_brute_force(spark, tmp_path):
     r = q_geo_proximity_join(spark, str(tmp_path)).collect()[0]
     assert r.n_within_radius == expected
     assert r.n_candidates >= r.n_within_radius
+
+
+def test_graph_jaccard_hand_checked(spark, tmp_path):
+    """Orders {1,2}, {1,2,3}: N(1)={10,20}, N(2)={10,20}, N(3)={20}.
+    J(1,2) = 2/(2+2-2) = 1.0; J(1,3) = 1/(2+1-1) = 0.5; J(2,3) = 0.5."""
+    rows = [(10, 0, 1), (10, 0, 2), (20, 0, 1), (20, 0, 2), (20, 0, 3)]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey", "l_suppkey"])
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.graph import (
+        q_graph_jaccard_similarity,
+    )
+
+    out = {
+        (r.s1, r.s2): r
+        for r in q_graph_jaccard_similarity(spark, str(tmp_path)).collect()
+    }
+    assert out[(1, 2)].jaccard_fp6 == 1_000_000
+    assert out[(1, 2)].n_common == 2 and out[(1, 2)].n_union == 2
+    assert out[(1, 3)].jaccard_fp6 == 500_000
+    assert out[(2, 3)].jaccard_fp6 == 500_000
