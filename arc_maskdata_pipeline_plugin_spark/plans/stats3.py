@@ -528,3 +528,140 @@ def q_kmv_distinct_merge(spark, sf_dir):
         .cast("bigint")
         .alias("err_pct_fp4"),
     )
+
+
+# Two-sided normal quantiles z_{0.025/m} for m = 1..10 comparisons,
+# computed ONCE with Python's statistics.NormalDist().inv_cdf and inlined
+# as full-precision literals in BOTH engines (the Poisson-CDF /
+# nDCG-weight-table discipline: neither engine computes the quantile).
+_BONF_Z = [
+    1.959963984540054, 2.241402727604946, 2.39397979981851,
+    2.497705474412374, 2.5758293035489, 2.638257273476751,
+    2.690109527158866, 2.734368786533176, 2.772921294608662,
+    2.807033768343811,
+]
+
+
+def _bonf_case_sql(m: str) -> str:
+    branches = " ".join(
+        f"WHEN {m} = {i + 1} THEN {z!r}" for i, z in enumerate(_BONF_Z[:-1])
+    )
+    return f"CASE {branches} ELSE {_BONF_Z[-1]!r} END"
+
+
+@register(
+    "q_bonferroni_ab_screen",
+    oracle=f"""
+WITH g AS (
+  SELECT event_type, CAST(user_id % 2 AS BIGINT) AS cohort,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS s,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+              AS DECIMAL(38,12)) AS ss
+  FROM events GROUP BY 1, 2
+),
+wide AS (
+  SELECT event_type,
+         MAX(CASE WHEN cohort = 0 THEN n END) AS n0,
+         MAX(CASE WHEN cohort = 1 THEN n END) AS n1,
+         MAX(CASE WHEN cohort = 0 THEN s END) AS s0,
+         MAX(CASE WHEN cohort = 1 THEN s END) AS s1,
+         MAX(CASE WHEN cohort = 0 THEN ss END) AS ss0,
+         MAX(CASE WHEN cohort = 1 THEN ss END) AS ss1
+  FROM g GROUP BY event_type
+),
+z AS (
+  SELECT event_type, n0, n1,
+         CASE WHEN se > 0
+              THEN (CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1) / se
+         END AS zv,
+         COUNT(*) OVER () AS m
+  FROM (
+    SELECT *,
+           sqrt(((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0)
+                 / (n0 - 1)) / n0
+                + ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                   / (n1 - 1)) / n1) AS se
+    FROM wide
+  )
+)
+SELECT event_type, n0, n1,
+       CAST(floor(1000000.0 * zv) AS BIGINT) AS z_fp6,
+       CAST(m AS BIGINT) AS n_comparisons,
+       CAST(CASE WHEN zv IS NOT NULL AND abs(zv) > {_BONF_Z[0]!r} THEN 1 ELSE 0 END AS BIGINT)
+         AS sig_raw,
+       CAST(CASE WHEN abs(zv) > ({_bonf_case_sql('least(m, 10)')})
+                 THEN 1 ELSE 0 END AS BIGINT) AS sig_bonferroni
+FROM z
+""",
+)
+def q_bonferroni_ab_screen(spark, sf_dir):
+    """Multi-metric A/B screen with multiple-testing correction — the
+    experimentation-platform guard against p-hacking across metrics: a
+    Welch z per event type between two deterministic user cohorts
+    (user_id mod 2), flagged both at raw α=0.05 and at the
+    Bonferroni-corrected α/m where m is the number of metrics actually
+    tested (counted in-plan). Means and variances come from exact decimal
+    Σv / Σv² partials (one shuffle to the (type, cohort) frame); z and the
+    threshold compare are doubles derived from those exact decimals with
+    identical expressions in both engines; the z-quantile table is
+    full-precision Python literals inlined in both.
+
+    Scale shape: ONE map-side-combined aggregate ends the corpus path;
+    everything after is |metrics|-sized."""
+    e = T(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).cast("bigint").alias("cohort"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    g = e.groupBy("event_type", "cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("decimal(38,6)").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("decimal(38,12)").alias("ss"),
+    )
+
+    def pick(col, c):
+        return F.max(F.when(F.col("cohort") == c, F.col(col)))
+
+    wide = g.groupBy("event_type").agg(
+        pick("n", 0).alias("n0"),
+        pick("n", 1).alias("n1"),
+        pick("s", 0).alias("s0"),
+        pick("s", 1).alias("s1"),
+        pick("ss", 0).alias("ss0"),
+        pick("ss", 1).alias("ss1"),
+    )
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n)  # noqa: E731
+    var = lambda s, ss, n: (  # noqa: E731
+        F.col(ss).cast("double")
+        - F.col(s).cast("double") * F.col(s) / F.col(n)
+    ) / (F.col(n) - 1)
+    se = F.sqrt(
+        var("s0", "ss0", "n0") / F.col("n0")
+        + var("s1", "ss1", "n1") / F.col("n1")
+    )
+    # a degenerate metric (zero variance in both cohorts) has no z — emit
+    # NULL and flag 0 rather than divide by zero (ANSI) / inf (DuckDB)
+    zv = F.when(se > 0, (mean("s0", "n0") - mean("s1", "n1")) / se)
+    z = wide.select(
+        "event_type",
+        "n0",
+        "n1",
+        zv.alias("zv"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    thr_arr = F.array(*[F.lit(t) for t in _BONF_Z])
+    bonf_thr = F.element_at(thr_arr, F.least(F.col("m"), F.lit(10)).cast("int"))
+    return z.select(
+        "event_type",
+        "n0",
+        "n1",
+        F.floor(1_000_000.0 * F.col("zv")).cast("bigint").alias("z_fp6"),
+        F.col("m").cast("bigint").alias("n_comparisons"),
+        (F.col("zv").isNotNull() & (F.abs("zv") > _BONF_Z[0]))
+        .cast("bigint")
+        .alias("sig_raw"),
+        (F.col("zv").isNotNull() & (F.abs("zv") > bonf_thr))
+        .cast("bigint")
+        .alias("sig_bonferroni"),
+    )

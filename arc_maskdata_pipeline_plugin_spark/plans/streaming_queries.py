@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import uuid
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..streaming import read_events_stream, run_available_now, windowed_event_counts
@@ -621,4 +622,87 @@ def q_stream_hysteresis_alert(spark, sf_dir):
     out = hysteresis_alerts(stream, low_cents=_HYST_LOW, high_cents=_HYST_HIGH)
     return run_available_now(
         out, f"stream_hysteresis_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+
+
+@register(
+    "q_watermark_lateness_audit",
+    oracle="""
+WITH arr AS (
+  SELECT event_type, ts,
+         MAX(ts) OVER (PARTITION BY event_type ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+  FROM events
+),
+lat AS (
+  SELECT event_type,
+         CAST(date_diff('second', ts, run_max) AS BIGINT) AS late_s
+  FROM arr
+),
+vc AS (
+  SELECT event_type, late_s, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lat GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, late_s,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY late_s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r,
+         SUM(cnt) OVER (PARTITION BY event_type) AS tot
+  FROM vc
+)
+SELECT event_type,
+       CAST(MIN(tot) AS BIGINT) AS n_events,
+       (SELECT CAST(SUM(CASE WHEN l.late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lat l WHERE l.event_type = cum.event_type) AS n_late,
+       CAST(MIN(CASE WHEN r >= CAST(ceil(0.5 * tot) AS BIGINT)
+                THEN late_s END) AS BIGINT) AS p50_late_s,
+       CAST(MIN(CASE WHEN r >= CAST(ceil(0.95 * tot) AS BIGINT)
+                THEN late_s END) AS BIGINT) AS p95_late_s,
+       CAST(MAX(late_s) AS BIGINT) AS max_late_s
+FROM cum GROUP BY event_type
+""",
+)
+def q_watermark_lateness_audit(spark, sf_dir):
+    """Event-lateness distribution per type — the audit that SIZES a
+    streaming watermark before anyone picks `withWatermark("ts", ???)`:
+    replaying the log in arrival order (event_id is the synthetic arrival
+    sequence), each event's lateness is how far the stream's high-water
+    mark had already passed it: running max(ts) − ts. Exact p50/p95 per
+    type via the shared grouped exact-rank seam
+    (``operators/quantiles.quantile_thresholds``) plus the late count and
+    worst case — read p95 as "a watermark delay of this many seconds
+    keeps 95% of events inside the window state".
+
+    Scale shape: the timeline reconstruction is one arrival-ordered
+    window PER TYPE (the sessionize discipline: keyed sort, no global
+    order); the percentile machinery runs on the (type, distinct-lateness)
+    count frame."""
+    from ..operators.quantiles import quantile_thresholds
+
+    e = T(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lat = e.withColumn("run_max", F.max("ts").over(w)).select(
+        "event_type",
+        F.expr("timestampdiff(SECOND, ts, run_max)")
+        .cast("bigint")
+        .alias("late_s"),
+    )
+    stats = lat.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum((F.col("late_s") > 0).cast("int")).cast("bigint").alias("n_late"),
+        F.max("late_s").cast("bigint").alias("max_late_s"),
+    )
+    th = quantile_thresholds(
+        lat,
+        "late_s",
+        {"p50_late_s": 0.5, "p95_late_s": 0.95},
+        group_cols=("event_type",),
+    )
+    return stats.join(th, "event_type").select(
+        "event_type", "n_events", "n_late", "p50_late_s", "p95_late_s",
+        "max_late_s",
     )

@@ -210,6 +210,8 @@ HEADLINE = [
     "q_kmv_distinct_merge",
     "q_geo_proximity_join",
     "q_graph_jaccard_similarity",
+    "q_bonferroni_ab_screen",
+    "q_watermark_lateness_audit",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -936,3 +936,19 @@ def test_graph_jaccard_no_self_join_broadcast_degrees(spark):
     a = props("q_graph_jaccard_similarity", spark)
     assert a["sort_merge_joins"] == 0
     assert a["broadcasts"] >= 2 and a["python_ops"] == 0
+
+
+def test_bonferroni_one_corpus_aggregate(spark):
+    """One map-side-combined (type, cohort) aggregate ends the corpus
+    path; everything after is |metrics|-sized."""
+    a = props("q_bonferroni_ab_screen", spark)
+    assert a["scans"] == 1 and a["exchanges"] <= 3
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+
+
+def test_watermark_lateness_keyed_windows_only(spark):
+    """Timeline reconstruction is a PER-TYPE arrival-ordered window (the
+    sessionize discipline) — no global sort, no Python."""
+    a = props("q_watermark_lateness_audit", spark)
+    assert a["sort_merge_joins"] <= 1  # stats ⋈ thresholds on the type key
+    assert a["python_ops"] == 0

@@ -536,3 +536,64 @@ def test_graph_jaccard_hand_checked(spark, tmp_path):
     assert out[(1, 2)].n_common == 2 and out[(1, 2)].n_union == 2
     assert out[(1, 3)].jaccard_fp6 == 500_000
     assert out[(2, 3)].jaccard_fp6 == 500_000
+
+
+def test_bonferroni_screen_flags_only_real_effect(spark, tmp_path):
+    """Type A has a large cohort effect, type B none: A is significant
+    even at the Bonferroni-corrected threshold, B at neither."""
+    rows = []
+    eid = 0
+    for i in range(60):
+        u = i % 20  # even users -> cohort 0
+        base = 1.0 if u % 2 == 0 else 2.0
+        rows.append((eid, _T0, u, "A", base + 0.2 * ((i // 20) % 2), "{}"))
+        eid += 1
+    for i in range(60):
+        u = i % 20
+        rows.append((eid, _T0, u, "B", 5.0 + 0.4 * ((i // 20) % 2), "{}"))
+        eid += 1
+    _write_events(spark, tmp_path, rows)
+    from arc_maskdata_pipeline_plugin_spark.plans.stats3 import (
+        q_bonferroni_ab_screen,
+    )
+
+    out = {
+        r.event_type: r
+        for r in q_bonferroni_ab_screen(spark, str(tmp_path)).collect()
+    }
+    assert out["A"].n_comparisons == 2 and out["B"].n_comparisons == 2
+    assert out["A"].sig_raw == 1 and out["A"].sig_bonferroni == 1
+    assert out["B"].sig_raw == 0 and out["B"].sig_bonferroni == 0
+
+
+def test_watermark_lateness_hand_checked(spark, tmp_path):
+    """Arrival sequence t0, +10s, +5s, +20s, +15s: the two out-of-order
+    events are each 5s late; p50 = 0, p95 = max = 5."""
+    offs = [0, 10, 5, 20, 15]
+    rows = [
+        (i, _T0 + datetime.timedelta(seconds=s), 1, "buy", 1.0, "{}")
+        for i, s in enumerate(offs)
+    ]
+    _write_events(spark, tmp_path, rows)
+    from arc_maskdata_pipeline_plugin_spark.plans.streaming_queries import (
+        q_watermark_lateness_audit,
+    )
+
+    r = q_watermark_lateness_audit(spark, str(tmp_path)).collect()[0]
+    assert r.n_events == 5 and r.n_late == 2
+    assert r.p50_late_s == 0
+    assert r.p95_late_s == 5 and r.max_late_s == 5
+
+
+def test_bonferroni_degenerate_metric_is_null_not_error(spark, tmp_path):
+    """Zero variance in both cohorts: no z exists — the screen emits NULL
+    and flags 0 instead of ANSI divide-by-zero."""
+    rows = [(i, _T0, i % 4, "C", 7.0, "{}") for i in range(40)]
+    _write_events(spark, tmp_path, rows)
+    from arc_maskdata_pipeline_plugin_spark.plans.stats3 import (
+        q_bonferroni_ab_screen,
+    )
+
+    r = q_bonferroni_ab_screen(spark, str(tmp_path)).collect()[0]
+    assert r.z_fp6 is None
+    assert r.sig_raw == 0 and r.sig_bonferroni == 0
