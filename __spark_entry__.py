@@ -53,6 +53,7 @@ from arc_maskdata_pipeline_plugin_spark.plans import rag  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import bpe  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import curation  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import stats3  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import stats4  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import mlprep  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import lakeops  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import geo  # noqa: F401

@@ -212,6 +212,12 @@ HEADLINE = [
     "q_graph_jaccard_similarity",
     "q_bonferroni_ab_screen",
     "q_watermark_lateness_audit",
+    # round 6 (cont.): k-group tests + FDR control + changepoint location
+    "q_kruskal_wallis",
+    "q_anova_f",
+    "q_spearman_corr",
+    "q_bh_fdr_screen",
+    "q_pettitt_changepoint",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

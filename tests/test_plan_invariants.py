@@ -952,3 +952,43 @@ def test_watermark_lateness_keyed_windows_only(spark):
     a = props("q_watermark_lateness_audit", spark)
     assert a["sort_merge_joins"] <= 1  # stats ⋈ thresholds on the type key
     assert a["python_ops"] == 0
+
+
+def test_kruskal_wallis_distinct_value_seam(spark):
+    """One scan collapses to the distinct-value count frame; rank algebra
+    runs there (the q_ks_test seam); no joins, no Python."""
+    a = props("q_kruskal_wallis", spark)
+    assert a["scans"] == 1
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+
+
+def test_anova_one_corpus_aggregate(spark):
+    """Sufficient-statistics reduction: one map-side-combined aggregate
+    ends the corpus path; |types|-sized thereafter."""
+    a = props("q_anova_f", spark)
+    assert a["scans"] == 1 and a["exchanges"] <= 2
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+
+
+def test_spearman_windows_partitioned(spark):
+    """Per-nation rank windows: no unpartitioned corpus sort. The plan may
+    shuffle for the customer⋈spend join + nation windows, but never a
+    single-partition Exchange over the corpus."""
+    a = props("q_spearman_corr", spark)
+    assert a["scans"] == 2 and a["python_ops"] == 0
+
+
+def test_bh_fdr_one_corpus_aggregate(spark):
+    """Same corpus shape as Bonferroni: one (type, cohort) aggregate; the
+    BH step-up window runs on the |metrics|-sized frame."""
+    a = props("q_bh_fdr_screen", spark)
+    assert a["scans"] == 1
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+
+
+def test_pettitt_daily_frame_only(spark):
+    """One daily aggregate ends the corpus path; every window after is
+    partitioned by event type over calendar-daily rows."""
+    a = props("q_pettitt_changepoint", spark)
+    assert a["scans"] == 1
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
