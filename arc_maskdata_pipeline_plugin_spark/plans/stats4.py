@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .registry import T, register
+from .registry import T, persisted, register
 
 # ---------------------------------------------------------------------------
 # Kruskal-Wallis H — k-group rank test over event values by type
@@ -761,3 +761,248 @@ def q_pettitt_changepoint(spark, sf_dir):
         .cast("bigint")
         .alias("p_fp9"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard — the hazard-scale twin of Kaplan-Meier
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_nelson_aalen",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS start_day FROM events GROUP BY user_id
+),
+first_purchase AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS conv_day
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+horizon AS (SELECT MAX(CAST(ts AS DATE)) AS h FROM events),
+subj AS (
+  SELECT f.user_id,
+         CASE WHEN p.conv_day IS NULL
+              THEN date_diff('day', f.start_day, horizon.h)
+              ELSE date_diff('day', f.start_day, p.conv_day) END AS t,
+         CASE WHEN p.conv_day IS NULL THEN 0 ELSE 1 END AS event
+  FROM first_seen f LEFT JOIN first_purchase p USING (user_id)
+  CROSS JOIN horizon
+),
+times AS (
+  SELECT t,
+         CAST(SUM(event) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS leaving
+  FROM subj GROUP BY t
+),
+risk AS (
+  SELECT t, d,
+         SUM(leaving) OVER (ORDER BY t DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS n_at_risk
+  FROM times
+)
+SELECT t, d, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(SUM(CAST(floor(1000000000.0 * d / n_at_risk) AS BIGINT))
+            OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS hazard_fp9,
+       CAST(SUM(CAST(floor(1000000000.0
+                           * (CAST(d AS DOUBLE) * (n_at_risk - d))
+                           / (CAST(n_at_risk AS DOUBLE) * n_at_risk * n_at_risk))
+                    AS BIGINT))
+            OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS var_fp9
+FROM risk
+WHERE d > 0
+""",
+)
+def q_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative-hazard estimator for the same
+    time-to-first-purchase data as ``q_kaplan_meier`` — the hazard-scale
+    twin: ``H(t) = Σ_{t_i ≤ t} d_i/n_i`` with the standard variance
+    ``Σ d_i(n_i − d_i)/n_i³``. Each hazard and variance term is fp9-floored
+    BEFORE the cumulative sum (exact integer accumulation — the same rule
+    that keeps the KM log-product engine-stable), and the at-risk counts
+    come from the same reverse cumulative sum.
+
+    Scale shape: corpus collapses to one row per user, then one row per
+    distinct duration; every window after the first user-keyed aggregate is
+    duration-grain (cites q_kaplan_meier's shape; see plans/stats2.py)."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("start_day")
+    )
+    first_purchase = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("conv_day"))
+    )
+    horizon = e.agg(F.max(F.col("ts").cast("date")).alias("h"))
+    subj = (
+        first_seen.join(first_purchase, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("conv_day").isNull(),
+                F.datediff(F.col("h"), F.col("start_day")),
+            )
+            .otherwise(F.datediff(F.col("conv_day"), F.col("start_day")))
+            .alias("t"),
+            F.when(F.col("conv_day").isNull(), 0).otherwise(1).alias("event"),
+        )
+    )
+    times = subj.groupBy("t").agg(
+        F.sum("event").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+    )
+    wrev = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = times.select(
+        "t",
+        "d",
+        F.sum("leaving").over(wrev).alias("n_at_risk"),
+    )
+    wfwd = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    hterm = F.floor(1_000_000_000.0 * F.col("d") / F.col("n_at_risk")).cast(
+        "bigint"
+    )
+    vterm = F.floor(
+        1_000_000_000.0
+        * (F.col("d").cast("double") * (F.col("n_at_risk") - F.col("d")))
+        / (
+            F.col("n_at_risk").cast("double")
+            * F.col("n_at_risk")
+            * F.col("n_at_risk")
+        )
+    ).cast("bigint")
+    return (
+        risk.select(
+            "t",
+            "d",
+            F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+            F.sum(hterm).over(wfwd).cast("bigint").alias("hazard_fp9"),
+            F.sum(vterm).over(wfwd).cast("bigint").alias("var_fp9"),
+        )
+        .filter(F.col("d") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily autocorrelation function — lags 1..7 over per-type event counts
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "q_acf_daily",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS scc
+  FROM daily GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type, lag,
+         CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(a.c) AS DECIMAL(38,0)) AS sa,
+         CAST(SUM(b.c) AS DECIMAL(38,0)) AS sb,
+         CAST(SUM(CAST(a.c AS DECIMAL(38,0)) * b.c) AS DECIMAL(38,0)) AS sab
+  FROM daily a, UNNEST(range(1, {_ACF_MAX_LAG} + 1)) AS l(lag)
+  JOIN daily b ON b.event_type = a.event_type
+              AND b.day = a.day + CAST(lag AS INTEGER)
+  GROUP BY a.event_type, lag
+)
+SELECT p.event_type, CAST(p.lag AS BIGINT) AS lag, t.n AS n_days, p.m AS n_pairs,
+       CAST(floor(1000000.0
+              * CAST(CAST(t.n AS DECIMAL(38,0)) * t.n * p.sab
+                     - t.n * t.s * (p.sa + p.sb) + p.m * t.s * t.s AS DOUBLE)
+              / (CAST(p.m AS DOUBLE)
+                 * CAST(t.n * t.scc - t.s * t.s AS DOUBLE)))
+            AS BIGINT) AS acf_fp6
+FROM pairs p JOIN tot t ON p.event_type = t.event_type
+""",
+)
+def q_acf_daily(spark, sf_dir):
+    """Sample autocorrelation of the daily event-count series per type at
+    lags 1..{_ACF_MAX_LAG} — the seasonality fingerprint behind the
+    forecast/anomaly monitors (a weekly cycle shows as an acf(7) spike).
+    Gap-aware: lag pairs join on the CALENDAR day offset, never on row
+    offsets, so missing days cannot misalign lags (the q_forecast_backtest
+    calendar-join rule). The estimator is normalized per lag over the m
+    matched pairs: r_L = (Σ(a−c̄)(b−c̄))/ (m/n · Σ(c−c̄)²), and the whole
+    ratio is carried as exact integer products (multiply through by n²)
+    with only the final division a double.
+
+    Scale shape: ONE map-side-combined daily aggregate ends the corpus
+    path; the lag self-join and totals run on the calendar-sized frame
+    (≤366·|types| rows/year), with the |types|-row totals broadcast."""
+    daily = persisted(
+        T(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("scc"),
+    )
+    a = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.explode(F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG))).alias("lag"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("bt"),
+        F.col("day").alias("bday"),
+        F.col("c").alias("bc"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("bt") == F.col("event_type"))
+            & (F.col("bday") == F.date_add(F.col("day"), F.col("lag"))),
+        )
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.sum("c").cast("decimal(38,0)").alias("sa"),
+            F.sum("bc").cast("decimal(38,0)").alias("sb"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("bc"))
+            .cast("decimal(38,0)")
+            .alias("sab"),
+        )
+    )
+    out = pairs.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").alias("n_days"),
+        F.col("m").alias("n_pairs"),
+        F.floor(
+            1_000_000.0
+            * (
+                F.col("n").cast("decimal(38,0)") * F.col("n") * F.col("sab")
+                - F.col("n") * F.col("s") * (F.col("sa") + F.col("sb"))
+                + F.col("m") * F.col("s") * F.col("s")
+            ).cast("double")
+            / (
+                F.col("m").cast("double")
+                * (F.col("n") * F.col("scc") - F.col("s") * F.col("s")).cast(
+                    "double"
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("acf_fp6"),
+    )
+    return out

@@ -218,6 +218,8 @@ HEADLINE = [
     "q_spearman_corr",
     "q_bh_fdr_screen",
     "q_pettitt_changepoint",
+    "q_nelson_aalen",
+    "q_acf_daily",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -992,3 +992,21 @@ def test_pettitt_daily_frame_only(spark):
     a = props("q_pettitt_changepoint", spark)
     assert a["scans"] == 1
     assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+
+
+def test_nelson_aalen_duration_grain_after_user_agg(spark):
+    """Corpus → per-user agg → duration frame; same shape as KM. No
+    Python, dims broadcast (horizon)."""
+    a = props("q_nelson_aalen", spark)
+    assert a["python_ops"] == 0
+    assert a["broadcasts"] >= 1
+
+
+def test_acf_calendar_join_on_daily_frame(spark):
+    """One daily aggregate ends the corpus path; the lag-7 self-join and
+    totals run on the persisted calendar-sized frame with the |types|-row
+    totals broadcast. (Scan/exchange counts are inflated by the persist's
+    repeated build subtree — assert the broadcast + no-Python shape.)"""
+    a = props("q_acf_daily", spark)
+    assert a["python_ops"] == 0
+    assert a["broadcasts"] >= 1

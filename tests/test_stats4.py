@@ -184,3 +184,53 @@ def test_pettitt_constant_series_no_signal(spark, tmp_path):
     r = q_pettitt_changepoint(spark, str(tmp_path)).collect()[0]
     assert r.k_stat == 0
     assert r.p_fp9 == 1_000_000_000
+
+
+def test_nelson_aalen_hand_values(spark, tmp_path):
+    """4 users from day 0: conversions at t=1, t=2; two censored at the
+    day-3 horizon. H(1) = 1/4, H(2) = 1/4 + 1/3; var terms d(n−d)/n³."""
+    rows = [
+        (0, _BASE, 1, "view", 1.0, "{}"),
+        (1, _BASE + datetime.timedelta(days=1), 1, "purchase", 1.0, "{}"),
+        (2, _BASE, 2, "view", 1.0, "{}"),
+        (3, _BASE + datetime.timedelta(days=2), 2, "purchase", 1.0, "{}"),
+        (4, _BASE, 3, "view", 1.0, "{}"),
+        (5, _BASE + datetime.timedelta(days=3), 3, "view", 1.0, "{}"),
+        (6, _BASE, 4, "view", 1.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    from arc_maskdata_pipeline_plugin_spark.plans.stats4 import q_nelson_aalen
+
+    out = {r.t: r for r in q_nelson_aalen(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_at_risk == 4 and out[1].d == 1
+    assert out[1].hazard_fp9 == 250_000_000
+    assert out[1].var_fp9 == math.floor(1e9 * 3 / 64)
+    assert out[2].n_at_risk == 3 and out[2].d == 1
+    assert out[2].hazard_fp9 == 250_000_000 + math.floor(1e9 * 1 / 3)
+    assert out[2].var_fp9 == math.floor(1e9 * 3 / 64) + math.floor(
+        1e9 * (1.0 * 2) / 27.0
+    )
+
+
+def test_acf_weekly_pattern_peaks_at_lag7(spark, tmp_path):
+    """An exact period-7 daily-count pattern over 3 weeks: acf(7) = 1
+    (every lag-7 pair matches identically); shorter lags are strictly
+    smaller."""
+    pattern = [1, 2, 3, 4, 3, 2, 1]
+    rows = []
+    eid = 0
+    for d in range(21):
+        for _ in range(pattern[d % 7]):
+            rows.append(
+                (eid, _BASE + datetime.timedelta(days=d), 1, "x", 1.0, "{}")
+            )
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    from arc_maskdata_pipeline_plugin_spark.plans.stats4 import q_acf_daily
+
+    out = {r.lag: r for r in q_acf_daily(spark, str(tmp_path)).collect()}
+    assert out[7].n_pairs == 14 and out[7].n_days == 21
+    assert out[7].acf_fp6 >= 999_999  # exactly 1 up to the fp6 floor
+    for lag in range(1, 7):
+        assert out[lag].acf_fp6 < out[7].acf_fp6
