@@ -44,6 +44,7 @@ from arc_maskdata_pipeline_plugin_spark.plans import search2  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import privacy  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import layout  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import graph  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import graph2  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import quality  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import timeseries  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import behavior  # noqa: F401

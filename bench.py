@@ -220,6 +220,10 @@ HEADLINE = [
     "q_pettitt_changepoint",
     "q_nelson_aalen",
     "q_acf_daily",
+    # round 6 (cont. 2): integer HITS (2 shuffles + 2 scalar broadcasts per
+    # round), per-vertex triangle credits over the oriented wedge frame
+    "q_hits_authorities",
+    "q_clustering_coefficient",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

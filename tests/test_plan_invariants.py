@@ -1010,3 +1010,22 @@ def test_acf_calendar_join_on_daily_frame(spark):
     a = props("q_acf_daily", spark)
     assert a["python_ops"] == 0
     assert a["broadcasts"] >= 1
+
+
+def test_hits_round_shape(spark):
+    """Edges shuffle once and persist; each round is two keyed aggregates
+    + broadcast 1-row totals; no Python. The final plan string is truncated
+    at the last per-round localCheckpoint (like q_pagerank_suppliers), so
+    only the top-k tail is visible — freeze what it shows: a checkpoint
+    scan, no extra parquet scans, no Python."""
+    a = props("q_hits_authorities", spark)
+    assert a["python_ops"] == 0
+    assert a["scans"] == 0  # everything upstream ended at the checkpoint
+    assert a["sort_merge_joins"] == 0
+
+
+def test_clustering_coefficient_oriented_wedges(spark):
+    """Same degree-oriented wedge machinery as q_triangle_count: adjacency
+    arrays intersect JVM-side; no Python ops anywhere."""
+    a = props("q_clustering_coefficient", spark)
+    assert a["python_ops"] == 0
