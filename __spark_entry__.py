@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 # r01) registers after.
 from arc_maskdata_pipeline_plugin_spark.plans import dedup  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import text  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import text2  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import similarity  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import embeddings  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import masking_queries  # noqa: F401

@@ -224,6 +224,10 @@ HEADLINE = [
     # round), per-vertex triangle credits over the oriented wedge frame
     "q_hits_authorities",
     "q_clustering_coefficient",
+    # round 6 (cont. 3): readability screen (pure expressions), RAKE
+    # keyword scores (doc-partitioned phrase windows + one word shuffle)
+    "q_readability_scores",
+    "q_rake_keywords",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

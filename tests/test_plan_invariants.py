@@ -1029,3 +1029,20 @@ def test_clustering_coefficient_oriented_wedges(spark):
     arrays intersect JVM-side; no Python ops anywhere."""
     a = props("q_clustering_coefficient", spark)
     assert a["python_ops"] == 0
+
+
+def test_readability_pure_expressions_one_aggregate(spark):
+    """Per-row regex counts + one map-side-combined aggregate; no joins,
+    no Python, single scan."""
+    a = props("q_readability_scores", spark)
+    assert a["scans"] == 1 and a["exchanges"] == 1
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+
+
+def test_rake_no_corpus_joins(spark):
+    """Token explode → doc-partitioned phrase windows → one word shuffle →
+    top-k. Zero joins, zero Python."""
+    a = props("q_rake_keywords", spark)
+    assert a["scans"] == 1
+    assert a["sort_merge_joins"] == 0 and a["broadcasts"] == 0
+    assert a["python_ops"] == 0
