@@ -1204,3 +1204,111 @@ def q_growth_accounting(spark, sf_dir):
             "n_resurrected",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-item co-occurrence similarity (collaborative filtering base)
+# ---------------------------------------------------------------------------
+
+_CO_CAP = 16  # max items per basket entering pair enumeration
+_CO_MIN_PAIR = 2
+_CO_TOP = 100
+
+
+@register(
+    "q_item_cooccurrence",
+    oracle=f"""
+WITH baskets AS (
+  SELECT l_orderkey,
+         list_slice(list_sort(list(DISTINCT l_partkey)), 1, {_CO_CAP}) AS parts
+  FROM lineitem GROUP BY l_orderkey
+),
+item AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(parts) AS p FROM baskets) GROUP BY 1
+),
+prs AS (
+  SELECT pr[1] AS p1, pr[2] AS p2, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM (
+    SELECT unnest(flatten(list_transform(parts, x ->
+             list_transform(list_filter(parts, y -> y > x),
+                            y -> [x, y])))) AS pr
+    FROM baskets
+  ) GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.p1, p.p2, p.c_xy,
+         CAST(floor(1000000.0 * p.c_xy
+                    / sqrt(CAST(i1.c AS DOUBLE) * i2.c)) AS BIGINT)
+           AS cosine_fp6
+  FROM prs p JOIN item i1 ON p.p1 = i1.p JOIN item i2 ON p.p2 = i2.p
+  WHERE p.c_xy >= {_CO_MIN_PAIR}
+)
+SELECT p1, p2, c_xy, cosine_fp6, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cosine_fp6 DESC, p1, p2)
+                 AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {_CO_TOP}
+""",
+)
+def q_item_cooccurrence(spark, sf_dir):
+    """Item-item co-occurrence cosine over order baskets — the
+    "customers who bought X also bought Y" primitive behind every
+    neighborhood recommender: ``cos(i,j) = c_ij / √(c_i·c_j)`` where c_ij
+    counts baskets containing both (deterministically CAPPED at the first
+    {_CO_CAP} sorted items per basket — the standard viral-basket guard,
+    same discipline as the LSH bucket caps) and c_i counts capped baskets
+    containing i. Top pairs by cosine with a min-support floor.
+
+    Scale shape: pair enumeration is partition-local and bounded by
+    cap²/2 per basket (never a corpus self-join); one pair shuffle + one
+    item shuffle; the item-count frame joins back at pair grain
+    (dimension-sized — AQE broadcasts it when small). The top-k is
+    TakeOrderedAndProject."""
+    li = T(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.slice(F.sort_array(F.collect_set("l_partkey")), 1, _CO_CAP).alias(
+            "parts"
+        )
+    ).transform(persisted)  # consumers: item counts + pair enumeration
+    item = (
+        baskets.select(F.explode("parts").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    pairs = F.flatten(
+        F.expr(
+            "transform(parts, (x, i) -> "
+            "transform(slice(parts, i + 2, size(parts)), y -> struct(x as p1, y as p2)))"
+        )
+    )
+    prs = (
+        baskets.select(F.explode(pairs).alias("pr"))
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+        .filter(F.col("c_xy") >= _CO_MIN_PAIR)
+    )
+    i1 = item.select(F.col("p").alias("i1p"), F.col("c").alias("c1"))
+    i2 = item.select(F.col("p").alias("i2p"), F.col("c").alias("c2"))
+    scored = (
+        prs.join(i1, F.col("p1") == F.col("i1p"))
+        .join(i2, F.col("p2") == F.col("i2p"))
+        .select(
+            "p1",
+            "p2",
+            "c_xy",
+            F.floor(
+                1_000_000.0
+                * F.col("c_xy")
+                / F.sqrt(F.col("c1").cast("double") * F.col("c2"))
+            )
+            .cast("bigint")
+            .alias("cosine_fp6"),
+        )
+    )
+    w = Window.orderBy(F.col("cosine_fp6").desc(), F.col("p1"), F.col("p2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _CO_TOP)
+        .select("p1", "p2", "c_xy", "cosine_fp6", F.col("rank").cast("int").alias("rank"))
+    )

@@ -383,3 +383,82 @@ def q_url_canonical_dedup(spark, sf_dir):
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Class-balance downsampling — deterministic majority-class thinning
+# ---------------------------------------------------------------------------
+
+_CB_RATIO = 2  # keep at most RATIO negatives per positive
+
+
+@register(
+    "q_class_downsample",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+),
+cls AS (
+  SELECT CAST(SUM(label) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - label) AS BIGINT) AS n_neg
+  FROM e
+),
+keep AS (
+  SELECT label,
+         CASE WHEN label = 1 THEN 1
+              WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) * n_neg
+                   < 4294967296 * least(n_neg, {_CB_RATIO} * n_pos)
+              THEN 1 ELSE 0 END AS kept
+  FROM e CROSS JOIN cls
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_before,
+       CAST(SUM(kept) AS BIGINT) AS n_after
+FROM keep GROUP BY label
+""",
+)
+def q_class_downsample(spark, sf_dir):
+    """Deterministic majority-class downsampling to a bounded
+    negative:positive ratio — the class-imbalance fix applied before
+    training a rare-event model. Every positive survives; negatives pass a
+    cross-multiplied md5-threshold test with a DATA-DRIVEN rate
+    ``min(n_neg, RATIO·n_pos)/n_neg`` (the q_temperature_mix membership
+    idiom: reproducible across runs, engines, and repartitioning — no RNG,
+    no global sort, no exact-k shuffle). Emits the per-class before/after
+    audit.
+
+    Scale shape: one map-side-combined class-count aggregate broadcasts
+    into a second linear pass — the corpus never shuffles (same accepted
+    2-scan shape as the percentile gate / calibration probes)."""
+    e = T(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    cls = e.agg(
+        F.sum("label").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("label")).cast("bigint").alias("n_neg"),
+    )
+    u32 = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    kept = F.when(F.col("label") == 1, 1).otherwise(
+        F.when(
+            u32 * F.col("n_neg")
+            < F.lit(4294967296)
+            * F.least(F.col("n_neg"), F.lit(_CB_RATIO) * F.col("n_pos")),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        e.crossJoin(F.broadcast(cls))
+        .select("label", kept.alias("kept"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_before"),
+            F.sum("kept").cast("bigint").alias("n_after"),
+        )
+        .select(F.col("label").cast("bigint").alias("label"), "n_before", "n_after")
+    )

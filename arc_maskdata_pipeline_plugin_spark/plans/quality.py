@@ -626,3 +626,82 @@ def q_schema_drift_audit(spark, sf_dir):
         .cast("bigint")
         .alias("distinct_drift_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate functional-dependency audit (g3 error)
+# ---------------------------------------------------------------------------
+
+# (fd_name, table, lhs, rhs) — declared dependencies a contract would assert
+_FDS = [
+    ("orders:o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("lineitem:l_orderkey->l_returnflag", "lineitem", "l_orderkey", "l_returnflag"),
+    ("customer:c_custkey->c_mktsegment", "customer", "c_custkey", "c_mktsegment"),
+    ("events:user_id->event_type", "events", "user_id", "event_type"),
+]
+
+
+def _fd_oracle_one(fd: str, table: str, lhs: str, rhs: str) -> str:
+    return f"""
+SELECT '{fd}' AS fd,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_keys,
+       CAST(SUM(n) - SUM(max_rhs) AS BIGINT) AS g3_rows,
+       CAST(floor(1000000.0 * SUM(max_rhs) / SUM(n)) AS BIGINT)
+         AS support_fp6
+FROM (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_rhs,
+         CAST(MAX(c) AS BIGINT) AS max_rhs
+  FROM (
+    SELECT {lhs}, {rhs}, COUNT(*) AS c FROM {table} GROUP BY 1, 2
+  ) GROUP BY {lhs}
+)"""
+
+
+@register(
+    "q_fd_violation_audit",
+    oracle="\nUNION ALL\n".join(_fd_oracle_one(*fd) for fd in _FDS),
+)
+def q_fd_violation_audit(spark, sf_dir):
+    """Approximate functional-dependency audit — the data-contract check
+    "does X determine Y, and how badly is it violated?". For each declared
+    FD X→Y it reports the key count, the keys carrying >1 distinct Y, the
+    **g3 error** (minimum row deletions to make the FD hold exactly:
+    ``Σn − Σ max_rhs_count`` — Kivinen & Mannila, TCS 1995), and the
+    support share. Exact-key FDs (c_custkey→segment) report 0 violations;
+    behavioral ones (user→event_type) quantify their non-determinism.
+
+    Scale shape: each FD is two stacked key-grouped aggregates over its own
+    table — (X, Y) counts, then per-X rollup — map-side combined, no joins;
+    the audits union at |FDs| rows. At 100 TB each audit is the cheapest
+    full-table statistic that can falsify the contract."""
+    frames = []
+    for fd, table, lhs, rhs in _FDS:
+        xy = (
+            T(spark, sf_dir, table)
+            .groupBy(F.col(lhs).alias("x"), F.col(rhs).alias("y"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        per_key = xy.groupBy("x").agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rhs"),
+            F.max("c").cast("bigint").alias("max_rhs"),
+        )
+        frames.append(
+            per_key.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating_keys"),
+                (F.sum("n") - F.sum("max_rhs")).cast("bigint").alias("g3_rows"),
+                F.floor(1_000_000.0 * F.sum("max_rhs") / F.sum("n"))
+                .cast("bigint")
+                .alias("support_fp6"),
+            ).select(F.lit(fd).alias("fd"), "*")
+        )
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2)
+    return out

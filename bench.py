@@ -228,6 +228,11 @@ HEADLINE = [
     # keyword scores (doc-partitioned phrase windows + one word shuffle)
     "q_readability_scores",
     "q_rake_keywords",
+    # round 6 (cont. 4): imbalance fix (broadcast class probe), contract
+    # FD audit (stacked aggregates), basket co-occurrence recommender base
+    "q_class_downsample",
+    "q_fd_violation_audit",
+    "q_item_cooccurrence",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

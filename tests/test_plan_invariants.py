@@ -1046,3 +1046,28 @@ def test_rake_no_corpus_joins(spark):
     assert a["scans"] == 1
     assert a["sort_merge_joins"] == 0 and a["broadcasts"] == 0
     assert a["python_ops"] == 0
+
+
+def test_class_downsample_broadcast_probe_two_scans(spark):
+    """Class counts broadcast into one linear pass — no corpus shuffle
+    beyond the final 2-row aggregate, no SMJ, no Python."""
+    a = props("q_class_downsample", spark)
+    assert a["scans"] == 2 and a["broadcasts"] >= 1
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+
+
+def test_fd_audit_stacked_aggregates_no_joins(spark):
+    """Each FD: two stacked key aggregates over its own table; the union
+    never joins anything."""
+    a = props("q_fd_violation_audit", spark)
+    assert a["scans"] == 4  # one per declared FD table
+    assert a["sort_merge_joins"] == 0 and a["broadcasts"] == 0
+    assert a["python_ops"] == 0
+
+
+def test_item_cooccurrence_partition_local_pairs(spark):
+    """Pair enumeration explodes capped basket arrays partition-locally —
+    never a corpus self-join; item counts come back by join at pair grain.
+    (Persist inflates scan counters; freeze no-Python.)"""
+    a = props("q_item_cooccurrence", spark)
+    assert a["python_ops"] == 0
