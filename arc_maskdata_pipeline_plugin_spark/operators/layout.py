@@ -79,3 +79,80 @@ def layout_extent_stats(df: DataFrame, x: str, y: str) -> DataFrame:
             F.max(y).alias("y_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve index — the locality upgrade over Morton
+# ---------------------------------------------------------------------------
+#
+# A Z-order jump between adjacent codes can cross half the grid (the Morton
+# "seam"); the Hilbert curve is fully contiguous, so equal-size code ranges
+# have strictly tighter x/y extents — the reason Delta's OPTIMIZE grew a
+# HILBERT option next to ZORDER. The xy2d walk is inherently sequential
+# per level (each level rewrites the coordinates by the quadrant's
+# symmetry), so it cannot be a single closed-form bit formula like Morton —
+# instead the SAME Python loop unrolls one projection per level for BOTH
+# engines: Spark gets chained ``withColumns`` (whole-stage codegen fuses
+# them into one stage — still zero Python in the hot path), DuckDB gets a
+# chained-CTE mirror. Expression strings are dialect-shared (CASE/&/+ parse
+# identically in Spark SQL and DuckDB).
+
+
+def _hilbert_level(s: int) -> dict[str, str]:
+    """Expression strings for one xy2d level: quadrant digit from the s-bit
+    of each coordinate, then reduce (x, y) to the sub-square with the
+    quadrant's reflection/transposition. q = (3·rx) XOR ry, written
+    arithmetically (3rx + ry − 2·rx·ry) to stay ANSI."""
+    sm = s - 1
+    rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+    return {
+        "hd": f"hd + {s} * {s} * (3 * {rx} + {ry} - 2 * {rx} * {ry})",
+        "hx2": (
+            f"CASE WHEN {ry} = 0 THEN "
+            f"(CASE WHEN {rx} = 1 THEN {sm} - (hy & {sm}) ELSE (hy & {sm}) END) "
+            f"ELSE (hx & {sm}) END"
+        ),
+        "hy2": (
+            f"CASE WHEN {ry} = 0 THEN "
+            f"(CASE WHEN {rx} = 1 THEN {sm} - (hx & {sm}) ELSE (hx & {sm}) END) "
+            f"ELSE (hy & {sm}) END"
+        ),
+    }
+
+
+def hilbert_df(df: DataFrame, x: str, y: str, bits: int) -> DataFrame:
+    """Add ``hval`` — the Hilbert index of non-negative integer columns
+    (x, y) on the 2^bits × 2^bits grid — via one fused projection chain."""
+    out = df.withColumns(
+        {"hx": F.col(x), "hy": F.col(y), "hd": F.lit(0).cast("bigint")}
+    )
+    for i in range(bits - 1, -1, -1):
+        e = _hilbert_level(1 << i)
+        out = out.withColumns(
+            {
+                "hd": F.expr(e["hd"]).cast("bigint"),
+                "hx2": F.expr(e["hx2"]),
+                "hy2": F.expr(e["hy2"]),
+            }
+        ).withColumns({"hx": F.col("hx2"), "hy": F.col("hy2")}).drop("hx2", "hy2")
+    return out.withColumn("hval", F.col("hd")).drop("hx", "hy", "hd")
+
+
+def hilbert_sql_ctes(src: str, x_sql: str, y_sql: str, bits: int) -> str:
+    """DuckDB chained-CTE mirror of :func:`hilbert_df`: ``h{bits}`` ends
+    with columns (hx, hy, hd) plus whatever ``src`` carried (pass-through
+    columns must be listed in ``src``'s projection as ``keep_*``)."""
+    parts = [
+        f"h AS (SELECT *, {x_sql} AS hx, {y_sql} AS hy, CAST(0 AS BIGINT) AS hd FROM {src})"
+    ]
+    prev = "h"
+    for k, i in enumerate(range(bits - 1, -1, -1), start=1):
+        e = _hilbert_level(1 << i)
+        parts.append(
+            f"h{k} AS (SELECT * EXCLUDE (hx, hy, hd), "
+            f"CAST({e['hd']} AS BIGINT) AS hd, "
+            f"{e['hx2']} AS hx, {e['hy2']} AS hy FROM {prev})"
+        )
+        prev = f"h{k}"
+    return ",\n".join(parts)

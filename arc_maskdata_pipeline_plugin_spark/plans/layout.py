@@ -124,3 +124,59 @@ def q_compaction_plan(spark, sf_dir):
         F.min("doc_id").cast("bigint").alias("first_id"),
         F.max("doc_id").cast("bigint").alias("last_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustering audit — the locality upgrade over Z-order
+# ---------------------------------------------------------------------------
+
+from ..operators.layout import hilbert_df, hilbert_sql_ctes  # noqa: E402
+
+
+@register(
+    "q_hilbert_layout",
+    oracle=f"""
+WITH pts AS (
+  SELECT {_DUCK_X} AS x0, {_DUCK_Y} AS y0 FROM orders
+),
+src AS (SELECT x0, y0 FROM pts),
+{hilbert_sql_ctes("src", "x0", "y0", _BITS)}
+SELECT CAST(hd >> {_CLUSTER_SHIFT} AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(x0) AS BIGINT) AS x_min, CAST(MAX(x0) AS BIGINT) AS x_max,
+       CAST(MIN(y0) AS BIGINT) AS y_min, CAST(MAX(y0) AS BIGINT) AS y_max
+FROM h{_BITS}
+GROUP BY 1
+""",
+)
+def q_hilbert_layout(spark, sf_dir):
+    """Hilbert-curve clustering audit of orders on the same two pruning
+    dimensions as ``q_zorder_layout`` — the locality upgrade Delta shipped
+    as ``OPTIMIZE ... HILBERT``: the Hilbert walk is fully contiguous (no
+    Morton seam-jumps), so the 64 equal-code-range clusters have tighter
+    x/y extents and parquet min/max footers prune better per file. The
+    xy2d walk unrolls one projection per bit level from a single Python
+    loop into BOTH engines (chained ``withColumns`` — whole-stage codegen
+    fuses them, zero Python — and a chained-CTE DuckDB mirror,
+    ``operators/layout.py::hilbert_df``/``hilbert_sql_ctes``); the audit
+    itself is one map-side-combined aggregate."""
+    orders = T(spark, sf_dir, "orders").select(
+        (F.col("o_custkey").bitwiseAND(F.lit(1023))).alias("x0"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+        .bitwiseAND(F.lit(1023))
+        .alias("y0"),
+    )
+    h = hilbert_df(orders.withColumns({"x": F.col("x0"), "y": F.col("y0")}), "x", "y", _BITS)
+    return (
+        h.withColumn(
+            "cluster_id", F.shiftright("hval", _CLUSTER_SHIFT).cast("bigint")
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("x0").cast("bigint").alias("x_min"),
+            F.max("x0").cast("bigint").alias("x_max"),
+            F.min("y0").cast("bigint").alias("y_min"),
+            F.max("y0").cast("bigint").alias("y_max"),
+        )
+    )

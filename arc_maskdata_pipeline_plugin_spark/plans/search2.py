@@ -724,3 +724,148 @@ def q_rank_biased_overlap(spark, sf_dir):
             F.sum("term").cast("bigint").alias("rbo_fp9"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance-feedback query expansion
+# ---------------------------------------------------------------------------
+
+_PRF_FB = 10  # feedback depth: top-k BM25 docs per query
+_PRF_TOP = 5  # expansion terms emitted per query
+_PRF_MIN_LEN = 3
+
+
+def _prf_oracle() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, q in BM25_QUERIES for t in q.split()
+    )
+    contrib = (
+        f"ln(1.0 + (n.n_docs - s.n_docs_with_term + 0.5) / (s.n_docs_with_term + 0.5))"
+        f" * (p.tf * ({_K1!r} + 1.0) / (p.tf + {_K1!r} * (1.0 - {_B!r} + {_B!r} * p.dl / a.avgdl)))"
+    )
+    return f"""
+WITH {_BASE_CTES},
+qt(query_id, term) AS (VALUES {vals}),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+stats AS (SELECT term, CAST(COUNT(*) AS INTEGER) AS n_docs_with_term FROM post GROUP BY term),
+a AS (SELECT CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl FROM tk),
+scored AS (
+  SELECT qt.query_id, p.doc_id,
+         SUM(CAST({contrib} AS DECIMAL(20,9))) AS score_dec
+  FROM post p
+  JOIN qt USING (term)
+  JOIN stats s USING (term)
+  CROSS JOIN nd n CROSS JOIN a
+  GROUP BY qt.query_id, p.doc_id
+),
+fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score_dec DESC, doc_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= {_PRF_FB}
+),
+cand AS (
+  SELECT DISTINCT fb.query_id, p.term, p.doc_id
+  FROM post p JOIN fb ON p.doc_id = fb.doc_id
+  WHERE length(p.term) >= {_PRF_MIN_LEN}
+    AND NOT EXISTS (SELECT 1 FROM qt q2
+                    WHERE q2.query_id = fb.query_id AND q2.term = p.term)
+),
+exp_t AS (
+  SELECT c.query_id, c.term,
+         CAST(COUNT(*) AS BIGINT) AS r_fb,
+         CAST(MAX(s.n_docs_with_term) AS BIGINT) AS df,
+         CAST(floor(1000000.0 * COUNT(*)
+                    * ln((CAST(n.n_docs AS DOUBLE) + 1.0)
+                         / (MAX(s.n_docs_with_term) + 1.0))) AS BIGINT)
+           AS score_fp6
+  FROM cand c JOIN stats s USING (term) CROSS JOIN nd n
+  GROUP BY c.query_id, c.term, n.n_docs
+)
+SELECT query_id, term, r_fb, df, score_fp6, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score_fp6 DESC, term) AS INTEGER) AS rank
+  FROM exp_t
+) WHERE rank <= {_PRF_TOP}
+"""
+
+
+@register("q_prf_expansion", oracle=_prf_oracle())
+def q_prf_expansion(spark, sf_dir):
+    """Pseudo-relevance-feedback query expansion (Rocchio/RSJ lineage):
+    run the fixed BM25 workload, take each query's top-{_PRF_FB} docs as a
+    feedback set, and score candidate terms by ``r·ln((N+1)/(df+1))`` —
+    feedback-document frequency times rare-term idf (the simplified
+    Robertson offer weight). The query's own terms are excluded; top
+    {_PRF_TOP} expansion terms per query.
+
+    Scale shape: the feedback frame is |queries|·{_PRF_FB} rows — the
+    postings probe against it broadcasts; term stats reuse the postings
+    aggregate. Two corpus-scan lineages (BM25 + the postings re-probe),
+    both ending in map-side-combined aggregates; the per-query top-k
+    windows run on the |queries|·|candidate-terms| frame."""
+    docs = T(spark, sf_dir, "documents")
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, q in BM25_QUERIES for t in q.split()],
+        "query_id int, term string",
+    )
+    from ..operators.search import doc_tokens
+
+    fb = (
+        bm25_search(docs, qt, k=_PRF_FB, k1=_K1, b=_B)
+        .select("query_id", "doc_id")
+    )
+    tok = doc_tokens(docs)  # (doc_id, term, dl), one row per occurrence
+    post = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    cand = (
+        post.join(F.broadcast(fb), "doc_id")
+        .filter(F.length("term") >= _PRF_MIN_LEN)
+        .join(
+            F.broadcast(qt.select(F.col("query_id").alias("q2"), F.col("term").alias("t2"))),
+            (F.col("query_id") == F.col("q2")) & (F.col("term") == F.col("t2")),
+            "left_anti",
+        )
+        .select("query_id", "term", "doc_id")
+        .distinct()
+    )
+    exp_t = (
+        cand.join(stats, "term")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("query_id", "term", "n_docs")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("r_fb"),
+            F.max("df").cast("bigint").alias("df"),
+        )
+        .select(
+            "query_id",
+            "term",
+            "r_fb",
+            "df",
+            F.floor(
+                1_000_000.0
+                * F.col("r_fb")
+                * F.log(
+                    (F.col("n_docs").cast("double") + 1.0)
+                    / (F.col("df") + 1.0)
+                )
+            )
+            .cast("bigint")
+            .alias("score_fp6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_fp6").desc(), F.col("term")
+    )
+    return (
+        exp_t.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PRF_TOP)
+        .select(
+            "query_id", "term", "r_fb", "df", "score_fp6",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

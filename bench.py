@@ -233,6 +233,10 @@ HEADLINE = [
     "q_class_downsample",
     "q_fd_violation_audit",
     "q_item_cooccurrence",
+    # round 6 (cont. 5): PRF expansion over the BM25 stack; Hilbert-curve
+    # clustering audit (10 unrolled bit levels, codegen-fused)
+    "q_prf_expansion",
+    "q_hilbert_layout",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -1071,3 +1071,19 @@ def test_item_cooccurrence_partition_local_pairs(spark):
     (Persist inflates scan counters; freeze no-Python.)"""
     a = props("q_item_cooccurrence", spark)
     assert a["python_ops"] == 0
+
+
+def test_hilbert_single_scan_one_aggregate_no_python(spark):
+    """The unrolled level chain fuses into projections: one scan, one
+    aggregate exchange, zero Python, no joins."""
+    a = props("q_hilbert_layout", spark)
+    assert a["scans"] == 1 and a["exchanges"] == 1
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+
+
+def test_prf_feedback_frame_broadcasts(spark):
+    """The |queries|·k feedback frame and query-term exclusion broadcast
+    onto the postings probe; the corpus never sort-merge-joins."""
+    a = props("q_prf_expansion", spark)
+    assert a["broadcasts"] >= 3
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
