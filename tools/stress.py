@@ -1484,6 +1484,134 @@ def main():
         "one (day,user) distinct shuffle; day-partitioned top-k windows; merge is (k*days)-sized",
     )
 
+    def rake_stress():
+        # RAKE core (mirrors q_rake_keywords): 40M-token stream over 1M
+        # docs, every 5th position a stopword boundary -> islands ->
+        # doc-partitioned phrase window -> one word shuffle
+        tok = spark.range(0, 40_000_000, 1, sc.defaultParallelism * 4).select(
+            (F.col("id") % 1_000_000).alias("doc_id"),
+            F.expr("id div 1000000").alias("p"),
+            F.concat(F.lit("w"), ((F.col("id") * 2654435761) % 5000).cast("string")).alias("tok"),
+            ((F.col("id") % 5) == 0).alias("is_stop"),
+        )
+        from pyspark.sql import Window as W
+
+        nonstop = tok.filter(~F.col("is_stop")).withColumn(
+            "run",
+            F.col("p") - F.row_number().over(W.partitionBy("doc_id").orderBy("p")),
+        )
+        ph = nonstop.select(
+            "doc_id",
+            "tok",
+            F.count(F.lit(1)).over(W.partitionBy("doc_id", "run")).alias("phrase_len"),
+        )
+        ph.groupBy("tok").agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("phrase_len") - 1).alias("degree"),
+        ).write.format("noop").mode("overwrite").save()
+
+    timed(
+        "RAKE keyword scores (1M docs, 40M tokens)",
+        40_000_000,
+        rake_stress,
+        "islands window partitioned by doc; one word shuffle; no corpus joins",
+    )
+
+    def cooccur_viral_stress():
+        # ADVERSARIAL item co-occurrence (mirrors q_item_cooccurrence): 5M
+        # organic 4-item baskets PLUS one 50k-item viral basket. Uncapped,
+        # the viral basket alone enumerates 1.25e9 pairs; the slice cap
+        # bounds every basket at C(16,2)=120 pairs.
+        organic = spark.range(0, 20_000_000, 1, sc.defaultParallelism * 4).select(
+            (F.col("id") % 5_000_000).alias("ok"),
+            ((F.col("id") * 2654435761) % 200_000).alias("pk"),
+        )
+        viral = spark.range(0, 50_000, 1, 8).select(
+            F.lit(9_999_999).alias("ok"), (F.col("id") + 500_000).alias("pk")
+        )
+        baskets = (
+            organic.unionByName(viral)
+            .groupBy("ok")
+            .agg(F.slice(F.sort_array(F.collect_set("pk")), 1, 16).alias("parts"))
+        )
+        pairs = F.flatten(
+            F.expr(
+                "transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), y -> struct(x as p1, y as p2)))"
+            )
+        )
+        baskets.select(F.explode(pairs).alias("pr")).groupBy(
+            F.col("pr.p1"), F.col("pr.p2")
+        ).count().write.format("noop").mode("overwrite").save()
+
+    timed(
+        "item co-occurrence VIRAL basket (20M lines, 5M baskets + one 50k-item basket, cap=16)",
+        20_050_000,
+        cooccur_viral_stress,
+        "ADVERSARIAL: uncapped viral basket = 1.25e9 pairs; slice cap bounds every basket at 120 pairs, pair explode stays partition-local",
+    )
+
+    def hits_stress():
+        # HITS core (mirrors q_hits_authorities): 8M distinct edges,
+        # 500k hubs x 100k authorities, 4 normalized integer rounds
+        edges = (
+            spark.range(0, 8_000_000, 1, sc.defaultParallelism * 4)
+            .select(
+                ((F.col("id") * 2654435761) % 500_000).alias("c"),
+                ((F.col("id") * 40503) % 100_000).alias("s"),
+            )
+            .distinct()
+            .persist()
+        )
+        h = edges.select("c").distinct().select(
+            "c", F.lit(1_000_000).cast("decimal(38,0)").alias("h")
+        )
+        a = None
+        for _ in range(4):
+            ar = edges.join(h, "c").groupBy("s").agg(
+                F.sum("h").cast("decimal(38,0)").alias("a")
+            )
+            at = ar.agg(F.sum("a").cast("decimal(38,0)").alias("t"))
+            a = ar.crossJoin(F.broadcast(at)).select(
+                "s", F.expr("(a * 1000000) div t").cast("decimal(38,0)").alias("a")
+            ).localCheckpoint(eager=True)
+            hr = edges.join(a, "s").groupBy("c").agg(
+                F.sum("a").cast("decimal(38,0)").alias("h")
+            )
+            ht = hr.agg(F.sum("h").cast("decimal(38,0)").alias("t"))
+            h = hr.crossJoin(F.broadcast(ht)).select(
+                "c", F.expr("(h * 1000000) div t").cast("decimal(38,0)").alias("h")
+            ).localCheckpoint(eager=True)
+        a.write.format("noop").mode("overwrite").save()
+        edges.unpersist()
+
+    timed(
+        "HITS, 4 normalized integer rounds (8M edges, 600k nodes)",
+        8_000_000,
+        hits_stress,
+        "edges shuffled once + persisted; 2 keyed aggregates + 2 scalar broadcasts per round; localCheckpoint bounds lineage",
+    )
+
+    def hilbert_stress():
+        # Hilbert index (mirrors q_hilbert_layout): 20M points through the
+        # 10-level unrolled projection chain + cluster aggregate
+        from arc_maskdata_pipeline_plugin_spark.operators.layout import hilbert_df
+
+        pts = spark.range(0, 20_000_000, 1, sc.defaultParallelism * 4).select(
+            ((F.col("id") * 2654435761) % 1024).alias("x"),
+            ((F.col("id") * 40503) % 1024).alias("y"),
+        )
+        hilbert_df(pts, "x", "y", 10).groupBy(
+            F.shiftright("hval", 14).alias("cluster_id")
+        ).count().write.format("noop").mode("overwrite").save()
+
+    timed(
+        "Hilbert index, 10 unrolled levels (20M points)",
+        20_000_000,
+        hilbert_stress,
+        "codegen-fused projection chain; one cluster aggregate; zero Python",
+    )
+
     # ---- report ----------------------------------------------------------
     lines = [
         "# STRESS — synthetic ~100× scale-up measurements (local[32])",
