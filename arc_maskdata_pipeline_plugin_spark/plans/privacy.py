@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..cache import persisted
 from ..operators.privacy import (
     band,
     k_anonymity_audit,
@@ -514,4 +515,138 @@ def q_dp_quantile(spark, sf_dir):
         F.min("nn").cast("bigint").alias("n"),
         F.min(hit).cast("bigint").alias("dp_median_bin"),
         F.min(edge).cast("bigint").alias("dp_median_hi_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local differential privacy: k-ary randomized response frequency estimation
+# ---------------------------------------------------------------------------
+#
+# eps = ln 3 keeps every probability RATIONAL: report the true value with
+# p = 3/(k+2), any specific other value with q = 1/(k+2) — so the unbiased
+# estimator collapses to integers: pi_hat = (obs*(k+2) - n) / (2n).
+# The per-report "randomness" is md5-derived (deterministic, engine-
+# identical, and uniform enough for the mechanism's unbiasedness audit;
+# production swaps SecureRandom per report — same plan, different column).
+
+
+@register(
+    "q_ldp_frequency",
+    oracle="""
+WITH types AS (
+  SELECT list_sort(list(DISTINCT event_type)) AS ts_all,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+),
+rep AS (
+  SELECT e.event_type AS true_v,
+         CASE WHEN CAST(('0x' || substr(md5('keep:' || CAST(e.event_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) * (t.k + 2) < 4294967296 * 3
+              THEN e.event_type
+              ELSE t.ts_all[
+                CAST(1 + (CAST(('0x' || substr(md5('pick:' || CAST(e.event_id AS VARCHAR)), 1, 8))
+                               AS BIGINT) % (t.k - 1)
+                          + CASE WHEN t.ts_all[
+                                CAST(1 + CAST(('0x' || substr(md5('pick:' || CAST(e.event_id AS VARCHAR)), 1, 8))
+                                              AS BIGINT) % (t.k - 1) AS INTEGER)]
+                                >= e.event_type THEN 1 ELSE 0 END) AS INTEGER)]
+         END AS reported
+  FROM events e CROSS JOIN types t
+),
+agg AS (
+  SELECT v AS event_type,
+         CAST(SUM(is_t) AS BIGINT) AS n_true,
+         CAST(SUM(is_r) AS BIGINT) AS n_reported
+  FROM (
+    SELECT true_v AS v, 1 AS is_t, 0 AS is_r FROM rep
+    UNION ALL
+    SELECT reported AS v, 0 AS is_t, 1 AS is_r FROM rep
+  ) GROUP BY v
+)
+SELECT a.event_type, a.n_true, a.n_reported,
+       CAST(floor(1000000.0 * (a.n_reported * (t2.k + 2) - t2.n)
+                  / (2.0 * t2.n)) AS BIGINT) AS est_share_fp6,
+       CAST(floor(1000000.0 * a.n_true / t2.n) AS BIGINT) AS true_share_fp6
+FROM agg a CROSS JOIN types t2
+""",
+)
+def q_ldp_frequency(spark, sf_dir):
+    """Local-DP frequency estimation via k-ary randomized response
+    (Warner 1965 / generalized RR): each report keeps its true event type
+    with probability ``3/(k+2)`` (ε = ln 3) or substitutes one of the k−1
+    other types uniformly; the server-side unbiased estimator is the pure
+    integer ``π̂ = (obs·(k+2) − n)/(2n)``. Emitted next to the true share,
+    the query IS the mechanism's unbiasedness audit — estimates track true
+    shares while every individual report is ε-deniable. Flip/pick decisions
+    are cross-multiplied md5 thresholds (engine-identical; production swaps
+    a SecureRandom column into the same plan).
+
+    Scale shape: ONE O(1)-row stats probe over the corpus (sorted type
+    array + k + n, broadcast twice) and ONE mechanism pass — a linear
+    projection into a map-side-combined conditional aggregate over |types|
+    cells. Two scans total; no corpus shuffle beyond the |types|-cell agg."""
+    e = T(spark, sf_dir, "events").select("event_id", "event_type")
+    # one-row stats probe, persisted so BOTH broadcast consumers (mechanism
+    # pass + estimator projection) share a single corpus scan
+    types = persisted(
+        e.agg(
+            F.sort_array(F.collect_set("event_type")).alias("ts_all"),
+            F.count_distinct("event_type").cast("bigint").alias("k"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    u_keep = F.conv(
+        F.substring(F.md5(F.concat(F.lit("keep:"), F.col("event_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    u_pick = F.conv(
+        F.substring(F.md5(F.concat(F.lit("pick:"), F.col("event_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    # uniform index over the k-1 OTHER types: draw in [0, k-2], then shift
+    # past the true value's sorted position to exclude it
+    raw_idx = (u_pick % (F.col("k") - 1)).cast("int")
+    picked_raw = F.element_at(F.col("ts_all"), raw_idx + 1)
+    shift = F.when(picked_raw >= F.col("event_type"), 1).otherwise(0)
+    reported = F.when(
+        u_keep * (F.col("k") + 2) < F.lit(4294967296) * 3, F.col("event_type")
+    ).otherwise(F.element_at(F.col("ts_all"), raw_idx + shift + 1))
+    rep = e.crossJoin(F.broadcast(types.select("ts_all", "k"))).select(
+        F.col("event_type").alias("true_v"),
+        reported.alias("reported"),
+    )
+    # 2× role explode (true tally + report tally in ONE corpus pass) — a
+    # per-type cell explode would multiply the corpus by k before combine
+    pairs = rep.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("true_v").alias("v"), F.lit(1).alias("is_t"), F.lit(0).alias("is_r")),
+                F.struct(F.col("reported").alias("v"), F.lit(0).alias("is_t"), F.lit(1).alias("is_r")),
+            )
+        ).alias("x")
+    ).select("x.v", "x.is_t", "x.is_r")
+    agg = pairs.groupBy(F.col("v").alias("event_type")).agg(
+        F.sum("is_t").cast("bigint").alias("n_true"),
+        F.sum("is_r").cast("bigint").alias("n_reported"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(types.select("k", "n")))
+        .select(
+            "event_type",
+            "n_true",
+            "n_reported",
+            F.floor(
+                1_000_000.0
+                * (F.col("n_reported") * (F.col("k") + 2) - F.col("n"))
+                / (2.0 * F.col("n"))
+            )
+            .cast("bigint")
+            .alias("est_share_fp6"),
+            F.floor(1_000_000.0 * F.col("n_true") / F.col("n"))
+            .cast("bigint")
+            .alias("true_share_fp6"),
+        )
     )

@@ -1087,3 +1087,14 @@ def test_prf_feedback_frame_broadcasts(spark):
     a = props("q_prf_expansion", spark)
     assert a["broadcasts"] >= 3
     assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+
+
+def test_ldp_frequency_two_pass_no_smj(spark):
+    """One persisted O(1)-row stats probe feeds BOTH broadcast consumers
+    (the plan string repeats the cached subtree, so the textual scan count
+    is 3, but execution reads the corpus twice: stats + mechanism pass).
+    The corpus never sort-merge-joins and the mechanism stays JVM-side."""
+    a = props("q_ldp_frequency", spark)
+    assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
+    assert a["broadcasts"] == 2
+    assert a["scans"] <= 3

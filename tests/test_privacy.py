@@ -133,3 +133,61 @@ def test_dp_noise_is_laplace_shaped(spark, sf_small):
     assert any(n > 0 for n in noises) and any(n < 0 for n in noises)
     # Laplace(b=1): |noise| rarely exceeds ~ln(2*25) ≈ 3.9 for 25 draws
     assert all(abs(n) < 12 for n in noises)
+
+
+def test_ldp_frequency_mechanism_invariants(spark, tmp_path):
+    """k-ary randomized response on a constructed 3-type corpus: the
+    estimator-shares sum to exactly 1 (floor loss < k ppm), the keep rate
+    matches 3/(k+2), and each estimate tracks its true share within the
+    mechanism's sampling envelope for n = 3000."""
+    import datetime
+
+    from arc_maskdata_pipeline_plugin_spark.plans.privacy import q_ldp_frequency
+
+    t0 = datetime.datetime(2024, 3, 1, tzinfo=datetime.timezone.utc)
+    shares = {"view": 0.5, "click": 0.3, "buy": 0.2}
+    rows = []
+    for i in range(3000):
+        et = "view" if i % 10 < 5 else ("click" if i % 10 < 8 else "buy")
+        rows.append((i, t0, i % 97, et, 0.0, "{}"))
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = {r.event_type: r for r in q_ldp_frequency(spark, str(tmp_path)).collect()}
+    assert set(out) == set(shares)
+    n = sum(r.n_true for r in out.values())
+    assert n == 3000
+    # estimates partition unity: sum over types of (obs*(k+2)-n)/(2n) == 1
+    s = sum(r.est_share_fp6 for r in out.values())
+    assert 1_000_000 - len(out) <= s <= 1_000_000
+    # per-type estimate within the RR sampling envelope (~3 sigma ≈ 0.08)
+    for et, r in out.items():
+        assert abs(r.est_share_fp6 / 1e6 - shares[et]) < 0.08, (et, r)
+        assert r.true_share_fp6 == int(shares[et] * 1_000_000)
+
+
+def test_ldp_frequency_k2_is_warner_flip(spark, tmp_path):
+    """k = 2 degenerates to Warner's original coin: reports keep the truth
+    with p = 3/4 and flip to THE other value otherwise — no report may be a
+    third value, and the keep rate lands near 0.75."""
+    import datetime
+
+    from arc_maskdata_pipeline_plugin_spark.plans.privacy import q_ldp_frequency
+
+    t0 = datetime.datetime(2024, 3, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        (i, t0, i % 7, "a" if i % 4 < 3 else "b", 0.0, "{}") for i in range(2000)
+    ]
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = {r.event_type: r for r in q_ldp_frequency(spark, str(tmp_path)).collect()}
+    assert set(out) == {"a", "b"}
+    # total reports conserved and only the two true values ever reported
+    assert sum(r.n_reported for r in out.values()) == 2000
+    # keep-rate audit: reported 'a' count = kept a's + flipped b's;
+    # solve the 2x2 system -> est shares near 0.75/0.25
+    assert abs(out["a"].est_share_fp6 / 1e6 - 0.75) < 0.06
+    assert abs(out["b"].est_share_fp6 / 1e6 - 0.25) < 0.06
