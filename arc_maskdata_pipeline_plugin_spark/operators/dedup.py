@@ -520,3 +520,97 @@ def cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# PPJoin / All-Pairs: prefix-filtered EXACT set-similarity join
+# ---------------------------------------------------------------------------
+
+
+def ppjoin_prefix_buckets(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "shingle",
+    tau_num: int = 1,
+    tau_den: int = 2,
+) -> DataFrame:
+    """Prefix-token buckets for an exact Jaccard-threshold self-join
+    (Chaudhuri/Ganti/Kaushik SSJoin 2006; Bayardo/Ma/Srikant All-Pairs
+    WWW'07; Xiao et al. PPJoin WWW'08). Input: DISTINCT (id, token) rows.
+
+    Tokens are ordered globally by (document frequency ASC, token ASC);
+    each set of size m keeps only its first ``m - ceil(tau*m) + 1`` tokens
+    (the PREFIX). Two sets with Jaccard >= tau MUST share a prefix token
+    under any consistent global order (pigeonhole on the complement), so
+    bucketing by prefix token is candidate-COMPLETE — unlike MinHash-LSH
+    (probabilistic recall) or SimHash (radius-limited), this is the exact
+    third leg of the set-similarity-join family. Rare-first ordering makes
+    prefix buckets the SMALLEST possible ones, which is the entire
+    scalability argument: the join fans out on rare tokens only.
+
+    Shape: one token-keyed df aggregate (map-side combined), one token-keyed
+    join, one id-partitioned window pair (single exchange), one token-keyed
+    bucket aggregate. No corpus self-join anywhere.
+    """
+    w_pos = Window.partitionBy(id_col).orderBy("df", token_col)
+    w_doc = Window.partitionBy(id_col)
+    df_tok = shingles.groupBy(token_col).agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        shingles.join(df_tok, token_col)
+        .withColumn("pos", F.row_number().over(w_pos))
+        .withColumn("m", F.count(F.lit(1)).over(w_doc))
+    )
+    # prefix length m - ceil(tau*m) + 1, kept integral: ceil(n*m/d) = (n*m+d-1) div d
+    keep = F.col("pos") <= (
+        F.col("m")
+        - F.expr(f"({tau_num} * m + {tau_den} - 1) div {tau_den}")
+        + F.lit(1)
+    )
+    return (
+        ranked.filter(keep)
+        .groupBy(token_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("id"), F.col("m").alias("m"))
+                )
+            ).alias("xs")
+        )
+    )
+
+
+def ppjoin_candidate_pairs(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "shingle",
+    tau_num: int = 1,
+    tau_den: int = 2,
+    max_token_bucket: int | None = None,
+) -> DataFrame:
+    """Distinct candidate pairs from the prefix buckets, group-then-enumerate
+    (same discipline as ``lsh_candidate_pairs``: one task per bucket, never a
+    shuffled self-join). Applies the LENGTH filter in-bucket — J(a,b) >= tau
+    forces tau <= |a|/|b| <= 1/tau, i.e. ``tau_den*min >= tau_num*max`` —
+    before any pair leaves the bucket. ``max_token_bucket`` is the
+    viral-token guard (a prefix token shared by k sets yields O(k^2)
+    candidates; a token that frequent is boilerplate, not similarity signal);
+    audit the exclusions with ``ppjoin_dropped_tokens``."""
+    buckets = ppjoin_prefix_buckets(shingles, id_col, token_col, tau_num, tau_den)
+    buckets = buckets.filter(F.size("xs") > 1)
+    if max_token_bucket is not None:
+        buckets = buckets.filter(F.size("xs") <= max_token_bucket)
+    return (
+        buckets.select(F.explode(_pairs_within(F.col("xs"))).alias("p"))
+        .select(
+            F.col("p.d1.id").alias("d1"),
+            F.col("p.d1.m").alias("m1"),
+            F.col("p.d2.id").alias("d2"),
+            F.col("p.d2.m").alias("m2"),
+        )
+        .filter(
+            F.lit(tau_den) * F.least("m1", "m2")
+            >= F.lit(tau_num) * F.greatest("m1", "m2")
+        )
+        .select("d1", "d2")
+        .distinct()
+    )

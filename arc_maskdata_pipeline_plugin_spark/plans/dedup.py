@@ -822,3 +822,173 @@ def dedup_simhash_idf_buckets(spark, sf_dir):
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# PPJoin prefix-filter exact Jaccard join
+# ---------------------------------------------------------------------------
+
+_PPJ_MAXBUCKET = 64
+
+
+@register(
+    "dedup_ppjoin_pairs",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+dfq AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY shingle),
+ranked AS (
+  SELECT s.doc_id, s.shingle,
+         ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                            ORDER BY d.df, s.shingle) AS pos,
+         COUNT(*) OVER (PARTITION BY s.doc_id) AS m
+  FROM sh s JOIN dfq d USING (shingle)
+),
+pref AS (
+  SELECT doc_id, shingle, m FROM ranked
+  WHERE pos <= m - (m + 1) // 2 + 1
+),
+bsz AS (SELECT shingle, COUNT(*) AS bn FROM pref GROUP BY shingle),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM pref a
+  JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN bsz ON bsz.shingle = a.shingle
+  WHERE bsz.bn <= {_PPJ_MAXBUCKET}
+    AND 2 * LEAST(a.m, b.m) >= GREATEST(a.m, b.m)
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN sh t1 ON t1.doc_id = c.d1
+  JOIN sh t2 ON t2.doc_id = c.d2 AND t2.shingle = t1.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.d1, i.d2, i.n_common,
+         CAST(s1.n + s2.n - i.n_common AS BIGINT) AS n_union,
+         CASE WHEN 3 * i.n_common >= s1.n + s2.n THEN 1 ELSE 0 END AS ok
+  FROM inter i
+  JOIN sizes s1 ON i.d1 = s1.doc_id
+  JOIN sizes s2 ON i.d2 = s2.doc_id
+),
+stats AS (
+  SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidate_pairs,
+         CAST((SELECT COUNT(*) FROM bsz WHERE bn > {_PPJ_MAXBUCKET}) AS BIGINT)
+           AS n_dropped_tokens,
+         CAST((SELECT COALESCE(SUM(ok), 0) FROM scored) AS BIGINT) AS n_verified
+)
+SELECT v.d1, v.d2, v.n_common, v.n_union,
+       CAST(v.n_common AS DOUBLE) / v.n_union AS jaccard,
+       st.n_candidate_pairs, st.n_dropped_tokens,
+       CAST(floor(st.n_verified * 1000000.0 / st.n_candidate_pairs) AS BIGINT)
+         AS precision_fp6
+FROM scored v CROSS JOIN stats st
+WHERE v.ok = 1
+""",
+)
+def dedup_ppjoin_pairs(spark, sf_dir):
+    """Exact Jaccard >= 1/2 near-dup pairs by PREFIX FILTERING — the third
+    leg of the set-similarity-join family next to MinHash-LSH
+    (probabilistic) and SimHash (radius-limited): candidate-COMPLETE with no
+    hashing at all (Bayardo et al. All-Pairs WWW'07; Xiao et al. PPJoin
+    WWW'08). Same 3-word-shingle sets and threshold as
+    ``dedup_jaccard_pairs``, so the verified pair set is identical — what
+    this query adds is the candidate-generation strategy: tokens ordered
+    rare-first, each set joins only on its first ``m - ceil(m/2) + 1``
+    tokens, and the in-bucket length filter (``2*min(m) >= max(m)``) prunes
+    size-incompatible pairs before they leave the bucket.
+
+    Scale shape: the naive common-shingle join (``dedup_jaccard_pairs``)
+    fans out on EVERY shared shingle — its candidate multiset is
+    sum-of-df² over the whole vocabulary; this plan fans out only on prefix
+    tokens (the rarest per set), with a viral-token cap
+    (> {_PPJ_MAXBUCKET} sets sharing a prefix token = boilerplate) excluded
+    from enumeration and audited in ``n_dropped_tokens``. Thresholds stay
+    integral end-to-end (J >= 1/2 <=> 3*common >= n1+n2); the only double
+    is the single final division. Every output row carries the corpus-level
+    candidate count and verify precision (fp6) so the gate witnesses
+    candidate quality, not just pair cardinality.
+
+    Plan: persisted distinct shingles (3 consumers) -> one df aggregate ->
+    one token join + one id-partitioned window exchange -> one bucket
+    aggregate (persisted: enumeration + dropped audit) -> capped
+    group-then-enumerate -> exact set verify on candidates only.
+    """
+    from ..operators.dedup import _pairs_within, ppjoin_prefix_buckets
+
+    sh = word_shingles(spread(T(spark, sf_dir, "documents"))).transform(
+        persisted
+    )  # consumers: df agg + ranked join, per-doc sets for the exact verify
+    buckets = ppjoin_prefix_buckets(sh).transform(
+        persisted
+    )  # token-sized; consumers: pair enumeration + dropped-token audit
+    n_dropped = buckets.agg(
+        F.sum((F.size("xs") > _PPJ_MAXBUCKET).cast("bigint")).alias(
+            "n_dropped_tokens"
+        )
+    )
+    cand = (
+        buckets.filter(
+            (F.size("xs") > 1) & (F.size("xs") <= _PPJ_MAXBUCKET)
+        )
+        .select(F.explode(_pairs_within(F.col("xs"))).alias("p"))
+        .select(
+            F.col("p.d1.id").alias("d1"),
+            F.col("p.d1.m").alias("m1"),
+            F.col("p.d2.id").alias("d2"),
+            F.col("p.d2.m").alias("m2"),
+        )
+        .filter(2 * F.least("m1", "m2") >= F.greatest("m1", "m2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("shingle")).alias("toks")
+    )
+    scored = (
+        cand.join(
+            sets.select(F.col("doc_id").alias("d1"), F.col("toks").alias("t1")),
+            "d1",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("d2"), F.col("toks").alias("t2")),
+            "d2",
+        )
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("t1", "t2")).cast("bigint").alias("n_common"),
+            F.size("t1").cast("bigint").alias("n1"),
+            F.size("t2").cast("bigint").alias("n2"),
+        )
+        .withColumn("n_union", (F.col("n1") + F.col("n2") - F.col("n_common")))
+        .withColumn(
+            "ok", (3 * F.col("n_common") >= F.col("n1") + F.col("n2")).cast("int")
+        )
+        .transform(persisted)  # candidate-sized (cap-bounded); stats + output
+    )
+    stats = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+        F.sum("ok").cast("bigint").alias("n_verified"),
+    ).crossJoin(F.broadcast(n_dropped))
+    return (
+        scored.filter(F.col("ok") == 1)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "d1",
+            "d2",
+            "n_common",
+            F.col("n_union").cast("bigint").alias("n_union"),
+            (F.col("n_common").cast("double") / F.col("n_union")).alias("jaccard"),
+            "n_candidate_pairs",
+            F.coalesce("n_dropped_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("n_dropped_tokens"),
+            F.floor(
+                F.col("n_verified") * 1_000_000.0 / F.col("n_candidate_pairs")
+            )
+            .cast("bigint")
+            .alias("precision_fp6"),
+        )
+    )

@@ -237,6 +237,13 @@ HEADLINE = [
     # clustering audit (10 unrolled bit levels, codegen-fused)
     "q_prf_expansion",
     "q_hilbert_layout",
+    # round 6 (cont. 6): k-ary randomized-response frequency (one stats
+    # probe + one linear mechanism pass, type frames broadcast)
+    "q_ldp_frequency",
+    # round 6 (cont. 7): prefix-filter exact Jaccard join — the candidate-
+    # complete leg of the set-similarity family (vs the naive common-shingle
+    # join's sum-of-df^2 fanout), with the viral-token cap audited in-plan
+    "dedup_ppjoin_pairs",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
