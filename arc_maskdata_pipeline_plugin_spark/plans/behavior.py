@@ -1312,3 +1312,78 @@ def q_item_cooccurrence(spark, sf_dir):
         .filter(F.col("rank") <= _CO_TOP)
         .select("p1", "p2", "c_xy", "cosine_fp6", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event transition matrix
+# ---------------------------------------------------------------------------
+
+_MKV_GAP_MIN = 30
+
+
+@register(
+    "q_markov_transitions",
+    oracle=f"""
+WITH nxt AS (
+  SELECT event_type AS prev_type,
+         LEAD(event_type) OVER w AS next_type,
+         EPOCH_US(LEAD(ts) OVER w) - EPOCH_US(ts) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+pairs AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM nxt
+  WHERE next_type IS NOT NULL AND gap_us <= {_MKV_GAP_MIN} * 60 * 1000000
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / SUM(n_transitions) OVER (PARTITION BY prev_type) AS prob
+FROM pairs
+""",
+)
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over within-session event
+    bigrams: for each user, consecutive events no more than
+    {_MKV_GAP_MIN} minutes apart contribute one (prev_type -> next_type)
+    observation; the row-stochastic probability is the bigram count over
+    the prev_type row total. The training-data analogue is next-action
+    modeling / session-based recommendation priors; it is also the
+    transition matrix a sessionized clickstream simulator replays.
+
+    Scale shape: ONE user-keyed window exchange produces the bigrams (the
+    same partitioning the sessionizer uses — no corpus self-join, no global
+    sort), then one |types|^2-sized aggregate; the row totals come from a
+    window over that aggregated frame (keeping the group keys through the
+    final aggregate — never a second scan of events). The only double is
+    the single final division of two exact BIGINTs, so cross-engine hashes
+    match bit-for-bit."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = (
+        T(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .withColumn(
+            "gap_us",
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts")),
+        )
+    )
+    pairs = (
+        nxt.filter(
+            F.col("next_type").isNotNull()
+            & (F.col("gap_us") <= _MKV_GAP_MIN * 60 * 1_000_000)
+        )
+        .groupBy(F.col("event_type").alias("prev_type"), "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
+    row_tot = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(row_tot)
+        ).alias("prob"),
+    )

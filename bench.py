@@ -244,6 +244,9 @@ HEADLINE = [
     # complete leg of the set-similarity family (vs the naive common-shingle
     # join's sum-of-df^2 fanout), with the viral-token cap audited in-plan
     "dedup_ppjoin_pairs",
+    # round 6 (cont. 8): session-bigram Markov matrix — one user-keyed
+    # window exchange, row totals from a window over the types^2 aggregate
+    "q_markov_transitions",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -1098,3 +1098,14 @@ def test_ldp_frequency_two_pass_no_smj(spark):
     assert a["sort_merge_joins"] == 0 and a["python_ops"] == 0
     assert a["broadcasts"] == 2
     assert a["scans"] <= 3
+
+
+def test_markov_transitions_one_scan_three_exchanges(spark):
+    """Bigrams from ONE user-keyed window exchange, then the pair aggregate
+    and the |types|^2-frame row-total window — 3 exchanges total, no joins,
+    4 columns read, all JVM."""
+    a = props("q_markov_transitions", spark)
+    assert a["scans"] == 1 and a["read_cols"] == ["4"]
+    assert a["exchanges"] <= 3
+    assert a["sort_merge_joins"] == 0 and a["broadcasts"] == 0
+    assert a["python_ops"] == 0
