@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .registry import T, register
+from .registry import T, persisted, register
 
 _TE_FOLDS = 5
 
@@ -461,4 +461,106 @@ def q_class_downsample(spark, sf_dir):
             F.sum("kept").cast("bigint").alias("n_after"),
         )
         .select(F.col("label").cast("bigint").alias("label"), "n_before", "n_after")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Group-aware K-fold assignment with leakage audit
+# ---------------------------------------------------------------------------
+
+_GKF_FOLDS = 5
+
+
+@register(
+    "q_group_kfold",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+),
+uf AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % {_GKF_FOLDS} AS fold,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(label) AS BIGINT) AS npos
+  FROM e GROUP BY 1, 2
+),
+aud AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS groups_spanning_folds
+  FROM (SELECT user_id, COUNT(*) AS nf FROM uf GROUP BY user_id)
+)
+SELECT CAST(uf.fold AS BIGINT) AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(uf.n) AS BIGINT) AS n_rows,
+       CAST(SUM(uf.npos) AS BIGINT) AS n_pos,
+       CAST(SUM(uf.npos) AS DOUBLE) / SUM(uf.n) AS pos_share,
+       aud.groups_spanning_folds
+FROM uf CROSS JOIN aud
+GROUP BY uf.fold, aud.groups_spanning_folds
+""",
+)
+def q_group_kfold(spark, sf_dir):
+    """Group-aware K-fold split (sklearn's GroupKFold contract, made
+    deterministic): every row of a group (user) lands in the SAME fold, so
+    cross-validation never trains on one of a user's events and validates
+    on another — the standard leakage trap for per-user features. Fold =
+    md5(user_id) first-8-hex mod {_GKF_FOLDS} (the established engine-
+    portable uniform — no RNG, stable across runs/partitionings), and the
+    no-leakage property is AUDITED from the data, not assumed:
+    ``groups_spanning_folds`` counts users observed in more than one fold
+    (structurally 0 here, but the audit catches a future non-functional
+    fold source). Per-fold balance (rows, groups, positive share) is the
+    witness that hash folding is approximately stratified.
+
+    Scale shape: one user-keyed map-side-combined aggregate collapses the
+    corpus to the (user, fold) frame; the spanning audit and the per-fold
+    rollup both run on that user-sized frame (the audit broadcasts back as
+    a 1-row constant). No corpus self-join, no window over rows, and the
+    only double is the final pos_share division of two exact BIGINTs."""
+    e = T(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    fold = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % _GKF_FOLDS
+    )
+    uf = (
+        e.withColumn("fold", fold)
+        .groupBy("user_id", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("label").cast("bigint").alias("npos"),
+        )
+        .transform(persisted)  # user-sized; consumers: fold rollup + audit
+    )
+    aud = (
+        uf.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .agg(
+            F.coalesce(F.sum((F.col("nf") > 1).cast("bigint")), F.lit(0))
+            .cast("bigint")
+            .alias("groups_spanning_folds")
+        )
+    )
+    return (
+        uf.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.sum("npos").cast("bigint").alias("n_pos"),
+        )
+        .crossJoin(F.broadcast(aud))
+        .select(
+            F.col("fold").cast("bigint").alias("fold"),
+            "n_groups",
+            "n_rows",
+            "n_pos",
+            (F.col("n_pos").cast("double") / F.col("n_rows")).alias("pos_share"),
+            "groups_spanning_folds",
+        )
     )

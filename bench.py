@@ -247,6 +247,9 @@ HEADLINE = [
     # round 6 (cont. 8): session-bigram Markov matrix — one user-keyed
     # window exchange, row totals from a window over the types^2 aggregate
     "q_markov_transitions",
+    # round 6 (cont. 9): group-aware K-fold split — one user-keyed
+    # aggregate, leakage audit broadcast from the user-sized frame
+    "q_group_kfold",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -1109,3 +1109,16 @@ def test_markov_transitions_one_scan_three_exchanges(spark):
     assert a["exchanges"] <= 3
     assert a["sort_merge_joins"] == 0 and a["broadcasts"] == 0
     assert a["python_ops"] == 0
+
+
+def test_group_kfold_pruned_scan_no_joins(spark):
+    """Corpus collapses in ONE user-keyed aggregate reading only
+    (user_id, event_type); fold rollup + spanning audit run on the
+    persisted user-sized frame (its build subtree repeats in the plan
+    string — 2 'scans'), and the audit comes back as a broadcast. No
+    sort-merge join, no Python."""
+    a = props("q_group_kfold", spark)
+    assert a["read_cols"] == ["2", "2"]
+    assert a["exchanges"] <= 5
+    assert a["sort_merge_joins"] == 0 and a["broadcasts"] >= 1
+    assert a["python_ops"] == 0
