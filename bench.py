@@ -250,6 +250,9 @@ HEADLINE = [
     # round 6 (cont. 9): group-aware K-fold split — one user-keyed
     # aggregate, leakage audit broadcast from the user-sized frame
     "q_group_kfold",
+    # round 6 (cont. 10): degree assortativity — sqrt-free exact Pearson
+    # over the symmetrized edge list, one moment aggregate
+    "q_degree_assortativity",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

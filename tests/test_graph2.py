@@ -67,3 +67,43 @@ def test_clustering_coefficient_triangle_plus_tail(spark, tmp_path):
     assert out[2].cc_fp6 == 1_000_000
     assert out[4].deg == 1 and out[4].n_tri == 0 and out[4].cc_fp6 == 0
     assert out[3].rank == 1  # highest degree ranks first
+
+
+def test_assortativity_star_is_minus_one(spark, tmp_path):
+    """A perfect star (one customer buying from 3 suppliers) is maximally
+    DISassortative: every edge pairs degree 3 with degree 1 -> r = -1,
+    from the exact closed form (M*Sxy - Sx^2)/(M*Sx2 - Sx^2) =
+    (6*18 - 144)/(6*30 - 144) = -1."""
+    from arc_maskdata_pipeline_plugin_spark.plans.graph2 import (
+        q_degree_assortativity,
+    )
+
+    _write_graph(
+        spark,
+        tmp_path,
+        orders=[(100, 1)],
+        lineitem=[(100, 1, 0), (100, 2, 0), (100, 3, 0)],
+    )
+    r = q_degree_assortativity(spark, str(tmp_path)).collect()[0]
+    assert r.n_nodes == 4 and r.n_directed_edges == 6
+    assert (r.sxy, r.sx, r.sx2) == (18, 12, 30)
+    assert r.assortativity_fp9 == -1_000_000_000
+
+
+def test_assortativity_regular_graph_is_null(spark, tmp_path):
+    """A 2-regular 4-cycle (2 customers x 2 suppliers, all degrees 2) has
+    zero degree variance — the coefficient is undefined and must emit
+    NULL, not a division error."""
+    from arc_maskdata_pipeline_plugin_spark.plans.graph2 import (
+        q_degree_assortativity,
+    )
+
+    _write_graph(
+        spark,
+        tmp_path,
+        orders=[(100, 1), (200, 2)],
+        lineitem=[(100, 1, 0), (100, 2, 0), (200, 1, 0), (200, 2, 0)],
+    )
+    r = q_degree_assortativity(spark, str(tmp_path)).collect()[0]
+    assert r.n_nodes == 4 and r.n_directed_edges == 8
+    assert r.assortativity_fp9 is None

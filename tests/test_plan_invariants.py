@@ -1122,3 +1122,14 @@ def test_group_kfold_pruned_scan_no_joins(spark):
     assert a["exchanges"] <= 5
     assert a["sort_merge_joins"] == 0 and a["broadcasts"] >= 1
     assert a["python_ops"] == 0
+
+
+def test_assortativity_pruned_scans_all_jvm(spark):
+    """Moment pipeline is pure JVM; every scan subtree (repeated in the
+    plan string by the two persisted frames — edges and degrees) reads
+    exactly its 2 join/projection columns with the join filter pushed."""
+    a = props("q_degree_assortativity", spark)
+    assert a["python_ops"] == 0
+    assert set(a["read_cols"]) == {"2"}
+    assert a["pushed_filters"] >= 1
+    assert a["sort_merge_joins"] <= 2  # the two node-keyed decorating joins
