@@ -1612,6 +1612,177 @@ def main():
         "codegen-fused projection chain; one cluster aggregate; zero Python",
     )
 
+    def ppjoin_viral_stress():
+        # PPJoin prefix-filter dedup (mirrors dedup_ppjoin_pairs) with a
+        # planted 50k-doc BOILERPLATE class: those docs are built from a
+        # 6-token hot vocabulary (df ~58k) plus one shared 'boiler' token
+        # (df 50k, the class's RAREST token -> guaranteed into every
+        # prefix). Uncapped, the boiler bucket alone enumerates ~1.25e9
+        # pairs; with the cap every template-class bucket drops (audited),
+        # and the organic 50k twin pairs still surface through df<=2
+        # buckets and verify at J=1.
+        from pyspark.sql import Window  # noqa: F401 (operator pulls it)
+
+        from arc_maskdata_pipeline_plugin_spark.operators.dedup import (
+            ppjoin_candidate_pairs,
+        )
+
+        n_docs = 1_000_000
+        docs = spark.range(0, n_docs, 1, sc.defaultParallelism * 4)
+        base = F.when(
+            F.col("id") % 20 == 1, F.col("id") - 1
+        ).otherwise(F.col("id"))  # 50k identical organic twins (20i, 20i+1)
+        is_viral = (F.col("id") % 20) == 2  # 50k template docs
+        hot = [
+            F.concat(F.lit("h"), ((base * 7 + j) % 6).cast("string"))
+            for j in range(7)
+        ]
+        organic = [
+            F.concat(
+                F.lit("t"),
+                ((base * 2654435761 + j * 40503) % 5_000_000).cast("string"),
+            )
+            for j in range(8)
+        ]
+        tokens = F.when(is_viral, F.array(F.lit("boiler"), *hot)).otherwise(
+            F.array(*organic)
+        )
+        tok = docs.select(
+            F.col("id").alias("doc_id"), F.explode(tokens).alias("shingle")
+        ).distinct()
+        cand = ppjoin_candidate_pairs(tok, max_token_bucket=64)
+        sets = tok.groupBy("doc_id").agg(
+            F.sort_array(F.collect_set("shingle")).alias("toks")
+        )
+        verified = (
+            cand.join(
+                sets.select(F.col("doc_id").alias("d1"), F.col("toks").alias("t1")),
+                "d1",
+            )
+            .join(
+                sets.select(F.col("doc_id").alias("d2"), F.col("toks").alias("t2")),
+                "d2",
+            )
+            .filter(
+                3 * F.size(F.array_intersect("t1", "t2"))
+                >= F.size("t1") + F.size("t2")
+            )
+        )
+        verified.write.format("noop").mode("overwrite").save()
+
+    timed(
+        "PPJoin VIRAL boilerplate class (1M docs, 50k-doc template, cap=64)",
+        1_000_000,
+        ppjoin_viral_stress,
+        "ADVERSARIAL: uncapped boiler-token bucket = 1.25e9 candidate pairs; the cap drops every template bucket (audited) and the 50k organic twins verify exactly",
+    )
+
+    def markov_stress():
+        # Markov transition matrix (mirrors q_markov_transitions): one
+        # user-keyed window over 20M events, then the |types|^2 aggregate
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        nxt = (
+            events.select("user_id", "ts", "event_id", "etype")
+            .withColumn("next_type", F.lead("etype").over(w))
+            .withColumn(
+                "gap_us",
+                F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts")),
+            )
+        )
+        pairs = (
+            nxt.filter(
+                F.col("next_type").isNotNull()
+                & (F.col("gap_us") <= 30 * 60 * 1_000_000)
+            )
+            .groupBy(F.col("etype").alias("prev_type"), "next_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        tot = Window.partitionBy("prev_type")
+        pairs.select(
+            "prev_type",
+            "next_type",
+            (F.col("n").cast("double") / F.sum("n").over(tot)).alias("prob"),
+        ).write.format("noop").mode("overwrite").save()
+
+    timed(
+        "Markov transition matrix (20M events, 1M users)",
+        n_events,
+        markov_stress,
+        "one user-keyed window shuffle; row totals from a window over the types^2 aggregate",
+    )
+
+    def kfold_stress():
+        # Group-aware K-fold (mirrors q_group_kfold): one user-keyed
+        # aggregate + user-sized audit, fold from the md5 uniform
+        fold = (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+            ).cast("bigint")
+            % 5
+        )
+        uf = (
+            events.select("user_id", (F.col("etype") == 4).cast("int").alias("label"))
+            .withColumn("fold", fold)
+            .groupBy("user_id", "fold")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("label").alias("npos"))
+        )
+        uf.groupBy("fold").agg(
+            F.count(F.lit(1)), F.sum("n"), F.sum("npos")
+        ).write.format("noop").mode("overwrite").save()
+
+    timed(
+        "group-aware K-fold split (20M events, 1M users)",
+        n_events,
+        kfold_stress,
+        "md5 fold is a pure projection; one user-keyed map-side-combined aggregate",
+    )
+
+    def assortativity_stress():
+        # degree assortativity (mirrors q_degree_assortativity) over an
+        # 8M-edge graph with a planted hub (5% of edges on one node):
+        # decorating joins key on node ids, so the hub is one heavy key in
+        # a co-partitioned join, not a cross product
+        e0 = (
+            spark.range(0, 4_000_000, 1, sc.defaultParallelism * 4)
+            .select(
+                F.when(F.col("id") % 20 == 0, F.lit(7))
+                .otherwise(F.col("id") % 500_000)
+                .alias("src"),
+                ((F.col("id") * 2654435761) % 500_000 + 500_000).alias("dst"),
+            )
+            .distinct()
+        )
+        edges = e0.unionAll(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).persist()
+        deg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        j = (
+            edges.join(
+                deg.select(F.col("node").alias("src"), F.col("d").alias("dx")), "src"
+            )
+            .join(
+                deg.select(F.col("node").alias("dst"), F.col("d").alias("dy")), "dst"
+            )
+        )
+        j.agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dy")),
+            F.sum(F.col("dx").cast("decimal(38,0)")),
+            F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dx")),
+        ).write.format("noop").mode("overwrite").save()
+        edges.unpersist()
+
+    timed(
+        "degree assortativity (8M directed edges, 5%-hub skew)",
+        8_000_000,
+        assortativity_stress,
+        "one degree aggregate + two node-keyed decorating joins + one moment aggregate; hub is a heavy join key, never a pair explosion",
+    )
+
     # ---- report ----------------------------------------------------------
     lines = [
         "# STRESS — synthetic ~100× scale-up measurements (local[32])",
