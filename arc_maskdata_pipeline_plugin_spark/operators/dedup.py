@@ -614,3 +614,21 @@ def ppjoin_candidate_pairs(
         .select("d1", "d2")
         .distinct()
     )
+
+
+def ppjoin_dropped_tokens(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "shingle",
+    tau_num: int = 1,
+    tau_den: int = 2,
+    max_token_bucket: int = 64,
+) -> DataFrame:
+    """Audit companion to ``ppjoin_candidate_pairs(max_token_bucket=...)``:
+    the (token, n_sets) prefix buckets the cap excluded — same contract as
+    ``lsh_dropped_buckets``, so a cap is never a silent coverage hole."""
+    buckets = ppjoin_prefix_buckets(shingles, id_col, token_col, tau_num, tau_den)
+    return (
+        buckets.select(token_col, F.size("xs").alias("n_sets"))
+        .filter(F.col("n_sets") > max_token_bucket)
+    )

@@ -124,3 +124,20 @@ def test_ppjoin_cap_prunes_before_enumeration_and_stays_jvm(spark, tmp_path):
     for op in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert op not in phys
     assert "SortMergeJoin" not in phys  # candidate/verify joins stay hash/broadcast at test SF
+
+
+def test_ppjoin_dropped_tokens_names_the_viral_token(spark, tmp_path):
+    """The library-level audit companion surfaces WHICH prefix token was
+    capped (same contract as lsh_dropped_buckets)."""
+    from arc_maskdata_pipeline_plugin_spark.operators.dedup import (
+        ppjoin_dropped_tokens,
+        word_shingles,
+    )
+
+    viral = _BASE + [(10 + i, f"p q r u{i}") for i in range(6)]
+    _write_docs(spark, tmp_path, viral)
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    out = ppjoin_dropped_tokens(
+        word_shingles(docs), max_token_bucket=4
+    ).collect()
+    assert [(r.shingle, r.n_sets) for r in out] == [("p q r", 6)]
