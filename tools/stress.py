@@ -1568,20 +1568,23 @@ def main():
         )
         a = None
         for _ in range(4):
+            # checkpoint the RAW aggregate (q_hits_authorities discipline):
+            # total + normalization both consume it, so checkpointing after
+            # normalization would run the join+agg twice per half-step
             ar = edges.join(h, "c").groupBy("s").agg(
                 F.sum("h").cast("decimal(38,0)").alias("a")
-            )
+            ).localCheckpoint(eager=True)
             at = ar.agg(F.sum("a").cast("decimal(38,0)").alias("t"))
             a = ar.crossJoin(F.broadcast(at)).select(
                 "s", F.expr("(a * 1000000) div t").cast("decimal(38,0)").alias("a")
-            ).localCheckpoint(eager=True)
+            )
             hr = edges.join(a, "s").groupBy("c").agg(
                 F.sum("a").cast("decimal(38,0)").alias("h")
-            )
+            ).localCheckpoint(eager=True)
             ht = hr.agg(F.sum("h").cast("decimal(38,0)").alias("t"))
             h = hr.crossJoin(F.broadcast(ht)).select(
                 "c", F.expr("(h * 1000000) div t").cast("decimal(38,0)").alias("h")
-            ).localCheckpoint(eager=True)
+            )
         a.write.format("noop").mode("overwrite").save()
         edges.unpersist()
 
