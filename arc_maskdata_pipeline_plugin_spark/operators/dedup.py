@@ -316,7 +316,14 @@ def jaccard_pairs(
 
     Jaccard from the exact (n1, n2, n_common) integers of
     :func:`_copair_counts` — a single double division per surviving pair, so
-    the threshold comparison is engine-stable."""
+    the threshold comparison is engine-stable.
+
+    Scale note: this fans out on EVERY shared shingle (candidate volume =
+    sum-of-df² over the vocabulary). For large corpora prefer
+    :func:`ppjoin_candidate_pairs` — same exact pair set at the same
+    threshold, but candidates fan out only on rare-first PREFIX tokens with
+    a capped viral-token guard (3× faster at sf0.1, and the gap widens with
+    corpus size)."""
     inter = _copair_counts(shingled, id_col)
     jac = (
         F.col("n_common").cast("double")
