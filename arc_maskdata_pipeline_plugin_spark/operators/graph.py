@@ -56,8 +56,10 @@ def pagerank_fixed_point(
         sc_edges.groupBy("src")
         .agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
         .withColumnRenamed("src", "node")
+        .persist()  # every iteration's left join re-reads it; one aggregate, not 5
     )
     n = deg.count()  # one node-sized action; the standard PageRank init cost
+    # (also materializes the deg cache)
     base = SCALE // n
     keep_pct = 100 - damping_pct
 
@@ -86,6 +88,7 @@ def pagerank_fixed_point(
         ranks.unpersist()
         ranks = new_ranks
     sc_edges.unpersist()
+    deg.unpersist()
     return ranks.select("node", "rank")
 
 
