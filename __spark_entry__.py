@@ -74,59 +74,60 @@ GATE_WINDOW = [
     # materially changed THIS round gets a slot; displaced queries are all
     # (a) green under tools/oracle_check.py's identical local gate,
     # (b) benched and/or pytest-pinned, and (c) witnessed by a prior
-    # round's CORRECTNESS_r{N}.json. Tolerance-checked sketch queries
-    # (q_hll_*, q_approx_*) stay OUTSIDE the window — a rows-only driver
-    # record would burn an oracled slot.
+    # round's CORRECTNESS_r{N}.json.
     #
-    # ROUND-6 WINDOW (VERDICT r05 next-round #1): filled entirely from the
-    # 60-query never-driver-witnessed backlog (union of CORRECTNESS_r01..r05
-    # keys vs queries()). 54 of the 60 are hash-oracled; this window takes 50
-    # of those (rows-only q_compression_quality / sim_ann_pq_trained /
-    # q_winsorize_prices_approx / q_approx_quantiles / q_hll_* stay outside
-    # per the policy above, and the 4 deferred oracled queries —
-    # q_mode_per_group, q_unpivot_measures, q_value_histogram,
-    # q_profile_orders, all simple ops with driver-witnessed family siblings
-    # — rotate into r07 with any r06 additions). The two materially-CHANGED
-    # queries this round (q_semdedup, q_multimodal_phash_dedup — viral-bucket
-    # caps + in-plan precision floors per VERDICT r05 #2/#4) are in-window.
+    # ROUND-7 WINDOW (VERDICT r06 next-round #1): exactly the 50-query
+    # never-driver-witnessed backlog — queries() minus the union of
+    # CORRECTNESS_r01..r06 keys (247 witnessed of 297). After this gate,
+    # every registered query has a driver-witnessed record and the backlog
+    # hits zero. 44 of the 50 are hash-oracled; the 6 rows-only entries
+    # (q_compression_quality, sim_ann_pq_trained, q_winsorize_prices_approx,
+    # q_approx_quantiles, q_hll_merge_daily, q_hll_audience_overlap) are
+    # deliberately in-window THIS round per the verdict: a weaker rows-only
+    # driver record beats no record, and each carries a pytest tolerance or
+    # in-plan invariant check in lieu of a hash oracle.
     #
-    # --- scale-critical / weak-item fixes (VERDICT r05 named) ---
-    "q_pca_top_component", "q_multimodal_phash_dedup", "q_semdedup",
-    "q_label_propagation", "q_multimodal_phash",
+    # --- r06 round-close additions, never witnessed ---
+    "dedup_ppjoin_pairs", "q_markov_transitions", "q_group_kfold",
+    "q_degree_assortativity",
     #
-    # --- corpus curation family (r05 additions) ---
-    "q_boilerplate_segments", "q_perplexity_filter", "q_dsir_importance",
-    "q_ngram_novelty", "q_language_confusion", "q_curriculum_shards",
-    "q_hard_negatives", "q_feature_hashing", "q_consistent_hash_shards",
-    "q_epoch_shuffle",
+    # --- graph analytics stragglers ---
+    "q_hits_authorities", "q_adamic_adar", "q_graph_jaccard_similarity",
+    "q_clustering_coefficient",
     #
-    # --- dedup / embeddings / ANN stragglers ---
-    "dedup_simhash_idf_buckets", "q_bloom_dedup_screen",
-    "q_embedding_truncate_mrl", "q_embedding_drift", "q_feature_correlation",
-    "q_winsorize_prices",
+    # --- statistics / hypothesis testing (stats4 family) ---
+    "q_ks_test", "q_mann_whitney", "q_chi_square_cramers_v",
+    "q_mutual_information", "q_bonferroni_ab_screen", "q_kruskal_wallis",
+    "q_anova_f", "q_spearman_corr", "q_bh_fdr_screen",
     #
-    # --- retrieval eval / tokenizer round-trip ---
-    "q_search_ndcg", "q_bpe_roundtrip", "q_udtf_term_freqs",
+    # --- time series / survival ---
+    "q_pettitt_changepoint", "q_nelson_aalen", "q_acf_daily",
     #
-    # --- extensibility surface ---
-    "q_python_datasource", "q_variant_extract", "q_recursive_month_spine",
+    # --- ML prep / encoding ---
+    "q_target_encoding", "q_woe_iv", "q_calibration_ece",
+    "q_class_downsample",
     #
-    # --- time series / forecast ---
-    "q_time_resample", "q_rolling_revenue_7d", "q_gap_fill_interpolate",
-    "q_theil_sen_trend", "q_forecast_backtest", "q_delivery_sla_monthly",
-    "q_incremental_rollup", "q_pit_scd2_enrich",
+    # --- curation / text ---
+    "q_readability_scores", "q_rake_keywords", "q_url_canonical_dedup",
+    "q_compression_quality",
     #
-    # --- behavior / growth ---
-    "q_rolling_retention_d7", "q_position_attribution", "q_churn_features",
-    "q_growth_accounting", "q_auto_join_revenue",
+    # --- retrieval eval ---
+    "q_mrr_recall_eval", "q_rank_biased_overlap", "q_prf_expansion",
     #
-    # --- statistics / experimentation ---
-    "q_logrank_test", "q_covariate_balance", "q_trimmed_mean",
-    "q_feature_binning", "q_salted_aggregation", "q_referential_integrity",
+    # --- privacy ---
+    "q_dp_quantile", "q_ldp_frequency",
     #
-    # --- streaming / text utilities ---
-    "q_stream_hysteresis_alert", "q_text_clean", "q_length_bucket_batches",
-    "q_null_safe_join",
+    # --- layout / lake ops / data quality ---
+    "q_hilbert_layout", "q_schema_drift_audit", "q_fd_violation_audit",
+    "q_cdc_apply", "q_watermark_lateness_audit", "q_profile_orders",
+    #
+    # --- relational stragglers (simple ops deferred from r06) ---
+    "q_value_histogram", "q_unpivot_measures", "q_mode_per_group",
+    "q_item_cooccurrence", "q_geo_proximity_join",
+    #
+    # --- sketches / approx (rows-only, deliberately in-window this round) ---
+    "q_hll_merge_daily", "q_hll_audience_overlap", "q_kmv_distinct_merge",
+    "q_approx_quantiles", "q_winsorize_prices_approx", "sim_ann_pq_trained",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 

@@ -180,7 +180,10 @@ def q_rake_keywords(spark, sf_dir):
     window is PARTITIONED by doc; one word-keyed shuffle builds the scores;
     the top-k is TakeOrderedAndProject. No joins back to the corpus —
     RAKE's word scores need only (freq, degree)."""
-    stops = set(STOPWORDS["en"])
+    # sorted, not set(): a set literal splats into the plan's IN (...) list
+    # in hash-randomized order, so the SAME code produced a different
+    # bench plan_sha per interpreter run (VERDICT r06 wrong-item #1)
+    stops = sorted(set(STOPWORDS["en"]))
     tk = T(spark, sf_dir, "documents").select(
         "doc_id",
         F.posexplode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias(

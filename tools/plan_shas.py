@@ -37,6 +37,14 @@ def plan_sha(df) -> str:
     # higher-order-function lambda variables (x_3, y_7, ...) carry
     # session-monotonic suffixes — normalize the name, keep the shape
     s = re.sub(r"\b([a-z]+)_\d+#x", r"\1_n#x", s)
+    # IN-list literals built from a Python set splat in hash-randomized
+    # order (VERDICT r06 wrong-item #1) — fingerprint the SET, not the
+    # arrival order (byte-identical to bench._plan_sha)
+    s = re.sub(
+        r"\bIN \(([^()]+)\)",
+        lambda m: "IN (" + ",".join(sorted(m.group(1).split(","))) + ")",
+        s,
+    )
     return hashlib.sha256(s.encode()).hexdigest()[:16]
 
 
