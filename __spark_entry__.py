@@ -59,6 +59,7 @@ from arc_maskdata_pipeline_plugin_spark.plans import stats4  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import mlprep  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import lakeops  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import geo  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import retrieval2  # noqa: F401
 
 from arc_maskdata_pipeline_plugin_spark.plans.registry import REGISTRY
 

@@ -253,6 +253,11 @@ HEADLINE = [
     # round 6 (cont. 10): degree assortativity — sqrt-free exact Pearson
     # over the symmetrized edge list, one moment aggregate
     "q_degree_assortativity",
+    # round 7: late-interaction MaxSim (vocab-scored, one corpus scan via
+    # the persisted doc-word frame) and sign-binarized Hamming top-k with
+    # the exact-cosine retained-recall witness
+    "q_maxsim_late_interaction",
+    "q_embedding_binarize_hamming",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
