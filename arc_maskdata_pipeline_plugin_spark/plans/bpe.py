@@ -40,7 +40,22 @@ from .search import _TOKS_SQL
 N_MERGES = 10
 
 
-def _bpe_cte_chain(n_merges: int) -> str:
+# default (word-level) symbolization: chars + a </w> terminal. plans/bpe2.py
+# passes byte-level alternatives through the same trainer/CTE machinery.
+_W0_SQL_CHAR = (
+    "'  ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g')) || '  </w>  '"
+)
+
+
+def _char_seq(col):
+    return F.concat(
+        F.lit("  "),
+        F.trim(F.regexp_replace(col, "(.)", "$1  ")),
+        F.lit("  </w>  "),
+    )
+
+
+def _bpe_cte_chain(n_merges: int, w0_sql: str = _W0_SQL_CHAR) -> str:
     """The shared WITH-chain: word counts → w0 → (pairs, best, w{i+1})*."""
     rounds = []
     for i in range(n_merges):
@@ -56,9 +71,11 @@ p{i} AS (
 ),
 b{i} AS (SELECT lhs, rhs, c FROM p{i} ORDER BY c DESC, lhs, rhs LIMIT 1),
 w{i + 1} AS (
+  -- LEFT JOIN ON TRUE: an exhausted round (no pairs left — tiny corpora
+  -- fully merge) leaves seq unchanged instead of emptying the vocabulary
   SELECT word, n,
-         replace(seq, ' ' || b.lhs || '  ' || b.rhs || ' ', ' ' || b.lhs || b.rhs || ' ') AS seq
-  FROM w{i}, b{i} b
+         COALESCE(replace(seq, ' ' || b.lhs || '  ' || b.rhs || ' ', ' ' || b.lhs || b.rhs || ' '), seq) AS seq
+  FROM w{i} LEFT JOIN b{i} b ON TRUE
 )""")
     return f"""
 WITH tk AS (SELECT {_TOKS_SQL} AS toks FROM documents),
@@ -67,8 +84,7 @@ words AS (
   FROM (SELECT unnest(toks) AS word FROM tk) GROUP BY word
 ),
 w0 AS (
-  SELECT word, n,
-         '  ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g')) || '  </w>  ' AS seq
+  SELECT word, n, {w0_sql} AS seq
   FROM words
 ),
 {", ".join(rounds)}"""
@@ -82,9 +98,11 @@ def _bpe_oracle(n_merges: int) -> str:
     return f"{_bpe_cte_chain(n_merges)}\n{final}\n"
 
 
-def _train_bpe(spark, sf_dir, n_merges: int):
+def _train_bpe(spark, sf_dir, n_merges: int, seq_builder=_char_seq):
     """Run the trainer; returns (merge list, final persisted word frame).
 
+    ``seq_builder(word_col) -> Column`` produces the round-0 symbolization
+    (default: char-level with a ``</w>`` terminal; byte-level in bpe2.py).
     Caller must ``unpersist`` the returned frame when done."""
     from ..operators.search import _TOKENS
 
@@ -93,14 +111,7 @@ def _train_bpe(spark, sf_dir, n_merges: int):
         docs.select(F.explode(F.expr(_TOKENS)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .withColumn(
-            "seq",
-            F.concat(
-                F.lit("  "),
-                F.trim(F.regexp_replace(F.col("word"), "(.)", "$1  ")),
-                F.lit("  </w>  "),
-            ),
-        )
+        .withColumn("seq", seq_builder(F.col("word")))
         .transform(persisted)
     )
     merges = []
@@ -114,10 +125,17 @@ def _train_bpe(spark, sf_dir, n_merges: int):
             .select(
                 "n",
                 F.explode(
+                    # guard the fully-merged single-symbol word: Spark's
+                    # sequence(1, 0) runs DESCENDING (unlike DuckDB's empty
+                    # range) and element_at(sy, 2) then throws — byte-level
+                    # vocabularies hit this as soon as a 1-char word's
+                    # (B32, byte) pair wins a merge round
                     F.expr(
+                        "if(size(sy) < 2, "
+                        "cast(array() as array<struct<l string, r string>>), "
                         "transform(sequence(1, size(sy) - 1), "
                         "i -> struct(element_at(sy, i) AS l, "
-                        "element_at(sy, i + 1) AS r))"
+                        "element_at(sy, i + 1) AS r)))"
                     )
                 ).alias("p"),
             )
@@ -131,6 +149,8 @@ def _train_bpe(spark, sf_dir, n_merges: int):
         best = pairs.orderBy(F.desc("c"), "lhs", "rhs").first()
         if prev is not None:
             prev.unpersist()
+        if best is None:  # exhausted: every word fully merged (tiny corpora)
+            break
         merges.append((step, best["lhs"], best["rhs"], best["lhs"] + best["rhs"], best["c"]))
         nxt = cur.withColumn(
             "seq",

@@ -1,0 +1,191 @@
+"""Byte-level BPE (GPT-2-style) training, encoding, and artifact parity.
+
+``plans/bpe.py`` trains the classic word-level BPE (chars + ``</w>``).
+Modern LLM tokenizers are BYTE-level (Radford et al., GPT-2; Sennrich-style
+merges over byte symbols): the base alphabet is the 256 byte values so no
+word is ever out-of-vocabulary, and the leading-space convention (GPT-2's
+``Ġ``) is a literal space byte prefixed to every word. This module re-runs
+the SAME double-space merge machinery (see bpe.py module docstring for the
+exactness argument) over byte symbols ``B{code}``: a word symbolizes as
+``B32 B104 B101 ...`` (the B32 = the space-prefix marker).
+
+Three audits ride the encode query, because they are what a tokenizer
+artifact must prove before it ships:
+
+* **replay parity** — the Spark side re-applies the COLLECTED merge list
+  (the artifact: 8 (lhs, rhs) rows that round-tripped through the driver,
+  exactly how a shipped tokenizer applies merges) to a fresh round-0
+  symbolization and counts words whose replayed segmentation differs from
+  the trained one. Must be 0: training state and artifact application are
+  the same function.
+* **byte round-trip** — decoding every trained segmentation (strip
+  separators, map each ``B{code}`` back through ``char()``) must reproduce
+  ``' ' || word`` exactly, for the whole vocabulary.
+* **fertility / compression** — byte-tokens per word and per byte, the
+  numbers a context-window budget is planned against.
+
+Scale shape: identical to the word-level family — the corpus is scanned
+once for word counts; every merge round runs on the distinct-word frame
+(one map-side-combined pair aggregation + a 1-row argmax driver probe);
+encoding joins corpus tokens against the vocabulary-sized word→n_sym map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .bpe import _bpe_cte_chain, _train_bpe
+from .registry import T, register, spread
+from .search import _TOKS_SQL
+
+N_BYTE_MERGES = 8
+
+# round-0 byte symbolization, as SQL in both engines
+_W0_SQL_BYTE = (
+    "'  B32  ' || array_to_string(list_transform(range(1, len(word) + 1), "
+    "i -> 'B' || ascii(word[CAST(i AS INT)])), '  ') || '  '"
+)
+_W0_SPARK_BYTE = (
+    "concat('  B32  ', array_join(transform(sequence(1, length(word)), "
+    "i -> concat('B', ascii(substring(word, i, 1)))), '  '), '  ')"
+)
+
+
+def _byte_seq(col):  # the trainer frame names its token column `word`
+    return F.expr(_W0_SPARK_BYTE)
+
+
+def _train_byte_bpe(spark, sf_dir):
+    return _train_bpe(spark, sf_dir, N_BYTE_MERGES, seq_builder=_byte_seq)
+
+
+def _byte_train_oracle(n: int) -> str:
+    final = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step, lhs, rhs, lhs || rhs AS merged, c AS pair_count FROM b{i}"
+        for i in range(n)
+    )
+    return f"{_bpe_cte_chain(n, w0_sql=_W0_SQL_BYTE)}\n{final}\n"
+
+
+@register("q_bpe_byte_train", oracle=_byte_train_oracle(N_BYTE_MERGES))
+def q_bpe_byte_train(spark, sf_dir):
+    """Train the first {n} BYTE-level merges; returns the merge table
+    (step, lhs, rhs, merged, pair_count) — the artifact a byte-level
+    tokenizer ships. Same trainer loop as q_bpe_train_merges with the
+    byte-symbol round-0 (no OOV possible: the base alphabet is bytes).
+    """.format(n=N_BYTE_MERGES)
+    merges, final = _train_byte_bpe(spark, sf_dir)
+    final.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, merged string, pair_count bigint"
+    )
+
+
+_DECODE_DUCK = (
+    "array_to_string(list_transform("
+    "regexp_extract_all(replace(trim(seq), ' ', ''), 'B(\\d+)', 1), "
+    "c -> chr(CAST(c AS INT))), '')"
+)
+_DECODE_SPARK = (
+    "array_join(transform("
+    "regexp_extract_all(replace(trim(seq), ' ', ''), 'B(\\\\d+)', 1), "
+    "c -> char(cast(c as int))), '')"
+)
+
+_BYTE_ENCODE_ORACLE = f"""{_bpe_cte_chain(N_BYTE_MERGES, w0_sql=_W0_SQL_BYTE)}
+, vocab AS (
+  SELECT word, n,
+         len(string_split_regex(trim(seq), '\\s+')) AS n_sym,
+         CASE WHEN {_DECODE_DUCK} = ' ' || word THEN 0 ELSE 1 END AS decode_bad
+  FROM w{N_BYTE_MERGES}
+),
+audit AS (
+  SELECT CAST(SUM(decode_bad) AS BIGINT) AS decode_lossy,
+         CAST(0 AS BIGINT) AS replay_lossy
+  FROM vocab
+),
+occ AS (
+  SELECT source, unnest({_TOKS_SQL}) AS word FROM documents
+)
+SELECT o.source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(o.word) + 1) AS BIGINT) AS n_bytes,
+       CAST(SUM(v.n_sym) AS BIGINT) AS n_byte_tokens,
+       CAST(floor(SUM(v.n_sym) * 1000000.0 / COUNT(*)) AS BIGINT)
+         AS byte_fertility_fp6,
+       CAST(floor(SUM(v.n_sym) * 1000000.0 / SUM(len(o.word) + 1)) AS BIGINT)
+         AS tokens_per_byte_fp6,
+       a.replay_lossy, a.decode_lossy
+FROM occ o JOIN vocab v USING (word), audit a
+GROUP BY o.source, a.replay_lossy, a.decode_lossy
+"""
+
+
+@register("q_bpe_byte_encode", oracle=_BYTE_ENCODE_ORACLE)
+def q_bpe_byte_encode(spark, sf_dir):
+    """Apply the trained byte-level merges corpus-wide, with the two
+    artifact audits in-plan (module docstring): per source, word/byte/token
+    mass and fertility, plus ``replay_lossy`` (collected merge list
+    re-applied to a fresh round-0 symbolization must reproduce the trained
+    segmentation for every vocabulary word) and ``decode_lossy`` (B-code
+    decode must reproduce ``' ' || word``).
+
+    The oracle's replay is structurally 0 (its replay IS the training
+    chain); the Spark replay is the REAL witness — the merge list
+    round-trips through the driver as 8 plain tuples, exactly the shipped-
+    artifact path, and re-applies as 8 chained ``replace`` projections on
+    the vocabulary frame (never the corpus)."""
+    merges, final = _train_byte_bpe(spark, sf_dir)
+    replayed = final.withColumn("seq_r", F.expr(_W0_SPARK_BYTE))
+    for _, lhs, rhs, _, _ in merges:
+        replayed = replayed.withColumn(
+            "seq_r",
+            F.expr(
+                "replace(seq_r, ' ' || '{l}' || '  ' || '{r}' || ' ', "
+                "' ' || '{l}{r}' || ' ')".format(l=lhs, r=rhs)
+            ),
+        )
+    vocab = replayed.select(
+        "word",
+        F.size(F.split(F.trim("seq"), " +")).alias("n_sym"),
+        F.when(F.expr(_DECODE_SPARK) == F.concat(F.lit(" "), F.col("word")), 0)
+        .otherwise(1)
+        .alias("decode_bad"),
+        F.when(F.col("seq_r") == F.col("seq"), 0).otherwise(1).alias("replay_bad"),
+    )
+    audit = vocab.agg(
+        F.sum("replay_bad").cast("bigint").alias("replay_lossy"),
+        F.sum("decode_bad").cast("bigint").alias("decode_lossy"),
+    )
+    from ..operators.search import _TOKENS
+
+    docs = spread(T(spark, sf_dir, "documents"))
+    occ = docs.select("source", F.explode(F.expr(_TOKENS)).alias("word"))
+    per_source = (
+        occ.join(vocab, "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("word") + 1).cast("bigint").alias("n_bytes"),
+            F.sum("n_sym").cast("bigint").alias("n_byte_tokens"),
+            F.floor(F.sum("n_sym") * 1_000_000.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("byte_fertility_fp6"),
+            F.floor(
+                F.sum("n_sym") * 1_000_000.0 / F.sum(F.length("word") + 1)
+            )
+            .cast("bigint")
+            .alias("tokens_per_byte_fp6"),
+        )
+    )
+    out = per_source.crossJoin(F.broadcast(audit)).select(
+        "source",
+        "n_words",
+        "n_bytes",
+        "n_byte_tokens",
+        "byte_fertility_fp6",
+        "tokens_per_byte_fp6",
+        "replay_lossy",
+        "decode_lossy",
+    )
+    return out

@@ -258,6 +258,10 @@ HEADLINE = [
     # the exact-cosine retained-recall witness
     "q_maxsim_late_interaction",
     "q_embedding_binarize_hamming",
+    # round 7 (cont.): byte-level BPE — train on byte symbols; encode =
+    # vocab join + driver-round-tripped artifact replay witness
+    "q_bpe_byte_train",
+    "q_bpe_byte_encode",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
@@ -273,18 +277,112 @@ def _median(xs: list[float]) -> float:
     return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
 
-def _plan_sha(df) -> str:
-    """Stable fingerprint of the executed physical plan: expression ids,
-    AQE plan ids, and codegen/exchange ids are session-specific noise and
-    get normalized out, so the SAME plan hashes identically across rounds
-    and a >1.3x bench flag can be auto-adjudicated as plan-changed vs
-    environmental (VERDICT r05 next-round #3).
+def _split_toplevel(inner: str) -> list:
+    """Split a rendered expression list on top-level commas only."""
+    parts, depth, cur = [], 0, []
+    for ch in inner:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    return parts
+
+
+def _canon_group(s: str, start: int, open_ch: str, expand: bool) -> tuple:
+    """Canonicalize one bracket/paren group starting at ``start`` (index of
+    the opening char): sort top-level items; in Expand projection lists,
+    bare-integer items are the rewrite-assigned grouping ids → 'n'."""
+    close_ch = "]" if open_ch == "[" else ")"
+    depth, j = 1, start + 1
+    while j < len(s) and depth:
+        if s[j] in "([":
+            depth += 1
+        elif s[j] in ")]":
+            depth -= 1
+        j += 1
+    items = _split_toplevel(s[start + 1 : j - 1])
+    if expand:
+        # slot positions inside a projection sublist track the (permuted)
+        # Expand output-attr order — sort within the sublist too, so the
+        # canonical form is the SET of emitted expressions per branch
+        items = [
+            "["
+            + ", ".join(
+                sorted(
+                    "n" if p.strip().isdigit() else p.strip()
+                    for p in _split_toplevel(it[1:-1])
+                )
+            )
+            + "]"
+            if it.startswith("[") and it.endswith("]")
+            else ("n" if it.strip().isdigit() else it)
+            for it in items
+        ]
+    return open_ch + ", ".join(sorted(items)) + close_ch, j
+
+
+def _canon_distinct_rewrite(s: str) -> str:
+    """RewriteDistinctAggregates assigns Expand gid numbers and orders the
+    expanded grouping keys from exprId-keyed set iteration — the SAME query
+    planned at a different session position renders a permuted (but
+    semantically identical) plan string, which broke sha stability for
+    every multi-countDistinct query (q_boilerplate_segments,
+    q_schema_drift_audit, q_kmv_distinct_merge — VERDICT r06 wrong-item
+    #1). Canonicalize: gid literals → 'n'; sort top-level items of
+    keys=[...] / output=[...] / hashpartitioning(...) groups; on Expand
+    lines, also canonicalize the projection sublists (bare-int gid slots →
+    'n') and sort them."""
+    import re
+
+    s = re.sub(r"\(gid#x = \d+\)", "(gid#x = n)", s)
+    out_lines = []
+    for line in s.split("\n"):
+        for marker in ("keys=[", "output=[", "hashpartitioning("):
+            pos = 0
+            while True:
+                idx = line.find(marker, pos)
+                if idx < 0:
+                    break
+                grp, end = _canon_group(
+                    line, idx + len(marker) - 1, marker[-1], expand=False
+                )
+                line = line[: idx + len(marker) - 1] + grp + line[end:]
+                pos = idx + len(marker)
+        if "Expand [" in line:
+            pos = 0
+            while True:
+                idx = line.find("Expand [", pos)
+                if idx < 0:
+                    break
+                grp, end = _canon_group(line, idx + 7, "[", expand=True)
+                rest = line[end:]
+                # the trailing ", [output attrs]" list of the Expand node
+                if rest.startswith(", ["):
+                    grp2, end2 = _canon_group(rest, 2, "[", expand=False)
+                    rest = ", " + grp2 + rest[end2:]
+                line = line[: idx + 7] + grp + rest
+                pos = idx + 8
+        out_lines.append(line)
+    return "\n".join(out_lines)
+
+
+def _plan_normalized(df) -> str:
+    """Normalized executed-plan string: expression ids, AQE plan ids, and
+    codegen/exchange ids are session-specific noise and get normalized out,
+    so the SAME plan stringifies identically across rounds and a >1.3x
+    bench flag can be auto-adjudicated as plan-changed vs environmental
+    (VERDICT r05 next-round #3).
 
     FileScan metadata (PushedFilters etc.) truncates at
     spark.sql.maxMetadataStringLength CHARS, so exprId digit-width would
     shift the cut point and leak session position into the hash — lift the
     limit while printing."""
-    import hashlib
     import re
 
     sess = df.sparkSession
@@ -311,7 +409,23 @@ def _plan_sha(df) -> str:
         lambda m: "IN (" + ",".join(sorted(m.group(1).split(","))) + ")",
         s,
     )
-    return hashlib.sha256(s.encode()).hexdigest()[:16]
+    return _canon_distinct_rewrite(s)
+
+
+def _plan_sha(df) -> str:
+    """Stable fingerprint of the executed physical plan (see
+    ``_plan_normalized``). Set ``SPARK_GRAFT_DUMP_PLANS=<path>`` to also
+    append the normalized strings (keyed by sha) for instability diffing."""
+    import hashlib
+    import json as _json
+
+    s = _plan_normalized(df)
+    sha = hashlib.sha256(s.encode()).hexdigest()[:16]
+    dump = os.environ.get("SPARK_GRAFT_DUMP_PLANS")
+    if dump:
+        with open(dump, "a") as f:
+            f.write(_json.dumps({"sha": sha, "plan": s}) + "\n")
+    return sha
 
 
 def _previous_round_queries() -> tuple[str, dict]:

@@ -1,0 +1,70 @@
+"""Plan-fingerprint stability across session positions.
+
+VERDICT r06 wrong-item #1: the SAME query planned at a different session
+position rendered a permuted plan string — RewriteDistinctAggregates
+assigns Expand gid numbers and orders the expanded grouping keys from
+exprId-keyed set iteration, and exprIds depend on how many expressions the
+session allocated before the query. The fixtures are two REAL captures of
+the same queries (bench-order vs isolated session) that hashed differently
+before the canonicalization; they must canonicalize byte-identically now.
+
+Also locks tools/plan_shas.py's duplicated normalizer to bench's — the
+backfill tool must stay byte-identical or cross-round adjudication drifts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import bench
+from tools import plan_shas
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures", "distinct_rewrite_plans.json")
+
+
+def _load():
+    with open(FIXTURES) as f:
+        return json.load(f)
+
+
+def test_session_permuted_captures_canonicalize_identically():
+    d = _load()
+    for q in ("kmv", "boiler"):
+        ca = bench._canon_distinct_rewrite(d[f"{q}_pos_a"])
+        cb = bench._canon_distinct_rewrite(d[f"{q}_pos_b"])
+        assert ca == cb, f"{q}: canonical forms differ"
+        # and they genuinely differed pre-canonicalization (fixture sanity)
+        assert d[f"{q}_pos_a"] != d[f"{q}_pos_b"]
+
+
+def test_tools_normalizer_matches_bench():
+    d = _load()
+    for s in d.values():
+        assert plan_shas._canon_distinct_rewrite(s) == bench._canon_distinct_rewrite(s)
+
+
+def test_gid_literal_and_in_list_normalization():
+    s = "HashAggregate(keys=[b#x, a#x], functions=[count(x#x) FILTER (WHERE (gid#x = 2))])"
+    t = "HashAggregate(keys=[a#x, b#x], functions=[count(x#x) FILTER (WHERE (gid#x = 1))])"
+    assert bench._canon_distinct_rewrite(s) == bench._canon_distinct_rewrite(t)
+    # IN-list sets hash identically regardless of splat order (bench-level)
+    import re
+
+    def insort(x):
+        return re.sub(
+            r"\bIN \(([^()]+)\)",
+            lambda m: "IN (" + ",".join(sorted(m.group(1).split(","))) + ")",
+            x,
+        )
+
+    assert insort("Filter tok#x IN (b,a,c)") == insort("Filter tok#x IN (c,a,b)")
+
+
+def test_expand_sublists_canonical_independent_of_slot_order():
+    a = "+- Expand [[user_id#xL, null, 1], [null, day#x, 2]], [user_id#xL, day#x, gid#x]"
+    b = "+- Expand [[day#x, null, 1], [null, user_id#xL, 2]], [day#x, user_id#xL, gid#x]"
+    assert bench._canon_distinct_rewrite(a) == bench._canon_distinct_rewrite(b)
+    # different expression SETS must still differ
+    c = "+- Expand [[other#x, null, 1], [null, day#x, 2]], [other#x, day#x, gid#x]"
+    assert bench._canon_distinct_rewrite(a) != bench._canon_distinct_rewrite(c)

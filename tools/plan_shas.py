@@ -21,6 +21,83 @@ import re
 import sys
 
 
+def _split_toplevel(inner: str) -> list:
+    parts, depth, cur = [], 0, []
+    for ch in inner:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    return parts
+
+
+def _canon_group(s: str, start: int, open_ch: str, expand: bool) -> tuple:
+    close_ch = "]" if open_ch == "[" else ")"
+    depth, j = 1, start + 1
+    while j < len(s) and depth:
+        if s[j] in "([":
+            depth += 1
+        elif s[j] in ")]":
+            depth -= 1
+        j += 1
+    items = _split_toplevel(s[start + 1 : j - 1])
+    if expand:
+        items = [
+            "["
+            + ", ".join(
+                sorted(
+                    "n" if p.strip().isdigit() else p.strip()
+                    for p in _split_toplevel(it[1:-1])
+                )
+            )
+            + "]"
+            if it.startswith("[") and it.endswith("]")
+            else ("n" if it.strip().isdigit() else it)
+            for it in items
+        ]
+    return open_ch + ", ".join(sorted(items)) + close_ch, j
+
+
+def _canon_distinct_rewrite(s: str) -> str:
+    """Byte-identical to bench._canon_distinct_rewrite (locked by
+    tests/test_plan_sha_stability.py)."""
+    s = re.sub(r"\(gid#x = \d+\)", "(gid#x = n)", s)
+    out_lines = []
+    for line in s.split("\n"):
+        for marker in ("keys=[", "output=[", "hashpartitioning("):
+            pos = 0
+            while True:
+                idx = line.find(marker, pos)
+                if idx < 0:
+                    break
+                grp, end = _canon_group(
+                    line, idx + len(marker) - 1, marker[-1], expand=False
+                )
+                line = line[: idx + len(marker) - 1] + grp + line[end:]
+                pos = idx + len(marker)
+        if "Expand [" in line:
+            pos = 0
+            while True:
+                idx = line.find("Expand [", pos)
+                if idx < 0:
+                    break
+                grp, end = _canon_group(line, idx + 7, "[", expand=True)
+                rest = line[end:]
+                if rest.startswith(", ["):
+                    grp2, end2 = _canon_group(rest, 2, "[", expand=False)
+                    rest = ", " + grp2 + rest[end2:]
+                line = line[: idx + 7] + grp + rest
+                pos = idx + 8
+        out_lines.append(line)
+    return "\n".join(out_lines)
+
+
 def plan_sha(df) -> str:
     sess = df.sparkSession
     prev = sess.conf.get("spark.sql.maxMetadataStringLength", "100")
@@ -45,6 +122,7 @@ def plan_sha(df) -> str:
         lambda m: "IN (" + ",".join(sorted(m.group(1).split(","))) + ")",
         s,
     )
+    s = _canon_distinct_rewrite(s)
     return hashlib.sha256(s.encode()).hexdigest()[:16]
 
 
