@@ -61,6 +61,8 @@ from arc_maskdata_pipeline_plugin_spark.plans import lakeops  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import geo  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import retrieval2  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import bpe2  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import dedup2  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import refresh  # noqa: F401
 
 from arc_maskdata_pipeline_plugin_spark.plans.registry import REGISTRY
 

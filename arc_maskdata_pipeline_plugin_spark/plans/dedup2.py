@@ -1,0 +1,181 @@
+"""Cross-method near-dup evidence merge → clusters → survivorship.
+
+Production corpus dedup rarely trusts ONE detector: MinHash-LSH
+(probabilistic recall), PPJoin (candidate-complete exact Jaccard) and
+containment (doc-inside-doc) each catch pairs the others miss — and each
+false-positives differently. The standard hardening is EVIDENCE MERGING:
+union the pair sets, keep pairs confirmed by >= 2 independent methods,
+cluster the surviving edges transitively, and elect one survivor per
+cluster (here: longest text, then min doc_id — keep the most complete
+copy). ``q_dedup_method_agreement`` (plans/dedup.py) reports how much the
+methods overlap; this query is the decision layer built on top of it.
+
+Scale shape: each detector keeps its own bucketed/capped candidate
+discipline (no all-pairs anywhere); the evidence union and >=2-method vote
+are ONE pair-keyed aggregate over post-detector (tiny) frames; connected
+components run on the strong-edge graph (star-rounds, operators/clusters);
+the survivor election is one component-keyed window over cluster members.
+At 100 TB the three detectors would share one persisted shingle frame —
+the operator signatures take the shingle frame directly; the composition
+here calls the registered queries so the oracle text composes the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.clusters import connected_components
+from .dedup import (
+    dedup_containment_pairs,
+    dedup_minhash_pairs,
+    dedup_ppjoin_pairs,
+)
+from .registry import T, persisted, register
+
+
+def _detector_sql(name: str) -> str:
+    """Reuse the exact oracle text of a registered detector as a subquery
+    (DuckDB scopes each subquery's WITH chain independently) — no drift
+    between the detectors' standalone checks and this composition."""
+    from .registry import REGISTRY
+
+    return REGISTRY[name].oracle
+
+
+def _evidence_oracle() -> str:
+    mh = _detector_sql("dedup_minhash_pairs")
+    pp = _detector_sql("dedup_ppjoin_pairs")
+    ct = _detector_sql("dedup_containment_pairs")
+    return f"""
+WITH RECURSIVE
+mh AS (SELECT d1, d2 FROM ({mh})),
+pp AS (SELECT d1, d2 FROM ({pp})),
+ct AS (SELECT d1, d2 FROM ({ct})),
+ev AS (
+  SELECT d1, d2, CAST(COUNT(*) AS BIGINT) AS n_methods
+  FROM (
+    SELECT d1, d2 FROM mh
+    UNION ALL SELECT d1, d2 FROM pp
+    UNION ALL SELECT d1, d2 FROM ct
+  )
+  GROUP BY d1, d2
+),
+strong AS (SELECT d1, d2, n_methods FROM ev WHERE n_methods >= 2),
+e AS (SELECT d1 AS a, d2 AS b FROM strong UNION SELECT d2, d1 FROM strong),
+walk(node, comp) AS (
+  SELECT DISTINCT a, a FROM e
+  UNION
+  SELECT e.a, w.comp FROM e JOIN walk w ON e.b = w.node
+),
+cc AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node),
+mem AS (
+  SELECT cc.node, cc.component, d.n_chars
+  FROM cc JOIN documents d ON d.doc_id = cc.node
+),
+surv AS (
+  SELECT component, node AS survivor_id, n_chars AS survivor_chars FROM (
+    SELECT component, node, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY component
+                              ORDER BY n_chars DESC, node) AS rn
+    FROM mem
+  ) WHERE rn = 1
+),
+edge_stats AS (
+  SELECT c.component,
+         CAST(COUNT(*) AS BIGINT) AS n_strong_pairs,
+         CAST(SUM(CASE WHEN s.n_methods = 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pairs_all3
+  FROM strong s JOIN cc c ON s.d1 = c.node
+  GROUP BY c.component
+)
+SELECT m.component,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(s.survivor_id) AS survivor_id,
+       MIN(s.survivor_chars) AS survivor_chars,
+       array_to_string(list_sort(list(m.node)), ',') AS members,
+       MIN(es.n_strong_pairs) AS n_strong_pairs,
+       MIN(es.n_pairs_all3) AS n_pairs_all3
+FROM mem m
+JOIN surv s ON m.component = s.component
+JOIN edge_stats es ON m.component = es.component
+GROUP BY m.component
+"""
+
+
+@register("q_dedup_evidence_clusters", oracle=_evidence_oracle())
+def q_dedup_evidence_clusters(spark, sf_dir):
+    """Evidence-merged near-dup clusters with survivor election (module
+    docstring). A pair enters the cluster graph only when >= 2 of
+    {{MinHash-LSH, PPJoin, containment}} agree; clusters are the connected
+    components of the strong-edge graph; the survivor is the longest member
+    (ties → min doc_id). Per cluster: members, survivor, and how much of
+    the internal edge evidence was unanimous (n_pairs_all3)."""
+    mh = dedup_minhash_pairs(spark, sf_dir).select("d1", "d2").withColumn(
+        "method", F.lit("minhash")
+    )
+    pp = dedup_ppjoin_pairs(spark, sf_dir).select("d1", "d2").withColumn(
+        "method", F.lit("ppjoin")
+    )
+    ct = dedup_containment_pairs(spark, sf_dir).select("d1", "d2").withColumn(
+        "method", F.lit("containment")
+    )
+    ev = (
+        mh.unionByName(pp)
+        .unionByName(ct)
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_methods"))
+    )
+    # persisted (tracked): connected_components evaluates its input for the
+    # convergence fingerprint, the first star round AND the isolated-node
+    # scan — without the persist the 3-detector pipeline would run 3x
+    strong = ev.filter(F.col("n_methods") >= 2).transform(persisted)
+    cc = connected_components(strong.select("d1", "d2"))
+    docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    mem = cc.join(docs, cc["node"] == docs["doc_id"]).select(
+        "node", "component", "n_chars"
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "node")
+    surv = (
+        mem.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("node").alias("survivor_id"),
+            F.col("n_chars").alias("survivor_chars"),
+        )
+    )
+    edge_stats = (
+        strong.join(cc, strong["d1"] == cc["node"])
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_strong_pairs"),
+            F.sum(F.when(F.col("n_methods") == 3, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pairs_all3"),
+        )
+    )
+    return (
+        mem.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .join(F.broadcast(surv), "component")
+        .join(F.broadcast(edge_stats), "component")
+        .select(
+            "component",
+            "n_members",
+            "survivor_id",
+            "survivor_chars",
+            "members",
+            "n_strong_pairs",
+            "n_pairs_all3",
+        )
+    )

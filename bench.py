@@ -262,6 +262,10 @@ HEADLINE = [
     # vocab join + driver-round-tripped artifact replay witness
     "q_bpe_byte_train",
     "q_bpe_byte_encode",
+    # round 7 (cont. 2): cross-method dedup evidence merge (>=2-of-3 vote →
+    # CC → survivorship) and the incremental corpus-refresh funnel capstone
+    "q_dedup_evidence_clusters",
+    "q_corpus_refresh_incremental",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
