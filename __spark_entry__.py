@@ -63,6 +63,7 @@ from arc_maskdata_pipeline_plugin_spark.plans import retrieval2  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import bpe2  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import dedup2  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import refresh  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import stats5  # noqa: F401
 
 from arc_maskdata_pipeline_plugin_spark.plans.registry import REGISTRY
 

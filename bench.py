@@ -266,6 +266,11 @@ HEADLINE = [
     # CC → survivorship) and the incremental corpus-refresh funnel capstone
     "q_dedup_evidence_clusters",
     "q_corpus_refresh_incremental",
+    # round 7 (cont. 3): sequential/equivalence/permutation testing — one
+    # scan each; SPRT constants inlined as identical double literals
+    "q_sprt_ab",
+    "q_tost_equivalence",
+    "q_permutation_test_ab",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
