@@ -64,6 +64,8 @@ from arc_maskdata_pipeline_plugin_spark.plans import bpe2  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import dedup2  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import refresh  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import stats5  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import training2  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import lakeops2  # noqa: F401
 
 from arc_maskdata_pipeline_plugin_spark.plans.registry import REGISTRY
 

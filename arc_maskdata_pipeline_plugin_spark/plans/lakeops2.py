@@ -1,0 +1,173 @@
+"""Zone-map (min/max) file-skipping audit: what a sort layout buys.
+
+Every lakehouse format (Parquet row groups, Delta/Iceberg file stats) prunes
+files whose [min, max] column range can't intersect the predicate. How much
+pruning a layout delivers is THE question behind every OPTIMIZE/sort job —
+this audit answers it from the data, before running the job: simulate the
+file boundaries of two layouts (date-clustered vs arrival/hash order),
+build each file's zone map, and for a spectrum of range predicates report
+files skipped and the read amplification (rows in scanned files vs rows
+actually matching).
+
+Companions: q_zorder_layout / q_hilbert_layout audit MULTI-column
+clustering quality; q_compaction_plan sizes the rewrite; this query
+quantifies the SCAN-side payoff that justifies them.
+
+Scale shape: ONE fact scan builds both layouts' per-file zone maps in a
+single stacked aggregate (2 × n_files rows); every predicate evaluates
+against the file-grain frame — the fact table is never re-scanned per
+predicate. The simulated boundaries are deterministic (month buckets for
+the sorted layout, md5 mod 64 for arrival) so the audit is hash-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import T, register
+
+_N_ARRIVAL_FILES = 64
+# (predicate_id, lo, hi) — inclusive date-range predicates on o_orderdate
+_PREDICATES = [
+    ("narrow_1mo", "1997-03-01", "1997-03-31"),
+    ("medium_3mo", "1996-06-01", "1996-08-31"),
+    ("wide_1yr", "1998-01-01", "1998-12-31"),
+]
+
+
+def _zonemap_oracle() -> str:
+    match_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN d >= '{lo}' AND d <= '{hi}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS match_{pid}"
+        for pid, lo, hi in _PREDICATES
+    )
+    pred_rows = " UNION ALL ".join(
+        f"SELECT '{pid}' AS predicate, DATE '{lo}' AS lo, DATE '{hi}' AS hi"
+        for pid, lo, hi in _PREDICATES
+    )
+    match_pick = " ".join(
+        f"WHEN p.predicate = '{pid}' THEN z.match_{pid}" for pid, _, _ in _PREDICATES
+    )
+    return f"""
+WITH o AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(strftime(o_orderdate, '%Y') AS BIGINT) * 12
+           + CAST(strftime(o_orderdate, '%m') AS BIGINT) AS file_sorted,
+         CAST(('0x' || substr(md5('file:' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+              AS BIGINT) % {_N_ARRIVAL_FILES} AS file_arrival
+  FROM orders
+),
+long AS (
+  SELECT 'sorted' AS layout, file_sorted AS file_id, d FROM o
+  UNION ALL
+  SELECT 'arrival' AS layout, file_arrival AS file_id, d FROM o
+),
+zones AS (
+  SELECT layout, file_id,
+         MIN(d) AS zmin, MAX(d) AS zmax,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         {match_cols}
+  FROM long GROUP BY layout, file_id
+),
+preds AS ({pred_rows}),
+eval AS (
+  SELECT z.layout, p.predicate, z.n_rows,
+         CASE WHEN z.zmax < p.lo OR z.zmin > p.hi THEN 1 ELSE 0 END AS skipped,
+         CASE {match_pick} END AS n_match
+  FROM zones z CROSS JOIN preds p
+)
+SELECT layout, predicate,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(skipped) AS BIGINT) AS n_files_skipped,
+       CAST(SUM(CASE WHEN skipped = 0 THEN n_rows ELSE 0 END) AS BIGINT)
+         AS n_rows_scanned,
+       CAST(SUM(n_match) AS BIGINT) AS n_rows_matching,
+       CAST(floor(SUM(skipped) * 1000000.0 / COUNT(*)) AS BIGINT)
+         AS skip_pct_fp6
+FROM eval
+GROUP BY layout, predicate
+"""
+
+
+@register("q_zonemap_skip_audit", oracle=_zonemap_oracle())
+def q_zonemap_skip_audit(spark, sf_dir):
+    """Per (layout, predicate): files skipped by the zone map and the rows
+    the survivors force you to scan (module docstring). The date-clustered
+    layout should skip nearly everything outside the range; the arrival
+    layout's zone maps all straddle the predicate and skip ~nothing — the
+    measured difference is the sort job's ROI."""
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        (
+            F.year("o_orderdate").cast("bigint") * 12
+            + F.month("o_orderdate").cast("bigint")
+        ).alias("file_sorted"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("file:"), F.col("o_orderkey").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _N_ARRIVAL_FILES
+        ).alias("file_arrival"),
+    )
+    long = o.selectExpr(
+        "stack(2, 'sorted', file_sorted, 'arrival', file_arrival)"
+        " AS (layout, file_id)",
+        "d",
+    )
+    match_aggs = [
+        F.sum(
+            F.when(
+                (F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(hi)), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias(f"match_{pid}")
+        for pid, lo, hi in _PREDICATES
+    ]
+    zones = long.groupBy("layout", "file_id").agg(
+        F.min("d").alias("zmin"),
+        F.max("d").alias("zmax"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        *match_aggs,
+    )
+    preds = spark.createDataFrame(
+        [(pid, lo, hi) for pid, lo, hi in _PREDICATES],
+        "predicate string, lo string, hi string",
+    ).select(
+        "predicate", F.col("lo").cast("date").alias("lo"), F.col("hi").cast("date").alias("hi")
+    )
+    match_pick = F.lit(None)
+    for pid, _, _ in _PREDICATES:
+        match_pick = F.when(
+            F.col("predicate") == pid, F.col(f"match_{pid}")
+        ).otherwise(match_pick)
+    ev = zones.crossJoin(F.broadcast(preds)).select(
+        "layout",
+        "predicate",
+        "n_rows",
+        F.when((F.col("zmax") < F.col("lo")) | (F.col("zmin") > F.col("hi")), 1)
+        .otherwise(0)
+        .alias("skipped"),
+        match_pick.alias("n_match"),
+    )
+    return ev.groupBy("layout", "predicate").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("skipped").cast("bigint").alias("n_files_skipped"),
+        F.sum(F.when(F.col("skipped") == 0, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_scanned"),
+        F.sum("n_match").cast("bigint").alias("n_rows_matching"),
+        F.floor(F.sum("skipped") * 1_000_000.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("skip_pct_fp6"),
+    )

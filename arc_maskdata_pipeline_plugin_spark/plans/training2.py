@@ -1,0 +1,248 @@
+"""Training-set assembly round 2: contrastive-batch leakage and
+token-budget water-filling (oracle-checked).
+
+* **Batch leakage** — contrastive/in-batch-negative training assumes the
+  other items in a batch are true negatives; a near-duplicate pair landing
+  in the SAME batch poisons the loss (its "negative" is a positive). The
+  audit joins the MinHash-LSH near-dup pair set against hash-bucketed
+  batch assignments at three batch sizes in one pass and reports the
+  leaked share per scenario — the number that decides whether you need
+  cluster-aware batching.
+
+* **Token-budget water-filling** — the classic mix allocator: given a
+  total token budget T and per-source available token mass (the cap),
+  give every source an equal share except where its cap binds, raising
+  the common level until the budget is exhausted. The breakpoint has a
+  CLOSED FORM over the cap-ascending source frame (cap_i·slots_i ≤
+  avail_i is monotone — once a source can't saturate, no larger-cap
+  source can), so the allocation is windows over the |sources|-row frame,
+  never an iterative loop; integer remainder distribution makes
+  Σalloc = min(T, Σcap) exact, witnessed in-plan.
+
+Scale shape: leakage = detector pairs (post-LSH tiny) joined to two
+hash-bucket columns — corpus touched only by the detector; water-fill =
+ONE corpus token-count aggregate, then |sources|-row windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .dedup2 import _detector_sql
+from .dedup import dedup_minhash_pairs
+from .registry import T, register
+
+_BATCH_SIZES = (8, 32, 128)
+
+
+def _leakage_oracle() -> str:
+    mh = _detector_sql("dedup_minhash_pairs")
+    per_b = []
+    for b in _BATCH_SIZES:
+        per_b.append(
+            f"CAST(SUM(CASE WHEN b1 // {b} = b2 // {b} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_leaked_b{b}"
+        )
+    cols = ",\n       ".join(per_b)
+    return f"""
+WITH pairs AS (SELECT d1, d2 FROM ({mh})),
+pos AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('batch:' || CAST(doc_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS hk
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY hk, doc_id) - 1 AS pos FROM pos
+),
+j AS (
+  SELECT p.d1, p.d2, r1.pos AS b1, r2.pos AS b2
+  FROM pairs p
+  JOIN ranked r1 ON p.d1 = r1.doc_id
+  JOIN ranked r2 ON p.d2 = r2.doc_id
+)
+SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_dup_pairs,
+       CAST((SELECT COUNT(*) FROM ranked) AS BIGINT) AS n_docs,
+       {cols}
+FROM j
+"""
+
+
+@register("q_batch_leakage_audit", oracle=_leakage_oracle())
+def q_batch_leakage_audit(spark, sf_dir):
+    """Near-dup pairs co-landing in one training batch, at batch sizes
+    {sizes} (module docstring). Batches = consecutive runs of the
+    md5-shuffled document order (an epoch shuffle), so batch membership is
+    ``shuffle_rank div B`` — three scenario columns from ONE pair join.
+    The global rank window runs on the doc-id frame (ids + hash keys
+    only), not the corpus rows — the same seam as q_epoch_shuffle.""".format(
+        sizes=list(_BATCH_SIZES)
+    )
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("d1", "d2")
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    hk = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("batch:"), F.col("doc_id").cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    ranked = docs.select(
+        "doc_id",
+        (F.row_number().over(Window.orderBy(hk.asc(), F.col("doc_id"))) - 1).alias(
+            "pos"
+        ),
+    )
+    r1 = ranked.select(F.col("doc_id").alias("d1"), F.col("pos").alias("b1"))
+    r2 = ranked.select(F.col("doc_id").alias("d2"), F.col("pos").alias("b2"))
+    j = pairs.join(r1, "d1").join(r2, "d2")
+    aggs = []
+    for b in _BATCH_SIZES:
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.floor(F.col("b1") / b) == F.floor(F.col("b2") / b), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"n_leaked_b{b}")
+        )
+    totals = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+    ndocs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        j.agg(*aggs)
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "n_dup_pairs",
+            "n_docs",
+            *[f"n_leaked_b{b}" for b in _BATCH_SIZES],
+        )
+    )
+
+
+_WF_SHARE_NUM, _WF_SHARE_DEN = 3, 5  # budget T = 60% of total corpus tokens
+
+_WATERFILL_ORACLE = rf"""
+WITH tok AS (
+  SELECT source,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+           AS cap_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(cap_tokens) * {_WF_SHARE_NUM} // {_WF_SHARE_DEN} AS BIGINT)
+           AS budget,
+         CAST(COUNT(*) AS BIGINT) AS n_src
+  FROM tok
+),
+ordered AS (
+  SELECT t.source, t.cap_tokens, x.budget, x.n_src,
+         ROW_NUMBER() OVER (ORDER BY t.cap_tokens, t.source) AS i,
+         COALESCE(SUM(t.cap_tokens) OVER (
+           ORDER BY t.cap_tokens, t.source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM tok t CROSS JOIN tot x
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN cap_tokens * (n_src - i + 1) <= budget - prefix
+              THEN 1 ELSE 0 END AS saturated
+  FROM ordered
+),
+k AS (
+  SELECT CAST(COALESCE(SUM(saturated), 0) AS BIGINT) AS n_sat,
+         CAST(COALESCE(SUM(CASE WHEN saturated = 1 THEN cap_tokens END), 0)
+              AS BIGINT) AS sat_mass
+  FROM flagged
+),
+alloc AS (
+  SELECT f.source, f.cap_tokens, f.saturated, f.budget,
+         CASE WHEN f.saturated = 1 THEN f.cap_tokens
+              ELSE (f.budget - kk.sat_mass) // (f.n_src - kk.n_sat)
+                   + CASE WHEN f.i - kk.n_sat
+                               <= (f.budget - kk.sat_mass) % (f.n_src - kk.n_sat)
+                          THEN 1 ELSE 0 END
+         END AS alloc_tokens
+  FROM flagged f CROSS JOIN k kk
+)
+SELECT source, cap_tokens,
+       CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+       CAST(saturated AS BIGINT) AS capped,
+       CAST(SUM(alloc_tokens) OVER () AS BIGINT) AS total_allocated,
+       budget AS budget_tokens
+FROM alloc
+"""
+
+
+@register("q_token_budget_waterfill", oracle=_WATERFILL_ORACLE)
+def q_token_budget_waterfill(spark, sf_dir):
+    """Closed-form water-filling of a token budget (60% of corpus mass)
+    across sources (module docstring): capped sources keep their full
+    mass, the rest share the remainder at one integer level with exact
+    remainder distribution; Σalloc == budget witnessed in every row."""
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("bigint")
+        .alias("cap_tokens")
+    )
+    tot = tok.agg(
+        F.floor(
+            F.sum("cap_tokens") * _WF_SHARE_NUM / _WF_SHARE_DEN
+        )
+        .cast("bigint")
+        .alias("budget"),
+        F.count(F.lit(1)).cast("bigint").alias("n_src"),
+    )
+    w = Window.orderBy("cap_tokens", "source")
+    ordered = (
+        tok.crossJoin(F.broadcast(tot))
+        .withColumn("i", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "prefix",
+            F.coalesce(
+                F.sum("cap_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+    )
+    flagged = ordered.withColumn(
+        "saturated",
+        F.when(
+            F.col("cap_tokens") * (F.col("n_src") - F.col("i") + 1)
+            <= F.col("budget") - F.col("prefix"),
+            1,
+        ).otherwise(0),
+    )
+    k = flagged.agg(
+        F.coalesce(F.sum("saturated"), F.lit(0)).cast("bigint").alias("n_sat"),
+        F.coalesce(
+            F.sum(F.when(F.col("saturated") == 1, F.col("cap_tokens"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("sat_mass"),
+    )
+    leftover = F.col("budget") - F.col("sat_mass")
+    slots = F.col("n_src") - F.col("n_sat")
+    alloc = flagged.crossJoin(F.broadcast(k)).withColumn(
+        "alloc_tokens",
+        F.when(F.col("saturated") == 1, F.col("cap_tokens")).otherwise(
+            F.expr("(budget - sat_mass) div (n_src - n_sat)")
+            + F.when(
+                F.col("i") - F.col("n_sat") <= leftover % slots, 1
+            ).otherwise(0)
+        ),
+    )
+    return alloc.select(
+        "source",
+        "cap_tokens",
+        F.col("alloc_tokens").cast("bigint").alias("alloc_tokens"),
+        F.col("saturated").cast("bigint").alias("capped"),
+        F.sum("alloc_tokens")
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("total_allocated"),
+        F.col("budget").alias("budget_tokens"),
+    )

@@ -271,6 +271,11 @@ HEADLINE = [
     "q_sprt_ab",
     "q_tost_equivalence",
     "q_permutation_test_ab",
+    # round 7 (cont. 4): contrastive-batch leakage, closed-form token
+    # water-filling, zone-map file-skipping audit
+    "q_batch_leakage_audit",
+    "q_token_budget_waterfill",
+    "q_zonemap_skip_audit",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
