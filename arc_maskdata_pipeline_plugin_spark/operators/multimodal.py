@@ -471,3 +471,54 @@ def chunk_energy(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, ENERGY_SCHEMA)
+
+PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("px_min", LongType()),
+        StructField("px_max", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("n_distinct_vals", LongType()),
+        StructField("mode_val", LongType()),
+        StructField("mode_count", LongType()),
+    ]
+)
+
+
+def pixel_stats_images(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-image pixel statistics over REAL decoded pixels (min/max/sum,
+    distinct values, modal value with count — ties break to the SMALLEST
+    value so the result is deterministic): the feature-extraction shape a
+    media-quality pipeline runs — dark/blank-frame screens, exposure
+    histograms, dominant-color bucketing all reduce to exactly this.
+
+    Same 100 TB shape as ``perceptual_hash_images``: Arrow-batched
+    ``mapInPandas`` riding the scan partition-local, no shuffle; only the
+    fixed-width stats row moves on, never pixels."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in PIXEL_STATS_SCHEMA.fields}
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_pixels(p).astype("int64")
+                h, w = px.shape
+                vals, counts = np.unique(px, return_counts=True)
+                top = int(counts.max())
+                mode_val = int(vals[counts == top].min())  # smallest tied value
+                out["doc_id"].append(int(i))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_min"].append(int(px.min()))
+                out["px_max"].append(int(px.max()))
+                out["px_sum"].append(int(px.sum()))
+                out["n_distinct_vals"].append(int(len(vals)))
+                out["mode_val"].append(mode_val)
+                out["mode_count"].append(top)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, PIXEL_STATS_SCHEMA)

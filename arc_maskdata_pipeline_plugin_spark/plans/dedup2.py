@@ -179,3 +179,145 @@ def q_dedup_evidence_clusters(spark, sf_dir):
             "n_pairs_all3",
         )
     )
+
+
+def _minhash_error_oracle() -> str:
+    from .dedup import _SHINGLES_CTE, BAND_SIZE, NUM_HASHES
+
+    mins = ", ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(NUM_HASHES)
+    )
+    n_bands = NUM_HASHES // BAND_SIZE
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || ".join(f"h{b * BAND_SIZE + j}" for j in range(BAND_SIZE)),
+        )
+        for b in range(n_bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN s1.h{i} = s2.h{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.d1, p.d2, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM pairs p
+  JOIN sh t1 ON t1.doc_id = p.d1
+  JOIN sh t2 ON t2.doc_id = p.d2 AND t2.shingle = t1.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.d1, p.d2,
+         CAST({agree} AS BIGINT) AS n_agree,
+         CAST(floor(({agree}) * 1000000.0 / {NUM_HASHES}) AS BIGINT)
+           AS est_jaccard_fp6,
+         CAST(floor(COALESCE(i.n_common, 0) * 1000000.0
+                    / (z1.n + z2.n - COALESCE(i.n_common, 0))) AS BIGINT)
+           AS exact_jaccard_fp6
+  FROM pairs p
+  JOIN sig s1 ON p.d1 = s1.doc_id
+  JOIN sig s2 ON p.d2 = s2.doc_id
+  JOIN sizes z1 ON p.d1 = z1.doc_id
+  JOIN sizes z2 ON p.d2 = z2.doc_id
+  LEFT JOIN inter i ON p.d1 = i.d1 AND p.d2 = i.d2
+)
+SELECT d1, d2, n_agree, est_jaccard_fp6, exact_jaccard_fp6,
+       CAST(abs(est_jaccard_fp6 - exact_jaccard_fp6) AS BIGINT) AS abs_err_fp6,
+       CAST(floor(AVG(abs(est_jaccard_fp6 - exact_jaccard_fp6)) OVER ())
+            AS BIGINT) AS mean_abs_err_fp6
+FROM scored
+"""
+
+
+@register("q_minhash_estimate_error", oracle=_minhash_error_oracle())
+def q_minhash_estimate_error(spark, sf_dir):
+    """Estimator-quality witness for the MinHash family (the Jaccard analog
+    of q_kmv_distinct_merge's err_pct): for every LSH candidate pair,
+    signature agreement (matching min-hashes / 8) IS the MinHash Jaccard
+    estimate — compare it against the exact shingle Jaccard and report the
+    per-pair and mean absolute error, so the family's accuracy claim is
+    measured in-plan, not assumed. One signature self-agreement projection
+    on post-LSH pairs plus one shingle-intersection aggregate restricted to
+    those pairs — the corpus never self-joins."""
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import minhash_signatures, word_shingles
+    from .dedup import BAND_SIZE, NUM_HASHES, dedup_minhash_pairs
+    from .registry import spread
+
+    docs = spread(T(spark, sf_dir, "documents"))
+    sh = word_shingles(docs, distinct=True).transform(persisted)
+    sig = minhash_signatures(sh, num_hashes=NUM_HASHES)
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("d1", "d2")
+    s1 = sig.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    agree = None
+    for i in range(NUM_HASHES):
+        t = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    sh1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    sh2 = sh.select(F.col("doc_id").alias("d2"), F.col("shingle"))
+    inter = (
+        pairs.join(sh1, "d1")
+        .join(sh2, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    scored = (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", agree.cast("bigint").alias("n_agree"))
+        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+        .join(inter, ["d1", "d2"], "left")
+        .select(
+            "d1",
+            "d2",
+            "n_agree",
+            F.floor(F.col("n_agree") * 1_000_000.0 / NUM_HASHES)
+            .cast("bigint")
+            .alias("est_jaccard_fp6"),
+            F.floor(
+                F.coalesce("n_common", F.lit(0))
+                * 1_000_000.0
+                / (F.col("n1") + F.col("n2") - F.coalesce("n_common", F.lit(0)))
+            )
+            .cast("bigint")
+            .alias("exact_jaccard_fp6"),
+        )
+    )
+    werr = W.partitionBy()
+    out = scored.select(
+        "d1",
+        "d2",
+        "n_agree",
+        "est_jaccard_fp6",
+        "exact_jaccard_fp6",
+        F.abs(F.col("est_jaccard_fp6") - F.col("exact_jaccard_fp6"))
+        .cast("bigint")
+        .alias("abs_err_fp6"),
+        F.floor(
+            F.avg(
+                F.abs(F.col("est_jaccard_fp6") - F.col("exact_jaccard_fp6"))
+            ).over(werr)
+        )
+        .cast("bigint")
+        .alias("mean_abs_err_fp6"),
+    )
+    return out

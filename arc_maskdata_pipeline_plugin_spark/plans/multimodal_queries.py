@@ -502,3 +502,52 @@ def q_multimodal_phash_dedup(spark, sf_dir):
             .alias("precision_fp6"),
         )
     )
+
+
+@register(
+    "q_multimodal_pixel_stats",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, (x * 17 + y * 31 + doc_id) % 256 AS v
+  FROM dims, UNNEST(range(0, h)) AS ty(y), UNNEST(range(0, w)) AS tx(x)
+),
+vstats AS (
+  SELECT doc_id, v, CAST(COUNT(*) AS BIGINT) AS c FROM px GROUP BY doc_id, v
+),
+md AS (
+  SELECT doc_id, v AS mode_val, c AS mode_count FROM (
+    SELECT doc_id, v, c,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, v) AS rn
+    FROM vstats
+  ) WHERE rn = 1
+),
+st AS (
+  SELECT doc_id,
+         CAST(MIN(v) AS BIGINT) AS px_min,
+         CAST(MAX(v) AS BIGINT) AS px_max,
+         CAST(SUM(v) AS BIGINT) AS px_sum,
+         CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct_vals
+  FROM px GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+       s.px_min, s.px_max, s.px_sum, s.n_distinct_vals,
+       CAST(m.mode_val AS BIGINT) AS mode_val, m.mode_count
+FROM dims d JOIN st s USING (doc_id) JOIN md m USING (doc_id)
+""",
+)
+def q_multimodal_pixel_stats(spark, sf_dir):
+    """Pixel statistics through the REAL image path (encode → zlib → PNG
+    decode → numpy stats), hash-checked against DuckDB computing the same
+    numbers from the generative pixel formula WITHOUT any codec — the same
+    every-pixel parity claim as q_multimodal_phash, extended to the
+    histogram features (min/max/sum/distinct/mode) a media-quality screen
+    extracts. Decode+stats ride the scan in Arrow batches; only fixed-width
+    stats rows move on."""
+    from ..operators.multimodal import attach_png_payload, pixel_stats_images
+    from .registry import spread
+
+    d = spread(T(spark, sf_dir, "documents"))
+    return pixel_stats_images(attach_png_payload(d.select("doc_id")))

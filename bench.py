@@ -276,6 +276,10 @@ HEADLINE = [
     "q_batch_leakage_audit",
     "q_token_budget_waterfill",
     "q_zonemap_skip_audit",
+    # round 7 (cont. 5): real-decoder pixel statistics; MinHash estimator
+    # error measured in-plan against exact Jaccard
+    "q_multimodal_pixel_stats",
+    "q_minhash_estimate_error",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
