@@ -132,3 +132,65 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
         .withColumnRenamed("src", "node")
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass restarts at the SEED set only
+    (Haveliwala, WWW 2002) — ranks become 'importance relative to these
+    nodes', the primitive behind related-item / similar-account surfaces.
+    Same exact-integer discipline and two-shuffles-per-iteration shape as
+    ``pagerank_fixed_point``; ``seeds`` is a (node) frame, broadcast into
+    the degree frame once. Returns (node, rank, is_seed)."""
+    sc_edges = edges.repartition("src").persist()
+    seed_flag = seeds.select(F.col("node"), F.lit(1).alias("is_seed")).distinct()
+    deg = (
+        sc_edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
+        .withColumnRenamed("src", "node")
+        .join(F.broadcast(seed_flag), "node", "left")
+        .withColumn("is_seed", F.coalesce("is_seed", F.lit(0)))
+        .persist()
+    )
+    n_seeds = deg.filter(F.col("is_seed") == 1).count()  # O(1)-row driver probe
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: no seed appears in the graph")
+    base = SCALE // n_seeds
+    keep_pct = 100 - damping_pct
+    ranks = deg.select(
+        "node",
+        "outdeg",
+        "is_seed",
+        (F.col("is_seed") * base).cast("bigint").alias("rank"),
+    ).persist()
+    ranks.count()
+    for _ in range(iterations):
+        contribs = (
+            sc_edges.join(ranks, sc_edges.src == ranks.node)
+            .select("dst", F.expr("rank div outdeg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        new_ranks = (
+            deg.join(contribs, deg.node == contribs.dst, "left")
+            .select(
+                "node",
+                "outdeg",
+                "is_seed",
+                F.expr(
+                    f"({keep_pct} * is_seed * {base}L"
+                    f" + {damping_pct} * coalesce(in_sum, 0L)) div 100"
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        new_ranks.count()
+        ranks.unpersist()
+        ranks = new_ranks
+    sc_edges.unpersist()
+    deg.unpersist()
+    return ranks.select("node", "rank", "is_seed")

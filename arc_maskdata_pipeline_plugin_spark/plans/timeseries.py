@@ -1087,3 +1087,164 @@ def q_forecast_backtest(spark, sf_dir):
         .cast("bigint")
         .alias("smape_fp6"),
     )
+
+
+@register(
+    "q_seasonal_strength",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(10,2))) * 100 AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+trend AS (
+  SELECT event_type, day, cents,
+         CAST(floor(SUM(cents) OVER w * 1000000.0 / COUNT(*) OVER w) AS BIGINT)
+           AS trend_fp6,
+         CAST(dayofweek(day) AS BIGINT) AS dow
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+dow_eff AS (
+  SELECT event_type, dow,
+         CAST(floor(SUM(cents) * 1000000.0 / COUNT(*)) AS BIGINT) AS dow_mean_fp6
+  FROM trend GROUP BY 1, 2
+),
+overall AS (
+  SELECT event_type,
+         CAST(floor(SUM(cents) * 1000000.0 / COUNT(*)) AS BIGINT) AS mean_fp6
+  FROM daily GROUP BY 1
+),
+comp AS (
+  SELECT t.event_type,
+         t.cents * 1000000 - t.trend_fp6 - (d.dow_mean_fp6 - o.mean_fp6) AS r,
+         t.cents * 1000000 - (d.dow_mean_fp6 - o.mean_fp6) AS ys,
+         t.cents * 1000000 - t.trend_fp6 AS yt
+  FROM trend t
+  JOIN dow_eff d ON t.event_type = d.event_type AND t.dow = d.dow
+  JOIN overall o ON t.event_type = o.event_type
+),
+mom AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(CAST(r AS HUGEINT) * r) AS DOUBLE) AS sr2,
+         CAST(SUM(r) AS DOUBLE) AS sr,
+         CAST(SUM(CAST(ys AS HUGEINT) * ys) AS DOUBLE) AS sys2,
+         CAST(SUM(ys) AS DOUBLE) AS sys,
+         CAST(SUM(CAST(yt AS HUGEINT) * yt) AS DOUBLE) AS syt2,
+         CAST(SUM(yt) AS DOUBLE) AS syt
+  FROM comp GROUP BY event_type
+),
+v AS (
+  SELECT event_type, n_days,
+         n_days * sr2 - sr * sr AS vr,
+         n_days * sys2 - sys * sys AS vys,
+         n_days * syt2 - syt * syt AS vyt
+  FROM mom
+)
+SELECT event_type, n_days,
+       CAST(CASE WHEN vys <= 0 THEN 0
+                 ELSE GREATEST(0, floor((vys - vr) * 1000000000.0 / vys)) END
+            AS BIGINT) AS trend_strength_fp9,
+       CAST(CASE WHEN vyt <= 0 THEN 0
+                 ELSE GREATEST(0, floor((vyt - vr) * 1000000000.0 / vyt)) END
+            AS BIGINT) AS seasonal_strength_fp9
+FROM v
+""",
+)
+def q_seasonal_strength(spark, sf_dir):
+    """Wang-Hyndman decomposition-strength measures on the STL-lite
+    components of q_seasonal_decompose: trend strength = max(0, 1 −
+    Var(R)/Var(T+R)) (variance of the remainder against the DESEASONALIZED
+    series) and seasonal strength = max(0, 1 − Var(R)/Var(S+R)) (against
+    the DETRENDED series) — the two numbers a forecasting platform uses to
+    route series to seasonal vs non-seasonal models.
+
+    Exactness: components are the decompose query's exact fp6 integers;
+    Σx and Σx² accumulate exactly (DECIMAL(38,0) in Spark, HUGEINT in
+    DuckDB — x² ~1e24 overflows BIGINT); the scaled variances
+    n·Σx² − (Σx)² and the final fp9 ratio are computed with IDENTICAL
+    double expressions from those exact sums in both engines. One fact
+    pass; everything after is calendar-sized."""
+    e = T(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(10,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    trend = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.floor(F.sum("cents").over(w) * 1_000_000.0 / F.count(F.lit(1)).over(w))
+        .cast("bigint")
+        .alias("trend_fp6"),
+        F.dayofweek("day").cast("bigint").alias("dow"),
+    )
+    dow_eff = trend.groupBy("event_type", "dow").agg(
+        F.floor(F.sum("cents") * 1_000_000.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("dow_mean_fp6")
+    )
+    overall = daily.groupBy("event_type").agg(
+        F.floor(F.sum("cents") * 1_000_000.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("mean_fp6")
+    )
+    eff = F.col("dow_mean_fp6") - F.col("mean_fp6")
+    comp = (
+        trend.join(dow_eff, ["event_type", "dow"])
+        .join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            (F.col("cents") * 1_000_000 - F.col("trend_fp6") - eff).alias("r"),
+            (F.col("cents") * 1_000_000 - eff).alias("ys"),
+            (F.col("cents") * 1_000_000 - F.col("trend_fp6")).alias("yt"),
+        )
+    )
+    d38 = "decimal(38,0)"
+
+    def _sq(c):
+        return F.sum(F.col(c).cast(d38) * F.col(c)).cast("double")
+
+    mom = comp.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        _sq("r").alias("sr2"),
+        F.sum("r").cast("double").alias("sr"),
+        _sq("ys").alias("sys2"),
+        F.sum("ys").cast("double").alias("sys"),
+        _sq("yt").alias("syt2"),
+        F.sum("yt").cast("double").alias("syt"),
+    )
+    v = mom.select(
+        "event_type",
+        "n_days",
+        (F.col("n_days") * F.col("sr2") - F.col("sr") * F.col("sr")).alias("vr"),
+        (F.col("n_days") * F.col("sys2") - F.col("sys") * F.col("sys")).alias("vys"),
+        (F.col("n_days") * F.col("syt2") - F.col("syt") * F.col("syt")).alias("vyt"),
+    )
+
+    def _strength(vbase):
+        return (
+            F.when(F.col(vbase) <= 0, F.lit(0))
+            .otherwise(
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(vbase) - F.col("vr")) * 1_000_000_000.0 / F.col(vbase)
+                    ),
+                )
+            )
+            .cast("bigint")
+        )
+
+    return v.select(
+        "event_type",
+        "n_days",
+        _strength("vys").alias("trend_strength_fp9"),
+        _strength("vyt").alias("seasonal_strength_fp9"),
+    )

@@ -280,6 +280,10 @@ HEADLINE = [
     # error measured in-plan against exact Jaccard
     "q_multimodal_pixel_stats",
     "q_minhash_estimate_error",
+    # round 7 (cont. 6): seeded-teleport PageRank; Wang-Hyndman
+    # decomposition strengths over the STL-lite components
+    "q_personalized_pagerank",
+    "q_seasonal_strength",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
