@@ -171,3 +171,100 @@ def q_zonemap_skip_audit(spark, sf_dir):
         .cast("bigint")
         .alias("skip_pct_fp6"),
     )
+
+
+@register(
+    "q_partition_fingerprint_diff",
+    oracle="""
+WITH base AS (
+  SELECT CAST(strftime(o_orderdate, '%Y') AS BIGINT) * 100
+           + CAST(strftime(o_orderdate, '%m') AS BIGINT) AS part_month,
+         o_orderkey, o_custkey, o_orderstatus,
+         strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d,
+         o_orderpriority,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'X-SIM' ELSE o_orderpriority END
+           AS new_priority
+  FROM orders
+),
+fp AS (
+  SELECT part_month,
+         CASE WHEN o_orderkey % 10 <> 0 THEN
+           CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+               || '|' || o_orderstatus || '|' || d || '|' || o_orderpriority),
+               1, 12)) AS BIGINT)
+         END AS fp_old,
+         CAST(('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+             || '|' || o_orderstatus || '|' || d || '|' || new_priority),
+             1, 12)) AS BIGINT) AS fp_new
+  FROM base
+)
+SELECT part_month,
+       CAST(COUNT(fp_old) AS BIGINT) AS n_old,
+       CAST(COUNT(fp_new) AS BIGINT) AS n_new,
+       CAST(COALESCE(SUM(fp_old), 0) AS VARCHAR) AS checksum_old,
+       CAST(COALESCE(SUM(fp_new), 0) AS VARCHAR) AS checksum_new,
+       CAST(CASE WHEN COUNT(fp_old) <> COUNT(fp_new)
+                   OR COALESCE(SUM(fp_old), 0) <> COALESCE(SUM(fp_new), 0)
+                 THEN 1 ELSE 0 END AS BIGINT) AS changed
+FROM fp
+GROUP BY part_month
+""",
+)
+def q_partition_fingerprint_diff(spark, sf_dir):
+    """Partition-grain change detection between two table snapshots — the
+    primitive that makes downstream ETL INCREMENTAL: re-process only
+    partitions whose order-insensitive checksum moved. Old snapshot =
+    orders minus every 10th key; new snapshot additionally rewrites the
+    priority of every 7th key (simulated upsert batch). Both snapshots'
+    fingerprints compute from ONE scan as conditional 48-bit row-hash sums
+    per month partition (the q_table_fingerprint machinery at partition
+    grain) — at 100 TB the old side is a standing per-partition checksum
+    table and only the new batch is hashed."""
+    o = T(spark, sf_dir, "orders")
+    month = (
+        F.year("o_orderdate").cast("bigint") * 100
+        + F.month("o_orderdate").cast("bigint")
+    ).alias("part_month")
+    d = F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd")
+    new_priority = F.when(
+        F.col("o_orderkey") % 7 == 0, F.lit("X-SIM")
+    ).otherwise(F.col("o_orderpriority"))
+
+    def canon(prio):
+        return F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            d,
+            prio,
+        )
+
+    fp48 = lambda c: F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast(  # noqa: E731
+        "decimal(38,0)"
+    )
+    fp = o.select(
+        month,
+        F.when(F.col("o_orderkey") % 10 != 0, fp48(canon(F.col("o_orderpriority"))))
+        .alias("fp_old"),
+        fp48(canon(new_priority)).alias("fp_new"),
+    )
+    return fp.groupBy("part_month").agg(
+        F.count("fp_old").cast("bigint").alias("n_old"),
+        F.count("fp_new").cast("bigint").alias("n_new"),
+        F.coalesce(F.sum("fp_old"), F.lit(0)).cast("string").alias("checksum_old"),
+        F.coalesce(F.sum("fp_new"), F.lit(0)).cast("string").alias("checksum_new"),
+        F.when(
+            (F.count("fp_old") != F.count("fp_new"))
+            | (
+                F.coalesce(F.sum("fp_old"), F.lit(0))
+                != F.coalesce(F.sum("fp_new"), F.lit(0))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("changed"),
+    )

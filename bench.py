@@ -284,6 +284,9 @@ HEADLINE = [
     # decomposition strengths over the STL-lite components
     "q_personalized_pagerank",
     "q_seasonal_strength",
+    # round 7 (cont. 7): partition-grain snapshot checksums for
+    # incremental-ETL change detection
+    "q_partition_fingerprint_diff",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
