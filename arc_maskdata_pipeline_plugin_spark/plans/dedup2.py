@@ -273,19 +273,36 @@ def q_minhash_estimate_error(spark, sf_dir):
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     sh1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
     sh2 = sh.select(F.col("doc_id").alias("d2"), F.col("shingle"))
+    # the post-LSH pair frame is tiny — BROADCAST it into every
+    # corpus/vocab-sized frame (sig, sizes, shingles); without the hints
+    # Spark sort-merge-joins the doc-sized sides
     inter = (
-        pairs.join(sh1, "d1")
-        .join(sh2, ["d2", "shingle"])
+        sh1.join(F.broadcast(pairs), "d1")
+        .join(sh2, ["d2", "shingle"], "left_semi")
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
     )
     scored = (
-        pairs.join(s1, "d1")
-        .join(s2, "d2")
+        s1.join(F.broadcast(pairs), "d1")
+        .join(F.broadcast(s2.join(F.broadcast(pairs.select("d2").distinct()), "d2")), "d2")
         .select("d1", "d2", agree.cast("bigint").alias("n_agree"))
-        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
-        .join(inter, ["d1", "d2"], "left")
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "d1")
+                .withColumnRenamed("n", "n1")
+                .join(F.broadcast(pairs.select("d1").distinct()), "d1")
+            ),
+            "d1",
+        )
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "d2")
+                .withColumnRenamed("n", "n2")
+                .join(F.broadcast(pairs.select("d2").distinct()), "d2")
+            ),
+            "d2",
+        )
+        .join(F.broadcast(inter), ["d1", "d2"], "left")
         .select(
             "d1",
             "d2",
