@@ -1786,6 +1786,73 @@ def main():
         "one degree aggregate + two node-keyed decorating joins + one moment aggregate; hub is a heavy join key, never a pair explosion",
     )
 
+    def hamming_stress():
+        # binary-embedding search (mirrors q_embedding_binarize_hamming):
+        # pack 2M synthetic 64-dim vectors into two 32-bit sign words, rank
+        # all of them against 16 broadcast queries by xor+popcount
+        vecs = spark.range(0, 2_000_000, 1, sc.defaultParallelism * 4).select(
+            F.col("id").alias("vec_id"),
+            ((F.col("id") * 2654435761) % 4294967296).alias("w0"),
+            ((F.col("id") * 40503 + 7) % 4294967296).alias("w1"),
+        )
+        q = vecs.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("w0").alias("qw0"),
+            F.col("w1").alias("qw1"),
+        )
+        from pyspark.sql import Window as W
+
+        ham = (
+            vecs.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .selectExpr(
+                "query_id",
+                "vec_id",
+                "cast(bit_count(qw0 ^ w0) + bit_count(qw1 ^ w1) as bigint) AS h",
+            )
+        )
+        w = W.partitionBy("query_id").orderBy("h", "vec_id")
+        ham.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= 5
+        ).write.format("noop").mode("overwrite").save()
+
+    timed(
+        "binary Hamming top-5, 16 queries x 2M packed vectors",
+        32_000_000,
+        hamming_stress,
+        "16 B index state/vector; 2 xor+popcounts per candidate (vs a 64-term float dot); queries broadcast, scan never shuffles before the per-query top-k",
+    )
+
+    def maxsim_stress():
+        # MaxSim late interaction (mirrors q_maxsim_late_interaction):
+        # 500k-word vocab scored against 13 broadcast query tokens, then a
+        # 20M-row (doc, word) frame joins the scored vocab and aggregates
+        vocab = spark.range(0, 500_000, 1, sc.defaultParallelism * 4).select(
+            F.col("id").alias("w"),
+            ((F.col("id") * 2654435761) % 1_000_000).alias("sim_seed"),
+        )
+        qt = spark.range(0, 13).select(F.col("id").alias("qt"))
+        scored = vocab.crossJoin(F.broadcast(qt)).select(
+            "w", "qt", ((F.col("sim_seed") + F.col("qt") * 7919) % 1_000_000).alias("sim")
+        )
+        doc_words = spark.range(0, 20_000_000, 1, sc.defaultParallelism * 4).select(
+            (F.col("id") % 2_000_000).alias("doc_id"),
+            ((F.col("id") * 40503) % 500_000).alias("w"),
+        )
+        per_tok = doc_words.join(scored, "w").groupBy("doc_id", "qt").agg(
+            F.max("sim").alias("best")
+        )
+        per_tok.groupBy("doc_id").agg(F.sum("best").alias("maxsim")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    timed(
+        "MaxSim late interaction (20M doc-words, 500k vocab x 13 q-tokens)",
+        20_000_000,
+        maxsim_stress,
+        "similarity matrix is vocab-sized (never corpus x tokens); corpus contributes one word-keyed join + two keyed aggregates",
+    )
+
     # ---- report ----------------------------------------------------------
     lines = [
         "# STRESS — synthetic ~100× scale-up measurements (local[32])",
