@@ -256,6 +256,11 @@ def q_minhash_estimate_error(spark, sf_dir):
 
     docs = spread(T(spark, sf_dir, "documents"))
     sh = word_shingles(docs, distinct=True).transform(persisted)
+    # measured at sf0.1 (A/B): the fused scan→shingle→sig→bands pipeline
+    # inside dedup_minhash_pairs beats sharing one cached signature frame
+    # (7.7s vs 8.6-12.4s for the persisted/unpersisted sharing variants) —
+    # the signature aggregate re-evaluates under each agreement join side
+    # either way, and the extra cache write/read loses to codegen fusion
     sig = minhash_signatures(sh, num_hashes=NUM_HASHES)
     pairs = dedup_minhash_pairs(spark, sf_dir).select("d1", "d2")
     s1 = sig.select(

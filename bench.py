@@ -422,6 +422,11 @@ def _plan_normalized(df) -> str:
     s = re.sub(r"plan_id=\d+", "plan_id=x", s)
     s = re.sub(r"Statistics\([^)]*\)", "", s)
     s = re.sub(r"isFinalPlan=\w+", "", s)
+    # AQE materializes query stages in TIMING-dependent order, so stage ids
+    # and whole-stage-codegen ids permute run-to-run inside a cached
+    # frame's finalized plan (q_dedup_evidence_clusters at sf0.1)
+    s = re.sub(r"\b(Shuffle|Broadcast|TableCache|Result)QueryStage \d+", r"\1QueryStage n", s)
+    s = re.sub(r"\*\(\d+\)", "*(n)", s)
     # higher-order-function lambda variables (x_3, y_7, ...) carry
     # session-monotonic suffixes — normalize the name, keep the shape
     s = re.sub(r"\b([a-z]+)_\d+#x", r"\1_n#x", s)

@@ -68,3 +68,30 @@ def test_expand_sublists_canonical_independent_of_slot_order():
     # different expression SETS must still differ
     c = "+- Expand [[other#x, null, 1], [null, day#x, 2]], [other#x, day#x, gid#x]"
     assert bench._canon_distinct_rewrite(a) != bench._canon_distinct_rewrite(c)
+
+
+def test_aqe_stage_and_codegen_ids_normalized():
+    """AQE materializes query stages in timing-dependent order at sf0.1, so
+    ShuffleQueryStage/codegen ids permute between two same-commit bench
+    runs inside a cached frame's finalized plan (q_dedup_evidence_clusters
+    — the one residual flip after the distinct-rewrite fix). The fixture
+    pairs are REAL differing lines from the two captures; each pair must
+    normalize identically under bench AND the tools mirror."""
+    import re
+
+    p = os.path.join(os.path.dirname(__file__), "fixtures", "aqe_stage_noise_plans.json")
+    with open(p) as f:
+        pairs = json.load(f)["line_pairs"]
+    assert pairs, "fixture must carry at least one differing line pair"
+
+    def norm(s):
+        s = re.sub(r"\b(Shuffle|Broadcast|TableCache|Result)QueryStage \d+", r"\1QueryStage n", s)
+        s = re.sub(r"\*\(\d+\)", "*(n)", s)
+        return s
+
+    for x, y in pairs:
+        assert x != y  # fixture sanity: they really differed raw
+        assert norm(x) == norm(y), (x, y)
+    # and the full normalizers agree between bench and the backfill tool
+    blob = "\n".join(x for x, _ in pairs)
+    assert plan_shas._canon_distinct_rewrite(blob) == bench._canon_distinct_rewrite(blob)

@@ -111,6 +111,9 @@ def plan_sha(df) -> str:
     s = re.sub(r"plan_id=\d+", "plan_id=x", s)
     s = re.sub(r"Statistics\([^)]*\)", "", s)
     s = re.sub(r"isFinalPlan=\w+", "", s)
+    # AQE stage/codegen ids are timing-dependent (byte-identical to bench)
+    s = re.sub(r"\b(Shuffle|Broadcast|TableCache|Result)QueryStage \d+", r"\1QueryStage n", s)
+    s = re.sub(r"\*\(\d+\)", "*(n)", s)
     # higher-order-function lambda variables (x_3, y_7, ...) carry
     # session-monotonic suffixes — normalize the name, keep the shape
     s = re.sub(r"\b([a-z]+)_\d+#x", r"\1_n#x", s)
