@@ -246,3 +246,131 @@ def q_token_budget_waterfill(spark, sf_dir):
         .alias("total_allocated"),
         F.col("budget").alias("budget_tokens"),
     )
+
+
+_NEG_POWER_NUM, _NEG_POWER_DEN = 3, 4  # unigram^0.75 (word2vec convention)
+_NEG_DRAWS = 4096
+
+
+def _neg_sampling_oracle() -> str:
+    return rf"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+  FROM documents
+),
+freq AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+  WHERE word <> '' GROUP BY word
+),
+w AS (
+  SELECT word, n,
+         CAST(floor(pow(CAST(n AS DOUBLE), {_NEG_POWER_NUM}.0 / {_NEG_POWER_DEN})
+                    * 1000000) AS BIGINT) AS w6
+  FROM freq
+),
+tot AS (SELECT CAST(SUM(w6) AS BIGINT) AS tw FROM w),
+cum AS (
+  SELECT word, n, w6,
+         COALESCE(SUM(w6) OVER (ORDER BY word
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+         SUM(w6) OVER (ORDER BY word
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+  FROM w
+),
+draws AS (
+  SELECT CAST(('0x' || substr(md5('neg:' || CAST(i AS VARCHAR)), 1, 12))
+              AS BIGINT) % t.tw AS u
+  FROM UNNEST(range(0, {_NEG_DRAWS})) AS g(i) CROSS JOIN tot t
+),
+hits AS (
+  SELECT c.word, CAST(COUNT(*) AS BIGINT) AS n_drawn
+  FROM draws d JOIN cum c ON d.u >= c.lo AND d.u < c.hi
+  GROUP BY c.word
+)
+SELECT c.word, c.n, c.w6 AS weight_fp6,
+       COALESCE(h.n_drawn, 0) AS n_drawn,
+       CAST(floor(c.w6 * {_NEG_DRAWS} * 1.0 / t.tw) AS BIGINT) AS expected_draws
+FROM cum c CROSS JOIN tot t
+LEFT JOIN hits h ON c.word = h.word
+"""
+
+
+@register("q_negative_sampling_table", oracle=_neg_sampling_oracle())
+def q_negative_sampling_table(spark, sf_dir):
+    """word2vec-style negative-sampling table: per-word weight =
+    unigram_count^0.75 (fp6-floored — pow on the same integer in both
+    engines is a single identical double op), plus {n} DETERMINISTIC draws
+    (md5 of the draw index, mod total weight) resolved against the
+    cumulative-weight intervals — the table a skip-gram/contrastive trainer
+    samples negatives from, with the empirical draw counts beside the
+    expected counts as the fit witness.
+
+    Scale shape: one corpus tokenize → one word-keyed count; everything
+    after runs on the vocabulary frame (cumulative windows over |V| rows;
+    the draw resolution is a range join of {n} broadcast draws against the
+    |V| intervals — at production vocab sizes this is the binary-searchable
+    cumulative table every implementation ships, and the draw side stays
+    tiny).""".format(n=_NEG_DRAWS)
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = freq.withColumn(
+        "w6",
+        F.floor(
+            F.pow(F.col("n").cast("double"), _NEG_POWER_NUM / _NEG_POWER_DEN)
+            * 1_000_000
+        ).cast("bigint"),
+    )
+    tot = w.agg(F.sum("w6").cast("bigint").alias("tw"))
+    wcum = Window.orderBy("word")
+    cum = w.select(
+        "word",
+        "n",
+        "w6",
+        F.coalesce(
+            F.sum("w6").over(wcum.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("lo"),
+        F.sum("w6").over(wcum.rowsBetween(Window.unboundedPreceding, 0)).alias("hi"),
+    )
+    draws = (
+        spark.range(_NEG_DRAWS)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("neg:"), F.col("id").cast("string"))),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("tw")
+            ).alias("u")
+        )
+    )
+    hits = (
+        cum.join(
+            F.broadcast(draws),
+            (F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")),
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_drawn"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(hits), "word", "left")
+        .select(
+            "word",
+            "n",
+            F.col("w6").alias("weight_fp6"),
+            F.coalesce("n_drawn", F.lit(0)).alias("n_drawn"),
+            F.floor(F.col("w6") * _NEG_DRAWS * 1.0 / F.col("tw"))
+            .cast("bigint")
+            .alias("expected_draws"),
+        )
+    )

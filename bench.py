@@ -287,6 +287,9 @@ HEADLINE = [
     # round 7 (cont. 7): partition-grain snapshot checksums for
     # incremental-ETL change detection
     "q_partition_fingerprint_diff",
+    # round 7 (cont. 8): word2vec negative-sampling table with
+    # deterministic draw-fit witness
+    "q_negative_sampling_table",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

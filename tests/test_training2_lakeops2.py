@@ -85,3 +85,21 @@ def test_zonemap_sorted_layout_skips_arrival_does_not(spark):
             by[("sorted", pid)].n_rows_matching
             == by[("arrival", pid)].n_rows_matching
         )
+
+
+def test_negative_sampling_weights_and_draw_conservation(spark, tmp_path):
+    """Constructed corpus with known counts: weight = floor(n^0.75 * 1e6),
+    draws sum to exactly 4096, and a word with 16x the count of another
+    gets 8x its weight (16^0.75 = 8)."""
+    from arc_maskdata_pipeline_plugin_spark.plans.training2 import (
+        q_negative_sampling_table,
+    )
+
+    text = " ".join(["common"] * 16 + ["rare"] * 1)
+    _write_docs(spark, tmp_path, [(1, text, "en", "s", len(text))])
+    out = {r.word: r for r in q_negative_sampling_table(spark, str(tmp_path)).collect()}
+    assert out["common"].weight_fp6 == 8 * out["rare"].weight_fp6 == 8_000_000
+    assert sum(r.n_drawn for r in out.values()) == 4096
+    # the heavy word dominates the draws roughly by its weight share (8/9)
+    assert out["common"].n_drawn > 3000
+    assert abs(out["common"].n_drawn - out["common"].expected_draws) < 410  # ~10%
