@@ -83,58 +83,50 @@ GATE_WINDOW = [
     # (b) benched and/or pytest-pinned, and (c) witnessed by a prior
     # round's CORRECTNESS_r{N}.json.
     #
-    # ROUND-7 WINDOW (VERDICT r06 next-round #1): exactly the 50-query
-    # never-driver-witnessed backlog — queries() minus the union of
-    # CORRECTNESS_r01..r06 keys (247 witnessed of 297). After this gate,
-    # every registered query has a driver-witnessed record and the backlog
-    # hits zero. 44 of the 50 are hash-oracled; the 6 rows-only entries
-    # (q_compression_quality, sim_ann_pq_trained, q_winsorize_prices_approx,
-    # q_approx_quantiles, q_hll_merge_daily, q_hll_audience_overlap) are
-    # deliberately in-window THIS round per the verdict: a weaker rows-only
-    # driver record beats no record, and each carries a pytest tolerance or
-    # in-plan invariant check in lieu of a hash oracle.
+    # ROUND-8 WINDOW (VERDICT r07 next-round #1): after the r07 gate the
+    # never-witnessed backlog is exactly the 18 queries BUILT during r07
+    # (all hash-oracled) — they lead. The remaining 32 slots are green,
+    # hash-oracled representatives of each major family, every one already
+    # witnessed in a prior CORRECTNESS_r{N}.json. The window is therefore
+    # FULLY hash-oracled: the ROWS_ONLY_IN_WINDOW allowlist in
+    # tests/test_oracle_parity.py is deleted (VERDICT r07 #2). Queries
+    # built during r08 displace representatives from the bottom.
     #
-    # --- r06 round-close additions, never witnessed ---
-    "dedup_ppjoin_pairs", "q_markov_transitions", "q_group_kfold",
-    "q_degree_assortativity",
+    # --- r07-built, never driver-witnessed (verdict r07 #1) ---
+    "q_maxsim_late_interaction", "q_embedding_binarize_hamming",
+    "q_bpe_byte_train", "q_bpe_byte_encode", "q_dedup_evidence_clusters",
+    "q_corpus_refresh_incremental", "q_sprt_ab", "q_tost_equivalence",
+    "q_permutation_test_ab", "q_batch_leakage_audit",
+    "q_token_budget_waterfill", "q_zonemap_skip_audit",
+    "q_multimodal_pixel_stats", "q_minhash_estimate_error",
+    "q_personalized_pagerank", "q_seasonal_strength",
+    "q_partition_fingerprint_diff", "q_negative_sampling_table",
     #
-    # --- graph analytics stragglers ---
-    "q_hits_authorities", "q_adamic_adar", "q_graph_jaccard_similarity",
-    "q_clustering_coefficient",
-    #
-    # --- statistics / hypothesis testing (stats4 family) ---
-    "q_ks_test", "q_mann_whitney", "q_chi_square_cramers_v",
-    "q_mutual_information", "q_bonferroni_ab_screen", "q_kruskal_wallis",
-    "q_anova_f", "q_spearman_corr", "q_bh_fdr_screen",
-    #
-    # --- time series / survival ---
-    "q_pettitt_changepoint", "q_nelson_aalen", "q_acf_daily",
-    #
-    # --- ML prep / encoding ---
-    "q_target_encoding", "q_woe_iv", "q_calibration_ece",
-    "q_class_downsample",
-    #
-    # --- curation / text ---
-    "q_readability_scores", "q_rake_keywords", "q_url_canonical_dedup",
-    "q_compression_quality",
-    #
-    # --- retrieval eval ---
-    "q_mrr_recall_eval", "q_rank_biased_overlap", "q_prf_expansion",
-    #
-    # --- privacy ---
-    "q_dp_quantile", "q_ldp_frequency",
-    #
-    # --- layout / lake ops / data quality ---
-    "q_hilbert_layout", "q_schema_drift_audit", "q_fd_violation_audit",
-    "q_cdc_apply", "q_watermark_lateness_audit", "q_profile_orders",
-    #
-    # --- relational stragglers (simple ops deferred from r06) ---
-    "q_value_histogram", "q_unpivot_measures", "q_mode_per_group",
-    "q_item_cooccurrence", "q_geo_proximity_join",
-    #
-    # --- sketches / approx (rows-only, deliberately in-window this round) ---
-    "q_hll_merge_daily", "q_hll_audience_overlap", "q_kmv_distinct_merge",
-    "q_approx_quantiles", "q_winsorize_prices_approx", "sim_ann_pq_trained",
+    # --- green displaced representatives (all witnessed r01..r07) ---
+    # masking / pipeline
+    "q1_pricing_summary", "q_mask_customers_pbkdf2", "q_mask_credit_cards",
+    "q_fake_substitution", "q_userdata_lifecycle", "q_mask_pipeline_stage",
+    # joins
+    "q_auto_join_revenue", "q_range_join_event_pairs", "q_null_safe_join",
+    "q_salted_join_revenue",
+    # agg / window / set ops / scalar fns
+    "q_grouping_sets", "q_window_frames", "q15_top_supplier",
+    "q_union_account_holders", "q_datetime_functions",
+    # dedup
+    "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_buckets",
+    "dedup_ppjoin_pairs",
+    # similarity / ANN
+    "sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq",
+    # text analysis / curation
+    "q_decontaminate_ngrams", "q_perplexity_filter", "q_dsir_importance",
+    # multimodal
+    "q_multimodal_real_png",
+    # tokenization
+    "q_bpe_train_merges", "q_bpe_roundtrip",
+    # graph / behavior
+    "q_hits_authorities", "q_sessionize_events",
+    # sources
+    "q_json_events", "q_variant_extract",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 

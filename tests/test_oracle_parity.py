@@ -28,26 +28,15 @@ def test_entry_runs(spark):
     assert df.schema is not None
 
 
-# The r07 window is EXACTLY the 50-query never-driver-witnessed backlog
-# (VERDICT r06 next-round #1): it deliberately includes the registry's 6
-# rows-only queries so every one of the 297 queries gains a driver record.
-# Each rows-only entry must carry a pytest tolerance/invariant check instead.
-ROWS_ONLY_IN_WINDOW = {
-    "q_compression_quality", "sim_ann_pq_trained", "q_winsorize_prices_approx",
-    "q_approx_quantiles", "q_hll_merge_daily", "q_hll_audience_overlap",
-}
-
-
 def test_gate_window_is_fully_oracled():
     """The driver's correctness gate records the first 50 registered queries;
-    every slot must carry an oracle (VERDICT r02 #2) except the documented
-    rows-only allowlist for the r07 witness-debt-closing window."""
+    every slot must carry a hash oracle (VERDICT r02 #2). The r07 rows-only
+    allowlist is deleted (VERDICT r07 #2): the r08 window is fully oracled,
+    so any rows-only query appearing in-window is a hard failure."""
     names = list(QUERIES)
     assert names[:50] == entry_mod.GATE_WINDOW
-    missing = [n for n in names[:50] if n not in ORACLES and n not in ROWS_ONLY_IN_WINDOW]
+    missing = [n for n in names[:50] if n not in ORACLES]
     assert not missing, f"gate-window queries without oracle: {missing}"
-    stale_allow = [n for n in ROWS_ONLY_IN_WINDOW if n in ORACLES]
-    assert not stale_allow, f"allowlisted queries now have oracles: {stale_allow}"
 
 
 def test_all_queries_registered_exactly_once():
