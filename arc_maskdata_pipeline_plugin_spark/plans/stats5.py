@@ -20,7 +20,9 @@ team actually runs day-to-day:
   r reassigns each user by bit r of md5(user), so 16 sign-flips compute in
   ONE pass as conditional sums (the q_poisson_bootstrap_ci pattern) and
   the p-value is exactly reproducible. The |Δmean| comparison is done in
-  DECIMAL(38,0) cross-multiplication — no division, no doubles.
+  exact integer cross-multiplication — DECIMAL(38,0) on the Spark side,
+  HUGEINT in the DuckDB oracle — no division, no doubles; exact while
+  |Δ_cents|·n_a·n_b < 1e38 (Spark nulls, DuckDB errors past that).
 
 Scale shape: each query is one scan plus one (or zero) keyed aggregate;
 the SPRT cumulative is a 30-row window over the daily aggregate; the
@@ -258,12 +260,14 @@ def _perm_oracle() -> str:
             f"CAST(SUM(CASE WHEN {_perm_bit_duck(r)} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb{r}"
         )
     reps = ",\n".join(per_rep)
-    # |diff_r| >= |diff_obs| via cross-multiplication; the products leave
-    # BIGINT range, so they evaluate as DOUBLE built from IDENTICAL integer
-    # inputs with identical operations — bit-stable across engines
+    # |diff_r| >= |diff_obs| via EXACT cross-multiplication (ADVICE r07 #1):
+    # the products leave BIGINT range, so DuckDB evaluates them in HUGEINT
+    # (128-bit, exact to ~1.7e38) while the Spark side uses DECIMAL(38,0)
+    # (exact-or-null at the same 38-digit width) — integer-exact boundary
+    # decisions in both engines, no doubles anywhere in the comparison.
     hits = " + ".join(
-        f"CASE WHEN abs((CAST(sa{r} AS DOUBLE) * nb{r} - CAST(sb{r} AS DOUBLE) * na{r}) * (CAST(nao AS DOUBLE) * nbo))"
-        f" >= abs((CAST(sao AS DOUBLE) * nbo - CAST(sbo AS DOUBLE) * nao) * (CAST(na{r} AS DOUBLE) * nb{r}))"
+        f"CASE WHEN abs((CAST(sa{r} AS HUGEINT) * nb{r} - CAST(sb{r} AS HUGEINT) * na{r}) * (CAST(nao AS HUGEINT) * nbo))"
+        f" >= abs((CAST(sao AS HUGEINT) * nbo - CAST(sbo AS HUGEINT) * nao) * (CAST(na{r} AS HUGEINT) * nb{r}))"
         " THEN 1 ELSE 0 END"
         for r in range(_N_PERM)
     )
@@ -324,8 +328,13 @@ def q_permutation_test_ab(spark, sf_dir):
         ]
     agg = x.agg(*aggs)
 
-    def _d(c):  # identical double arithmetic on both sides (module docstring)
-        return F.col(c).cast("double")
+    def _d(c):
+        # DECIMAL(38,0) arithmetic: Spark computes decimal products exactly
+        # in BigDecimal and only overflow-checks at 38 digits (scale stays 0,
+        # so allowPrecisionLoss never rounds) — exact-or-null, mirroring the
+        # oracle's HUGEINT. Both engines agree bit-for-bit while
+        # |Δ_cents| · n_a · n_b < 1e38 (≫ any reachable corpus).
+        return F.col(c).cast("decimal(38,0)")
 
     hit_terms = None
     for r in range(_N_PERM):

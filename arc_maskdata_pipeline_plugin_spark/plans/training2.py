@@ -189,9 +189,10 @@ def q_token_budget_waterfill(spark, sf_dir):
         .alias("cap_tokens")
     )
     tot = tok.agg(
-        F.floor(
-            F.sum("cap_tokens") * _WF_SHARE_NUM / _WF_SHARE_DEN
-        )
+        # exact integer division (ADVICE r07 #2): `div` on bigint matches the
+        # oracle's `//` at any scale; floor(x*3/5) would round through a
+        # double once 3·Σcap exceeds 2^53
+        F.expr(f"sum(cap_tokens) * {_WF_SHARE_NUM} div {_WF_SHARE_DEN}")
         .cast("bigint")
         .alias("budget"),
         F.count(F.lit(1)).cast("bigint").alias("n_src"),

@@ -322,11 +322,8 @@ def _split_toplevel(inner: str) -> list:
     return parts
 
 
-def _canon_group(s: str, start: int, open_ch: str, expand: bool) -> tuple:
-    """Canonicalize one bracket/paren group starting at ``start`` (index of
-    the opening char): sort top-level items; in Expand projection lists,
-    bare-integer items are the rewrite-assigned grouping ids → 'n'."""
-    close_ch = "]" if open_ch == "[" else ")"
+def _group_end(s: str, start: int) -> int:
+    """Index one past the close of the bracket/paren group opening at start."""
     depth, j = 1, start + 1
     while j < len(s) and depth:
         if s[j] in "([":
@@ -334,22 +331,31 @@ def _canon_group(s: str, start: int, open_ch: str, expand: bool) -> tuple:
         elif s[j] in ")]":
             depth -= 1
         j += 1
+    return j
+
+
+def _canon_group(s: str, start: int, open_ch: str, expand: bool, gid_idx=None) -> tuple:
+    """Canonicalize one bracket/paren group starting at ``start`` (index of
+    the opening char): sort top-level items; in Expand projection lists,
+    ONLY the gid slot (position ``gid_idx``, located from the gid#x column
+    in the node's output-attr list) is rewritten to 'n' — a genuine integer
+    literal elsewhere in a branch stays visible to the plan diff
+    (ADVICE r07 #3)."""
+    close_ch = "]" if open_ch == "[" else ")"
+    j = _group_end(s, start)
     items = _split_toplevel(s[start + 1 : j - 1])
     if expand:
         # slot positions inside a projection sublist track the (permuted)
         # Expand output-attr order — sort within the sublist too, so the
         # canonical form is the SET of emitted expressions per branch
+        def _sub(it):
+            parts = [p.strip() for p in _split_toplevel(it[1:-1])]
+            if gid_idx is not None and gid_idx < len(parts) and parts[gid_idx].isdigit():
+                parts[gid_idx] = "n"
+            return "[" + ", ".join(sorted(parts)) + "]"
+
         items = [
-            "["
-            + ", ".join(
-                sorted(
-                    "n" if p.strip().isdigit() else p.strip()
-                    for p in _split_toplevel(it[1:-1])
-                )
-            )
-            + "]"
-            if it.startswith("[") and it.endswith("]")
-            else ("n" if it.strip().isdigit() else it)
+            _sub(it) if it.startswith("[") and it.endswith("]") else it
             for it in items
         ]
     return open_ch + ", ".join(sorted(items)) + close_ch, j
@@ -388,7 +394,18 @@ def _canon_distinct_rewrite(s: str) -> str:
                 idx = line.find("Expand [", pos)
                 if idx < 0:
                     break
-                grp, end = _canon_group(line, idx + 7, "[", expand=True)
+                # locate the gid slot from the output-attr list FIRST so the
+                # projection rewrite touches only that position
+                proj_end = _group_end(line, idx + 7)
+                gid_idx = None
+                if line[proj_end:].startswith(", ["):
+                    out_end = _group_end(line, proj_end + 2)
+                    out_items = _split_toplevel(line[proj_end + 3 : out_end - 1])
+                    for i, attr in enumerate(out_items):
+                        if re.match(r"(gid|spark_grouping_id)#", attr.strip()):
+                            gid_idx = i
+                            break
+                grp, end = _canon_group(line, idx + 7, "[", expand=True, gid_idx=gid_idx)
                 rest = line[end:]
                 # the trailing ", [output attrs]" list of the Expand node
                 if rest.startswith(", ["):

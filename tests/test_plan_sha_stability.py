@@ -70,6 +70,26 @@ def test_expand_sublists_canonical_independent_of_slot_order():
     assert bench._canon_distinct_rewrite(a) != bench._canon_distinct_rewrite(c)
 
 
+def test_non_gid_integer_literals_stay_visible_in_expand():
+    """ADVICE r07 #3: only the gid SLOT (located from the gid#x /
+    spark_grouping_id#x column of the output-attr list) is rewritten to
+    'n'; a genuine integer literal elsewhere in an Expand branch must
+    survive canonicalization so a changed constant still reads as a plan
+    change in the >1.3x adjudication."""
+    a = "+- Expand [[user_id#xL, 7, 1], [null, 7, 2]], [user_id#xL, lit#x, gid#x]"
+    b = "+- Expand [[user_id#xL, 9, 1], [null, 9, 2]], [user_id#xL, lit#x, gid#x]"
+    ca, cb = bench._canon_distinct_rewrite(a), bench._canon_distinct_rewrite(b)
+    assert ca != cb  # changed constant is a REAL plan change
+    assert "7" in ca and "9" in cb
+    # while the gid slot itself still canonicalizes away
+    g1 = "+- Expand [[user_id#xL, 7, 1]], [user_id#xL, lit#x, gid#x]"
+    g2 = "+- Expand [[user_id#xL, 7, 2]], [user_id#xL, lit#x, gid#x]"
+    assert bench._canon_distinct_rewrite(g1) == bench._canon_distinct_rewrite(g2)
+    # tools mirror agrees
+    for s in (a, b, g1, g2):
+        assert plan_shas._canon_distinct_rewrite(s) == bench._canon_distinct_rewrite(s)
+
+
 def test_aqe_stage_and_codegen_ids_normalized():
     """AQE materializes query stages in timing-dependent order at sf0.1, so
     ShuffleQueryStage/codegen ids permute between two same-commit bench
