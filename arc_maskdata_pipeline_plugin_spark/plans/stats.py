@@ -183,16 +183,90 @@ def q_winsorize_prices(spark, sf_dir, mode="exact"):
     )
 
 
-@register("q_winsorize_prices_approx", oracle=None)  # GK sketch ≠ exact rank
+_WINSORIZE_APPROX_ORACLE = """
+WITH u AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+pc AS (
+  SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM u GROUP BY cents
+),
+cum AS (
+  SELECT cents, SUM(cnt) OVER (ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         (SELECT SUM(cnt) FROM pc) AS n
+  FROM pc
+),
+th AS (
+  SELECT MIN(CASE WHEN c >= CAST(ceil(0.01 * n) AS BIGINT) THEN cents END) AS lo,
+         MIN(CASE WHEN c >= CAST(ceil(0.99 * n) AS BIGINT) THEN cents END) AS hi,
+         ANY_VALUE(n) AS n
+  FROM cum
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(lo AS BIGINT) AS lo_exact_cents,
+       CAST(hi AS BIGINT) AS hi_exact_cents,
+       CAST(3 * ((n + 9999) // 10000) + 1 AS BIGINT) AS rank_err_budget,
+       CAST(1 AS BIGINT) AS lo_rank_within_budget,
+       CAST(1 AS BIGINT) AS hi_rank_within_budget
+FROM th
+"""
+
+
+@register("q_winsorize_prices_approx", oracle=_WINSORIZE_APPROX_ORACLE)
 def q_winsorize_prices_approx(spark, sf_dir):
-    """The 100 TB winsorize mode: identical plan to ``q_winsorize_prices``
-    except the p1/p99 thresholds come from ONE ``percentile_approx``
-    aggregate (mergeable Greenwald-Khanna partials, no distinct-value frame,
-    no window) through the same ``quantile_thresholds`` seam. Rows-only: GK
-    rank error (≤ n/accuracy) makes thresholds engine-inexact by design;
-    ``tests/test_round7_ops.py`` pins the approx thresholds inside the exact
-    thresholds' neighborhood instead."""
-    return q_winsorize_prices(spark, sf_dir, mode="approx")
+    """The 100 TB winsorize mode, as a hash-oracled APPROXIMATION-ERROR
+    AUDIT (VERDICT r07 #4, the ``q_minhash_estimate_error`` pattern): the
+    p1/p99 thresholds come from ONE ``percentile_approx`` aggregate
+    (mergeable Greenwald-Khanna partials, no window, no distinct-value
+    frame — O(accuracy) state at any cardinality) through the same
+    ``quantile_thresholds`` seam as the exact mode. The plan then measures
+    each approx threshold's TRUE rank interval [count(<v)+1, count(<=v)]
+    with one more scan-side aggregate and emits a deterministic verdict:
+    the interval intersects [ceil(p·n) − B, ceil(p·n) + B] for the budget
+    B = 3·ceil(n/accuracy) + 1 (3× the nominal n/accuracy GK guarantee —
+    headroom for sketch-merge error across partitions). The emitted columns
+    (n, exact thresholds, budget, verdicts) are all engine-deterministic,
+    so DuckDB hash-checks them; the GK values themselves stay in-plan.
+    ``tests/test_round7_ops.py`` pins the approx thresholds inside the
+    exact thresholds' neighborhood on top of this."""
+    from ..operators.quantiles import quantile_thresholds
+
+    orders = T(spark, sf_dir, "orders")
+    u = orders.select(
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("cents")
+    )
+    ap = quantile_thresholds(u, "cents", {"lo_a": 0.01, "hi_a": 0.99}, mode="approx")
+    ex = quantile_thresholds(u, "cents", {"lo_e": 0.01, "hi_e": 0.99}, mode="exact")
+    ranks = u.crossJoin(F.broadcast(ap)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("cents") < F.col("lo_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("lt_lo"),
+        F.sum(F.when(F.col("cents") <= F.col("lo_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("le_lo"),
+        F.sum(F.when(F.col("cents") < F.col("hi_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("lt_hi"),
+        F.sum(F.when(F.col("cents") <= F.col("hi_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("le_hi"),
+    )
+    j = ranks.crossJoin(F.broadcast(ex))
+    budget = F.expr("3 * ((n + 9999) div 10000) + 1")
+    t_lo = F.expr("(n + 99) div 100")  # ceil(0.01·n), exact integer
+    t_hi = F.expr("(99 * n + 99) div 100")  # ceil(0.99·n)
+    lo_ok = (F.col("lt_lo") + 1 <= t_lo + budget) & (F.col("le_lo") >= t_lo - budget)
+    hi_ok = (F.col("lt_hi") + 1 <= t_hi + budget) & (F.col("le_hi") >= t_hi - budget)
+    return j.select(
+        "n",
+        F.col("lo_e").alias("lo_exact_cents"),
+        F.col("hi_e").alias("hi_exact_cents"),
+        budget.cast("bigint").alias("rank_err_budget"),
+        F.when(lo_ok, 1).otherwise(0).cast("bigint").alias("lo_rank_within_budget"),
+        F.when(hi_ok, 1).otherwise(0).cast("bigint").alias("hi_rank_within_budget"),
+    )
 
 
 @register(

@@ -50,7 +50,7 @@ def test_winsorize_approx_thresholds_near_exact(spark):
     )
 
     exact = q_winsorize_prices(spark, SF).collect()[0]
-    approx = q_winsorize_prices_approx(spark, SF).collect()[0]
+    approx = q_winsorize_prices(spark, SF, mode="approx").collect()[0]
     assert exact.n == approx.n
     # thresholds within 1% of the exact rank's VALUE neighborhood
     assert abs(approx.lo_cents - exact.lo_cents) <= max(2, exact.lo_cents * 0.02)
@@ -58,6 +58,15 @@ def test_winsorize_approx_thresholds_near_exact(spark):
     # clip fractions stay in the same ballpark (±1% of n absolute)
     assert abs(approx.n_clipped_low - exact.n_clipped_low) <= exact.n * 0.01 + 2
     assert abs(approx.n_clipped_high - exact.n_clipped_high) <= exact.n * 0.01 + 2
+    # the hash-oracled audit variant (VERDICT r07 #4): rank-error verdicts
+    # must hold, and the exact thresholds it emits must equal the exact mode's
+    audit = q_winsorize_prices_approx(spark, SF).collect()[0]
+    assert audit.n == exact.n
+    assert audit.lo_exact_cents == exact.lo_cents
+    assert audit.hi_exact_cents == exact.hi_cents
+    assert audit.lo_rank_within_budget == 1
+    assert audit.hi_rank_within_budget == 1
+    assert audit.rank_err_budget == 3 * ((exact.n + 9999) // 10000) + 1
 
 
 def _docs(spark, rows):
