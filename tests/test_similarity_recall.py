@@ -67,21 +67,34 @@ def test_trained_centroids_same_shape_as_deterministic(spark):
 
 
 def test_sim_ann_ivf_trained_query_reports_recall(spark):
-    """The driver-registered query emits (query_id, hits, recall_at_k) so the
-    rows-only gate witnesses the quality number (VERDICT r02 #6); pin the
-    shape and a recall floor here."""
+    """The per-query frame keeps the tight floor (mean recall ≥ 0.4 here);
+    the registered query collapses it to the hash-oracled audit row
+    (VERDICT r07 #4) whose conservative verdict must read 1."""
     from arc_maskdata_pipeline_plugin_spark.plans.similarity import (
         K as QK,
+        IVF_TRAINED_FLOOR_X100,
         sim_ann_ivf_trained,
+        sim_ann_ivf_trained_per_query,
+        sim_ann_pq_trained,
     )
 
-    rows = sim_ann_ivf_trained(spark, SF).collect()
+    rows = sim_ann_ivf_trained_per_query(spark, SF).collect()
     assert sorted(r.query_id for r in rows) == list(range(10))
     for r in rows:
         assert 0 <= r.hits <= QK
         assert r.recall_at_k == r.hits / QK
     mean_recall = sum(r.recall_at_k for r in rows) / len(rows)
     assert mean_recall >= 0.4, mean_recall
+
+    audit = sim_ann_ivf_trained(spark, SF).collect()
+    assert len(audit) == 1 and audit[0].mean_recall_ge_floor == 1
+    assert audit[0].n_queries == 10 and audit[0].truth_pairs == 10 * QK
+    assert audit[0].recall_floor_x100 == IVF_TRAINED_FLOOR_X100
+    # the conservative gate floor must sit strictly under the tight one
+    assert IVF_TRAINED_FLOOR_X100 / 100 < 0.4
+
+    pq_audit = sim_ann_pq_trained(spark, SF).collect()
+    assert len(pq_audit) == 1 and pq_audit[0].mean_recall_ge_floor == 1
 
 
 def test_trained_pq_recall_at_least_deterministic(spark):
