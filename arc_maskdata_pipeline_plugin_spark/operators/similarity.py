@@ -245,7 +245,10 @@ def ann_ivf(
         .filter(F.col("rn") <= n_probes)
         .select("p_query_id", F.col("cent_id").alias("cell"))
     )
-    cand = probes.join(assign, "cell").select(
+    # probes is query-set-sized (N_QUERIES × n_probes rows) — BROADCAST it
+    # into the corpus-sized assignment frame, or Spark sort-merge-joins the
+    # corpus by cell (a full corpus shuffle the probe never needs)
+    cand = F.broadcast(probes).join(assign, "cell").select(
         F.col("p_query_id").alias("query_id"), F.col("m_vec_id").alias("neighbor_id")
     )
     cos = _dot(F.col(f"q.{vec}"), F.col(f"c.{vec}")) / (F.col("q._norm") * F.col("c._norm"))

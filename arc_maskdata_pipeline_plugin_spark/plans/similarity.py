@@ -161,14 +161,17 @@ def trained_recall_frame(ann, truth):
 
     hit_counts = (
         truth.select("query_id", "neighbor_id")
-        .join(ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .join(
+            F.broadcast(ann.select("query_id", "neighbor_id")),
+            ["query_id", "neighbor_id"],
+        )
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
     return (
         truth.select("query_id")
         .distinct()
-        .join(hit_counts, "query_id", "left")
+        .join(F.broadcast(hit_counts), "query_id", "left")
         .select(
             "query_id",
             F.coalesce(F.col("hits"), F.lit(0)).cast("int").alias("hits"),

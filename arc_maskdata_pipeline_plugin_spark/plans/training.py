@@ -104,6 +104,121 @@ def q_decontaminate_ngrams(spark, sf_dir):
 
 
 @register(
+    "q_decontaminate_spans",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents
+),
+gpos AS (
+  SELECT doc_id, s AS pos, array_to_string(tk[s:s+{NGRAM - 1}], ' ') AS gram
+  FROM t, UNNEST(generate_series(1, len(tk) - {NGRAM - 1})) AS u(s)
+  WHERE len(tk) >= {NGRAM}
+),
+bench AS (
+  SELECT DISTINCT doc_id AS bench_doc_id, gram FROM gpos WHERE doc_id % 50 = 0
+),
+hits AS (
+  SELECT g.doc_id AS train_doc_id, b.bench_doc_id, g.pos
+  FROM gpos g JOIN bench b USING (gram)
+  WHERE g.doc_id % 50 <> 0
+),
+qual AS (
+  SELECT train_doc_id, bench_doc_id FROM hits
+  GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_SHARED}
+),
+qhits AS (
+  SELECT h.* FROM hits h JOIN qual q USING (train_doc_id, bench_doc_id)
+),
+isl AS (
+  SELECT train_doc_id, bench_doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (
+             PARTITION BY train_doc_id, bench_doc_id ORDER BY pos
+         ) > {NGRAM} THEN 1 ELSE 0 END AS brk
+  FROM qhits
+),
+grp AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY train_doc_id, bench_doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+)
+SELECT train_doc_id, bench_doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {NGRAM - 1} AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {NGRAM} - MIN(pos) AS BIGINT) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM grp GROUP BY train_doc_id, bench_doc_id, island
+""",
+)
+def q_decontaminate_spans(spark, sf_dir):
+    """Span-level contamination EVIDENCE (VERDICT r07 #5): extends
+    ``q_decontaminate_ngrams``'s doc-level verdicts to the exact token
+    spans that leak. For every (train doc, bench doc) pair with >=
+    MIN_SHARED matched {NGRAM}-gram windows, overlapping/adjacent matched
+    window positions (gap <= NGRAM) merge into MAXIMAL spans — the
+    gaps-and-islands pattern — and each span reports its 1-based token
+    range [span_start, span_end], width, and contributing window count.
+    This is the artifact a curation team actually acts on (mask the span /
+    drop the doc), not just a flag.
+
+    Scale shape: identical probe to the doc-level screen — the benchmark
+    gram index BROADCASTS, the corpus is never shuffled for the probe, and
+    only matched positions (collision-sized, not corpus-sized) reach the
+    pair-keyed island windows. Note the qualification counts matched
+    POSITIONS, not distinct grams: a verbatim 10-token copy yields 3
+    windows from 3 positions even when the grams repeat."""
+    d = spread(T(spark, sf_dir, "documents"))
+    tk = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    gpos = (
+        d.filter(F.size(tk) >= NGRAM)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - F.lit(NGRAM - 1)),
+                    lambda s: F.array_join(F.slice(tk, s, NGRAM), " "),
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    )
+    bench = (
+        gpos.filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("bench_doc_id"), "gram")
+        .distinct()
+    )
+    hits = (
+        gpos.filter(F.col("doc_id") % 50 != 0)
+        .withColumnRenamed("doc_id", "train_doc_id")
+        .join(F.broadcast(bench), "gram")
+        .select("train_doc_id", "bench_doc_id", "pos")
+    )
+    pair_w = Window.partitionBy("train_doc_id", "bench_doc_id")
+    qhits = (
+        hits.withColumn("n_hits", F.count(F.lit(1)).over(pair_w))
+        .filter(F.col("n_hits") >= MIN_SHARED)
+        .drop("n_hits")
+    )
+    ordered = pair_w.orderBy("pos")
+    isl = qhits.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(ordered) > NGRAM, 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(ordered.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("train_doc_id", "bench_doc_id", "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + (NGRAM - 1)).cast("bigint").alias("span_end"),
+            (F.max("pos") + NGRAM - F.min("pos")).cast("bigint").alias("span_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        )
+        .drop("island")
+    )
+
+
+@register(
     "q_domain_mix_rebalance",
     oracle=rf"""
 WITH tok AS (

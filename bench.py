@@ -290,6 +290,9 @@ HEADLINE = [
     # round 7 (cont. 8): word2vec negative-sampling table with
     # deterministic draw-fit witness
     "q_negative_sampling_table",
+    # round 8: span-level contamination evidence (broadcast probe +
+    # collision-sized island windows)
+    "q_decontaminate_spans",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -1,0 +1,51 @@
+"""Physical-plan invariants for the round-8 additions (freeze the
+properties that matter at 100 TB — see tests/test_plan_invariants.py)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+from arc_maskdata_pipeline_plugin_spark.cache import release_persisted
+from tools.plan_audit import audit
+
+QUERIES = entry_mod.queries()
+SF = "/root/testdata/sf0.001"
+
+
+def props(name, spark):
+    a = audit(name, QUERIES[name], spark, SF)
+    release_persisted()
+    spark.catalog.clearCache()
+    return a
+
+
+def test_decontaminate_spans_broadcast_probe_no_smj(spark):
+    """Span evidence keeps the doc-level screen's scale shape: the bench
+    gram index BROADCASTS into the train probe (never a sort-merge join
+    against the corpus), the corpus contributes two pushed-down scans
+    (train + bench sides), and the island windows run on collision-sized
+    pair frames only — all JVM-side."""
+    a = props("q_decontaminate_spans", spark)
+    assert a["scans"] == 2
+    assert a["sort_merge_joins"] == 0
+    assert a["broadcasts"] >= 1
+    assert a["python_ops"] == 0
+    assert a["pushed_filters"] >= 1
+
+
+def test_winsorize_approx_audit_no_window_no_smj(spark):
+    """The GK audit path must stay sketch-shaped: the approx side adds no
+    window over the corpus and no sort-merge join; thresholds and rank
+    counts travel by broadcast."""
+    a = props("q_winsorize_prices_approx", spark)
+    assert a["sort_merge_joins"] == 0
+    assert a["broadcasts"] >= 2
+    assert a["python_ops"] == 0
+
+
+def test_trained_ann_audits_stay_broadcast_shaped(spark):
+    """Recall audits: every join is on query-set-sized frames (broadcast);
+    the corpus is never sort-merge joined."""
+    for name in ("sim_ann_ivf_trained", "sim_ann_pq_trained"):
+        a = props(name, spark)
+        assert a["sort_merge_joins"] == 0, name
+        assert a["broadcasts"] >= 1, name

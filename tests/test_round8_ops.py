@@ -1,0 +1,90 @@
+"""Round-8 operator semantics on constructed inputs.
+
+Each test writes a tiny documents/embeddings parquet into tmp_path and runs
+the registered query against it, asserting hand-computed expected values —
+the semantics layer of the per-operator checklist (oracle parity is the
+cross-engine layer; these pin the MEANING)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+def _write_docs(spark, tmp_path, rows):
+    _docs(spark, rows).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+
+def test_decontaminate_spans_merges_contiguous_windows(spark, tmp_path):
+    """A 15-token verbatim copy at train positions 6..20 yields matched
+    8-gram windows at positions 6..13 that merge into ONE maximal span
+    [6, 20]; a 9-token copy (2 windows) stays under MIN_SHARED=3; two
+    far-apart 10-token copies yield TWO islands of 3 windows each."""
+    bench_toks = [f"b{i}" for i in range(30)]
+    copy15 = bench_toks[5:20]
+    copy9 = bench_toks[0:9]
+    copy10a = bench_toks[0:10]
+    copy10b = bench_toks[15:25]
+    rows = [
+        (0, " ".join(bench_toks), "en", "eval"),  # doc_id % 50 == 0 → bench
+        (1, " ".join([f"j{i}" for i in range(5)] + copy15 + [f"k{i}" for i in range(5)]), "en", "train"),
+        (2, " ".join([f"m{i}" for i in range(5)] + copy9 + [f"n{i}" for i in range(5)]), "en", "train"),
+        (3, " ".join(copy10a + [f"z{i}" for i in range(12)] + copy10b), "en", "train"),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    from arc_maskdata_pipeline_plugin_spark.plans.training import (
+        q_decontaminate_spans,
+    )
+
+    out = q_decontaminate_spans(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.train_doc_id, []).append(r)
+
+    # doc 1: one merged span covering the whole copied segment
+    (s1,) = by_doc[1]
+    assert (s1.bench_doc_id, s1.span_start, s1.span_end) == (0, 6, 20)
+    assert s1.span_tokens == 15 and s1.n_windows == 8
+
+    # doc 2: only 2 matched windows < MIN_SHARED → no evidence rows
+    assert 2 not in by_doc
+
+    # doc 3: two disjoint copies → two islands, 3 windows / 10 tokens each
+    spans3 = sorted(by_doc[3], key=lambda r: r.span_start)
+    assert len(spans3) == 2
+    assert (spans3[0].span_start, spans3[0].span_end) == (1, 10)
+    assert (spans3[1].span_start, spans3[1].span_end) == (23, 32)
+    for s in spans3:
+        assert s.span_tokens == 10 and s.n_windows == 3
+
+
+def test_decontaminate_spans_consistent_with_doc_level_screen(spark, tmp_path):
+    """Every span-evidence pair must also be flagged by the doc-level
+    screen when the shared grams are distinct (the doc screen counts
+    DISTINCT grams, spans count positions — identical on non-repeating
+    text)."""
+    bench_toks = [f"b{i}" for i in range(20)]
+    rows = [
+        (0, " ".join(bench_toks), "en", "eval"),
+        (7, " ".join(bench_toks[2:16]) + " x1 x2 x3", "en", "train"),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    from arc_maskdata_pipeline_plugin_spark.plans.training import (
+        q_decontaminate_ngrams,
+        q_decontaminate_spans,
+    )
+
+    span_pairs = {
+        (r.train_doc_id, r.bench_doc_id)
+        for r in q_decontaminate_spans(spark, str(tmp_path)).collect()
+    }
+    doc_pairs = {
+        (r.train_doc_id, r.bench_doc_id)
+        for r in q_decontaminate_ngrams(spark, str(tmp_path)).collect()
+    }
+    assert span_pairs == doc_pairs == {(7, 0)}
