@@ -189,3 +189,128 @@ def q_bpe_byte_encode(spark, sf_dir):
         "decode_lossy",
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary-size economics: tokens-per-byte at PREFIXES of one merge run.
+# ---------------------------------------------------------------------------
+
+SWEEP_CHECKPOINTS = [0, 2, 4, N_BYTE_MERGES]
+
+
+def _sweep_agg_sql(k: int) -> str:
+    return f"""
+agg{k} AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_words,
+         CAST(SUM(n * (len(word) + 1)) AS BIGINT) AS n_bytes,
+         CAST(SUM(n * len(string_split_regex(trim(seq), '\\s+'))) AS BIGINT)
+           AS n_byte_tokens
+  FROM w{k}
+)"""
+
+
+def _sweep_oracle() -> str:
+    aggs = ",".join(_sweep_agg_sql(k) for k in SWEEP_CHECKPOINTS)
+    rows = []
+    for i, k in enumerate(SWEEP_CHECKPOINTS):
+        prev = SWEEP_CHECKPOINTS[i - 1] if i else None
+        saved = (
+            f"agg{prev}.n_byte_tokens - agg{k}.n_byte_tokens" if i else "0"
+        )
+        rows.append(
+            f"SELECT CAST({k} AS BIGINT) AS n_merges,"
+            f" agg{k}.n_words, agg{k}.n_bytes, agg{k}.n_byte_tokens,"
+            f" CAST(floor(agg{k}.n_byte_tokens * 1000000.0 / agg{k}.n_bytes) AS BIGINT)"
+            f"   AS tokens_per_byte_fp6,"
+            f" CAST(floor(agg{k}.n_byte_tokens * 1000000.0 / agg{k}.n_words) AS BIGINT)"
+            f"   AS byte_fertility_fp6,"
+            f" CAST({saved} AS BIGINT) AS saved_vs_prev_tokens,"
+            f" CAST(0 AS BIGINT) AS replay_lossy"
+            f" FROM {', '.join('agg' + str(c) for c in SWEEP_CHECKPOINTS)}"
+        )
+        # referencing every aggN keeps each SELECT a pure cross join of
+        # 1-row frames — saved_vs_prev needs the previous checkpoint
+    final = " UNION ALL ".join(rows)
+    return (
+        f"{_bpe_cte_chain(N_BYTE_MERGES, w0_sql=_W0_SQL_BYTE)},{aggs}\n{final}\n"
+    )
+
+
+@register("q_bpe_vocab_sweep", oracle=_sweep_oracle())
+def q_bpe_vocab_sweep(spark, sf_dir):
+    """Tokenizer VOCABULARY-SIZE ECONOMICS (VERDICT r07 #6): tokens-per-byte
+    at merge-count checkpoints {cps}, all replayed from ONE training run's
+    merge sequence — the curve a tokenizer-budget decision is made from
+    (every checkpoint shares the prefix property of BPE merge lists, so one
+    trained artifact prices every smaller vocabulary for free).
+
+    The corpus is scanned ONCE (by the trainer, for word counts); the sweep
+    itself runs entirely on the distinct-word vocabulary frame: checkpoint
+    k's segmentation is the first k collected merges re-applied as chained
+    ``replace`` projections to a fresh round-0 symbolization — the same
+    shipped-artifact replay path as ``q_bpe_byte_encode``, so the k = {n}
+    checkpoint doubles as a replay-parity witness (``replay_lossy`` must be
+    0 against the trained frame). Token masses are occurrence-weighted by
+    the vocab frame's word counts — no second corpus pass.
+    """.format(cps=SWEEP_CHECKPOINTS, n=N_BYTE_MERGES)
+    merges, final = _train_byte_bpe(spark, sf_dir)
+    seqs = final.withColumn("seq_k", F.expr(_W0_SPARK_BYTE))
+    checkpoints = set(SWEEP_CHECKPOINTS)
+    if 0 in checkpoints:
+        seqs = seqs.withColumn("nsym_0", F.size(F.split(F.trim("seq_k"), " +")))
+    for step, lhs, rhs, _, _ in merges:
+        seqs = seqs.withColumn(
+            "seq_k",
+            F.expr(
+                "replace(seq_k, ' ' || '{l}' || '  ' || '{r}' || ' ', "
+                "' ' || '{l}{r}' || ' ')".format(l=lhs, r=rhs)
+            ),
+        )
+        if step in checkpoints:
+            seqs = seqs.withColumn(
+                f"nsym_{step}", F.size(F.split(F.trim("seq_k"), " +"))
+            )
+    # replay-parity witness at the full checkpoint: prefix replay of ALL
+    # merges must reproduce the trained segmentation word-for-word
+    seqs = seqs.withColumn(
+        "replay_bad", F.when(F.col("seq_k") == F.col("seq"), 0).otherwise(1)
+    )
+    ks = sorted(checkpoints)
+    agg = seqs.agg(
+        F.sum("n").cast("bigint").alias("n_words"),
+        F.sum(F.col("n") * (F.length("word") + 1)).cast("bigint").alias("n_bytes"),
+        *[
+            F.sum(F.col("n") * F.col(f"nsym_{k}")).cast("bigint").alias(f"t_{k}")
+            for k in ks
+        ],
+        F.sum("replay_bad").cast("bigint").alias("rl"),  # vocab words, unweighted
+    )
+    final.unpersist()
+    structs = []
+    for i, k in enumerate(ks):
+        prev = ks[i - 1] if i else None
+        structs.append(
+            F.struct(
+                F.lit(k).cast("bigint").alias("n_merges"),
+                F.col("n_words"),
+                F.col("n_bytes"),
+                F.col(f"t_{k}").alias("n_byte_tokens"),
+                F.floor(F.col(f"t_{k}") * 1_000_000.0 / F.col("n_bytes"))
+                .cast("bigint")
+                .alias("tokens_per_byte_fp6"),
+                F.floor(F.col(f"t_{k}") * 1_000_000.0 / F.col("n_words"))
+                .cast("bigint")
+                .alias("byte_fertility_fp6"),
+                (
+                    (F.col(f"t_{prev}") - F.col(f"t_{k}"))
+                    if i
+                    else F.lit(0)
+                )
+                .cast("bigint")
+                .alias("saved_vs_prev_tokens"),
+                (F.col("rl") if k == N_BYTE_MERGES else F.lit(0))
+                .cast("bigint")
+                .alias("replay_lossy"),
+            )
+        )
+    return agg.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

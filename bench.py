@@ -291,8 +291,10 @@ HEADLINE = [
     # deterministic draw-fit witness
     "q_negative_sampling_table",
     # round 8: span-level contamination evidence (broadcast probe +
-    # collision-sized island windows)
+    # collision-sized island windows); vocab-size economics from one
+    # byte-BPE training run (vocab-frame prefix replays)
     "q_decontaminate_spans",
+    "q_bpe_vocab_sweep",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -42,6 +42,16 @@ def test_winsorize_approx_audit_no_window_no_smj(spark):
     assert a["python_ops"] == 0
 
 
+def test_bpe_vocab_sweep_vocab_frame_only(spark):
+    """The sweep prices every vocabulary prefix from ONE corpus scan (the
+    trainer's word count); the checkpoint replays and token masses run on
+    the distinct-word frame — no second corpus pass, no joins, no Python."""
+    a = props("q_bpe_vocab_sweep", spark)
+    assert a["scans"] == 1
+    assert a["sort_merge_joins"] == 0
+    assert a["python_ops"] == 0
+
+
 def test_trained_ann_audits_stay_broadcast_shaped(spark):
     """Recall audits: every join is on query-set-sized frames (broadcast);
     the corpus is never sort-merge joined."""

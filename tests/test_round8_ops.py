@@ -88,3 +88,43 @@ def test_decontaminate_spans_consistent_with_doc_level_screen(spark, tmp_path):
         for r in q_decontaminate_ngrams(spark, str(tmp_path)).collect()
     }
     assert span_pairs == doc_pairs == {(7, 0)}
+
+
+def test_bpe_vocab_sweep_monotone_and_replay_exact(spark, tmp_path):
+    """One training run prices every vocabulary prefix: token mass is
+    non-increasing in merge count, checkpoint 0 is the raw byte+marker
+    mass, saved_vs_prev telescopes, and the full-prefix replay reproduces
+    the trained segmentation (replay_lossy == 0)."""
+    rows = [
+        (0, "aaab aaab aaab banana banana", "en", "s1"),
+        (1, "aaab cacao", "en", "s2"),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    from arc_maskdata_pipeline_plugin_spark.plans.bpe2 import (
+        N_BYTE_MERGES,
+        SWEEP_CHECKPOINTS,
+        q_bpe_vocab_sweep,
+    )
+
+    out = sorted(
+        q_bpe_vocab_sweep(spark, str(tmp_path)).collect(),
+        key=lambda r: r.n_merges,
+    )
+    assert [r.n_merges for r in out] == SWEEP_CHECKPOINTS
+    # checkpoint 0: every occurrence costs len(word)+1 byte symbols
+    # (the B32 space marker + one symbol per byte)
+    words = "aaab aaab aaab banana banana aaab cacao".split()
+    assert out[0].n_words == len(words)
+    assert out[0].n_bytes == sum(len(w) + 1 for w in words)
+    assert out[0].n_byte_tokens == out[0].n_bytes
+    assert out[0].saved_vs_prev_tokens == 0
+    # merges only ever shrink the token mass, and the savings telescope
+    for prev, cur in zip(out, out[1:]):
+        assert cur.n_byte_tokens <= prev.n_byte_tokens
+        assert cur.saved_vs_prev_tokens == prev.n_byte_tokens - cur.n_byte_tokens
+        assert cur.n_words == out[0].n_words and cur.n_bytes == out[0].n_bytes
+    # the full checkpoint replays the shipped artifact losslessly
+    full = [r for r in out if r.n_merges == N_BYTE_MERGES]
+    assert full and full[0].replay_lossy == 0
+    # 8 merges on this corpus genuinely compress (aaab appears 4×)
+    assert out[-1].n_byte_tokens < out[0].n_byte_tokens
