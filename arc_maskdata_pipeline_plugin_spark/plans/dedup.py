@@ -992,3 +992,139 @@ def dedup_ppjoin_pairs(spark, sf_dir):
             .alias("precision_fp6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD 2003 / MOSS).
+# ---------------------------------------------------------------------------
+
+_WIN_K = 4  # word k-gram width
+_WIN_W = 4  # winnowing window: guarantees a fingerprint in every W k-grams
+
+_WINNOW_ORACLE = rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(lower(trim(text)), '\s+'),
+           t -> regexp_replace(t, '[^a-z0-9]', '', 'g')), t -> t <> '') AS tk
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, tk, len(tk) - {_WIN_K} + 1 AS n_pos
+  FROM d WHERE len(tk) >= {_WIN_K + _WIN_W - 1}
+),
+gpos AS (
+  SELECT doc_id, n_pos, p,
+         CAST(('0x' || substr(md5(array_to_string(tk[p:p+{_WIN_K - 1}], ' ')), 1, 8))
+              AS BIGINT) AS h
+  FROM sized, UNNEST(generate_series(1, n_pos)) AS u(p)
+),
+win AS (
+  SELECT doc_id, n_pos, p, h, j
+  FROM gpos, UNNEST(generate_series(
+         GREATEST(1, p - {_WIN_W - 1}),
+         LEAST(p, n_pos - {_WIN_W - 1}))) AS v(j)
+),
+sel AS (
+  SELECT DISTINCT doc_id, n_pos, p, h FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, j ORDER BY h, p DESC) AS rn
+    FROM win
+  ) t WHERE rn = 1
+),
+gaps AS (
+  SELECT doc_id, n_pos, p, h,
+         p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS gap
+  FROM sel
+)
+SELECT doc_id,
+       CAST(n_pos AS BIGINT) AS n_kgrams,
+       CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       CAST(floor(COUNT(*) * 1000000.0 / n_pos) AS BIGINT) AS density_fp6,
+       CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap,
+       CAST(SUM(h) AS BIGINT) AS fp_checksum
+FROM gaps GROUP BY doc_id, n_pos
+"""
+
+
+@register("q_winnowing_fingerprints", oracle=_WINNOW_ORACLE)
+def q_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken, the MOSS
+    algorithm): hash every word {k}-gram, slide a window of {w} consecutive
+    hashes, and select the RIGHTMOST MINIMUM of each window. The selected
+    (position, hash) set is a content fingerprint with two provable
+    properties this query emits per document so both engines re-derive
+    them: density ≈ 2/(w+1) of the k-gram count, and max_gap <= {w}
+    (every window contributes a fingerprint — the guarantee that makes
+    winnowing LOCAL: any shared substring of length k+w-1 is caught no
+    matter how the surrounding text shifts). ``fp_checksum`` (exact integer
+    sum of selected 32-bit hashes) pins the selected SET cross-engine, not
+    just its size.
+
+    Scale shape: everything is doc-local — one corpus scan, a w-way
+    position explode, and doc-keyed windows; no cross-doc join. The
+    fingerprint frame this query audits is what a plagiarism / near-dup
+    index would store (|corpus| × density entries, bucketed by hash).
+
+    Reference basis: Schleimer et al., 'Winnowing: Local Algorithms for
+    Document Fingerprinting', SIGMOD 2003 (robust winnowing, rightmost-min
+    tiebreak)."""
+    from ..operators.search import _TOKENS
+
+    d = spread(T(spark, sf_dir, "documents")).select(
+        "doc_id", F.expr(_TOKENS).alias("tk")
+    )
+    sized = d.filter(F.size("tk") >= _WIN_K + _WIN_W - 1).select(
+        "doc_id", "tk", (F.size("tk") - (_WIN_K - 1)).alias("n_pos")
+    )
+    gram = "array_join(slice(tk, p, {k}), ' ')".format(k=_WIN_K)
+    gpos = sized.select(
+        "doc_id",
+        "n_pos",
+        F.explode(F.expr("sequence(1, n_pos)")).alias("p"),
+        "tk",
+    ).select(
+        "doc_id",
+        "n_pos",
+        "p",
+        F.expr(f"cast(conv(substring(md5({gram}), 1, 8), 16, 10) as bigint)").alias("h"),
+    )
+    win = gpos.select(
+        "doc_id",
+        "n_pos",
+        "p",
+        "h",
+        F.explode(
+            F.expr(
+                "sequence(greatest(1, p - {wm1}), least(p, n_pos - {wm1}))".format(
+                    wm1=_WIN_W - 1
+                )
+            )
+        ).alias("j"),
+    )
+    from pyspark.sql import Window
+
+    rightmost_min = Window.partitionBy("doc_id", "j").orderBy(
+        F.asc("h"), F.desc("p")
+    )
+    sel = (
+        win.withColumn("rn", F.row_number().over(rightmost_min))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_pos", "p", "h")
+        .distinct()
+    )
+    by_pos = Window.partitionBy("doc_id").orderBy("p")
+    gaps = sel.withColumn("gap", F.col("p") - F.lag("p").over(by_pos))
+    return gaps.groupBy("doc_id", "n_pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+        F.floor(F.count(F.lit(1)) * 1_000_000.0 / F.col("n_pos"))
+        .cast("bigint")
+        .alias("density_fp6"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("bigint").alias("max_gap"),
+        F.sum("h").cast("bigint").alias("fp_checksum"),
+    ).select(
+        "doc_id",
+        F.col("n_pos").cast("bigint").alias("n_kgrams"),
+        "n_fingerprints",
+        "density_fp6",
+        "max_gap",
+        "fp_checksum",
+    )

@@ -295,6 +295,9 @@ HEADLINE = [
     # byte-BPE training run (vocab-frame prefix replays)
     "q_decontaminate_spans",
     "q_bpe_vocab_sweep",
+    # round 8 (cont.): MOSS winnowing fingerprints (doc-local windows,
+    # 4-way position explode, zero joins)
+    "q_winnowing_fingerprints",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

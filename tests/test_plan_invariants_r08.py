@@ -52,6 +52,17 @@ def test_bpe_vocab_sweep_vocab_frame_only(spark):
     assert a["python_ops"] == 0
 
 
+def test_winnowing_doc_local_no_joins(spark):
+    """Winnowing is doc-local by construction: one corpus scan, doc-keyed
+    windows, no join of any kind (the fingerprint INDEX would be the join
+    consumer downstream)."""
+    a = props("q_winnowing_fingerprints", spark)
+    assert a["scans"] == 1
+    assert a["sort_merge_joins"] == 0
+    assert a["broadcasts"] == 0
+    assert a["python_ops"] == 0
+
+
 def test_trained_ann_audits_stay_broadcast_shaped(spark):
     """Recall audits: every join is on query-set-sized frames (broadcast);
     the corpus is never sort-merge joined."""

@@ -128,3 +128,61 @@ def test_bpe_vocab_sweep_monotone_and_replay_exact(spark, tmp_path):
     assert full and full[0].replay_lossy == 0
     # 8 merges on this corpus genuinely compress (aaab appears 4×)
     assert out[-1].n_byte_tokens < out[0].n_byte_tokens
+
+
+def _winnow_reference(tokens, k=4, w=4):
+    """Pure-Python robust winnowing (rightmost-min per window) mirroring the
+    query's md5-derived 32-bit hashes — the independent recurrence replica
+    (the house pattern for testing order-sensitive algorithms)."""
+    import hashlib
+
+    n_pos = len(tokens) - k + 1
+    h = [
+        int(hashlib.md5(" ".join(tokens[p : p + k]).encode()).hexdigest()[:8], 16)
+        for p in range(n_pos)
+    ]
+    sel = set()
+    for j in range(n_pos - w + 1):
+        window = h[j : j + w]
+        m = min(window)
+        # rightmost occurrence of the minimum
+        p = j + max(i for i, v in enumerate(window) if v == m)
+        sel.add(p)
+    positions = sorted(sel)
+    gaps = [b - a for a, b in zip(positions, positions[1:])]
+    return {
+        "n_kgrams": n_pos,
+        "n_fingerprints": len(positions),
+        "max_gap": max(gaps) if gaps else 0,
+        "fp_checksum": sum(h[p] for p in positions),
+    }
+
+
+def test_winnowing_matches_python_reference(spark, tmp_path):
+    """The Spark winnowing selection must equal an independent pure-Python
+    implementation hash-for-hash (checksum pins the selected SET), and the
+    winnowing guarantee max_gap <= w must hold."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "pack my box with five dozen liquor jugs said the sphinx of quartz",
+        "one two three four five six seven eight nine ten eleven twelve",
+        "repeat repeat repeat repeat repeat repeat repeat repeat repeat repeat",
+    ]
+    rows = [(i, t, "en", "s") for i, t in enumerate(texts)]
+    _write_docs(spark, tmp_path, rows)
+    from arc_maskdata_pipeline_plugin_spark.plans.dedup import (
+        _WIN_K,
+        _WIN_W,
+        q_winnowing_fingerprints,
+    )
+
+    out = {r.doc_id: r for r in q_winnowing_fingerprints(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    for i, t in enumerate(texts):
+        ref = _winnow_reference(t.split(), k=_WIN_K, w=_WIN_W)
+        r = out[i]
+        assert r.n_kgrams == ref["n_kgrams"], i
+        assert r.n_fingerprints == ref["n_fingerprints"], i
+        assert r.max_gap == ref["max_gap"], i
+        assert r.fp_checksum == ref["fp_checksum"], i
+        assert r.max_gap <= _WIN_W  # the winnowing coverage guarantee
