@@ -346,3 +346,72 @@ def sim_ann_pq_trained(spark, sf_dir):
     return _recall_audit_row(
         sim_ann_pq_trained_per_query(spark, sf_dir), PQ_TRAINED_FLOOR_X100
     )
+
+
+# ---------------------------------------------------------------------------
+# Hubness audit (Radovanović et al., JMLR 2010): the k-occurrence histogram.
+# ---------------------------------------------------------------------------
+
+_HUB_MOD = 4  # deterministic audit sample: vec_id % 4 == 0
+_HUB_K = 5
+
+_HUBNESS_ORACLE = f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings WHERE vec_id % {_HUB_MOD} = 0
+),
+topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_DOT.format(a='q.embedding', b='c.embedding')}
+                      / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
+    FROM s q JOIN s c ON q.vec_id <> c.vec_id
+  ) t WHERE rank <= {_HUB_K}
+),
+occ AS (
+  SELECT s.vec_id, CAST(COALESCE(o.nk, 0) AS BIGINT) AS k_occurrences
+  FROM s LEFT JOIN (
+    SELECT neighbor_id, COUNT(*) AS nk FROM topk GROUP BY neighbor_id
+  ) o ON s.vec_id = o.neighbor_id
+)
+SELECT k_occurrences, CAST(COUNT(*) AS BIGINT) AS n_points
+FROM occ GROUP BY k_occurrences
+"""
+
+
+@register("q_hubness_audit", oracle=_HUBNESS_ORACLE)
+def q_hubness_audit(spark, sf_dir):
+    """Embedding-space HUBNESS audit (Radovanović et al., 'Hubs in Space',
+    JMLR 2010): the k-occurrence histogram — for every audited vector x,
+    N_k(x) = how many other audited vectors list x among their top-{k}
+    cosine neighbors; the output is the distribution (k_occurrences →
+    n_points). A healthy embedding space is near-binomial around k; heavy
+    right tails (hubs: N_k >> k) and a mass at 0 (anti-hubs, unreachable
+    by retrieval) are the standard symptom of degenerate/anisotropic
+    embeddings and silently skew every kNN-based curation step (semdedup,
+    hard-negative mining, ANN recall).
+
+    Scale shape: the audit runs on a DETERMINISTIC sample (vec_id %
+    {mod} = 0) — hubness is a distributional property, so a fixed-rate
+    sample estimates it; the sample's brute-force top-k is |S|² dot
+    products, the knob that keeps the audit O((N/{mod})²) instead of
+    O(N²) at 100 TB (tighten the modulus as the corpus grows). Exact
+    integer histogram — hash-oracled end to end."""
+    from pyspark.sql import functions as F
+
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") % _HUB_MOD == 0)
+    topk = knn_bruteforce(e, e, k=_HUB_K)
+    occ = (
+        topk.groupBy("neighbor_id")
+        .agg(F.count(F.lit(1)).alias("nk"))
+    )
+    ids = e.select("vec_id")
+    nk = ids.join(
+        F.broadcast(occ), ids.vec_id == occ.neighbor_id, "left"
+    ).select(F.coalesce(F.col("nk"), F.lit(0)).cast("bigint").alias("k_occurrences"))
+    return nk.groupBy("k_occurrences").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    )

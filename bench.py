@@ -298,6 +298,9 @@ HEADLINE = [
     # round 8 (cont.): MOSS winnowing fingerprints (doc-local windows,
     # 4-way position explode, zero joins)
     "q_winnowing_fingerprints",
+    # round 8 (cont. 2): embedding hubness k-occurrence histogram over a
+    # deterministic modulus sample
+    "q_hubness_audit",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -63,6 +63,17 @@ def test_winnowing_doc_local_no_joins(spark):
     assert a["python_ops"] == 0
 
 
+def test_hubness_audit_sampled_and_pushed(spark):
+    """The audit's O(|S|²) brute-force runs on the modulus-sampled frame
+    only; the sample predicate reaches the scan, occurrence counts join
+    back by broadcast, no Python ops."""
+    a = props("q_hubness_audit", spark)
+    assert a["sort_merge_joins"] == 0
+    assert a["broadcasts"] >= 1
+    assert a["python_ops"] == 0
+    assert a["pushed_filters"] >= 1
+
+
 def test_trained_ann_audits_stay_broadcast_shaped(spark):
     """Recall audits: every join is on query-set-sized frames (broadcast);
     the corpus is never sort-merge joined."""

@@ -186,3 +186,30 @@ def test_winnowing_matches_python_reference(spark, tmp_path):
         assert r.max_gap == ref["max_gap"], i
         assert r.fp_checksum == ref["fp_checksum"], i
         assert r.max_gap <= _WIN_W  # the winnowing coverage guarantee
+
+
+def test_hubness_audit_planted_hub_and_antihub(spark, tmp_path):
+    """9 identical cluster vectors + 1 orthogonal loner (all ids ≡ 0 mod 4
+    so the audit sample keeps them): tie-break-by-id routes every top-5
+    slot to the five lowest cluster ids — histogram must be exactly
+    {9: 5 points, 5: 1 point, 0: 4 points} (the loner and the three
+    highest-id cluster members are anti-hubs), and mass must conserve
+    (Σ k·n = n_queries·k)."""
+    e1 = [1.0] + [0.0] * 63
+    e2 = [0.0, 1.0] + [0.0] * 62
+    rows = [(i * 4, e1, 0) for i in range(9)] + [(36, e2, 1)]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.similarity import (
+        _HUB_K,
+        q_hubness_audit,
+    )
+
+    hist = {
+        r.k_occurrences: r.n_points
+        for r in q_hubness_audit(spark, str(tmp_path)).collect()
+    }
+    assert hist == {9: 5, 5: 1, 0: 4}
+    assert sum(k * n for k, n in hist.items()) == 10 * _HUB_K
+    assert sum(hist.values()) == 10
