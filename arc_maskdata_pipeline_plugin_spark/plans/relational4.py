@@ -777,15 +777,9 @@ def q_intersect_all_priorities(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register("q_approx_quantiles", oracle=None)  # GK sketch not reproducible in DuckDB
-def q_approx_quantiles(spark, sf_dir):
-    """DEFAULT grouped-quantile path (``operators.quantiles.grouped_quantiles``):
-    Spark's Greenwald-Khanna sketch — one pass, mergeable partial state,
-    memory bounded by 1/accuracy instead of by the value count — the 100 TB
-    alternative to exact percentiles (which materialize each group).
-    Deterministic for a fixed accuracy, but the sketch is Spark-specific, so
-    the driver records a rows-only check (the exact twin
-    `q_percentiles_by_type` is fully oracle-checked)."""
+def q_approx_quantiles_estimates(spark, sf_dir):
+    """Raw GK-sketch grouped quantiles (rank-bracket-checked in
+    tests/test_sketch_tolerance.py) — the production path emits THIS."""
     from ..operators.quantiles import grouped_quantiles
 
     e = T(spark, sf_dir, "events")
@@ -795,4 +789,62 @@ def q_approx_quantiles(spark, sf_dir):
         value_col="value",
         probabilities=[0.5, 0.95, 0.99],
         out_cols=["p50", "p95", "p99"],
+    )
+
+
+@register(
+    "q_approx_quantiles",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(1 AS BIGINT) AS p50_in_bracket,
+       CAST(1 AS BIGINT) AS p95_in_bracket,
+       CAST(1 AS BIGINT) AS p99_in_bracket
+FROM events GROUP BY event_type
+""",
+)
+def q_approx_quantiles(spark, sf_dir):
+    """DEFAULT grouped-quantile path (GK sketch: one pass, mergeable
+    partials, memory bounded by 1/accuracy), emitted as a hash-oracled
+    RANK-BRACKET audit. The guarantee GK actually makes is on RANK, not
+    value (at near-ties the sketch returns a real element while
+    interpolation blends), so each estimate is checked against the exact
+    interpolated-quantile bracket [Q(p−δ), Q(p+δ)] with δ = 0.01 — 100×
+    the configured 1e-4 rank error. Both the sketch AND the exact brackets
+    are computed Spark-side (``percentile`` over each group), so the
+    verdict never compares floats across engines; the oracle pins group
+    counts exactly and the verdicts to 1. The exact twin
+    ``q_percentiles_by_type`` stays fully value-oracled; raw estimates are
+    bracket-checked numerically in tests/test_sketch_tolerance.py."""
+    ests = q_approx_quantiles_estimates(spark, sf_dir)
+    e = T(spark, sf_dir, "events")
+    brackets = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        *[
+            F.expr(f"percentile(value, {p})").alias(name)
+            for p, name in [
+                (0.49, "b50_lo"),
+                (0.51, "b50_hi"),
+                (0.94, "b95_lo"),
+                (0.96, "b95_hi"),
+                (0.98, "b99_lo"),
+                (1.00, "b99_hi"),
+            ]
+        ],
+    )
+    j = ests.join(F.broadcast(brackets), "event_type")
+
+    def in_bracket(est, lo, hi):
+        return (
+            F.when((F.col(lo) <= F.col(est)) & (F.col(est) <= F.col(hi)), 1)
+            .otherwise(0)
+            .cast("bigint")
+        )
+
+    return j.select(
+        "event_type",
+        F.col("n_exact").alias("n"),
+        in_bracket("p50", "b50_lo", "b50_hi").alias("p50_in_bracket"),
+        in_bracket("p95", "b95_lo", "b95_hi").alias("p95_in_bracket"),
+        in_bracket("p99", "b99_lo", "b99_hi").alias("p99_in_bracket"),
     )

@@ -264,18 +264,9 @@ def q_embedding_covariance(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register("q_hll_merge_daily")  # sketch estimates: tolerance-checked, not SQL-equal
-def q_hll_merge_daily(spark, sf_dir):
-    """Distinct users per event type two ways: a direct HLL sketch over all
-    events, and a union of per-day partial sketches (``hll_union_agg``).
-    Returns both estimates plus ``merge_exact`` — HLL union is lossless at
-    equal lgConfigK, so the merged estimate must equal the direct one
-    bit-for-bit. This partial/merge contract is what makes 100 TB distinct
-    counts incremental: daily sketch rows are kilobytes, re-aggregating a
-    year costs 365 rows per key, and the raw events are scanned exactly
-    once, the day they land. Estimates are tolerance-checked against the
-    exact distinct count (±5%) in tools/oracle_check.py; the merge equality
-    is asserted in-plan."""
+def q_hll_merge_daily_estimates(spark, sf_dir):
+    """Raw direct vs merged-daily estimates (tolerance-checked in
+    tests/test_sketch_tolerance.py)."""
     e = T(spark, sf_dir, "events").select(
         "event_type", F.to_date("ts").alias("day"), "user_id"
     )
@@ -290,14 +281,56 @@ def q_hll_merge_daily(spark, sf_dir):
     merged = daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("est_merged")
     )
-    return (
-        direct.join(merged, "event_type")
-        .select(
-            "event_type",
-            "est_direct",
-            "est_merged",
-            (F.col("est_direct") == F.col("est_merged")).alias("merge_exact"),
-        )
+    return direct.join(merged, "event_type")
+
+
+@register(
+    "q_hll_merge_daily",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(5 AS BIGINT) AS err_budget_pct,
+       CAST(1 AS BIGINT) AS direct_within_budget,
+       CAST(1 AS BIGINT) AS merged_within_budget
+FROM events GROUP BY event_type
+""",
+)
+def q_hll_merge_daily(spark, sf_dir):
+    """Distinct users per event type two ways — a direct DataSketches HLL
+    over all events, and a union of per-day partial sketches
+    (``hll_union_agg``) — emitted as a hash-oracled error audit. The
+    partial/merge contract is what makes 100 TB distinct counts
+    incremental: daily sketch rows are kilobytes, re-aggregating a year
+    costs 365 rows per key, and raw events are scanned exactly once, the
+    day they land.
+
+    HONESTY NOTE (found converting this audit, r08): the merged estimate is
+    NOT always bit-equal to the direct one — at sf0.1 the union path
+    diverges slightly (the DataSketches union may rebuild the target sketch
+    through a different mode transition than single-stream updates), so the
+    audit pins BOTH estimates within ±5% of the exact count (observed max:
+    direct 1.3%, merged 0.8% at sf0.1 — the configured lgConfigK=12 rsd is
+    ~1.6%) instead of asserting equality. Verdicts are computed entirely
+    Spark-side against the exact integer count, so the hash cannot flap on
+    float edges; the raw estimates stay numerically pinned in
+    tests/test_sketch_tolerance.py."""
+    e = T(spark, sf_dir, "events")
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    ests = q_hll_merge_daily_estimates(spark, sf_dir)
+    j = exact.join(ests, "event_type")
+    within = lambda c: (  # noqa: E731
+        F.when(F.abs(F.col(c) - F.col("exact_users")) * 20 <= F.col("exact_users"), 1)
+        .otherwise(0)
+        .cast("bigint")
+    )
+    return j.select(
+        "event_type",
+        "exact_users",
+        F.lit(5).cast("bigint").alias("err_budget_pct"),
+        within("est_direct").alias("direct_within_budget"),
+        within("est_merged").alias("merged_within_budget"),
     )
 
 
@@ -403,17 +436,9 @@ def q_incremental_moments(spark, sf_dir):
     )
 
 
-@register("q_hll_audience_overlap")  # sketch estimates: tolerance-checked
-def q_hll_audience_overlap(spark, sf_dir):
-    """Audience overlap between every event-type pair WITHOUT a distinct
-    self-join: per-type HLL sketches + inclusion-exclusion
-    (|A∩B| ≈ est(A) + est(B) − est(A∪B), the union being the lossless
-    mergeable operation). At 100 TB the raw events are scanned once into
-    |types| kilobyte-sized sketches; all pair math happens on the broadcast
-    sketch table — the alternative exact formulation shuffles the distinct
-    (type, user) frame into a user-keyed self-join. Estimates are
-    tolerance-checked against DuckDB's exact intersection counts
-    (tools/oracle_check.py)."""
+def q_hll_audience_overlap_estimates(spark, sf_dir):
+    """Raw inclusion-exclusion overlap estimates (tolerance-checked in
+    tests/test_sketch_tolerance.py) — the production path emits THIS."""
     e = T(spark, sf_dir, "events").select("event_type", "user_id")
     sk = e.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
@@ -439,6 +464,74 @@ def q_hll_audience_overlap(spark, sf_dir):
             F.lit(0).cast("bigint"),
             (F.col("est_a") + F.col("est_b") - F.col("est_union")),
         ).alias("est_overlap"),
+    )
+
+
+@register(
+    "q_hll_audience_overlap",
+    oracle="""
+WITH ue AS (SELECT DISTINCT event_type, user_id FROM events),
+n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd FROM ue GROUP BY event_type)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       na.nd AS exact_a, nb.nd AS exact_b,
+       CAST(COUNT(*) AS BIGINT) AS exact_overlap,
+       CAST(1 AS BIGINT) AS sides_within_5pct,
+       CAST(1 AS BIGINT) AS overlap_within_budget
+FROM ue a JOIN ue b ON a.user_id = b.user_id AND a.event_type < b.event_type
+JOIN n na ON na.event_type = a.event_type
+JOIN n nb ON nb.event_type = b.event_type
+GROUP BY 1, 2, 3, 4
+""",
+)
+def q_hll_audience_overlap(spark, sf_dir):
+    """Audience overlap between every event-type pair WITHOUT a distinct
+    self-join — per-type HLL sketches + inclusion-exclusion (|A∩B| ≈
+    est(A) + est(B) − est(A∪B)) — emitted as a hash-oracled error audit.
+    At 100 TB the production path scans raw events once into |types|
+    kilobyte sketches and does all pair math on the broadcast sketch table
+    (``q_hll_audience_overlap_estimates``); the audit ALSO computes the
+    exact distinct-pair overlap (the shape the sketch path exists to avoid
+    — affordable here because it is the ground truth being audited) and
+    emits exact integers plus Spark-side verdicts: each side within ±5%,
+    the overlap within ±(10% + 10 absolute) of exact (inclusion-exclusion
+    stacks three sketch errors; observed max 1.8% at sf0.1). Estimates
+    stay numerically pinned in tests/test_sketch_tolerance.py."""
+    ests = q_hll_audience_overlap_estimates(spark, sf_dir)
+    e = T(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    n = e.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    a, b = e.alias("ua"), e.alias("ub")
+    exact = (
+        a.join(b, (F.col("ua.user_id") == F.col("ub.user_id"))
+               & (F.col("ua.event_type") < F.col("ub.event_type")))
+        .groupBy(
+            F.col("ua.event_type").alias("type_a"),
+            F.col("ub.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_overlap"))
+    )
+    na = n.select(F.col("event_type").alias("type_a"), F.col("nd").alias("exact_a"))
+    nb = n.select(F.col("event_type").alias("type_b"), F.col("nd").alias("exact_b"))
+    j = (
+        exact.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .join(F.broadcast(ests), ["type_a", "type_b"])
+    )
+    sides_ok = (
+        (F.abs(F.col("est_a") - F.col("exact_a")) * 20 <= F.col("exact_a"))
+        & (F.abs(F.col("est_b") - F.col("exact_b")) * 20 <= F.col("exact_b"))
+    )
+    overlap_ok = (
+        F.abs(F.col("est_overlap") - F.col("exact_overlap")) * 10
+        <= F.col("exact_overlap") + 100
+    )
+    return j.select(
+        "type_a",
+        "type_b",
+        "exact_a",
+        "exact_b",
+        "exact_overlap",
+        F.when(sides_ok, 1).otherwise(0).cast("bigint").alias("sides_within_5pct"),
+        F.when(overlap_ok, 1).otherwise(0).cast("bigint").alias("overlap_within_budget"),
     )
 
 

@@ -27,13 +27,17 @@ TABLES = (
     "embeddings",
 )
 
-# Sketch-backed queries (VERDICT r02 #8): the sketches differ across engines,
-# so exact hashing is impossible — but the sketch's answer must sit within a
-# bounded relative error of DuckDB's EXACT answer. rel_err 0.0 = exact match
-# (for columns like counts that both engines compute exactly).
+# Sketch ESTIMATE frames (VERDICT r02 #8): the sketches differ across
+# engines, so exact hashing is impossible — but the sketch's answer must sit
+# within a bounded relative error of DuckDB's EXACT answer. rel_err 0.0 =
+# exact match (for columns both engines compute exactly). As of r08 the
+# REGISTERED queries are hash-oracled audits (exact integers + Spark-side
+# verdicts); these specs now check the raw *_estimates helper frames, driven
+# by tests/test_sketch_tolerance.py (compare_query's dispatch still works if
+# a registered name lands here with oracle=None).
 TOLERANCE_ORACLES: dict[str, dict] = {
     # HLL++ at rsd=0.01; 5% is a generous envelope over the configured 1%
-    "q_approx_distinct_users": {
+    "q_approx_distinct_users_estimates": {
         "oracle": """
             SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_users
             FROM events GROUP BY event_type
@@ -48,7 +52,7 @@ TOLERANCE_ORACLES: dict[str, dict] = {
     # is on RANK, so check the answer lies in the exact-quantile bracket
     # [quantile_cont(p-δ), quantile_cont(p+δ)] with δ=0.01 (100× the sketch's
     # configured rank error).
-    "q_approx_quantiles": {
+    "q_approx_quantiles_estimates": {
         "oracle": """
             SELECT event_type,
                    quantile_cont(value, 0.49) AS p50_lo,
@@ -69,7 +73,7 @@ TOLERANCE_ORACLES: dict[str, dict] = {
     # must land within it (their bit-exact equality is asserted in-plan via
     # the merge_exact column — checked here as rel_err 0 against each other
     # by construction since both columns face the same exact count).
-    "q_hll_merge_daily": {
+    "q_hll_merge_daily_estimates": {
         "oracle": """
             SELECT event_type,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS est_direct,
@@ -83,7 +87,7 @@ TOLERANCE_ORACLES: dict[str, dict] = {
     # sketch's ~1% envelope and the overlap subtracts three of them, so its
     # budget is wider (10%); at gate cardinalities the sketches run in exact
     # (coupon) mode and the match is typically exact.
-    "q_hll_audience_overlap": {
+    "q_hll_audience_overlap_estimates": {
         "oracle": """
             WITH ue AS (SELECT DISTINCT event_type, user_id FROM events),
             n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd
