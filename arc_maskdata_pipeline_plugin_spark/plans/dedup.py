@@ -81,22 +81,13 @@ def dedup_minhash_pairs(spark, sf_dir):
     return lsh_candidate_pairs(sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
 
 
-@register("dedup_minhash_pairs_fast", oracle=None)  # xxhash64 family ≠ DuckDB md5
-def dedup_minhash_pairs_fast(spark, sf_dir):
-    """PRODUCTION MinHash path: same one-scan signature pipeline and banding
-    as `dedup_minhash_pairs`, but the hash family is JVM xxhash64 instead of
-    md5-prefix — ~2.9× cheaper per shingle (STRESS.md). md5 stays the
-    DuckDB-reproducible oracle path.
-
-    Rows-only by nature (DuckDB has no xxhash64), so the quality check rides
-    IN the plan (VERDICT r04 #5, the trained-ANN ``recall_at_k`` pattern):
-    each candidate pair carries membership flags for both hash families plus
+def dedup_minhash_pairs_fast_detail(spark, sf_dir):
+    """Per-pair detail of the xxhash64-vs-md5 family comparison (pytest
+    surface; the registered query collapses this to a hash-oracled audit).
+    Each candidate pair carries membership flags for both hash families plus
     the global candidate-set Jaccard between them (``agreement_fp6``, a
-    broadcast 1-row aggregate over the full-outer pair union). Two different
-    random hash families band differently near the similarity threshold, so
-    agreement < 1 by design; `tests/test_similarity_recall.py` pins the
-    floor. The flagged pair frame is near-dup-sized — the persist is tiny
-    and private to this query."""
+    broadcast 1-row aggregate over the full-outer pair union). The flagged
+    pair frame is near-dup-sized — the persist is tiny and private."""
     sh = word_shingles(spread(T(spark, sf_dir, "documents")), distinct=False)
     fast = lsh_candidate_pairs(
         minhash_signatures(sh, num_hashes=NUM_HASHES, hash_fn="xxhash64"),
@@ -131,6 +122,71 @@ def dedup_minhash_pairs_fast(spark, sf_dir):
         F.floor(F.col("nc") * 1_000_000.0 / (F.col("nf") + F.col("nm") - F.col("nc")))
         .cast("bigint")
         .alias("agreement_fp6"),
+    )
+
+
+@register(
+    "dedup_minhash_pairs_fast",
+    oracle=f"""
+WITH md5_pairs AS ({_minhash_oracle()}),
+{_SHINGLES_CTE},
+sets AS (
+  SELECT doc_id,
+         md5(string_agg(DISTINCT shingle, '|' ORDER BY shingle)) AS set_h
+  FROM sh GROUP BY doc_id
+),
+grp AS (SELECT set_h, CAST(COUNT(*) AS BIGINT) AS c FROM sets GROUP BY set_h)
+SELECT CAST((SELECT COUNT(*) FROM md5_pairs) AS BIGINT) AS n_md5_pairs,
+       CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_identical_pairs,
+       CAST(1 AS BIGINT) AS identical_in_both
+FROM grp
+""",
+)
+def dedup_minhash_pairs_fast(spark, sf_dir):
+    """PRODUCTION MinHash path: same one-scan signature pipeline and banding
+    as `dedup_minhash_pairs`, but the hash family is JVM xxhash64 instead of
+    md5-prefix — ~2.9× cheaper per shingle (STRESS.md). md5 stays the
+    DuckDB-reproducible oracle path.
+
+    DuckDB has no xxhash64, so (r08, the VERDICT r07 #4 audit pattern) the
+    registered query emits a hash-oracled CROSS-FAMILY audit instead of a
+    rows-only pair list, pinning only what is THEOREM-backed: documents
+    with IDENTICAL shingle sets have identical MinHash signatures under ANY
+    hash family, hence identical band keys, hence land in BOTH families'
+    candidate sets — so ``identical_in_both`` can never flap, at any scale.
+    The oracle independently re-derives ``n_md5_pairs`` (its own banding)
+    and ``n_identical_pairs`` (grouping docs by their full shingle-set
+    hash). A global candidate-set-agreement floor is deliberately NOT a
+    gate verdict: near the 4-band s-curve threshold (~0.5 Jaccard) each
+    family catches marginal pairs quasi-independently, and measured
+    agreement drops from 0.76–0.80 (sf0.001–0.01, near-dup-dominated) to
+    0.20 at sf0.1 (marginal-pair-dominated) — a correct property of LSH,
+    not a regression. The per-pair detail (both membership flags + the
+    agreement number) stays in ``dedup_minhash_pairs_fast_detail``, floor-
+    pinned at small SF in tests/test_similarity_recall.py."""
+    detail = dedup_minhash_pairs_fast_detail(spark, sf_dir).transform(persisted)
+    sh = word_shingles(spread(T(spark, sf_dir, "documents")), distinct=True)
+    sets = sh.groupBy("doc_id").agg(
+        F.md5(F.concat_ws("|", F.sort_array(F.collect_set("shingle")))).alias("set_h")
+    )
+    a, b = sets.alias("sa"), sets.alias("sb")
+    ident = a.join(
+        b,
+        (F.col("sa.set_h") == F.col("sb.set_h"))
+        & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+    ).select(
+        F.col("sa.doc_id").alias("d1"), F.col("sb.doc_id").alias("d2")
+    )
+    ident_flags = ident.join(F.broadcast(detail), ["d1", "d2"], "left").select(
+        (F.coalesce("in_fast", F.lit(0)) * F.coalesce("in_md5", F.lit(0))).alias("both")
+    )
+    counts = detail.agg(F.sum("in_md5").cast("bigint").alias("n_md5_pairs"))
+    ident_agg = ident_flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_identical_pairs"),
+        F.coalesce(F.min("both"), F.lit(1)).cast("bigint").alias("identical_in_both"),
+    )
+    return counts.crossJoin(F.broadcast(ident_agg)).select(
+        "n_md5_pairs", "n_identical_pairs", "identical_in_both"
     )
 
 

@@ -130,9 +130,10 @@ def test_minhash_fast_path_agreement_floor(spark):
     must be found by both (observed 0.80 at sf0.001 / 0.76 at sf0.01)."""
     from arc_maskdata_pipeline_plugin_spark.plans.dedup import (
         dedup_minhash_pairs_fast,
+        dedup_minhash_pairs_fast_detail,
     )
 
-    df = dedup_minhash_pairs_fast(spark, SF)
+    df = dedup_minhash_pairs_fast_detail(spark, SF)
     row = df.agg(
         F.min("agreement_fp6").alias("agree"),
         F.sum(F.col("in_fast") * F.col("in_md5")).alias("n_both"),
@@ -141,3 +142,12 @@ def test_minhash_fast_path_agreement_floor(spark):
     assert row.n > 0
     assert row.n_both > 0
     assert row.agree >= 600_000, row.agree
+    # the registered hash-oracled audit wraps this detail: the theorem
+    # verdict (identical shingle sets → found by both families) must hold
+    # and the md5 pair count must match the oracle path's own frame
+    audit = dedup_minhash_pairs_fast(spark, SF).collect()[0]
+    assert audit.identical_in_both == 1
+    assert audit.n_identical_pairs >= 0
+    from arc_maskdata_pipeline_plugin_spark.plans.dedup import dedup_minhash_pairs
+
+    assert audit.n_md5_pairs == dedup_minhash_pairs(spark, SF).count()
