@@ -37,8 +37,9 @@ def _ensure_udfs(spark):
         _registered_sessions.add(key)
 
 
-@register("q_mask_customers", oracle=None)  # KDF not reproducible in DuckDB
-def q_mask_customers(spark, sf_dir):
+def q_mask_customers_detail(spark, sf_dir):
+    """The per-row masked frame (pipeline/pytest surface; the registered
+    query collapses this to a hash-oracled property audit)."""
     _ensure_udfs(spark)
     c = T(spark, sf_dir, "customer")
     c.createOrReplaceTempView("_mask_customer_in")
@@ -46,6 +47,8 @@ def q_mask_customers(spark, sf_dir):
         """
         SELECT
           c_custkey,
+          c_name,
+          c_acctbal,
           mask_string(16, true, c_name) AS name_masked,
           mask_string_alphabet(12, '0123456789', true, c_name) AS account_digits,
           mask_string_alphabet_format(16, '0123456789', 'xxx-xxxx-xxxx', true, c_name) AS phone_fake,
@@ -57,21 +60,163 @@ def q_mask_customers(spark, sf_dir):
     )
 
 
-@register("q_mask_order_dates", oracle=None)
-def q_mask_order_dates(spark, sf_dir):
+@register(
+    "q_mask_customers",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_distinct_names,
+       CAST(1 AS BIGINT) AS name_format_ok,
+       CAST(1 AS BIGINT) AS digits_format_ok,
+       CAST(1 AS BIGINT) AS phone_format_ok,
+       CAST(1 AS BIGINT) AS acctbal_shift_in_range,
+       CAST(1 AS BIGINT) AS deterministic
+FROM customer
+""",
+)
+def q_mask_customers(spark, sf_dir):
+    """Reference mask treatments over customers, emitted as a hash-oracled
+    PROPERTY audit (r08; KDF digests aren't reproducible in DuckDB, but
+    every CONTRACT the masks make is verifiable in-plan): exact row and
+    distinct-name counts, plus Spark-side verdicts — mask_string(16) emits
+    exactly 16 chars of [a-zA-Z]; the 12-digit account alias is all
+    digits; the formatted phone matches ddd-dddd-dddd; mask_decimal(100.0)
+    PERTURBS the balance by a remainder strictly inside ±100 (it adds
+    ``remainder(hash-decimal, range)`` to the original — Java BigDecimal
+    remainder keeps the dividend's sign); and deterministic masking maps
+    every distinct input to exactly ONE masked value. Per-row masked values stay available via
+    ``q_mask_customers_detail`` and are hash-matched against JVM-generated
+    literals in ``q_mask_customers_pbkdf2``."""
+    d = q_mask_customers_detail(spark, sf_dir)
+    per_name = d.groupBy("c_name").agg(
+        F.countDistinct("name_masked").alias("n_mask_values")
+    )
+    det = per_name.agg(
+        F.when(F.max("n_mask_values") == 1, 1).otherwise(0).alias("det_ok")
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("c_name").cast("bigint").alias("n_distinct_names"),
+        F.when(
+            F.sum(F.when(F.col("name_masked").rlike("^[a-zA-Z]{16}$"), 0).otherwise(1)) == 0, 1
+        ).otherwise(0).cast("bigint").alias("name_format_ok"),
+        F.when(
+            F.sum(F.when(F.col("account_digits").rlike("^[0-9]{12}$"), 0).otherwise(1)) == 0, 1
+        ).otherwise(0).cast("bigint").alias("digits_format_ok"),
+        F.when(
+            F.sum(
+                F.when(F.col("phone_fake").rlike("^[0-9]{3}-[0-9]{4}-[0-9]{4}$"), 0).otherwise(1)
+            ) == 0, 1
+        ).otherwise(0).cast("bigint").alias("phone_format_ok"),
+        F.when(
+            F.sum(
+                F.when(
+                    F.abs(
+                        F.col("acctbal_masked").cast("decimal(14,2)")
+                        - F.col("c_acctbal").cast("decimal(14,2)")
+                    )
+                    < 100.0,
+                    0,
+                ).otherwise(1)
+            ) == 0, 1
+        ).otherwise(0).cast("bigint").alias("acctbal_shift_in_range"),
+    )
+    return agg.crossJoin(F.broadcast(det)).select(
+        "n_rows",
+        "n_distinct_names",
+        "name_format_ok",
+        "digits_format_ok",
+        "phone_format_ok",
+        "acctbal_shift_in_range",
+        F.col("det_ok").cast("bigint").alias("deterministic"),
+    )
+
+
+def q_mask_order_dates_detail(spark, sf_dir):
+    """Per-row masked dates/timestamps incl. the reference's date_trunc
+    composition (MaskDataPluginSuite.scala:133-136)."""
     _ensure_udfs(spark)
     o = T(spark, sf_dir, "orders")
     o.createOrReplaceTempView("_mask_orders_in")
-    # date + timestamp masking, incl. the reference's date_trunc composition
-    # (MaskDataPluginSuite.scala:133-136)
     return spark.sql(
         """
         SELECT
           o_orderkey,
+          CAST(o_orderdate AS DATE) AS orderdate_in,
+          date_trunc('HOUR', o_orderdate) AS ordertime_in,
           mask_date(365, true, CAST(o_orderdate AS DATE)) AS orderdate_masked,
           mask_timestamp(30, true, date_trunc('HOUR', o_orderdate)) AS ordertime_masked
         FROM _mask_orders_in
         """
+    )
+
+
+@register(
+    "q_mask_order_dates",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_distinct_dates,
+       CAST(1 AS BIGINT) AS date_shift_in_range,
+       CAST(1 AS BIGINT) AS ts_shift_in_range,
+       CAST(1 AS BIGINT) AS time_of_day_preserved,
+       CAST(1 AS BIGINT) AS deterministic
+FROM orders
+""",
+)
+def q_mask_order_dates(spark, sf_dir):
+    """Date/timestamp masking (incl. the reference's date_trunc
+    composition), emitted as a hash-oracled PROPERTY audit (r08): exact row
+    and distinct-date counts plus Spark-side verdicts — mask_date(365)
+    shifts every date by a signed amount strictly inside ±365 days;
+    mask_timestamp(30) stays strictly inside ±30 days AND preserves the
+    time-of-day (whole-day shifts — the property that lets it compose with
+    date_trunc, MaskDataTransform's chained-treatment contract); and each
+    distinct input date maps to exactly one masked date. Per-row values:
+    ``q_mask_order_dates_detail``; JVM-literal hash parity:
+    ``q_mask_customers_pbkdf2``."""
+    d = q_mask_order_dates_detail(spark, sf_dir)
+    per_date = d.groupBy("orderdate_in").agg(
+        F.countDistinct("orderdate_masked").alias("n_mask_values")
+    )
+    det = per_date.agg(
+        F.when(F.max("n_mask_values") == 1, 1).otherwise(0).alias("det_ok")
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("orderdate_in").cast("bigint").alias("n_distinct_dates"),
+        F.when(
+            F.sum(
+                F.when(
+                    F.abs(F.datediff("orderdate_masked", "orderdate_in")) < 365, 0
+                ).otherwise(1)
+            ) == 0, 1
+        ).otherwise(0).cast("bigint").alias("date_shift_in_range"),
+        F.when(
+            F.sum(
+                F.when(
+                    F.abs(
+                        F.unix_timestamp("ordertime_masked")
+                        - F.unix_timestamp("ordertime_in")
+                    ) < 30 * 86400, 0
+                ).otherwise(1)
+            ) == 0, 1
+        ).otherwise(0).cast("bigint").alias("ts_shift_in_range"),
+        F.when(
+            F.sum(
+                F.when(
+                    (F.hour("ordertime_masked") == F.hour("ordertime_in"))
+                    & (F.minute("ordertime_masked") == 0)
+                    & (F.second("ordertime_masked") == 0), 0
+                ).otherwise(1)
+            ) == 0, 1
+        ).otherwise(0).cast("bigint").alias("time_of_day_preserved"),
+    )
+    return agg.crossJoin(F.broadcast(det)).select(
+        "n_rows",
+        "n_distinct_dates",
+        "date_shift_in_range",
+        "ts_shift_in_range",
+        "time_of_day_preserved",
+        F.col("det_ok").cast("bigint").alias("deterministic"),
     )
 
 

@@ -756,12 +756,59 @@ def q_entity_resolution(spark, sf_dir):
     )
 
 
-@register("q_compression_quality", oracle=None)  # no SQL engine has DEFLATE
-def q_compression_quality(spark, sf_dir):
-    """zlib compression-ratio filter signal per doc (rows-only by design —
-    DuckDB has no DEFLATE; exact values are cross-computed against Python's
-    zlib in tests/test_round6_ops.py). See
-    operators/text.py::compression_quality."""
+def q_compression_quality_detail(spark, sf_dir):
+    """Raw per-doc zlib signal (doc_id, raw_bytes, compressed_bytes,
+    ratio_fp6) — exact values cross-computed against Python's zlib in
+    tests/test_round6_ops.py. The registered query wraps this in a
+    hash-oracled audit."""
     from ..operators.text import compression_quality
 
     return compression_quality(spread(T(spark, sf_dir, "documents")))
+
+
+@register(
+    "q_compression_quality",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS raw_bytes,
+       CAST(1 AS BIGINT) AS compressed_bounded,
+       CAST(1 AS BIGINT) AS ratio_consistent
+FROM documents
+""",
+)
+def q_compression_quality(spark, sf_dir):
+    """zlib compression-ratio filter signal (the CCNet/Gopher-style
+    repetitiveness screen), emitted as a hash-oracled per-doc audit (r08):
+    no SQL engine exposes DEFLATE, but the UTF-8 byte length IS
+    independently computable (DuckDB ``octet_length``) and pins that the
+    UDF saw every byte of every doc; two Spark-side verdicts pin the zlib
+    output against its spec — ``compressed_bounded`` (1 ≤ compressed ≤
+    raw + raw/100 + 64, the DEFLATE stored-block worst case with slack)
+    and ``ratio_consistent`` (the emitted fixed-point ratio re-derives
+    exactly as compressed·10⁶ div max(raw,1)). Raw per-doc values:
+    ``q_compression_quality_detail``, cross-computed against Python zlib
+    in tests/test_round6_ops.py."""
+    d = q_compression_quality_detail(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        "raw_bytes",
+        F.when(
+            (F.col("compressed_bytes") >= 1)
+            & (
+                F.col("compressed_bytes")
+                <= F.col("raw_bytes") + F.expr("raw_bytes div 100") + 64
+            ),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("compressed_bounded"),
+        F.when(
+            F.col("ratio_fp6")
+            == F.expr("compressed_bytes * 1000000 div greatest(raw_bytes, 1)"),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("ratio_consistent"),
+    )

@@ -35,10 +35,21 @@ def test_q8_no_sort_merge_join(spark):
 
 
 def test_mask_projection_no_shuffle(spark):
-    """Masking is a pure projection — zero exchanges, Arrow-batched Python."""
-    a = props("q_mask_customers", spark)
+    """Masking is a pure projection — zero exchanges, Arrow-batched Python.
+    (r08: the registered q_mask_customers wraps this detail frame in a
+    hash-oracled property audit, which aggregates — the projection
+    invariant lives on the detail frame the pipeline actually ships.)"""
+    from arc_maskdata_pipeline_plugin_spark.plans.masking_queries import (
+        q_mask_customers_detail,
+    )
+
+    a = audit("q_mask_customers_detail", q_mask_customers_detail, spark, SF)
     assert a["exchanges"] == 0
     assert a["python_ops"] >= 1
+    # and the audit wrapper stays join-free (one aggregate + broadcast)
+    b = props("q_mask_customers", spark)
+    assert b["sort_merge_joins"] == 0
+    assert b["python_ops"] >= 1
 
 
 def test_jaccard_no_joins_bounded_shuffles(spark):
