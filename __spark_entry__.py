@@ -102,31 +102,23 @@ GATE_WINDOW = [
     "q_personalized_pagerank", "q_seasonal_strength",
     "q_partition_fingerprint_diff", "q_negative_sampling_table",
     #
+    # --- r08-built (new queries, never witnessed) ---
+    "q_decontaminate_spans", "q_bpe_vocab_sweep", "q_winnowing_fingerprints",
+    "q_hubness_audit",
+    #
+    # --- r08-changed (rows-only → hash-oracled audit conversions, plus the
+    #     IVF probe-broadcast plan change) — re-witness under new schemas ---
+    "q_winsorize_prices_approx", "sim_ann_ivf_trained", "sim_ann_pq_trained",
+    "sim_ann_ivf", "q_approx_distinct_users", "q_hll_merge_daily",
+    "q_hll_audience_overlap", "q_approx_quantiles", "dedup_minhash_pairs_fast",
+    "q_mask_customers", "q_mask_order_dates", "q_compression_quality",
+    #
     # --- green displaced representatives (all witnessed r01..r07) ---
-    # masking / pipeline
     "q1_pricing_summary", "q_mask_customers_pbkdf2", "q_mask_credit_cards",
-    "q_fake_substitution", "q_userdata_lifecycle", "q_mask_pipeline_stage",
-    # joins
-    "q_auto_join_revenue", "q_range_join_event_pairs", "q_null_safe_join",
-    "q_salted_join_revenue",
-    # agg / window / set ops / scalar fns
-    "q_grouping_sets", "q_window_frames", "q15_top_supplier",
-    "q_union_account_holders", "q_datetime_functions",
-    # dedup
-    "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_buckets",
-    "dedup_ppjoin_pairs",
-    # similarity / ANN
-    "sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq",
-    # text analysis / curation
-    "q_decontaminate_ngrams", "q_perplexity_filter", "q_dsir_importance",
-    # multimodal
-    "q_multimodal_real_png",
-    # tokenization
-    "q_bpe_train_merges", "q_bpe_roundtrip",
-    # graph / behavior
-    "q_hits_authorities", "q_sessionize_events",
-    # sources
-    "q_json_events", "q_variant_extract",
+    "q_userdata_lifecycle", "q_auto_join_revenue", "q_grouping_sets",
+    "q_window_frames", "dedup_exact", "dedup_minhash_pairs", "sim_ann_lsh",
+    "q_decontaminate_ngrams", "q_bpe_roundtrip", "q_hits_authorities",
+    "q_sessionize_events",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 
