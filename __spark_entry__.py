@@ -118,7 +118,7 @@ GATE_WINDOW = [
     "q_userdata_lifecycle", "q_auto_join_revenue", "q_grouping_sets",
     "q_window_frames", "dedup_exact", "dedup_minhash_pairs", "sim_ann_lsh",
     "q_decontaminate_ngrams", "q_bpe_roundtrip", "q_hits_authorities",
-    "q_sessionize_events",
+    "q_sessionize_events", "q_json_events", "q_multimodal_real_png",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 
