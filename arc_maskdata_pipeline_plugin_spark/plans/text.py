@@ -812,3 +812,114 @@ def q_compression_quality(spark, sf_dir):
         .cast("bigint")
         .alias("ratio_consistent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-length economics: packing efficiency swept over context lengths.
+# ---------------------------------------------------------------------------
+
+PACK_SWEEP_LENGTHS = [512, 1024, 2048, 4096]
+
+_PACK_SWEEP_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+),
+l AS (SELECT unnest([{", ".join(str(x) for x in PACK_SWEEP_LENGTHS)}]) AS context_len),
+g AS (
+  SELECT source, context_len,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(CASE WHEN cum_before % context_len + n_tokens > context_len
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+  FROM c CROSS JOIN l
+  GROUP BY source, context_len
+)
+SELECT source, CAST(context_len AS BIGINT) AS context_len, n_docs, total_tokens,
+       CAST((total_tokens + context_len - 1) // context_len AS BIGINT) AS n_packs,
+       n_split_docs,
+       CAST(total_tokens * 1000000
+            // (((total_tokens + context_len - 1) // context_len) * context_len)
+            AS BIGINT) AS fill_ppm
+FROM g
+"""
+
+
+@register("q_packing_efficiency_sweep", oracle=_PACK_SWEEP_ORACLE)
+def q_packing_efficiency_sweep(spark, sf_dir):
+    """CONTEXT-LENGTH ECONOMICS for concat-and-split packing: for each
+    candidate context length {lens}, how many packs each source stream
+    produces, how many documents get split across a pack boundary (the
+    attention-contamination cost of concat-split), and the fill rate
+    (wasted padding only in the final pack). The numbers a context-window /
+    batch-shape decision is priced from — the packing twin of
+    ``q_bpe_vocab_sweep``'s vocabulary curve.
+
+    Scale shape: the per-source running token total is computed ONCE (same
+    window as ``q_sequence_packing``; at 100 TB key streams by (source,
+    shard)); all four context lengths are then pure projections over that
+    one cumulative frame (an explode + one keyed aggregate) — the sweep
+    costs one corpus scan regardless of how many lengths it prices. All
+    integer arithmetic; boundary-crossing is exact: a doc splits iff
+    (cum_before mod L) + n_tokens > L.
+    """.format(lens=PACK_SWEEP_LENGTHS)
+    from pyspark.sql import Window
+
+    from ..operators.text import tokens_col
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens_col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.select(
+        "source",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("cum_before"),
+    )
+    lens = F.explode(
+        F.array(*[F.lit(x).cast("bigint") for x in PACK_SWEEP_LENGTHS])
+    ).alias("context_len")
+    g = (
+        c.select("source", "n_tokens", "cum_before", lens)
+        .groupBy("source", "context_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(
+                F.when(
+                    F.col("cum_before") % F.col("context_len") + F.col("n_tokens")
+                    > F.col("context_len"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_split_docs"),
+        )
+    )
+    n_packs = F.expr("(total_tokens + context_len - 1) div context_len")
+    return g.select(
+        "source",
+        "context_len",
+        "n_docs",
+        "total_tokens",
+        n_packs.cast("bigint").alias("n_packs"),
+        "n_split_docs",
+        F.expr(
+            "total_tokens * 1000000 div "
+            "(((total_tokens + context_len - 1) div context_len) * context_len)"
+        )
+        .cast("bigint")
+        .alias("fill_ppm"),
+    )

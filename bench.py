@@ -301,6 +301,9 @@ HEADLINE = [
     # round 8 (cont. 2): embedding hubness k-occurrence histogram over a
     # deterministic modulus sample
     "q_hubness_audit",
+    # round 8 (cont. 3): context-length packing economics — 4 lengths
+    # priced off one cumulative window
+    "q_packing_efficiency_sweep",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

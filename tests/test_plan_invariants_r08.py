@@ -74,6 +74,15 @@ def test_hubness_audit_sampled_and_pushed(spark):
     assert a["pushed_filters"] >= 1
 
 
+def test_packing_sweep_one_scan_one_window(spark):
+    """All four context lengths price off ONE cumulative window: one scan,
+    the explode is a projection, one keyed aggregate after it."""
+    a = props("q_packing_efficiency_sweep", spark)
+    assert a["scans"] == 1
+    assert a["sort_merge_joins"] == 0
+    assert a["python_ops"] == 0
+
+
 def test_trained_ann_audits_stay_broadcast_shaped(spark):
     """Recall audits: every join is on query-set-sized frames (broadcast);
     the corpus is never sort-merge joined."""

@@ -188,6 +188,37 @@ def test_winnowing_matches_python_reference(spark, tmp_path):
         assert r.max_gap <= _WIN_W  # the winnowing coverage guarantee
 
 
+def test_packing_efficiency_sweep_hand_computed(spark, tmp_path):
+    """Three docs of 300/300/500 tokens in one source: boundary-crossing
+    counts, pack counts, and fill rates must match hand-derived values for
+    every swept context length."""
+    rows = [
+        (0, " ".join(["w"] * 300), "en", "s"),
+        (1, " ".join(["w"] * 300), "en", "s"),
+        (2, " ".join(["w"] * 500), "en", "s"),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    from arc_maskdata_pipeline_plugin_spark.plans.text import (
+        PACK_SWEEP_LENGTHS,
+        q_packing_efficiency_sweep,
+    )
+
+    out = {r.context_len: r for r in q_packing_efficiency_sweep(spark, str(tmp_path)).collect()}
+    assert sorted(out) == PACK_SWEEP_LENGTHS
+    total = 1100
+    # cum_before per doc (doc_id order): 0, 300, 600
+    expected_splits = {512: 2, 1024: 1, 2048: 0, 4096: 0}
+    for L, r in out.items():
+        assert r.n_docs == 3 and r.total_tokens == total
+        n_packs = -(-total // L)
+        assert r.n_packs == n_packs, L
+        assert r.n_split_docs == expected_splits[L], L
+        assert r.fill_ppm == total * 1_000_000 // (n_packs * L), L
+    # fill monotonically benefits from shorter contexts when totals are
+    # fixed by last-pack padding only
+    assert out[512].fill_ppm > out[4096].fill_ppm
+
+
 def test_hubness_audit_planted_hub_and_antihub(spark, tmp_path):
     """9 identical cluster vectors + 1 orthogonal loner (all ids ≡ 0 mod 4
     so the audit sample keeps them): tie-break-by-id routes every top-5
