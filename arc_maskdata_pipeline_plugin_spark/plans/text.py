@@ -923,3 +923,72 @@ def q_packing_efficiency_sweep(spark, sf_dir):
         .cast("bigint")
         .alias("fill_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Smallest repeating token period — degenerate-generation / template detector.
+# ---------------------------------------------------------------------------
+
+_PERIOD_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk,
+         len(string_split_regex(trim(text), '\s+')) AS n
+  FROM documents
+),
+cand AS (
+  SELECT doc_id, n, p
+  FROM t, UNNEST(generate_series(1, n - 1)) AS u(p)
+  WHERE tk[1:n-p] = tk[p+1:n]
+),
+mp AS (SELECT doc_id, MIN(p) AS mp FROM cand GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(COALESCE(mp, n) AS BIGINT) AS min_period,
+       CAST((n - COALESCE(mp, n)) * 1000000 // n AS BIGINT) AS tail_cover_fp6
+FROM t LEFT JOIN mp USING (doc_id)
+"""
+
+
+@register("q_repetition_period", oracle=_PERIOD_ORACLE)
+def q_repetition_period(spark, sf_dir):
+    """Smallest repeating TOKEN PERIOD per document — the degenerate-
+    generation / template-loop detector: a sequence has period p iff it
+    equals itself shifted by p (``tokens[1..n−p] == tokens[p+1..n]``, the
+    string-periodicity definition; min period = n − longest border). A doc
+    of 'buy now buy now buy now …' has min_period 2 and tail_cover → 1;
+    aperiodic text has min_period = n and tail_cover 0. Complements
+    ``q_repetition_stats`` (n-gram repeat mass): the period finds EXACT
+    whole-stream loops n-gram ratios only hint at.
+
+    Scale shape: doc-local — one scan, a (n−1)-way period explode with two
+    aligned array slices compared per candidate (O(n²) tokens per doc;
+    corpus docs here are ≤100 tokens — at 100 TB cap the check to the
+    first ~256 tokens per doc, which bounds the explode and still catches
+    loops, since a generation loop repeats from early on). No joins, no
+    Python."""
+    t = spread(T(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.split(F.trim("text"), r"\s+").alias("tk"),
+    ).select("doc_id", "tk", F.size("tk").alias("n"))
+    cand = (
+        t.filter(F.col("n") >= 2)  # sequence(1, 0) runs DESCENDING in Spark
+        .select(
+            "doc_id",
+            "n",
+            "tk",
+            F.explode(F.expr("sequence(1, n - 1)")).alias("p"),
+        )
+        .filter(F.expr("slice(tk, 1, n - p) = slice(tk, p + 1, n - p)"))
+    )
+    mp = cand.groupBy("doc_id").agg(F.min("p").alias("mp"))
+    return (
+        t.join(mp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            F.coalesce("mp", F.col("n")).cast("bigint").alias("min_period"),
+            F.expr("(n - coalesce(mp, n)) * 1000000 div n")
+            .cast("bigint")
+            .alias("tail_cover_fp6"),
+        )
+    )

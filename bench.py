@@ -304,6 +304,9 @@ HEADLINE = [
     # round 8 (cont. 3): context-length packing economics — 4 lengths
     # priced off one cumulative window
     "q_packing_efficiency_sweep",
+    # round 8 (cont. 4): smallest repeating token period (doc-local
+    # O(n²) slice equality, generation-loop detector)
+    "q_repetition_period",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

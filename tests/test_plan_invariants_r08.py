@@ -83,6 +83,15 @@ def test_packing_sweep_one_scan_one_window(spark):
     assert a["python_ops"] == 0
 
 
+def test_repetition_period_doc_local(spark):
+    """Period detection is doc-local: the min-period aggregate shuffles by
+    doc_id only; no Python, no cross-doc join beyond the doc-keyed
+    left join back onto the length frame."""
+    a = props("q_repetition_period", spark)
+    assert a["python_ops"] == 0
+    assert a["pushed_filters"] >= 0 and a["scans"] <= 2
+
+
 def test_trained_ann_audits_stay_broadcast_shaped(spark):
     """Recall audits: every join is on query-set-sized frames (broadcast);
     the corpus is never sort-merge joined."""

@@ -188,6 +188,32 @@ def test_winnowing_matches_python_reference(spark, tmp_path):
         assert r.max_gap <= _WIN_W  # the winnowing coverage guarantee
 
 
+def test_repetition_period_known_loops(spark, tmp_path):
+    """Hand-checkable periods: a pure 2-token loop → period 2; a 3-token
+    loop with a ragged tail → period 3 (periods need not divide n); an
+    all-same-token doc → period 1; aperiodic text → period n; a single
+    token → period 1 = n."""
+    rows = [
+        (0, "buy now buy now buy now buy now", "en", "s"),          # n=8, p=2
+        (1, "a b c a b c a b", "en", "s"),                           # n=8, p=3
+        (2, "x x x x x", "en", "s"),                                 # n=5, p=1
+        (3, "one two three four five six seven", "en", "s"),         # n=7, p=7
+        (4, "solo", "en", "s"),                                      # n=1, p=1
+    ]
+    _write_docs(spark, tmp_path, rows)
+    from arc_maskdata_pipeline_plugin_spark.plans.text import q_repetition_period
+
+    out = {r.doc_id: r for r in q_repetition_period(spark, str(tmp_path)).collect()}
+    assert (out[0].n_tokens, out[0].min_period) == (8, 2)
+    assert (out[1].n_tokens, out[1].min_period) == (8, 3)
+    assert (out[2].n_tokens, out[2].min_period) == (5, 1)
+    assert (out[3].n_tokens, out[3].min_period) == (7, 7)
+    assert (out[4].n_tokens, out[4].min_period) == (1, 1)
+    assert out[0].tail_cover_fp6 == (8 - 2) * 1_000_000 // 8
+    assert out[3].tail_cover_fp6 == 0
+    assert out[2].tail_cover_fp6 == (5 - 1) * 1_000_000 // 5
+
+
 def test_packing_efficiency_sweep_hand_computed(spark, tmp_path):
     """Three docs of 300/300/500 tokens in one source: boundary-crossing
     counts, pack counts, and fill rates must match hand-derived values for
