@@ -1184,3 +1184,64 @@ def q_winnowing_fingerprints(spark, sf_dir):
         "max_gap",
         "fp_checksum",
     )
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup: inverse-propensity duplicate weighting (keep all, weight 1/c).
+# ---------------------------------------------------------------------------
+
+_SOFT_DEDUP_ORACLE = r"""
+WITH f AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+c AS (
+  SELECT f.*, COUNT(*) OVER (PARTITION BY fp) AS csize FROM f
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_clusters,
+       CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+       CAST(SUM(n_tokens * (1000000 // csize)) AS BIGINT) AS effective_tokens_fp6,
+       CAST(SUM(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicated_docs
+FROM c GROUP BY source
+"""
+
+
+@register("q_dedup_soft_weights", oracle=_SOFT_DEDUP_ORACLE)
+def q_dedup_soft_weights(spark, sf_dir):
+    """SOFT dedup (inverse-propensity duplicate weighting): instead of
+    dropping duplicates (``dedup_survivors``), keep every copy but weight
+    it 1/cluster_size — the training-mix treatment that preserves the
+    corpus distribution while removing duplication's gradient
+    over-counting. Clusters are exact-content groups (normalized-text md5,
+    the ``text_fingerprints`` normalization); the per-source report gives
+    raw vs EFFECTIVE token mass (Σ tokens·⌊10⁶/c⌋, exact integer
+    arithmetic) — the number a data-mix budget actually consumes — plus
+    how many docs carry a reduced weight.
+
+    Scale shape: one scan; one fingerprint-keyed window for cluster sizes
+    (the same shuffle exact dedup needs anyway); one source-keyed
+    aggregate. No joins."""
+    f = spread(T(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("fp"),
+    )
+    from pyspark.sql import Window
+
+    c = f.withColumn("csize", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("fp").cast("bigint").alias("n_clusters"),
+        F.sum("n_tokens").cast("bigint").alias("raw_tokens"),
+        F.sum(F.expr("n_tokens * (1000000 div csize)"))
+        .cast("bigint")
+        .alias("effective_tokens_fp6"),
+        F.sum(F.when(F.col("csize") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_duplicated_docs"),
+    )

@@ -307,6 +307,9 @@ HEADLINE = [
     # round 8 (cont. 4): smallest repeating token period (doc-local
     # O(n²) slice equality, generation-loop detector)
     "q_repetition_period",
+    # round 8 (cont. 5): inverse-propensity soft dedup weighting
+    # (one fingerprint window + one source aggregate, no joins)
+    "q_dedup_soft_weights",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

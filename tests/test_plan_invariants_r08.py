@@ -92,6 +92,16 @@ def test_repetition_period_doc_local(spark):
     assert a["pushed_filters"] >= 0 and a["scans"] <= 2
 
 
+def test_soft_dedup_one_scan_no_joins(spark):
+    """Soft dedup weighting: one scan, the fingerprint window is the only
+    corpus shuffle (same key exact dedup shuffles on anyway), no joins."""
+    a = props("q_dedup_soft_weights", spark)
+    assert a["scans"] == 1
+    assert a["sort_merge_joins"] == 0
+    assert a["broadcasts"] == 0
+    assert a["python_ops"] == 0
+
+
 def test_trained_ann_audits_stay_broadcast_shaped(spark):
     """Recall audits: every join is on query-set-sized frames (broadcast);
     the corpus is never sort-merge joined."""

@@ -188,6 +188,31 @@ def test_winnowing_matches_python_reference(spark, tmp_path):
         assert r.max_gap <= _WIN_W  # the winnowing coverage guarantee
 
 
+def test_soft_dedup_weights_hand_computed(spark, tmp_path):
+    """Three identical 10-token docs (two in source a, one in b) + one
+    unique 5-token doc in a: cluster size 3 spans sources, so source a's
+    effective mass is 2·10·⌊1e6/3⌋ + 5·1e6 and b's is 10·⌊1e6/3⌋."""
+    dup = " ".join(["d"] * 10)
+    rows = [
+        (0, dup, "en", "a"),
+        (1, dup, "en", "a"),
+        (2, dup, "en", "b"),
+        (3, "u1 u2 u3 u4 u5", "en", "a"),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    from arc_maskdata_pipeline_plugin_spark.plans.dedup import q_dedup_soft_weights
+
+    out = {r.source: r for r in q_dedup_soft_weights(spark, str(tmp_path)).collect()}
+    w3 = 1_000_000 // 3
+    a, b = out["a"], out["b"]
+    assert (a.n_docs, a.n_clusters, a.raw_tokens) == (3, 2, 25)
+    assert a.effective_tokens_fp6 == 2 * 10 * w3 + 5 * 1_000_000
+    assert a.n_duplicated_docs == 2
+    assert (b.n_docs, b.n_clusters, b.raw_tokens) == (1, 1, 10)
+    assert b.effective_tokens_fp6 == 10 * w3
+    assert b.n_duplicated_docs == 1
+
+
 def test_repetition_period_known_loops(spark, tmp_path):
     """Hand-checkable periods: a pure 2-token loop → period 2; a 3-token
     loop with a ragged tail → period 3 (periods need not divide n); an
