@@ -104,7 +104,8 @@ GATE_WINDOW = [
     #
     # --- r08-built (new queries, never witnessed) ---
     "q_decontaminate_spans", "q_bpe_vocab_sweep", "q_winnowing_fingerprints",
-    "q_hubness_audit",
+    "q_hubness_audit", "q_packing_efficiency_sweep", "q_repetition_period",
+    "q_dedup_soft_weights",
     #
     # --- r08-changed (rows-only → hash-oracled audit conversions, plus the
     #     IVF probe-broadcast plan change) — re-witness under new schemas ---
@@ -118,7 +119,6 @@ GATE_WINDOW = [
     "q_userdata_lifecycle", "q_auto_join_revenue", "q_grouping_sets",
     "q_window_frames", "dedup_exact", "dedup_minhash_pairs", "sim_ann_lsh",
     "q_decontaminate_ngrams", "q_bpe_roundtrip", "q_hits_authorities",
-    "q_sessionize_events", "q_json_events", "q_multimodal_real_png",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 
