@@ -1245,3 +1245,69 @@ def q_dedup_soft_weights(spark, sf_dir):
         .cast("bigint")
         .alias("n_duplicated_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Document-stitch detection: doc A's tail == doc B's head (crawl fragments).
+# ---------------------------------------------------------------------------
+
+_STITCH_K = 8
+
+_STITCH_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk,
+         len(string_split_regex(trim(text), '\s+')) AS n
+  FROM documents
+),
+edges AS (
+  SELECT doc_id, n,
+         md5(array_to_string(tk[1:{_STITCH_K}], ' ')) AS head_h,
+         md5(array_to_string(tk[n-{_STITCH_K - 1}:n], ' ')) AS tail_h
+  FROM t WHERE n >= {_STITCH_K}
+)
+SELECT a.doc_id AS left_doc, b.doc_id AS right_doc,
+       CAST(a.n AS BIGINT) AS left_tokens,
+       CAST(b.n AS BIGINT) AS right_tokens
+FROM edges a JOIN edges b
+  ON a.tail_h = b.head_h AND a.doc_id <> b.doc_id
+"""
+
+
+@register("q_doc_stitch_pairs", oracle=_STITCH_ORACLE)
+def q_doc_stitch_pairs(spark, sf_dir):
+    """Crawl-fragment STITCH detection: find ordered document pairs where
+    A's last {k} tokens equal B's first {k} tokens — the signature of one
+    source page split across crawl records (pagination, stream cuts,
+    extraction restarts). Downstream, such pairs are merge candidates
+    (stitch A+B back together) or boundary-dedup targets; either way they
+    corrupt both training (truncated context) and dedup statistics if
+    unnoticed.
+
+    Scale shape: one corpus scan projects each doc to a (head-hash,
+    tail-hash) EDGE ROW — 2 hashes per doc, never the text — and the
+    detector is a single hash-keyed equi-join of that slim frame with
+    itself: shuffle bytes are O(corpus docs · 32 B), not O(corpus text).
+    """.format(k=_STITCH_K)
+    t = spread(T(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.split(F.trim("text"), r"\s+").alias("tk"),
+    ).select("doc_id", "tk", F.size("tk").alias("n"))
+    edges = t.filter(F.col("n") >= _STITCH_K).select(
+        "doc_id",
+        "n",
+        F.md5(F.expr(f"array_join(slice(tk, 1, {_STITCH_K}), ' ')")).alias("head_h"),
+        F.md5(
+            F.expr(f"array_join(slice(tk, n - {_STITCH_K - 1}, {_STITCH_K}), ' ')")
+        ).alias("tail_h"),
+    )
+    a, b = edges.alias("ea"), edges.alias("eb")
+    return a.join(
+        b,
+        (F.col("ea.tail_h") == F.col("eb.head_h"))
+        & (F.col("ea.doc_id") != F.col("eb.doc_id")),
+    ).select(
+        F.col("ea.doc_id").alias("left_doc"),
+        F.col("eb.doc_id").alias("right_doc"),
+        F.col("ea.n").cast("bigint").alias("left_tokens"),
+        F.col("eb.n").cast("bigint").alias("right_tokens"),
+    )

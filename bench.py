@@ -310,6 +310,9 @@ HEADLINE = [
     # round 8 (cont. 5): inverse-propensity soft dedup weighting
     # (one fingerprint window + one source aggregate, no joins)
     "q_dedup_soft_weights",
+    # round 8 (cont. 6): crawl-fragment stitch detection (slim head/tail
+    # hash frame self-joined on the hash key)
+    "q_doc_stitch_pairs",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -102,6 +102,16 @@ def test_soft_dedup_one_scan_no_joins(spark):
     assert a["python_ops"] == 0
 
 
+def test_doc_stitch_slim_edge_join(spark):
+    """Stitch detection joins the slim (doc_id, head_h, tail_h) frame with
+    itself on a hash key — never the text; the length filter is pushed to
+    both scans; all JVM-side."""
+    a = props("q_doc_stitch_pairs", spark)
+    assert a["scans"] == 2
+    assert a["python_ops"] == 0
+    assert a["pushed_filters"] >= 1
+
+
 def test_trained_ann_audits_stay_broadcast_shaped(spark):
     """Recall audits: every join is on query-set-sized frames (broadcast);
     the corpus is never sort-merge joined."""

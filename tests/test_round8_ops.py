@@ -188,6 +188,29 @@ def test_winnowing_matches_python_reference(spark, tmp_path):
         assert r.max_gap <= _WIN_W  # the winnowing coverage guarantee
 
 
+def test_doc_stitch_pairs_planted_fragments(spark, tmp_path):
+    """Doc 1's tail 8-gram equals doc 2's head 8-gram (a split page) →
+    exactly the ordered pair (1, 2); an 8-gram shared mid-document must
+    NOT match (stitching is strictly tail-to-head); short docs (< 8
+    tokens) are excluded."""
+    bridge = [f"b{i}" for i in range(8)]
+    rows = [
+        (1, " ".join([f"x{i}" for i in range(10)] + bridge), "en", "s"),
+        (2, " ".join(bridge + [f"y{i}" for i in range(10)]), "en", "s"),
+        # shares the bridge INSIDE the text only — not a stitch
+        (3, " ".join([f"z{i}" for i in range(3)] + bridge + ["tail1", "tail2"]), "en", "s"),
+        (4, "too short doc", "en", "s"),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    from arc_maskdata_pipeline_plugin_spark.plans.dedup import q_doc_stitch_pairs
+
+    out = q_doc_stitch_pairs(spark, str(tmp_path)).collect()
+    pairs = {(r.left_doc, r.right_doc) for r in out}
+    assert pairs == {(1, 2)}
+    (r,) = out
+    assert (r.left_tokens, r.right_tokens) == (18, 18)
+
+
 def test_soft_dedup_weights_hand_computed(spark, tmp_path):
     """Three identical 10-token docs (two in source a, one in b) + one
     unique 5-token doc in a: cluster size 3 spans sources, so source a's
