@@ -1853,6 +1853,75 @@ def main():
         "similarity matrix is vocab-sized (never corpus x tokens); corpus contributes one word-keyed join + two keyed aggregates",
     )
 
+    def winnowing_stress():
+        # mirrors q_winnowing_fingerprints: 200k docs x 100 k-gram hashes
+        # (20M positions), w=4 window explode (80M window rows), rightmost-
+        # min selection + per-doc gap/density aggregate — all doc-local
+        from pyspark.sql import Window
+
+        W_ = 4
+        gpos = spark.range(0, 20_000_000, 1, sc.defaultParallelism * 4).select(
+            (F.col("id") % 200_000).alias("doc_id"),
+            (F.expr("id div 200000") + 1).alias("p"),
+            ((F.col("id") * 2654435761) % 4_294_967_296).alias("h"),
+        )
+        n_pos = 100
+        win = gpos.select(
+            "doc_id",
+            "p",
+            "h",
+            F.explode(
+                F.expr(
+                    f"sequence(greatest(1, p - {W_ - 1}), least(p, {n_pos} - {W_ - 1}))"
+                )
+            ).alias("j"),
+        )
+        rm = Window.partitionBy("doc_id", "j").orderBy(F.asc("h"), F.desc("p"))
+        sel = (
+            win.withColumn("rn", F.row_number().over(rm))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "p", "h")
+            .distinct()
+        )
+        sel.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_fp"), F.sum("h").alias("checksum")
+        ).write.format("noop").mode("overwrite").save()
+
+    timed(
+        "winnowing fingerprints (200k docs x 100 grams, w=4 -> 80M window rows)",
+        80_000_000,
+        winnowing_stress,
+        "doc-local: the w-way explode and rightmost-min windows shuffle by (doc, window) only; zero joins at any corpus size",
+    )
+
+    def stitch_stress():
+        # mirrors q_doc_stitch_pairs: 20M slim (head_h, tail_h) edge rows,
+        # hash-keyed self-join; ~200k planted stitches (1% of docs)
+        edges = spark.range(0, 20_000_000, 1, sc.defaultParallelism * 4).select(
+            F.col("id").alias("doc_id"),
+            F.md5(F.col("id").cast("string")).alias("head_h"),
+            F.when(
+                F.col("id") % 100 == 0, F.md5((F.col("id") + 1).cast("string"))
+            )
+            .otherwise(F.md5((F.col("id") * 31 + 7_000_000_019).cast("string")))
+            .alias("tail_h"),
+        )
+        a, b = edges.alias("ea"), edges.alias("eb")
+        a.join(
+            b,
+            (F.col("ea.tail_h") == F.col("eb.head_h"))
+            & (F.col("ea.doc_id") != F.col("eb.doc_id")),
+        ).select(
+            F.col("ea.doc_id").alias("l"), F.col("eb.doc_id").alias("r")
+        ).write.format("noop").mode("overwrite").save()
+
+    timed(
+        "doc-stitch detection (20M edge rows self-joined on hash, ~200k hits)",
+        20_000_000,
+        stitch_stress,
+        "shuffle bytes are O(docs x 32B hash rows), never the text; match rate controlled by the planted 1% boundary overlap",
+    )
+
     # ---- report ----------------------------------------------------------
     lines = [
         "# STRESS — synthetic ~100× scale-up measurements (local[32])",
