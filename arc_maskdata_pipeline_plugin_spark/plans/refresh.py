@@ -235,3 +235,176 @@ def q_corpus_refresh_incremental(spark, sf_dir):
         .cast("bigint")
         .alias("n_shards_used"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-release report: the round-8 detectors chained into one per-source
+# release sheet (stitch flags -> eval/contamination drops -> soft-dedup
+# effective mass -> context-2048 packing economics).
+# ---------------------------------------------------------------------------
+
+_RELEASE_CTX = 2048
+
+_RELEASE_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(lower(text)), '\s+') AS ltk,
+         string_split_regex(trim(text), '\s+') AS rtk,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+gpos AS (
+  SELECT doc_id, array_to_string(ltk[s:s+7], ' ') AS gram
+  FROM t, UNNEST(generate_series(1, len(ltk) - 7)) AS u(s)
+  WHERE len(ltk) >= 8
+),
+bench AS (SELECT DISTINCT doc_id AS b, gram FROM gpos WHERE doc_id % 50 = 0),
+contaminated AS (
+  SELECT g.doc_id FROM gpos g JOIN bench ON g.gram = bench.gram
+  WHERE g.doc_id % 50 <> 0
+  GROUP BY g.doc_id, bench.b HAVING COUNT(*) >= 3
+),
+cont AS (SELECT DISTINCT doc_id FROM contaminated),
+edges AS (
+  SELECT doc_id,
+         md5(array_to_string(rtk[1:8], ' ')) AS head_h,
+         md5(array_to_string(rtk[len(rtk)-7:len(rtk)], ' ')) AS tail_h
+  FROM t WHERE len(rtk) >= 8
+),
+stitched AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT a.doc_id FROM edges a JOIN edges b
+      ON a.tail_h = b.head_h AND a.doc_id <> b.doc_id
+    UNION ALL
+    SELECT b.doc_id FROM edges a JOIN edges b
+      ON a.tail_h = b.head_h AND a.doc_id <> b.doc_id
+  )
+),
+flags AS (
+  SELECT t.doc_id, t.source, len(t.rtk) AS n_tokens, t.fp,
+         CASE WHEN t.doc_id % 50 = 0 THEN 1 ELSE 0 END AS is_eval,
+         CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_cont,
+         CASE WHEN st.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_stitch
+  FROM t LEFT JOIN cont ON t.doc_id = cont.doc_id
+         LEFT JOIN stitched st ON t.doc_id = st.doc_id
+),
+clean AS (
+  SELECT f.*, COUNT(*) OVER (PARTITION BY fp) AS csize
+  FROM (SELECT * FROM flags WHERE is_eval = 0 AND is_cont = 0) f
+)
+SELECT f.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_raw,
+       CAST(SUM(f.is_stitch) AS BIGINT) AS n_stitch_flagged,
+       CAST(SUM(f.is_cont) AS BIGINT) AS n_contaminated,
+       CAST(SUM(f.is_eval) AS BIGINT) AS n_eval_held_out,
+       CAST(COALESCE(c.n_clean, 0) AS BIGINT) AS n_clean_docs,
+       CAST(COALESCE(c.clean_tokens, 0) AS BIGINT) AS clean_tokens,
+       CAST(COALESCE(c.eff_fp6, 0) AS BIGINT) AS effective_tokens_fp6,
+       CAST(COALESCE((c.clean_tokens + {_RELEASE_CTX} - 1) // {_RELEASE_CTX}, 0)
+            AS BIGINT) AS n_packs,
+       CAST(COALESCE(c.clean_tokens * 1000000
+            // (((c.clean_tokens + {_RELEASE_CTX} - 1) // {_RELEASE_CTX})
+                * {_RELEASE_CTX}), 0) AS BIGINT) AS fill_ppm
+FROM flags f
+LEFT JOIN (
+  SELECT source, COUNT(*) AS n_clean, SUM(n_tokens) AS clean_tokens,
+         SUM(n_tokens * (1000000 // csize)) AS eff_fp6
+  FROM clean GROUP BY source
+) c ON f.source = c.source
+GROUP BY f.source, c.n_clean, c.clean_tokens, c.eff_fp6
+"""
+
+
+@register("q_corpus_release_report", oracle=_RELEASE_ORACLE)
+def q_corpus_release_report(spark, sf_dir):
+    """CORPUS-RELEASE capstone: the round-8 detectors chained into the one
+    per-source sheet a data-release review reads. Pipeline: (1) flag
+    crawl-fragment stitches (``q_doc_stitch_pairs`` logic — merge
+    candidates, flagged not dropped); (2) hold out the eval subset
+    (doc_id % 50 = 0) and DROP train docs with span-level benchmark
+    contamination (``q_decontaminate_spans`` qualification: ≥3 matched
+    8-gram positions); (3) on the clean set, soft-dedup effective token
+    mass (``q_dedup_soft_weights``: Σ tokens·⌊10⁶/c⌋ over exact-content
+    clusters); (4) price the release at context {ctx} (pack count + fill,
+    ``q_packing_efficiency_sweep`` arithmetic). The oracle recomposes every
+    stage's SQL verbatim — the evidence-cluster composition precedent.
+
+    Scale shape: each stage keeps its own documented shape (broadcast gram
+    probe, slim hash edge join, fingerprint window); the capstone adds only
+    per-source aggregates. Flag frames (contaminated/stitched ids) are
+    near-dup-sized and BROADCAST back onto the corpus frame.""".format(
+        ctx=_RELEASE_CTX
+    )
+    from .dedup import q_doc_stitch_pairs
+    from .training import q_decontaminate_spans
+
+    d = spread(T(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("fp"),
+    )
+    cont = (
+        q_decontaminate_spans(spark, sf_dir)
+        .select(F.col("train_doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_cont", F.lit(1))
+    )
+    stitch_pairs = q_doc_stitch_pairs(spark, sf_dir)
+    stitched = (
+        stitch_pairs.select(F.col("left_doc").alias("doc_id"))
+        .unionAll(stitch_pairs.select(F.col("right_doc").alias("doc_id")))
+        .distinct()
+        .withColumn("is_stitch", F.lit(1))
+    )
+    flags = (
+        d.join(F.broadcast(cont), "doc_id", "left")
+        .join(F.broadcast(stitched), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "fp",
+            F.when(F.col("doc_id") % 50 == 0, 1).otherwise(0).alias("is_eval"),
+            F.coalesce("is_cont", F.lit(0)).alias("is_cont"),
+            F.coalesce("is_stitch", F.lit(0)).alias("is_stitch"),
+        )
+    )
+    from pyspark.sql import Window
+
+    clean = flags.filter((F.col("is_eval") == 0) & (F.col("is_cont") == 0)).withColumn(
+        "csize", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    )
+    clean_agg = clean.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clean"),
+        F.sum("n_tokens").cast("bigint").alias("clean_tokens"),
+        F.sum(F.expr("n_tokens * (1000000 div csize)"))
+        .cast("bigint")
+        .alias("eff_fp6"),
+    )
+    raw_agg = flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_raw"),
+        F.sum("is_stitch").cast("bigint").alias("n_stitch_flagged"),
+        F.sum("is_cont").cast("bigint").alias("n_contaminated"),
+        F.sum("is_eval").cast("bigint").alias("n_eval_held_out"),
+    )
+    j = raw_agg.join(F.broadcast(clean_agg), "source", "left")
+    n_packs = F.expr(
+        f"(clean_tokens + {_RELEASE_CTX - 1}) div {_RELEASE_CTX}"
+    )
+    fill = F.expr(
+        f"clean_tokens * 1000000 div "
+        f"(((clean_tokens + {_RELEASE_CTX - 1}) div {_RELEASE_CTX}) * {_RELEASE_CTX})"
+    )
+    return j.select(
+        "source",
+        "n_docs_raw",
+        "n_stitch_flagged",
+        "n_contaminated",
+        "n_eval_held_out",
+        F.coalesce("n_clean", F.lit(0)).cast("bigint").alias("n_clean_docs"),
+        F.coalesce("clean_tokens", F.lit(0)).cast("bigint").alias("clean_tokens"),
+        F.coalesce("eff_fp6", F.lit(0)).cast("bigint").alias("effective_tokens_fp6"),
+        F.coalesce(n_packs, F.lit(0)).cast("bigint").alias("n_packs"),
+        F.coalesce(fill, F.lit(0)).cast("bigint").alias("fill_ppm"),
+    )

@@ -313,6 +313,9 @@ HEADLINE = [
     # round 8 (cont. 6): crawl-fragment stitch detection (slim head/tail
     # hash frame self-joined on the hash key)
     "q_doc_stitch_pairs",
+    # round 8 (cont. 7): corpus-release capstone (stitch flags -> span
+    # decontamination -> soft-dedup mass -> packing economics)
+    "q_corpus_release_report",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -112,6 +112,17 @@ def test_doc_stitch_slim_edge_join(spark):
     assert a["pushed_filters"] >= 1
 
 
+def test_corpus_release_capstone_broadcast_flags(spark):
+    """The release capstone composes four detectors; every flag frame
+    (contaminated ids, stitched ids, per-source clean aggregates) joins
+    back by BROADCAST — never a sort-merge join — and the whole funnel is
+    JVM-side. Scan count is the sum of its stages' documented scans."""
+    a = props("q_corpus_release_report", spark)
+    assert a["sort_merge_joins"] == 0
+    assert a["broadcasts"] >= 3
+    assert a["python_ops"] == 0
+
+
 def test_trained_ann_audits_stay_broadcast_shaped(spark):
     """Recall audits: every join is on query-set-sized frames (broadcast);
     the corpus is never sort-merge joined."""

@@ -188,6 +188,45 @@ def test_winnowing_matches_python_reference(spark, tmp_path):
         assert r.max_gap <= _WIN_W  # the winnowing coverage guarantee
 
 
+def test_corpus_release_report_full_funnel(spark, tmp_path):
+    """One source exercising every release stage: an eval doc (id%50==0),
+    a train doc contaminated by it (verbatim 15-token copy), a stitch pair
+    (flagged, kept), and an exact duplicate pair (soft-weighted ×1/2).
+    Every emitted column is hand-derivable."""
+    ev = [f"e{i}" for i in range(20)]
+    bridge = [f"b{i}" for i in range(8)]
+    # distinct tokens: an all-same-token duplicate would legitimately
+    # self-stitch (its tail 8-gram equals its twin's head 8-gram)
+    dup = " ".join(f"d{i}" for i in range(10))
+    rows = [
+        (0, " ".join(ev), "en", "s"),                                  # eval
+        (1, " ".join(ev[2:17]) + " j1 j2 j3", "en", "s"),              # contaminated (15-token copy)
+        (2, " ".join([f"x{i}" for i in range(10)] + bridge), "en", "s"),  # stitch left
+        (3, " ".join(bridge + [f"y{i}" for i in range(10)]), "en", "s"),  # stitch right
+        (4, dup, "en", "s"),                                           # dup A
+        (5, dup, "en", "s"),                                           # dup B
+    ]
+    _write_docs(spark, tmp_path, rows)
+    from arc_maskdata_pipeline_plugin_spark.plans.refresh import (
+        _RELEASE_CTX,
+        q_corpus_release_report,
+    )
+
+    (r,) = q_corpus_release_report(spark, str(tmp_path)).collect()
+    assert r.source == "s"
+    assert r.n_docs_raw == 6
+    assert r.n_eval_held_out == 1
+    assert r.n_contaminated == 1          # doc 1 only
+    assert r.n_stitch_flagged == 2        # docs 2 and 3 (flagged, NOT dropped)
+    assert r.n_clean_docs == 4            # docs 2, 3, 4, 5
+    clean_tokens = 18 + 18 + 10 + 10
+    assert r.clean_tokens == clean_tokens
+    # docs 4/5 are an exact-dup cluster of size 2 → half weight each
+    assert r.effective_tokens_fp6 == (18 + 18) * 1_000_000 + 2 * 10 * (1_000_000 // 2)
+    assert r.n_packs == 1 and _RELEASE_CTX >= clean_tokens
+    assert r.fill_ppm == clean_tokens * 1_000_000 // _RELEASE_CTX
+
+
 def test_doc_stitch_pairs_planted_fragments(spark, tmp_path):
     """Doc 1's tail 8-gram equals doc 2's head 8-gram (a split page) →
     exactly the ordered pair (1, 2); an 8-gram shared mid-document must
