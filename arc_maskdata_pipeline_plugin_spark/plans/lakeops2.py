@@ -268,3 +268,178 @@ def q_partition_fingerprint_diff(spark, sf_dir):
         .cast("bigint")
         .alias("changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Layout ADVISOR: rank candidate sort keys over a mixed predicate workload.
+# ---------------------------------------------------------------------------
+
+_ADV_FILES = 64
+# mixed workload: (predicate_id, column, lo, hi) — inclusive ranges; the
+# priority predicate is an equality (lo == hi)
+_ADV_PREDICATES = [
+    ("date_q1_1994", "d", "'1994-01-01'", "'1994-03-31'"),
+    ("date_h2_1996", "d", "'1996-07-01'", "'1996-12-31'"),
+    ("price_top", "cents", "30000000", "99999999999"),
+    ("prio_urgent", "prio", "'1-URGENT'", "'1-URGENT'"),
+    ("cust_range", "ck", "100", "500"),
+]
+_ADV_LAYOUTS = ["bydate", "byprice", "bycust", "arrival"]
+
+
+def _advisor_oracle() -> str:
+    sort_val = {
+        "bydate": "CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT)",
+        "byprice": "cents",
+        "bycust": "ck",
+        "arrival": f"CAST(('0x' || substr(md5('adv:' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)",
+    }
+    long_rows = " UNION ALL ".join(
+        f"SELECT '{lay}' AS layout, {sv} AS sort_val, o_orderkey, d, cents, prio, ck FROM o"
+        for lay, sv in sort_val.items()
+    )
+    scanned = " + ".join(
+        f"SUM(CASE WHEN NOT (zmax_{col} < {lo} OR zmin_{col} > {hi}) THEN n_rows ELSE 0 END)"
+        for _, col, lo, hi in _ADV_PREDICATES
+    )
+    files_read = " + ".join(
+        f"SUM(CASE WHEN NOT (zmax_{col} < {lo} OR zmin_{col} > {hi}) THEN 1 ELSE 0 END)"
+        for _, col, lo, hi in _ADV_PREDICATES
+    )
+    return f"""
+WITH o AS (
+  SELECT o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS d,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderpriority AS prio,
+         o_custkey AS ck,
+         o_orderdate, o_totalprice
+  FROM orders
+),
+long AS ({long_rows}),
+filed AS (
+  SELECT layout, d, cents, prio, ck,
+         NTILE({_ADV_FILES}) OVER (PARTITION BY layout
+                                   ORDER BY sort_val, o_orderkey) AS file_id
+  FROM long
+),
+zones AS (
+  SELECT layout, file_id,
+         MIN(d) AS zmin_d, MAX(d) AS zmax_d,
+         MIN(cents) AS zmin_cents, MAX(cents) AS zmax_cents,
+         MIN(prio) AS zmin_prio, MAX(prio) AS zmax_prio,
+         MIN(ck) AS zmin_ck, MAX(ck) AS zmax_ck,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM filed GROUP BY layout, file_id
+),
+per_layout AS (
+  SELECT layout,
+         CAST(COUNT(*) AS BIGINT) AS n_files,
+         CAST({len(_ADV_PREDICATES)} AS BIGINT) AS n_predicates,
+         CAST({scanned} AS BIGINT) AS workload_rows_scanned,
+         CAST({files_read} AS BIGINT) AS workload_files_read
+  FROM zones GROUP BY layout
+)
+SELECT layout, n_files, n_predicates, workload_rows_scanned,
+       workload_files_read,
+       CAST(RANK() OVER (ORDER BY workload_rows_scanned, layout) AS BIGINT)
+         AS advisor_rank
+FROM per_layout
+"""
+
+
+@register("q_layout_advisor", oracle=_advisor_oracle())
+def q_layout_advisor(spark, sf_dir):
+    """Sort-key ADVISOR: which clustering layout minimizes scan work over a
+    MIXED predicate workload (two date ranges, a price range, a priority
+    equality, a customer range)? For each candidate layout the fact table
+    is NTILE'd into {n} equal files on the sort key, every file's zone map
+    records min/max of EVERY predicate column (exactly what Parquet/Delta/
+    Iceberg file stats store — pruning works on any column, it's just only
+    CORRELATED with the sort key), and each predicate keeps the files whose
+    zone overlaps. ``advisor_rank`` orders layouts by total rows scanned
+    across the workload — rank 1 is the OPTIMIZE job worth running. The
+    decision the single-layout ``q_zonemap_skip_audit`` can't make: the
+    best key depends on the workload MIX, and a date sort that wins date
+    scans does nothing for the price or customer predicates.
+
+    Scale shape: one fact scan stacked {k}× (once per candidate layout),
+    one window per layout for file assignment (at 100 TB: a range
+    partitioner / the sort job's own partitioning — the NTILE is the
+    simulation stand-in), one file-grain aggregate; all predicate
+    evaluation happens on the {k}·{n}-row zone frame. Dates travel as
+    yyyy-MM-dd STRINGS end-to-end (lexicographic = chronological), so the
+    zone comparisons are engine-exact.""".format(
+        n=_ADV_FILES, k=len(_ADV_LAYOUTS)
+    )
+    from pyspark.sql import Window
+
+    from .registry import dec
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("cents"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_custkey").alias("ck"),
+        F.date_format("o_orderdate", "yyyyMMdd").cast("bigint").alias("sv_bydate"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("adv:"), F.col("o_orderkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("sv_arrival"),
+    )
+    long = o.selectExpr(
+        "stack(4, 'bydate', sv_bydate, 'byprice', cents, 'bycust', ck, "
+        "'arrival', sv_arrival) AS (layout, sort_val)",
+        "o_orderkey",
+        "d",
+        "cents",
+        "prio",
+        "ck",
+    )
+    w = Window.partitionBy("layout").orderBy("sort_val", "o_orderkey")
+    filed = long.withColumn("file_id", F.ntile(_ADV_FILES).over(w))
+    zones = filed.groupBy("layout", "file_id").agg(
+        F.min("d").alias("zmin_d"),
+        F.max("d").alias("zmax_d"),
+        F.min("cents").alias("zmin_cents"),
+        F.max("cents").alias("zmax_cents"),
+        F.min("prio").alias("zmin_prio"),
+        F.max("prio").alias("zmax_prio"),
+        F.min("ck").alias("zmin_ck"),
+        F.max("ck").alias("zmax_ck"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    overlap = {
+        pid: ~((F.col(f"zmax_{col}") < F.expr(lo)) | (F.col(f"zmin_{col}") > F.expr(hi)))
+        for pid, col, lo, hi in _ADV_PREDICATES
+    }
+    scanned = None
+    files_read = None
+    for pid, _, _, _ in _ADV_PREDICATES:
+        s = F.sum(F.when(overlap[pid], F.col("n_rows")).otherwise(0))
+        fr = F.sum(F.when(overlap[pid], 1).otherwise(0))
+        scanned = s if scanned is None else scanned + s
+        files_read = fr if files_read is None else files_read + fr
+    per_layout = zones.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.lit(len(_ADV_PREDICATES)).cast("bigint").alias("n_predicates"),
+        scanned.cast("bigint").alias("workload_rows_scanned"),
+        files_read.cast("bigint").alias("workload_files_read"),
+    )
+    rank_w = Window.orderBy("workload_rows_scanned", "layout")
+    return per_layout.select(
+        "layout",
+        "n_files",
+        "n_predicates",
+        "workload_rows_scanned",
+        "workload_files_read",
+        F.rank().over(rank_w).cast("bigint").alias("advisor_rank"),
+    )

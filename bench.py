@@ -316,6 +316,9 @@ HEADLINE = [
     # round 8 (cont. 7): corpus-release capstone (stitch flags -> span
     # decontamination -> soft-dedup mass -> packing economics)
     "q_corpus_release_report",
+    # round 8 (cont. 8): sort-key advisor (4 layouts x mixed predicate
+    # workload, all evaluation on the file-grain zone frame)
+    "q_layout_advisor",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -123,6 +123,16 @@ def test_corpus_release_capstone_broadcast_flags(spark):
     assert a["python_ops"] == 0
 
 
+def test_layout_advisor_zone_frame_evaluation(spark):
+    """The advisor stacks the fact scan once per candidate layout and
+    evaluates the whole workload on the file-grain zone frame — no joins
+    of any kind, no Python."""
+    a = props("q_layout_advisor", spark)
+    assert a["sort_merge_joins"] == 0
+    assert a["python_ops"] == 0
+    assert a["scans"] <= 4
+
+
 def test_trained_ann_audits_stay_broadcast_shaped(spark):
     """Recall audits: every join is on query-set-sized frames (broadcast);
     the corpus is never sort-merge joined."""

@@ -188,6 +188,98 @@ def test_winnowing_matches_python_reference(spark, tmp_path):
         assert r.max_gap <= _WIN_W  # the winnowing coverage guarantee
 
 
+def test_layout_advisor_matches_python_replica(spark, tmp_path):
+    """Replicate the whole advisor in pure Python on a constructed 128-row
+    orders table (NTILE(64) = exactly 2 rows per file): per-layout zone
+    maps, workload evaluation, and ranking must match row-for-row — the
+    winnowing-reference pattern applied to the layout simulation."""
+    import hashlib
+    from datetime import date, timedelta
+
+    rows = []
+    for i in range(128):
+        d = date(1994, 1, 1) + timedelta(days=i)
+        rows.append(
+            (
+                i,                      # o_orderkey
+                200 + (i * 37) % 128,   # o_custkey (all inside [100,500])
+                d.strftime("%Y-%m-%d"), # o_orderdate (string → Spark casts)
+                50.0 + (i * 73) % 128,  # o_totalprice (max cents ≪ price pred)
+                "5-LOW",                # o_orderpriority (never 1-URGENT)
+            )
+        )
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderdate string, "
+        "o_totalprice double, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "cast(o_orderdate as timestamp) as o_orderdate",
+        "o_totalprice",
+        "o_orderpriority",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    from arc_maskdata_pipeline_plugin_spark.plans.lakeops2 import (
+        _ADV_FILES,
+        _ADV_PREDICATES,
+        q_layout_advisor,
+    )
+
+    recs = [
+        {
+            "okey": i,
+            "d": (date(1994, 1, 1) + timedelta(days=i)).strftime("%Y-%m-%d"),
+            "cents": round((50.0 + (i * 73) % 128) * 100),
+            "prio": "5-LOW",
+            "ck": 200 + (i * 37) % 128,
+        }
+        for i in range(128)
+    ]
+    sort_vals = {
+        "bydate": lambda r: int(r["d"].replace("-", "")),
+        "byprice": lambda r: r["cents"],
+        "bycust": lambda r: r["ck"],
+        "arrival": lambda r: int(
+            hashlib.md5(f"adv:{r['okey']}".encode()).hexdigest()[:8], 16
+        ),
+    }
+    expected = {}
+    for lay, sv in sort_vals.items():
+        ordered = sorted(recs, key=lambda r: (sv(r), r["okey"]))
+        files = [ordered[k * 2 : k * 2 + 2] for k in range(_ADV_FILES)]
+        scanned = files_read = 0
+        for _, col, lo, hi in _ADV_PREDICATES:
+            lo, hi = lo.strip("'"), hi.strip("'")
+            for f in files:
+                vals = [r[{"d": "d", "cents": "cents", "prio": "prio", "ck": "ck"}[col]] for r in f]
+                zmin, zmax = min(vals), max(vals)
+                lo_c = int(lo) if col in ("cents", "ck") else lo
+                hi_c = int(hi) if col in ("cents", "ck") else hi
+                if not (zmax < lo_c or zmin > hi_c):
+                    scanned += len(f)
+                    files_read += 1
+        expected[lay] = (scanned, files_read)
+    ranks = {
+        lay: 1 + sum(
+            1
+            for o, v in expected.items()
+            if (v[0], o) < (expected[lay][0], lay)
+        )
+        for lay in expected
+    }
+
+    out = {r.layout: r for r in q_layout_advisor(spark, str(tmp_path)).collect()}
+    assert set(out) == set(expected)
+    for lay, (scanned, files_read) in expected.items():
+        assert out[lay].workload_rows_scanned == scanned, lay
+        assert out[lay].workload_files_read == files_read, lay
+        assert out[lay].advisor_rank == ranks[lay], lay
+        assert out[lay].n_files == _ADV_FILES
+    # the date predicates dominate this workload → bydate must win
+    assert out["bydate"].advisor_rank == 1
+
+
 def test_corpus_release_report_full_funnel(spark, tmp_path):
     """One source exercising every release stage: an eval doc (id%50==0),
     a train doc contaminated by it (verbatim 15-token copy), a stitch pair
