@@ -1311,3 +1311,131 @@ def q_doc_stitch_pairs(spark, sf_dir):
         F.col("ea.n").cast("bigint").alias("left_tokens"),
         F.col("eb.n").cast("bigint").alias("right_tokens"),
     )
+
+
+_WINNOW_MIN_SHARED = 2
+
+_WINNOW_PAIRS_ORACLE = rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(lower(trim(text)), '\s+'),
+           t -> regexp_replace(t, '[^a-z0-9]', '', 'g')), t -> t <> '') AS tk
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, tk, len(tk) - {_WIN_K} + 1 AS n_pos
+  FROM d WHERE len(tk) >= {_WIN_K + _WIN_W - 1}
+),
+gpos AS (
+  SELECT doc_id, n_pos, p,
+         CAST(('0x' || substr(md5(array_to_string(tk[p:p+{_WIN_K - 1}], ' ')), 1, 8))
+              AS BIGINT) AS h
+  FROM sized, UNNEST(generate_series(1, n_pos)) AS u(p)
+),
+win AS (
+  SELECT doc_id, p, h, j
+  FROM gpos, UNNEST(generate_series(
+         GREATEST(1, p - {_WIN_W - 1}),
+         LEAST(p, n_pos - {_WIN_W - 1}))) AS v(j)
+),
+sel AS (
+  SELECT DISTINCT doc_id, h FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, j ORDER BY h, p DESC) AS rn
+    FROM win
+  ) t WHERE rn = 1
+),
+idx AS (SELECT h, doc_id FROM sel),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+  FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+),
+nfp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM sel GROUP BY doc_id)
+SELECT p.d1, p.d2, p.n_shared_fps,
+       CAST(floor(p.n_shared_fps * 1000000.0
+            / (f1.nf + f2.nf - p.n_shared_fps)) AS BIGINT) AS fp_jaccard_fp6
+FROM pairs p JOIN nfp f1 ON p.d1 = f1.doc_id JOIN nfp f2 ON p.d2 = f2.doc_id
+"""
+
+
+@register("q_winnowing_dup_pairs", oracle=_WINNOW_PAIRS_ORACLE)
+def q_winnowing_dup_pairs(spark, sf_dir):
+    """The winnowing INDEX consumer: candidate near-dup pairs sharing >=
+    {m} selected fingerprints, scored by fingerprint-set Jaccard — the
+    MOSS matching step on top of ``q_winnowing_fingerprints``'s selection.
+    Because winnowing is LOCAL (a fingerprint lands in every window it
+    minimizes), any shared run of k+w−1 = {kw} tokens guarantees a shared
+    fingerprint regardless of where it sits in either document — the
+    sensitivity MinHash trades away for fixed-size signatures.
+
+    Scale shape: the index is |corpus|·≈2/(w+1) (doc, hash32) rows; the
+    join is hash-keyed (the bucket join every fingerprint store does);
+    pair scoring is one pair-keyed aggregate + two broadcast-sized count
+    joins. Shared-hash hot buckets (boilerplate) are the same viral-key
+    concern as MinHash bands — cap/audit via the LSH machinery when a
+    bucket exceeds task size.""".format(m=_WINNOW_MIN_SHARED, kw=_WIN_K + _WIN_W - 1)
+    from pyspark.sql import Window
+
+    from ..operators.search import _TOKENS
+
+    d = spread(T(spark, sf_dir, "documents")).select(
+        "doc_id", F.expr(_TOKENS).alias("tk")
+    )
+    sized = d.filter(F.size("tk") >= _WIN_K + _WIN_W - 1).select(
+        "doc_id", "tk", (F.size("tk") - (_WIN_K - 1)).alias("n_pos")
+    )
+    gram = "array_join(slice(tk, p, {k}), ' ')".format(k=_WIN_K)
+    gpos = sized.select(
+        "doc_id", "n_pos", F.explode(F.expr("sequence(1, n_pos)")).alias("p"), "tk"
+    ).select(
+        "doc_id",
+        "n_pos",
+        "p",
+        F.expr(f"cast(conv(substring(md5({gram}), 1, 8), 16, 10) as bigint)").alias("h"),
+    )
+    win = gpos.select(
+        "doc_id",
+        "p",
+        "h",
+        F.explode(
+            F.expr(
+                "sequence(greatest(1, p - {wm1}), least(p, n_pos - {wm1}))".format(
+                    wm1=_WIN_W - 1
+                )
+            )
+        ).alias("j"),
+    )
+    rm = Window.partitionBy("doc_id", "j").orderBy(F.asc("h"), F.desc("p"))
+    sel = (
+        win.withColumn("rn", F.row_number().over(rm))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "h")
+        .distinct()
+        .transform(persisted)  # index-sized; consumers: pair join + nfp counts
+    )
+    a, b = sel.alias("ia"), sel.alias("ib")
+    pairs = (
+        a.join(b, (F.col("ia.h") == F.col("ib.h")) & (F.col("ia.doc_id") < F.col("ib.doc_id")))
+        .groupBy(F.col("ia.doc_id").alias("d1"), F.col("ib.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= _WINNOW_MIN_SHARED)
+    )
+    nfp = sel.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("nf"))
+    f1 = nfp.select(F.col("doc_id").alias("d1"), F.col("nf").alias("nf1"))
+    f2 = nfp.select(F.col("doc_id").alias("d2"), F.col("nf").alias("nf2"))
+    return (
+        pairs.join(F.broadcast(f1), "d1")
+        .join(F.broadcast(f2), "d2")
+        .select(
+            "d1",
+            "d2",
+            "n_shared_fps",
+            F.floor(
+                F.col("n_shared_fps")
+                * 1_000_000.0
+                / (F.col("nf1") + F.col("nf2") - F.col("n_shared_fps"))
+            )
+            .cast("bigint")
+            .alias("fp_jaccard_fp6"),
+        )
+    )

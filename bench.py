@@ -319,6 +319,9 @@ HEADLINE = [
     # round 8 (cont. 8): sort-key advisor (4 layouts x mixed predicate
     # workload, all evaluation on the file-grain zone frame)
     "q_layout_advisor",
+    # round 8 (cont. 9): winnowing index consumer — fingerprint bucket
+    # join + pair scoring
+    "q_winnowing_dup_pairs",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -133,6 +133,15 @@ def test_layout_advisor_zone_frame_evaluation(spark):
     assert a["scans"] <= 4
 
 
+def test_winnowing_pairs_index_join_shape(spark):
+    """The matcher joins the slim (doc, hash32) index with itself on the
+    hash key; per-doc fingerprint counts join back by broadcast; no
+    Python."""
+    a = props("q_winnowing_dup_pairs", spark)
+    assert a["python_ops"] == 0
+    assert a["broadcasts"] >= 2
+
+
 def test_trained_ann_audits_stay_broadcast_shaped(spark):
     """Recall audits: every join is on query-set-sized frames (broadcast);
     the corpus is never sort-merge joined."""

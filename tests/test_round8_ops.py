@@ -188,6 +188,30 @@ def test_winnowing_matches_python_reference(spark, tmp_path):
         assert r.max_gap <= _WIN_W  # the winnowing coverage guarantee
 
 
+def test_winnowing_dup_pairs_locality_guarantee(spark, tmp_path):
+    """Winnowing's locality theorem: two docs sharing a run of k+w−1 = 7
+    tokens ANYWHERE must share at least one selected fingerprint. Plant a
+    12-token shared run inside otherwise-distinct docs → the pair appears
+    with n_shared_fps ≥ 2; a doc with no overlap appears in no pair."""
+    shared = [f"s{i}" for i in range(12)]
+    rows = [
+        (0, " ".join([f"a{i}" for i in range(6)] + shared + [f"b{i}" for i in range(6)]), "en", "x"),
+        (1, " ".join([f"c{i}" for i in range(9)] + shared + [f"e{i}" for i in range(3)]), "en", "x"),
+        (2, " ".join([f"z{i}" for i in range(20)]), "en", "x"),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    from arc_maskdata_pipeline_plugin_spark.plans.dedup import (
+        q_winnowing_dup_pairs,
+    )
+
+    out = q_winnowing_dup_pairs(spark, str(tmp_path)).collect()
+    pairs = {(r.d1, r.d2): r for r in out}
+    assert set(pairs) == {(0, 1)}
+    r = pairs[(0, 1)]
+    assert r.n_shared_fps >= 2
+    assert 0 < r.fp_jaccard_fp6 < 1_000_000
+
+
 def test_layout_advisor_matches_python_replica(spark, tmp_path):
     """Replicate the whole advisor in pure Python on a constructed 128-row
     orders table (NTILE(64) = exactly 2 rows per file): per-layout zone
