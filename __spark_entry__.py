@@ -106,7 +106,7 @@ GATE_WINDOW = [
     "q_decontaminate_spans", "q_bpe_vocab_sweep", "q_winnowing_fingerprints",
     "q_hubness_audit", "q_packing_efficiency_sweep", "q_repetition_period",
     "q_dedup_soft_weights", "q_doc_stitch_pairs", "q_corpus_release_report",
-    "q_layout_advisor", "q_winnowing_dup_pairs",
+    "q_layout_advisor", "q_winnowing_dup_pairs", "q_dedup_recall_comparison",
     #
     # --- r08-changed (rows-only → hash-oracled audit conversions, plus the
     #     IVF probe-broadcast plan change) — re-witness under new schemas ---
@@ -118,7 +118,7 @@ GATE_WINDOW = [
     # --- green displaced representatives (all witnessed r01..r07) ---
     "q1_pricing_summary", "q_mask_customers_pbkdf2", "q_mask_credit_cards",
     "q_userdata_lifecycle", "q_auto_join_revenue", "q_grouping_sets",
-    "q_window_frames", "dedup_exact", "dedup_minhash_pairs",
+    "q_window_frames", "dedup_exact",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 

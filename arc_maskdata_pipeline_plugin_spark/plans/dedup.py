@@ -1439,3 +1439,123 @@ def q_winnowing_dup_pairs(spark, sf_dir):
             .alias("fp_jaccard_fp6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Detector shoot-out: MinHash-LSH vs winnowing recall on exact ground truth.
+# ---------------------------------------------------------------------------
+
+_RECALL_CMP_ORACLE = rf"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE 3 * c >= s1.n + s2.n
+),
+mh AS (SELECT d1, d2 FROM ({_minhash_oracle()}) m),
+wn AS (SELECT d1, d2 FROM ({_WINNOW_PAIRS_ORACLE}) w),
+flags AS (
+  SELECT t.d1, t.d2,
+         CASE WHEN mh.d1 IS NOT NULL THEN 1 ELSE 0 END AS in_mh,
+         CASE WHEN wn.d1 IS NOT NULL THEN 1 ELSE 0 END AS in_wn
+  FROM truth t
+  LEFT JOIN mh ON t.d1 = mh.d1 AND t.d2 = mh.d2
+  LEFT JOIN wn ON t.d1 = wn.d1 AND t.d2 = wn.d2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_truth_pairs,
+       CAST(COALESCE(SUM(in_mh), 0) AS BIGINT) AS n_minhash_found,
+       CAST(COALESCE(SUM(in_wn), 0) AS BIGINT) AS n_winnow_found,
+       CAST(COALESCE(SUM(in_mh * in_wn), 0) AS BIGINT) AS n_found_by_both,
+       CAST(floor(COALESCE(SUM(in_mh), 0) * 1000000.0
+            / GREATEST(COUNT(*), 1)) AS BIGINT) AS minhash_recall_fp6,
+       CAST(floor(COALESCE(SUM(in_wn), 0) * 1000000.0
+            / GREATEST(COUNT(*), 1)) AS BIGINT) AS winnow_recall_fp6
+FROM flags
+"""
+
+
+@register("q_dedup_recall_comparison", oracle=_RECALL_CMP_ORACLE)
+def q_dedup_recall_comparison(spark, sf_dir):
+    """Detector SHOOT-OUT, measured not guessed: recall of MinHash-LSH
+    (8 hashes × 4 bands) and the winnowing matcher against EXACT ground
+    truth — all pairs with true shingle Jaccard ≥ 1/2, decided by integer
+    cross-multiplication (3·|∩| ≥ n1+n2, the PPJoin threshold identity) on
+    the shared-shingle join (complete for J ≥ 1/2: such pairs must share
+    shingles). Unlike the audit-verdict queries, every emitted number here
+    is a REAL cross-engine value check: both engines independently re-derive
+    the truth set, both candidate sets, and both recall ratios.
+
+    This is the table a pipeline owner picks a detector from: MinHash's
+    4-band s-curve has ~94% catch probability AT J = 0.5 and rising,
+    winnowing guarantees catching any shared (k+w−1)-token RUN but has no
+    set-level guarantee — the measured recalls quantify the trade on the
+    actual corpus.
+
+    Scale shape: composes three already-scale-shaped frames (shared-shingle
+    join bounded by co-occurrence; banded equi-join; fingerprint-index
+    join); truth/candidate pair frames are near-dup-sized, so the flag
+    joins broadcast."""
+    sh = word_shingles(spread(T(spark, sf_dir, "documents")), distinct=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = sh.alias("ta"), sh.alias("tb")
+    inter = (
+        a.join(
+            b,
+            (F.col("ta.shingle") == F.col("tb.shingle"))
+            & (F.col("ta.doc_id") < F.col("tb.doc_id")),
+        )
+        .groupBy(
+            F.col("ta.doc_id").alias("d1"), F.col("tb.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    truth = (
+        inter.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .filter(3 * F.col("c") >= F.col("n1") + F.col("n2"))
+        .select("d1", "d2")
+    )
+    mh = dedup_minhash_pairs(spark, sf_dir).select(
+        "d1", "d2", F.lit(1).alias("in_mh")
+    )
+    wn = q_winnowing_dup_pairs(spark, sf_dir).select(
+        "d1", "d2", F.lit(1).alias("in_wn")
+    )
+    flags = (
+        truth.join(F.broadcast(mh), ["d1", "d2"], "left")
+        .join(F.broadcast(wn), ["d1", "d2"], "left")
+        .select(
+            F.coalesce("in_mh", F.lit(0)).alias("in_mh"),
+            F.coalesce("in_wn", F.lit(0)).alias("in_wn"),
+        )
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth_pairs"),
+        F.coalesce(F.sum("in_mh"), F.lit(0)).cast("bigint").alias("n_minhash_found"),
+        F.coalesce(F.sum("in_wn"), F.lit(0)).cast("bigint").alias("n_winnow_found"),
+        F.coalesce(F.sum(F.col("in_mh") * F.col("in_wn")), F.lit(0))
+        .cast("bigint")
+        .alias("n_found_by_both"),
+        F.floor(
+            F.coalesce(F.sum("in_mh"), F.lit(0))
+            * 1_000_000.0
+            / F.greatest(F.count(F.lit(1)), F.lit(1))
+        )
+        .cast("bigint")
+        .alias("minhash_recall_fp6"),
+        F.floor(
+            F.coalesce(F.sum("in_wn"), F.lit(0))
+            * 1_000_000.0
+            / F.greatest(F.count(F.lit(1)), F.lit(1))
+        )
+        .cast("bigint")
+        .alias("winnow_recall_fp6"),
+    )

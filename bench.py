@@ -322,6 +322,9 @@ HEADLINE = [
     # round 8 (cont. 9): winnowing index consumer — fingerprint bucket
     # join + pair scoring
     "q_winnowing_dup_pairs",
+    # round 8 (cont. 10): detector shoot-out — MinHash vs winnowing recall
+    # against exact ground truth (real cross-engine values, not verdicts)
+    "q_dedup_recall_comparison",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

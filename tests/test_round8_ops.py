@@ -188,6 +188,31 @@ def test_winnowing_matches_python_reference(spark, tmp_path):
         assert r.max_gap <= _WIN_W  # the winnowing coverage guarantee
 
 
+def test_dedup_recall_comparison_planted_truth(spark, tmp_path):
+    """An exact duplicate pair (J = 1: caught by BOTH detectors, each by
+    its own theorem — identical signatures band together; identical
+    fingerprint sets share everything) plus a sub-threshold pair (J < 1/2,
+    excluded from truth) and a loner: truth = 1 pair, both recalls 100%."""
+    dup_toks = [f"w{i}" for i in range(20)]
+    weak = dup_toks[:7] + [f"v{i}" for i in range(13)]  # small overlap, J<0.5
+    rows = [
+        (0, " ".join(dup_toks), "en", "s"),
+        (1, " ".join(dup_toks), "en", "s"),
+        (2, " ".join(weak), "en", "s"),
+        (3, " ".join(f"z{i}" for i in range(20)), "en", "s"),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    from arc_maskdata_pipeline_plugin_spark.plans.dedup import (
+        q_dedup_recall_comparison,
+    )
+
+    (r,) = q_dedup_recall_comparison(spark, str(tmp_path)).collect()
+    assert r.n_truth_pairs == 1
+    assert r.n_minhash_found == 1 and r.n_winnow_found == 1
+    assert r.n_found_by_both == 1
+    assert r.minhash_recall_fp6 == r.winnow_recall_fp6 == 1_000_000
+
+
 def test_winnowing_dup_pairs_locality_guarantee(spark, tmp_path):
     """Winnowing's locality theorem: two docs sharing a run of k+w−1 = 7
     tokens ANYWHERE must share at least one selected fingerprint. Plant a
