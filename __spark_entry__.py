@@ -83,14 +83,14 @@ GATE_WINDOW = [
     # (b) benched and/or pytest-pinned, and (c) witnessed by a prior
     # round's CORRECTNESS_r{N}.json.
     #
-    # ROUND-8 WINDOW (VERDICT r07 next-round #1): after the r07 gate the
-    # never-witnessed backlog is exactly the 18 queries BUILT during r07
-    # (all hash-oracled) — they lead. The remaining 32 slots are green,
-    # hash-oracled representatives of each major family, every one already
-    # witnessed in a prior CORRECTNESS_r{N}.json. The window is therefore
-    # FULLY hash-oracled: the ROWS_ONLY_IN_WINDOW allowlist in
-    # tests/test_oracle_parity.py is deleted (VERDICT r07 #2). Queries
-    # built during r08 displace representatives from the bottom.
+    # ROUND-8 WINDOW (VERDICT r07 next-round #1): the 18 queries BUILT
+    # during r07 lead (the only never-witnessed backlog after the r07
+    # gate), followed by the 12 queries BUILT during r08, the 12 queries
+    # whose output schema changed in r08 (rows-only → hash-oracled audit
+    # conversions + the IVF probe-broadcast plan change), and 8 green
+    # representatives. Every slot is hash-oracled — the registry has ZERO
+    # rows-only queries as of r08, so the ROWS_ONLY_IN_WINDOW allowlist in
+    # tests/test_oracle_parity.py is deleted (VERDICT r07 #2).
     #
     # --- r07-built, never driver-witnessed (verdict r07 #1) ---
     "q_maxsim_late_interaction", "q_embedding_binarize_hamming",
