@@ -142,6 +142,14 @@ def test_winnowing_pairs_index_join_shape(spark):
     assert a["broadcasts"] >= 2
 
 
+def test_recall_comparison_broadcast_pair_frames(spark):
+    """The shoot-out's truth/candidate pair frames are near-dup-sized and
+    must broadcast into the flag joins; the whole comparison is JVM-side."""
+    a = props("q_dedup_recall_comparison", spark)
+    assert a["python_ops"] == 0
+    assert a["broadcasts"] >= 2
+
+
 def test_trained_ann_audits_stay_broadcast_shaped(spark):
     """Recall audits: every join is on query-set-sized frames (broadcast);
     the corpus is never sort-merge joined."""
