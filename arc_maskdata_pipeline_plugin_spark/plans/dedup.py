@@ -177,10 +177,17 @@ def dedup_minhash_pairs_fast(spark, sf_dir):
     ).select(
         F.col("sa.doc_id").alias("d1"), F.col("sb.doc_id").alias("d2")
     )
-    ident_flags = ident.join(F.broadcast(detail), ["d1", "d2"], "left").select(
+    # No broadcast hint on `detail`: the candidate-pair frame is only
+    # near-dup-sized on benign corpora — a viral band bucket makes it
+    # data-dependent-quadratic, so AQE decides the join strategy (r09,
+    # ADVICE r08 #2). coalesce(sum): a pair-free corpus must emit 0, not
+    # NULL, to hash-match the oracle's COUNT(*) (ADVICE r08 #1).
+    ident_flags = ident.join(detail, ["d1", "d2"], "left").select(
         (F.coalesce("in_fast", F.lit(0)) * F.coalesce("in_md5", F.lit(0))).alias("both")
     )
-    counts = detail.agg(F.sum("in_md5").cast("bigint").alias("n_md5_pairs"))
+    counts = detail.agg(
+        F.coalesce(F.sum("in_md5"), F.lit(0)).cast("bigint").alias("n_md5_pairs")
+    )
     ident_agg = ident_flags.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_identical_pairs"),
         F.coalesce(F.min("both"), F.lit(1)).cast("bigint").alias("identical_in_both"),
@@ -1499,8 +1506,12 @@ def q_dedup_recall_comparison(spark, sf_dir):
 
     Scale shape: composes three already-scale-shaped frames (shared-shingle
     join bounded by co-occurrence; banded equi-join; fingerprint-index
-    join); truth/candidate pair frames are near-dup-sized, so the flag
-    joins broadcast."""
+    join). The per-doc size frames broadcast (one slim row per doc); the
+    candidate-pair frames do NOT carry broadcast hints — their size is
+    data-dependent (a viral band/fingerprint bucket on boilerplate-heavy
+    data makes them quadratic), so AQE picks the join strategy from the
+    observed size instead of a hint that could exhaust driver memory
+    (r09, ADVICE r08 #2)."""
     sh = word_shingles(spread(T(spark, sf_dir, "documents")), distinct=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     a, b = sh.alias("ta"), sh.alias("tb")
@@ -1530,8 +1541,8 @@ def q_dedup_recall_comparison(spark, sf_dir):
         "d1", "d2", F.lit(1).alias("in_wn")
     )
     flags = (
-        truth.join(F.broadcast(mh), ["d1", "d2"], "left")
-        .join(F.broadcast(wn), ["d1", "d2"], "left")
+        truth.join(mh, ["d1", "d2"], "left")
+        .join(wn, ["d1", "d2"], "left")
         .select(
             F.coalesce("in_mh", F.lit(0)).alias("in_mh"),
             F.coalesce("in_wn", F.lit(0)).alias("in_wn"),

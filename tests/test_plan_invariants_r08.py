@@ -143,8 +143,10 @@ def test_winnowing_pairs_index_join_shape(spark):
 
 
 def test_recall_comparison_broadcast_pair_frames(spark):
-    """The shoot-out's truth/candidate pair frames are near-dup-sized and
-    must broadcast into the flag joins; the whole comparison is JVM-side."""
+    """The shoot-out's slim per-doc size frames broadcast into the truth
+    filter; the candidate-pair frames carry NO broadcast hint (their size
+    is data-dependent — AQE decides; r09, ADVICE r08 #2). The whole
+    comparison is JVM-side."""
     a = props("q_dedup_recall_comparison", spark)
     assert a["python_ops"] == 0
     assert a["broadcasts"] >= 2
