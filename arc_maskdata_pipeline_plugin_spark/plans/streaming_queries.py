@@ -15,6 +15,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..streaming import read_events_stream, run_available_now, windowed_event_counts
+from ..streaming.audit import drain_with_metrics, witness
 from . import stats as _stats
 from .registry import T, register
 
@@ -51,72 +52,146 @@ def q_sessionize_events(spark, sf_dir):
 @register(
     "q_stream_event_counts",
     oracle="""
-SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-       event_type,
-       COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
-FROM events
-GROUP BY 1, 2
+WITH res AS (
+  SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT res.*, a.* FROM res CROSS JOIN (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_events_exact,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+            SELECT DISTINCT time_bucket(INTERVAL '10 minutes', ts), event_type
+            FROM events)) AS n_groups_exact,
+         CAST(1 AS BIGINT) AS input_complete_ok,
+         CAST(1 AS BIGINT) AS state_rows_eq_groups_ok,
+         CAST(1 AS BIGINT) AS none_dropped_by_watermark_ok
+) a
 """,
 )
 def q_stream_event_counts(spark, sf_dir):
+    """Watermarked tumbling-window streaming aggregation, PLUS streaming-run
+    witnesses (r09, VERDICT r08 #2): the drain's StreamingQueryProgress
+    metrics are compared in-plan against exact batch integers —
+    ``numInputRows`` total == COUNT(*) of the source (the file source served
+    every row exactly once), final aggregation state rows == the batch count
+    of distinct (window, type) groups (streaming-agg state is one row per
+    group), and zero rows were dropped by the watermark (the 7-day delay
+    outlasts every micro-batch's lateness under this drain). The oracle
+    re-derives both exact integers and pins the verdicts to 1."""
     stream = read_events_stream(spark, sf_dir)
     counts = windowed_event_counts(stream, window="10 minutes", watermark="7 days")
-    return run_available_now(counts, f"stream_counts_{uuid.uuid4().hex[:8]}")
+    result, m = drain_with_metrics(
+        counts, f"stream_counts_{uuid.uuid4().hex[:8]}", "complete"
+    )
+    ev = T(spark, sf_dir, "events")
+    exact = ev.select(
+        F.window("ts", "10 minutes")["start"].alias("ws"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events_exact"),
+        F.count_distinct("ws", "event_type").cast("bigint").alias("n_groups_exact"),
+    )
+    return witness(
+        result,
+        exact,
+        {
+            "input_complete_ok": F.lit(m.n_input) == F.col("n_events_exact"),
+            "state_rows_eq_groups_ok": F.lit(m.op().rows_total)
+            == F.col("n_groups_exact"),
+            "none_dropped_by_watermark_ok": F.lit(m.op().dropped_wm_sum) == F.lit(0),
+        },
+    )
 
 
 @register(
     "q_stream_dedup_user_types",
     oracle="""
-SELECT DISTINCT user_id, event_type FROM events
+WITH res AS (
+  SELECT DISTINCT user_id, event_type FROM events
+)
+SELECT res.*, a.* FROM res CROSS JOIN (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_events_exact,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM (SELECT DISTINCT user_id, event_type FROM events))
+           AS n_keys_exact,
+         CAST(1 AS BIGINT) AS dedup_state_eq_keys_ok,
+         CAST(1 AS BIGINT) AS dropped_dups_exact_ok,
+         CAST(1 AS BIGINT) AS none_dropped_by_watermark_ok
+) a
 """,
 )
 def q_stream_dedup_user_types(spark, sf_dir):
-    """Streaming deduplication: ``dropDuplicates`` on a watermarked stream
-    keeps the first event per (user_id, event_type); projecting only the keys
-    makes the result set order-free — exactly the batch DISTINCT, which the
-    oracle checks. State note: dedup state is bounded by the watermark
-    (``dropDuplicates`` with event-time column evicts keys older than it) —
-    the 100 TB consideration for an unbounded key space."""
+    """Streaming deduplication (``dropDuplicates`` on a watermarked stream),
+    PLUS streaming-run witnesses (r09, VERDICT r08 #2): the dedup operator
+    stores exactly one state row per distinct key seen (keys without the
+    event-time column are never evicted), so final state rows must equal the
+    batch COUNT(DISTINCT user_id, event_type); and every input row is either
+    first-of-key or counted in ``numDroppedDuplicateRows`` (additive across
+    batches), so that run total must equal n_events − n_keys. Both exact
+    integers are re-derived by the oracle, which pins the verdicts to 1."""
     stream = read_events_stream(spark, sf_dir)
     deduped = (
         stream.withWatermark("ts", "7 days")
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    import tempfile
-
-    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
+    result, m = drain_with_metrics(
+        deduped, f"stream_dedup_{uuid.uuid4().hex[:8]}", "append"
+    )
+    ev = T(spark, sf_dir, "events")
+    exact = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events_exact"),
+        F.count_distinct("user_id", "event_type")
+        .cast("bigint")
+        .alias("n_keys_exact"),
+    )
+    return witness(
+        result,
+        exact,
+        {
+            "dedup_state_eq_keys_ok": F.lit(m.op().rows_total)
+            == F.col("n_keys_exact"),
+            "dropped_dups_exact_ok": F.lit(m.op().dropped_dup_sum)
+            == F.col("n_events_exact") - F.col("n_keys_exact"),
+            "none_dropped_by_watermark_ok": F.lit(m.op().dropped_wm_sum) == F.lit(0),
+        },
+    )
 
 
 @register(
     "q_stream_static_enrich",
     oracle="""
-SELECT c_mktsegment,
-       COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
-FROM events JOIN customer ON user_id = c_custkey
-GROUP BY c_mktsegment
+WITH res AS (
+  SELECT c_mktsegment,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+  FROM events JOIN customer ON user_id = c_custkey
+  GROUP BY c_mktsegment
+)
+SELECT res.*, a.* FROM res CROSS JOIN (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_events_exact,
+         (SELECT CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT)
+          FROM events JOIN customer ON user_id = c_custkey)
+           AS n_groups_exact,
+         CAST(1 AS BIGINT) AS input_complete_ok,
+         CAST(1 AS BIGINT) AS join_is_stateless_ok,
+         CAST(1 AS BIGINT) AS state_rows_eq_groups_ok
+) a
 """,
 )
 def q_stream_static_enrich(spark, sf_dir):
-    """Stream-static join: enrich a live event stream with a broadcast dim
-    table (the static side is re-resolved per micro-batch — Spark's native
-    dimension-refresh pattern), then a streaming aggregate. Batch-equivalent
-    because the aggregation is complete-mode over the whole drained stream."""
-    import tempfile
-
+    """Stream-static join (broadcast dim, re-resolved per micro-batch) into
+    a streaming aggregate, PLUS streaming-run witnesses (r09, VERDICT r08
+    #2): a stream-static join holds NO streaming state — the run's
+    ``stateOperators`` must have exactly ONE entry (the aggregation), which
+    is the contract separating this plan from a stateful stream-stream join;
+    the aggregation's final state rows must equal the batch count of
+    distinct joined segments; and ``numInputRows`` counts only the STREAM
+    side (the static dim is not source input), so it must equal the batch
+    COUNT(*) of events. The oracle re-derives the exact integers and pins
+    the verdicts to 1."""
     stream = read_events_stream(spark, sf_dir)
     from pyspark.sql import functions as F
 
@@ -126,16 +201,45 @@ def q_stream_static_enrich(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(10,2)")).cast("double").alias("total_value"),
     )
-    return run_available_now(agg, f"stream_enrich_{uuid.uuid4().hex[:8]}")
+    result, m = drain_with_metrics(
+        agg, f"stream_enrich_{uuid.uuid4().hex[:8]}", "complete"
+    )
+    ev = T(spark, sf_dir, "events")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    exact = joined.agg(
+        F.count_distinct("c_mktsegment").cast("bigint").alias("n_groups_exact")
+    ).crossJoin(
+        F.broadcast(ev.agg(F.count(F.lit(1)).cast("bigint").alias("n_events_exact")))
+    )
+    return witness(
+        result,
+        exact,
+        {
+            "input_complete_ok": F.lit(m.n_input) == F.col("n_events_exact"),
+            "join_is_stateless_ok": F.lit(len(m.state_ops)) == F.lit(1),
+            "state_rows_eq_groups_ok": F.lit(m.op().rows_total)
+            == F.col("n_groups_exact"),
+        },
+    )
 
 
 @register(
     "q_stream_stream_join",
     oracle="""
-SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
-FROM events a JOIN events b ON a.user_id = b.user_id
-WHERE a.event_type = 'click' AND b.event_type = 'purchase'
-  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+WITH res AS (
+  SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
+  FROM events a JOIN events b ON a.user_id = b.user_id
+  WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+)
+SELECT res.*, a.* FROM res CROSS JOIN (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_events_exact,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+          WHERE event_type IN ('click', 'purchase')) AS n_sides_exact,
+         CAST(1 AS BIGINT) AS input_complete_ok,
+         CAST(1 AS BIGINT) AS state_accounting_ok,
+         CAST(1 AS BIGINT) AS none_dropped_by_watermark_ok
+) a
 """,
 )
 def q_stream_stream_join(spark, sf_dir):
@@ -182,8 +286,36 @@ def q_stream_stream_join(spark, sf_dir):
             """
         ),
     ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
-    return run_available_now(
-        joined, f"stream_ss_join_{uuid.uuid4().hex[:8]}", output_mode="append"
+    result, m = drain_with_metrics(
+        joined, f"stream_ss_join_{uuid.uuid4().hex[:8]}", "append"
+    )
+    # Streaming-run witnesses (r09, VERDICT r08 #2). The symmetric hash join
+    # buffers EVERY non-late row arriving on either side, so the run's state
+    # accounting is exact: final numRowsTotal + Σ removed + Σ dropped-late ==
+    # clicks + purchases (at the test SFs the 30-day watermark outlasts the
+    # 29.99-day event span — verified at sf0.001/0.01/0.1 — so removed is 0
+    # and state holds both sides in full). numInputRows counts SOURCE rows:
+    # the two branches each scan the events source once (filters apply after
+    # the source), so input == 2 × COUNT(*).
+    ev = T(spark, sf_dir, "events")
+    exact = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events_exact"),
+        F.sum(F.col("event_type").isin("click", "purchase").cast("int"))
+        .cast("bigint")
+        .alias("n_sides_exact"),
+    )
+    return witness(
+        result,
+        exact,
+        {
+            "input_complete_ok": F.lit(m.n_input)
+            == F.lit(2) * F.col("n_events_exact"),
+            "state_accounting_ok": F.lit(
+                m.op().rows_total + m.op().removed_sum + m.op().dropped_wm_sum
+            )
+            == F.col("n_sides_exact"),
+            "none_dropped_by_watermark_ok": F.lit(m.op().dropped_wm_sum) == F.lit(0),
+        },
     )
 
 
@@ -242,7 +374,17 @@ def q_session_window_native(spark, sf_dir):
 @register(
     "q_stream_dedup_within_watermark",
     oracle="""
-SELECT DISTINCT user_id, event_type FROM events
+WITH res AS (
+  SELECT DISTINCT user_id, event_type FROM events
+)
+SELECT res.*, a.* FROM res CROSS JOIN (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM (SELECT DISTINCT user_id, event_type FROM events))
+           AS n_keys_exact,
+         CAST(1 AS BIGINT) AS dedup_state_eq_keys_ok,
+         CAST(1 AS BIGINT) AS no_state_evicted_ok,
+         CAST(1 AS BIGINT) AS none_dropped_by_watermark_ok
+) a
 """,
 )
 def q_stream_dedup_within_watermark(spark, sf_dir):
@@ -254,37 +396,59 @@ def q_stream_dedup_within_watermark(spark, sf_dir):
     seen within the watermark horizon, not keys ever seen. The delay here
     exceeds the dataset's event-time span so the result is exactly the
     batch DISTINCT, which the oracle checks; production uses an SLA-sized
-    delay and accepts re-emission of keys recurring beyond it."""
-    import tempfile
+    delay and accepts re-emission of keys recurring beyond it.
 
+    Streaming-run witnesses (r09, VERDICT r08 #2): within the horizon the
+    operator stores exactly one state row per distinct key, so final state
+    rows == batch COUNT(DISTINCT keys) and — because the 3650-day horizon
+    outlasts the 30-day event span (verified at sf0.001/0.01/0.1) — zero
+    state rows were evicted over the run. The EVICTION side of the contract
+    (keys ARE dropped once the watermark passes them, and re-emitted on
+    recurrence) is pinned on constructed multi-batch input in
+    tests/test_stream_audits.py, where a short horizon forces it."""
     stream = read_events_stream(spark, sf_dir)
     deduped = (
         stream.withWatermark("ts", "3650 days")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    name = f"stream_dedup_ww_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
+    result, m = drain_with_metrics(
+        deduped, f"stream_dedup_ww_{uuid.uuid4().hex[:8]}", "append"
+    )
+    exact = T(spark, sf_dir, "events").agg(
+        F.count_distinct("user_id", "event_type")
+        .cast("bigint")
+        .alias("n_keys_exact")
+    )
+    return witness(
+        result,
+        exact,
+        {
+            "dedup_state_eq_keys_ok": F.lit(m.op().rows_total)
+            == F.col("n_keys_exact"),
+            "no_state_evicted_ok": F.lit(m.op().removed_sum) == F.lit(0),
+            "none_dropped_by_watermark_ok": F.lit(m.op().dropped_wm_sum) == F.lit(0),
+        },
+    )
 
 
 @register(
     "q_stream_cms_cells",
     oracle=f"""
+WITH res AS (
 {" UNION ALL ".join(
     f"SELECT {j} AS j, {_stats._cms_bucket_duck(j, 'user_id')} AS bucket, "
     f"CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY bucket"
     for j in range(_stats._CMS_D)
 )}
+)
+SELECT res.*, a.* FROM res CROSS JOIN (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_events_exact,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM res) AS n_cells_exact,
+         CAST(1 AS BIGINT) AS input_complete_ok,
+         CAST(1 AS BIGINT) AS state_rows_eq_cells_ok,
+         CAST(1 AS BIGINT) AS state_bounded_ok
+) a
 """,
 )
 def q_stream_cms_cells(spark, sf_dir):
@@ -317,7 +481,46 @@ def q_stream_cms_cells(spark, sf_dir):
     cells = fan.groupBy("j", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    return run_available_now(cells, f"stream_cms_{_uuid.uuid4().hex[:8]}")
+    result, m = drain_with_metrics(
+        cells, f"stream_cms_{_uuid.uuid4().hex[:8]}", "complete"
+    )
+    # Streaming-run witnesses (r09, VERDICT r08 #2): the constant-state
+    # claim above, measured from the run's own metrics — final state rows ==
+    # the batch count of NON-EMPTY cells (one state row per touched
+    # (hash-row, bucket) cell), and ≤ d×w = 4×256 = 1024 regardless of key
+    # cardinality or stream length (the sketch's fixed cell space).
+    ev = T(spark, sf_dir, "events")
+    batch_fan = ev.select(
+        F.explode(
+            F.array(
+                *(
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(_stats._cms_bucket_spark(j, "user_id")).alias(
+                            "bucket"
+                        ),
+                    )
+                    for j in range(_stats._CMS_D)
+                )
+            )
+        ).alias("cell")
+    ).select("cell.j", "cell.bucket")
+    exact = batch_fan.agg(
+        F.count_distinct("j", "bucket").cast("bigint").alias("n_cells_exact")
+    ).crossJoin(
+        F.broadcast(ev.agg(F.count(F.lit(1)).cast("bigint").alias("n_events_exact")))
+    )
+    return witness(
+        result,
+        exact,
+        {
+            "input_complete_ok": F.lit(m.n_input) == F.col("n_events_exact"),
+            "state_rows_eq_cells_ok": F.lit(m.op().rows_total)
+            == F.col("n_cells_exact"),
+            "state_bounded_ok": F.lit(m.op().rows_total)
+            <= F.lit(_stats._CMS_D * _stats._CMS_W),
+        },
+    )
 
 
 @register(
@@ -334,15 +537,26 @@ p AS (
 wm AS (
   SELECT LEAST((SELECT MAX(click_ts) FROM c), (SELECT MAX(purchase_ts) FROM p))
          - INTERVAL 1 MINUTE AS w
+),
+res AS (
+  SELECT c.c_user AS user_id, c.click_id, p.purchase_id
+  FROM c
+  LEFT JOIN p ON c.c_user = p.p_user
+             AND p.purchase_ts >= c.click_ts
+             AND p.purchase_ts <= c.click_ts + INTERVAL 60 MINUTE
+  CROSS JOIN wm
+  WHERE p.purchase_id IS NOT NULL
+     OR c.click_ts + INTERVAL 60 MINUTE < wm.w
 )
-SELECT c.c_user AS user_id, c.click_id, p.purchase_id
-FROM c
-LEFT JOIN p ON c.c_user = p.p_user
-           AND p.purchase_ts >= c.click_ts
-           AND p.purchase_ts <= c.click_ts + INTERVAL 60 MINUTE
-CROSS JOIN wm
-WHERE p.purchase_id IS NOT NULL
-   OR c.click_ts + INTERVAL 60 MINUTE < wm.w
+SELECT res.*, a.* FROM res CROSS JOIN (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c)
+           + (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_sides_exact,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM c)
+           - (SELECT CAST(COUNT(DISTINCT click_id) AS BIGINT) FROM res)
+           AS n_withheld_exact,
+         CAST(1 AS BIGINT) AS withheld_in_state_ok,
+         CAST(1 AS BIGINT) AS state_le_buffered_ok
+) a
 """,
 )
 def q_stream_stream_left_join(spark, sf_dir):
@@ -394,8 +608,49 @@ def q_stream_stream_left_join(spark, sf_dir):
         ),
         "left_outer",
     ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
-    return run_available_now(
-        joined, f"stream_ss_louter_{uuid.uuid4().hex[:8]}", output_mode="append"
+    result, m = drain_with_metrics(
+        joined, f"stream_ss_louter_{uuid.uuid4().hex[:8]}", "append"
+    )
+    # Streaming-run witnesses (r09, VERDICT r08 #2). Outer-join state
+    # bookkeeping removes matched rows early, so the inner join's exact
+    # buffered-rows identity does NOT hold (measured r09 at sf0.001: final 3
+    # + removed 200 ≠ 412 buffered) — only the theorem-backed INEQUALITIES
+    # are pinned: every click withheld at query end (young enough that a
+    # qualifying purchase could still arrive) must still be in state, so
+    # n_withheld ≤ final state rows ≤ rows arriving on both sides.
+    # n_withheld is derived from the RESULT (clicks minus distinct emitted
+    # click_ids), which the row-level hash has already proven equal to the
+    # oracle's eviction-predicate replay.
+    ev = T(spark, sf_dir, "events")
+    sides = ev.agg(
+        F.sum(F.col("event_type").isin("click", "purchase").cast("int"))
+        .cast("bigint")
+        .alias("n_sides_exact"),
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .cast("bigint")
+        .alias("n_clicks_exact"),
+    )
+    exact = (
+        result.agg(
+            F.count_distinct("click_id").cast("bigint").alias("n_emitted")
+        )
+        .crossJoin(F.broadcast(sides))
+        .select(
+            (F.col("n_clicks_exact") - F.col("n_emitted"))
+            .cast("bigint")
+            .alias("n_withheld_exact"),
+            "n_sides_exact",
+        )
+    )
+    return witness(
+        result,
+        exact,
+        {
+            "withheld_in_state_ok": F.col("n_withheld_exact")
+            <= F.lit(m.op().rows_total),
+            "state_le_buffered_ok": F.lit(m.op().rows_total)
+            <= F.col("n_sides_exact"),
+        },
     )
 
 
@@ -415,10 +670,21 @@ r AS (
 x AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM r WHERE cum > 300000
+),
+res AS (
+  SELECT user_id, event_id AS crossing_event_id, ts AS crossing_ts,
+         CAST(cum AS BIGINT) AS cum_cents
+  FROM x WHERE rn = 1
 )
-SELECT user_id, event_id AS crossing_event_id, ts AS crossing_ts,
-       CAST(cum AS BIGINT) AS cum_cents
-FROM x WHERE rn = 1
+SELECT res.*, a.* FROM res CROSS JOIN (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_events_exact,
+         (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+           AS n_users_exact,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM res) AS n_crossings_exact,
+         CAST(1 AS BIGINT) AS input_complete_ok,
+         CAST(1 AS BIGINT) AS state_keys_eq_users_ok,
+         CAST(1 AS BIGINT) AS fired_exactly_once_ok
+) a
 """,
 )
 def q_stream_threshold_alert(spark, sf_dir):
@@ -436,8 +702,46 @@ def q_stream_threshold_alert(spark, sf_dir):
         "user_id", "event_id", "ts", "value"
     )
     out = first_threshold_crossing(stream, threshold_cents=300_000)
-    return run_available_now(
-        out, f"stream_threshold_{uuid.uuid4().hex[:8]}", output_mode="append"
+    result, m = drain_with_metrics(
+        out, f"stream_threshold_{uuid.uuid4().hex[:8]}", "append"
+    )
+    # Streaming-run witnesses (r09, VERDICT r08 #2): the operator
+    # state.update()s for EVERY user it sees, so final state rows == batch
+    # COUNT(DISTINCT user_id); and the `emitted` latch means the sink-row
+    # total across ALL batches equals the batch twin's crossing-user count
+    # (exactly-once firing, measured from the run's own sink metrics — an
+    # independent Spark-side running-sum window derivation, not the result).
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value").cast("decimal(10,2)") * 100)
+        .cast("bigint")
+        .alias("vc"),
+    ).withColumn("cum", F.sum("vc").over(w))
+    exact = cum.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events_exact"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users_exact"),
+        F.count_distinct(F.when(F.col("cum") > 300_000, F.col("user_id")))
+        .cast("bigint")
+        .alias("n_crossings_exact"),
+    )
+    return witness(
+        result,
+        exact,
+        {
+            "input_complete_ok": F.lit(m.n_input) == F.col("n_events_exact"),
+            "state_keys_eq_users_ok": F.lit(m.op().rows_total)
+            == F.col("n_users_exact"),
+            "fired_exactly_once_ok": F.lit(m.sink_rows)
+            == F.col("n_crossings_exact"),
+        },
     )
 
 
@@ -450,11 +754,20 @@ WITH rows_fp AS (
              CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
              || '|' || event_type), 1, 12)) AS BIGINT) AS fp48
   FROM events
+),
+res AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(fp48) AS VARCHAR) AS checksum
+  FROM rows_fp GROUP BY event_type
 )
-SELECT event_type,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(fp48) AS VARCHAR) AS checksum
-FROM rows_fp GROUP BY event_type
+SELECT res.*, a.* FROM res CROSS JOIN (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_events_exact,
+         (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events)
+           AS n_types_exact,
+         CAST(1 AS BIGINT) AS input_complete_ok,
+         CAST(1 AS BIGINT) AS state_rows_eq_types_ok
+) a
 """,
 )
 def q_stream_fingerprint(spark, sf_dir):
@@ -463,12 +776,16 @@ def q_stream_fingerprint(spark, sf_dir):
     aggregation — state is one (count, sum) pair per partition key no matter
     the stream length, and because the fingerprint is a SUM of row hashes,
     micro-batch boundaries cannot affect it: the availableNow drain equals
-    the batch checksum exactly (the batch-SQL oracle asserts it). This is
-    the continuous-ingestion integrity monitor: a replica recomputing the
-    batch checksum must match the streaming side's running value per key."""
+    the batch checksum exactly (the batch-SQL oracle asserts it).
+
+    Streaming-run witnesses (r09, VERDICT r08 #2): final aggregation state
+    rows == batch COUNT(DISTINCT event_type) — the constant-state claim in
+    the paragraph above, now measured from the run's own metrics instead of
+    asserted; and ``numInputRows`` total == batch COUNT(*) (the source
+    served every row exactly once). Oracle re-derives both, pins verdicts."""
     import uuid as _uuid
 
-    from ..streaming.events import read_events_stream, run_available_now
+    from ..streaming.events import read_events_stream
 
     stream = read_events_stream(spark, sf_dir)
     canon = F.concat_ws(
@@ -482,7 +799,22 @@ def q_stream_fingerprint(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("fp48").cast("decimal(38,0)").cast("string").alias("checksum"),
     )
-    return run_available_now(agg, f"stream_fp_{_uuid.uuid4().hex[:8]}")
+    result, m = drain_with_metrics(
+        agg, f"stream_fp_{_uuid.uuid4().hex[:8]}", "complete"
+    )
+    exact = T(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events_exact"),
+        F.count_distinct("event_type").cast("bigint").alias("n_types_exact"),
+    )
+    return witness(
+        result,
+        exact,
+        {
+            "input_complete_ok": F.lit(m.n_input) == F.col("n_events_exact"),
+            "state_rows_eq_types_ok": F.lit(m.op().rows_total)
+            == F.col("n_types_exact"),
+        },
+    )
 
 
 @register(
@@ -494,11 +826,20 @@ WITH gen AS (
            AS event_type,
          CAST((i * 7919 % 100000) / 100.0 AS DECIMAL(10,2)) AS v
   FROM range(0, 100000) t(i)
+),
+res AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS DOUBLE) AS total_value
+  FROM gen GROUP BY event_type
 )
-SELECT event_type,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(v) AS DOUBLE) AS total_value
-FROM gen GROUP BY event_type
+SELECT res.*, a.* FROM res CROSS JOIN (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM gen) AS n_rows_exact,
+         (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM gen)
+           AS n_types_exact,
+         CAST(1 AS BIGINT) AS offsets_complete_ok,
+         CAST(1 AS BIGINT) AS state_rows_eq_types_ok
+) a
 """,
 )
 def q_python_datasource_stream(spark, sf_dir):
@@ -514,7 +855,6 @@ def q_python_datasource_stream(spark, sf_dir):
     import uuid as _uuid
 
     from ..sources import pydatasource
-    from ..streaming.events import run_available_now
 
     pydatasource.register(spark)
     stream = (
@@ -526,7 +866,32 @@ def q_python_datasource_stream(spark, sf_dir):
         .cast("double")
         .alias("total_value"),
     )
-    return run_available_now(agg, f"pyds_stream_{_uuid.uuid4().hex[:8]}")
+    result, m = drain_with_metrics(
+        agg, f"pyds_stream_{_uuid.uuid4().hex[:8]}", "complete"
+    )
+    # Streaming-run witnesses (r09, VERDICT r08 #2): the streamed
+    # numInputRows total must equal the BATCH read of the same connector —
+    # the offset-accounting contract (every generated row served exactly
+    # once across micro-batches, no gap, no double-read); and the
+    # aggregation's final state rows == the connector's distinct type count.
+    try:  # batch reader implements pushFilters — needs the pushdown conf
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:  # noqa: BLE001 — conf may be fixed on shared sessions
+        pass
+    batch = spark.read.format("synthetic_events").option("n", 100_000).load()
+    exact = batch.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_exact"),
+        F.count_distinct("event_type").cast("bigint").alias("n_types_exact"),
+    )
+    return witness(
+        result,
+        exact,
+        {
+            "offsets_complete_ok": F.lit(m.n_input) == F.col("n_rows_exact"),
+            "state_rows_eq_types_ok": F.lit(m.op().rows_total)
+            == F.col("n_types_exact"),
+        },
+    )
 
 
 @register(
@@ -547,11 +912,22 @@ p AS (
   FROM events e JOIN c ON e.user_id = c.user_id
   WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
   GROUP BY e.user_id
+),
+res AS (
+  SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+         CAST(floor(epoch(p.purchase_ts) - epoch(v.view_ts)) AS BIGINT)
+           AS latency_s
+  FROM v JOIN c ON v.user_id = c.user_id JOIN p ON c.user_id = p.user_id
 )
-SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
-       CAST(floor(epoch(p.purchase_ts) - epoch(v.view_ts)) AS BIGINT)
-         AS latency_s
-FROM v JOIN c ON v.user_id = c.user_id JOIN p ON c.user_id = p.user_id
+SELECT res.*, a.* FROM res CROSS JOIN (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_events_exact,
+         (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+           AS n_users_exact,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM res) AS n_completions_exact,
+         CAST(1 AS BIGINT) AS input_complete_ok,
+         CAST(1 AS BIGINT) AS state_keys_eq_users_ok,
+         CAST(1 AS BIGINT) AS fired_exactly_once_ok
+) a
 """,
 )
 def q_stream_funnel_tracker(spark, sf_dir):
@@ -564,13 +940,59 @@ def q_stream_funnel_tracker(spark, sf_dir):
     pinned separately in tests/test_stream_funnel.py."""
     import uuid as _uuid
 
-    from ..streaming.events import read_events_stream, run_available_now
+    from ..streaming.events import read_events_stream
     from ..streaming.funnel import funnel_completions
 
     stream = read_events_stream(spark, sf_dir)
     out = funnel_completions(stream)
-    return run_available_now(
-        out, f"funnel_{_uuid.uuid4().hex[:8]}", output_mode="append"
+    result, m = drain_with_metrics(
+        out, f"funnel_{_uuid.uuid4().hex[:8]}", "append"
+    )
+    # Streaming-run witnesses (r09, VERDICT r08 #2): the tracker
+    # state.update()s for EVERY user, so final state rows == batch
+    # COUNT(DISTINCT user_id); the `emitted` latch means sink rows across
+    # ALL batches == the batch twin's completion count (exactly-once) —
+    # derived independently below via the v→c→p min-chain, not the result.
+    ev = T(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    exact = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_completions_exact")
+    ).crossJoin(
+        F.broadcast(
+            ev.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events_exact"),
+                F.count_distinct("user_id").cast("bigint").alias("n_users_exact"),
+            )
+        )
+    )
+    return witness(
+        result,
+        exact,
+        {
+            "input_complete_ok": F.lit(m.n_input) == F.col("n_events_exact"),
+            "state_keys_eq_users_ok": F.lit(m.op().rows_total)
+            == F.col("n_users_exact"),
+            "fired_exactly_once_ok": F.lit(m.sink_rows)
+            == F.col("n_completions_exact"),
+        },
     )
 
 
@@ -597,11 +1019,22 @@ carried AS (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_regime
   FROM marked
+),
+res AS (
+  SELECT user_id, event_id AS alert_event_id, ts AS alert_ts,
+         CAST(vc AS BIGINT) AS value_cents
+  FROM carried
+  WHERE vc > {_HYST_HIGH} AND COALESCE(prev_regime, 0) = 0
 )
-SELECT user_id, event_id AS alert_event_id, ts AS alert_ts,
-       CAST(vc AS BIGINT) AS value_cents
-FROM carried
-WHERE vc > {_HYST_HIGH} AND COALESCE(prev_regime, 0) = 0
+SELECT res.*, a.* FROM res CROSS JOIN (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_events_exact,
+         (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+           AS n_users_exact,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM res) AS n_alerts_exact,
+         CAST(1 AS BIGINT) AS input_complete_ok,
+         CAST(1 AS BIGINT) AS state_keys_eq_users_ok,
+         CAST(1 AS BIGINT) AS fired_on_transitions_ok
+) a
 """,
 )
 def q_stream_hysteresis_alert(spark, sf_dir):
@@ -620,8 +1053,56 @@ def q_stream_hysteresis_alert(spark, sf_dir):
         "user_id", "event_id", "ts", "value"
     )
     out = hysteresis_alerts(stream, low_cents=_HYST_LOW, high_cents=_HYST_HIGH)
-    return run_available_now(
-        out, f"stream_hysteresis_{uuid.uuid4().hex[:8]}", output_mode="append"
+    result, m = drain_with_metrics(
+        out, f"stream_hysteresis_{uuid.uuid4().hex[:8]}", "append"
+    )
+    # Streaming-run witnesses (r09, VERDICT r08 #2): the regime bit is
+    # state.update()d for EVERY user, so final state rows == batch
+    # COUNT(DISTINCT user_id); and sink rows across ALL batches == the batch
+    # twin's alert count (one firing per LOW→HIGH transition, no flap) —
+    # derived independently below via the carry-forward window, not from
+    # the result rows.
+    ev = T(spark, sf_dir, "events")
+    vc = F.floor(F.col("value").cast("decimal(10,2)") * 100).cast("bigint")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        vc.alias("vc"),
+    ).withColumn(
+        "regime",
+        F.when(F.col("vc") > _HYST_HIGH, 1).when(F.col("vc") < _HYST_LOW, 0),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = marked.withColumn(
+        "prev_regime", F.last("regime", ignorenulls=True).over(wprev)
+    )
+    exact = carried.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events_exact"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users_exact"),
+        F.sum(
+            (
+                (F.col("vc") > _HYST_HIGH)
+                & (F.coalesce(F.col("prev_regime"), F.lit(0)) == 0)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_alerts_exact"),
+    )
+    return witness(
+        result,
+        exact,
+        {
+            "input_complete_ok": F.lit(m.n_input) == F.col("n_events_exact"),
+            "state_keys_eq_users_ok": F.lit(m.op().rows_total)
+            == F.col("n_users_exact"),
+            "fired_on_transitions_ok": F.lit(m.sink_rows)
+            == F.col("n_alerts_exact"),
+        },
     )
 
 

@@ -325,6 +325,9 @@ HEADLINE = [
     # round 8 (cont. 10): detector shoot-out — MinHash vs winnowing recall
     # against exact ground truth (real cross-engine values, not verdicts)
     "q_dedup_recall_comparison",
+    # round 9: directed copy attribution — per-span first-seen origin
+    # (hash agg) -> directed (origin, copier) share matrix
+    "q_source_copy_direction",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

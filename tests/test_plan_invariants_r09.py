@@ -1,0 +1,29 @@
+"""Physical-plan invariants for the round-9 additions (freeze the
+properties that matter at 100 TB — see tests/test_plan_invariants.py)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+from arc_maskdata_pipeline_plugin_spark.cache import release_persisted
+from tools.plan_audit import audit
+
+QUERIES = entry_mod.queries()
+SF = "/root/testdata/sf0.001"
+
+
+def props(name, spark):
+    a = audit(name, QUERIES[name], spark, SF)
+    release_persisted()
+    spark.catalog.clearCache()
+    return a
+
+
+def test_copy_direction_agg_shaped_no_doc_pairs(spark):
+    """Directed copy attribution must stay aggregation-shaped: per-span
+    origin is a hash agg (min struct), never a doc-pair join — a viral
+    boilerplate span costs one combiner, not a quadratic bucket; the
+    |sources|-row totals broadcast; all JVM-side."""
+    a = props("q_source_copy_direction", spark)
+    assert a["python_ops"] == 0
+    assert a["broadcasts"] >= 1
+    assert a["pushed_filters"] >= 1  # n_chars/text scan pruned + filtered
