@@ -254,6 +254,105 @@ def incremental_dedup_new_docs(
 
 
 # ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer-Wilkerson-Aiken) — operator form
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Distinct winnowing-selected fingerprints per document: hash every
+    word ``k``-gram (md5 first-8-hex → int32-range bigint, engine-portable),
+    slide a window of ``w`` consecutive hashes, keep the RIGHTMOST MINIMUM
+    of each window (robust winnowing, SIGMOD 2003). Returns (id, h) rows —
+    the store an incremental fingerprint index persists (bucket by ``h`` at
+    rest).
+
+    Winnowing is DOC-LOCAL: fingerprints computed per batch equal those the
+    full-corpus computation would select, so a persisted store extends by
+    plain union — the property that makes it an incremental-dedup store.
+    Density/locality audits of this selection are hash-oracled in
+    ``plans/dedup.py`` (q_winnowing_fingerprints / q_winnowing_dup_pairs)."""
+    toks = (
+        f"filter(transform(split(lower(trim({text})), '\\\\s+'), "
+        "t -> regexp_replace(t, '[^a-z0-9]', '')), t -> t != '')"
+    )
+    d = docs.select(F.col(id_col), F.expr(toks).alias("tk"))
+    sized = d.filter(F.size("tk") >= k + w - 1).select(
+        id_col, "tk", (F.size("tk") - (k - 1)).alias("n_pos")
+    )
+    gram = f"array_join(slice(tk, p, {k}), ' ')"
+    gpos = sized.select(
+        id_col,
+        "n_pos",
+        F.explode(F.expr("sequence(1, n_pos)")).alias("p"),
+        "tk",
+    ).select(
+        id_col,
+        "n_pos",
+        "p",
+        F.expr(f"cast(conv(substring(md5({gram}), 1, 8), 16, 10) as bigint)").alias(
+            "h"
+        ),
+    )
+    win = gpos.select(
+        id_col,
+        "p",
+        "h",
+        F.explode(
+            F.expr(
+                f"sequence(greatest(1, p - {w - 1}), least(p, n_pos - {w - 1}))"
+            )
+        ).alias("j"),
+    )
+    rm = Window.partitionBy(id_col, "j").orderBy(F.asc("h"), F.desc("p"))
+    return (
+        win.withColumn("rn", F.row_number().over(rm))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "h")
+        .distinct()
+    )
+
+
+def incremental_dedup_winnow(
+    new_docs: DataFrame,
+    corpus_fps: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Daily-ingest dedup against a persisted WINNOWING fingerprint store
+    (r09, VERDICT r08 next-round #5 — the winnowing twin of
+    ``incremental_dedup_new_docs``): a new document is dropped iff at least
+    ``min_shared`` of its selected fingerprints already exist in the store.
+    Winnowing's locality guarantee makes the probe sensitive to any shared
+    run of k+w−1 tokens wherever it sits — the substring sensitivity the
+    MinHash band store trades away.
+
+    Each increment: (1) fingerprints ONLY the new batch (winnowing is
+    doc-local, cost ∝ batch); (2) semi-probes the store on ``h`` (bucketed
+    store → co-located probe); (3) returns (survivors, survivor_fps) —
+    union survivor_fps into the store to complete the increment."""
+    fps = winnow_fingerprints(new_docs, id_col=id_col, text=text, k=k, w=w)
+    dup_ids = (
+        fps.join(corpus_fps.select("h"), "h", "semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_shared)
+        .select(id_col)
+    )
+    survivors = new_docs.join(dup_ids, id_col, "left_anti")
+    survivor_fps = fps.join(dup_ids, id_col, "left_anti")
+    return survivors, survivor_fps
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard
 # ---------------------------------------------------------------------------
 

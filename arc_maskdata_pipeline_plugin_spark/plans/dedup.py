@@ -1428,8 +1428,12 @@ def q_doc_stitch_pairs(spark, sf_dir):
 
 _WINNOW_MIN_SHARED = 2
 
-_WINNOW_PAIRS_ORACLE = rf"""
-WITH d AS (
+# Shared selection chain (d → sized → gpos → win → sel): the robust-winnowing
+# fingerprint selection both the matcher and the incremental-store oracles
+# replay. Winnowing is doc-local, so computing sel over the WHOLE corpus
+# equals computing it per doc subset — which is what lets the incremental
+# oracle carve store/batch out of one chain.
+_WINNOW_SEL_CTES = rf"""d AS (
   SELECT doc_id,
          list_filter(list_transform(string_split_regex(lower(trim(text)), '\s+'),
            t -> regexp_replace(t, '[^a-z0-9]', '', 'g')), t -> t <> '') AS tk
@@ -1456,7 +1460,10 @@ sel AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, j ORDER BY h, p DESC) AS rn
     FROM win
   ) t WHERE rn = 1
-),
+)"""
+
+_WINNOW_PAIRS_ORACLE = rf"""
+WITH {_WINNOW_SEL_CTES},
 idx AS (SELECT h, doc_id FROM sel),
 pairs AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_shared_fps
@@ -1552,6 +1559,49 @@ def q_winnowing_dup_pairs(spark, sf_dir):
             .alias("fp_jaccard_fp6"),
         )
     )
+
+
+_WINNOW_INC_ORACLE = rf"""
+WITH {_WINNOW_SEL_CTES},
+store AS (SELECT DISTINCT h FROM sel WHERE doc_id < 400),
+hits AS (
+  SELECT s.doc_id
+  FROM sel s JOIN store st ON s.h = st.h
+  WHERE s.doc_id >= 400
+  GROUP BY s.doc_id
+  HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+)
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id >= 400 AND doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+
+@register("dedup_incremental_winnow", oracle=_WINNOW_INC_ORACLE)
+def dedup_incremental_winnow_q(spark, sf_dir):
+    """Incremental (daily-ingest) dedup against a persisted WINNOWING
+    fingerprint store (r09, VERDICT r08 next-round #5 — the winnowing twin
+    of ``dedup_incremental``): corpus = doc_id < 400 builds the (h) store
+    once (``operators.dedup.winnow_fingerprints``; bucket by h at rest);
+    the batch = doc_id >= 400 is fingerprinted ALONE (winnowing is
+    doc-local — per-increment cost ∝ batch, the corpus is never re-read)
+    and a batch doc is dropped iff ≥ {m} of its selected fingerprints
+    already exist in the store. Winnowing's locality guarantee makes this
+    probe catch any shared (k+w−1)-token run wherever it sits — the
+    substring sensitivity the MinHash band store trades away. The oracle
+    replays the same store semantics over the shared selection chain
+    (valid precisely because selection is doc-local).""".format(
+        m=_WINNOW_MIN_SHARED
+    )
+    from ..operators.dedup import incremental_dedup_winnow, winnow_fingerprints
+
+    docs = spread(T(spark, sf_dir, "documents"))
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    store = winnow_fingerprints(corpus, k=_WIN_K, w=_WIN_W)
+    survivors, _fps = incremental_dedup_winnow(
+        batch, store, k=_WIN_K, w=_WIN_W, min_shared=_WINNOW_MIN_SHARED
+    )
+    return survivors.select("doc_id", "n_chars")
 
 
 # ---------------------------------------------------------------------------

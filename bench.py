@@ -328,6 +328,9 @@ HEADLINE = [
     # round 9: directed copy attribution — per-span first-seen origin
     # (hash agg) -> directed (origin, copier) share matrix
     "q_source_copy_direction",
+    # round 9 (cont.): winnowing-backed incremental dedup — batch-local
+    # fingerprinting probing a persisted (h) store
+    "dedup_incremental_winnow",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

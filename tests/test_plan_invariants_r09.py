@@ -27,3 +27,13 @@ def test_copy_direction_agg_shaped_no_doc_pairs(spark):
     assert a["python_ops"] == 0
     assert a["broadcasts"] >= 1
     assert a["pushed_filters"] >= 1  # n_chars/text scan pruned + filtered
+
+
+def test_incremental_winnow_batch_local_probe(spark):
+    """The winnowing store probe keeps the incremental shape: the
+    corpus/batch doc_id bounds are PUSHED to the parquet scans (the store
+    build never reads batch rows and vice versa), and the whole
+    fingerprint-select + semi-probe is JVM-side."""
+    a = props("dedup_incremental_winnow", spark)
+    assert a["python_ops"] == 0
+    assert a["pushed_filters"] >= 2  # doc_id < 400 and doc_id >= 400 sides

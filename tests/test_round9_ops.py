@@ -50,3 +50,46 @@ def test_copy_direction_planted_provenance(spark, tmp_path):
         ("A", "C"): (1, 1, 1_000_000),
         ("B", "A"): (1, 2, 500_000),
     }, got
+
+
+def test_incremental_winnow_dedup_against_store(spark):
+    """New batch vs persisted winnowing fingerprint store: a batch doc
+    sharing a long token run with the corpus is dropped (locality: any
+    shared k+w-1 = 7-token run yields a shared fingerprint; the 16-token
+    copy yields >= min_shared of them), a fresh doc survives, and unioning
+    the survivor fingerprints into the store dedups the next identical
+    batch fully — per-increment cost stays batch-local (winnowing is
+    doc-local, so the store extends by plain union)."""
+    from arc_maskdata_pipeline_plugin_spark.operators.dedup import (
+        incremental_dedup_winnow,
+        winnow_fingerprints,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india " \
+        "juliet kilo lima mike november oscar papa"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words then {shared} and a corpus tail here"),
+            (2, "completely different content about distributed query engines"
+                " running large analytical scans every night"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    store = winnow_fingerprints(corpus)
+
+    batch = spark.createDataFrame(
+        [
+            # carries the corpus run, shifted to a new position
+            (10, f"totally new preamble {shared} closing differently now"),
+            # genuinely new
+            (11, "a brand new article describing winnowing fingerprints at"
+                 " scale with no overlap whatsoever in its token stream"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    survivors, survivor_fps = incremental_dedup_winnow(batch, store)
+    assert [r.doc_id for r in survivors.collect()] == [11]
+    assert {r.doc_id for r in survivor_fps.collect()} == {11}
+    store2 = store.union(survivor_fps)
+    survivors2, _ = incremental_dedup_winnow(batch, store2)
+    assert survivors2.count() == 0
