@@ -284,15 +284,30 @@ _ADV_PREDICATES = [
     ("prio_urgent", "prio", "'1-URGENT'", "'1-URGENT'"),
     ("cust_range", "ck", "100", "500"),
 ]
-_ADV_LAYOUTS = ["bydate", "byprice", "bycust", "arrival"]
+# r09 (VERDICT r08 next-round #4): the advisor's candidate set now includes
+# a two-key COMPOSITE sort (date major, customer minor — packed into one
+# bigint sort value: date << 30 | ck's low 30 bits) and the MORTON layout
+# from q_zorder_layout (10-bit interleave of customer and days-since-1992,
+# both masked to 1023 — the same engine-portable formula, including its
+# documented day-mask wrap).
+_ADV_LAYOUTS = ["bydate", "byprice", "bycust", "arrival", "datecust", "zorder"]
+
+_ADV_Z_BITS = 10
 
 
 def _advisor_oracle() -> str:
+    from ..operators.layout import zorder_sql
+
+    zx = "(ck & 1023)"
+    zy = "(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) & 1023)"
     sort_val = {
         "bydate": "CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT)",
         "byprice": "cents",
         "bycust": "ck",
         "arrival": f"CAST(('0x' || substr(md5('adv:' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)",
+        "datecust": "(CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) << 30)"
+        " + (ck & 1073741823)",
+        "zorder": zorder_sql(zx, zy, _ADV_Z_BITS, "duckdb"),
     }
     long_rows = " UNION ALL ".join(
         f"SELECT '{lay}' AS layout, {sv} AS sort_val, o_orderkey, d, cents, prio, ck FROM o"
@@ -369,11 +384,20 @@ def q_layout_advisor(spark, sf_dir):
     simulation stand-in), one file-grain aggregate; all predicate
     evaluation happens on the {k}·{n}-row zone frame. Dates travel as
     yyyy-MM-dd STRINGS end-to-end (lexicographic = chronological), so the
-    zone comparisons are engine-exact.""".format(
+    zone comparisons are engine-exact.
+
+    r09 (VERDICT r08 #4): the candidate set grew from four single-key
+    layouts to six — a two-key composite sort (date major / customer
+    minor, packed into one bigint) and the Morton layout from
+    ``q_zorder_layout`` — so the advisor can recommend multi-column
+    clustering where the workload mixes dimensions; the Z-order-wins-
+    mixed-2D-workloads result is pinned on constructed data in
+    tests/test_round9_ops.py.""".format(
         n=_ADV_FILES, k=len(_ADV_LAYOUTS)
     )
     from pyspark.sql import Window
 
+    from ..operators.layout import zorder_sql
     from .registry import dec
 
     o = T(spark, sf_dir, "orders").select(
@@ -394,10 +418,27 @@ def q_layout_advisor(spark, sf_dir):
         )
         .cast("bigint")
         .alias("sv_arrival"),
+        (
+            F.shiftleft(
+                F.date_format("o_orderdate", "yyyyMMdd").cast("bigint"), 30
+            )
+            + F.col("o_custkey").bitwiseAND(F.lit(1073741823))
+        ).alias("sv_datecust"),
+        F.expr(
+            zorder_sql(
+                "(o_custkey & 1023)",
+                "(datediff(cast(o_orderdate as date), date'1992-01-01') & 1023)",
+                _ADV_Z_BITS,
+                "spark",
+            )
+        )
+        .cast("bigint")
+        .alias("sv_zorder"),
     )
     long = o.selectExpr(
-        "stack(4, 'bydate', sv_bydate, 'byprice', cents, 'bycust', ck, "
-        "'arrival', sv_arrival) AS (layout, sort_val)",
+        "stack(6, 'bydate', sv_bydate, 'byprice', cents, 'bycust', ck, "
+        "'arrival', sv_arrival, 'datecust', sv_datecust, 'zorder', sv_zorder) "
+        "AS (layout, sort_val)",
         "o_orderkey",
         "d",
         "cents",

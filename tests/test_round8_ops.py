@@ -285,12 +285,26 @@ def test_layout_advisor_matches_python_replica(spark, tmp_path):
         }
         for i in range(128)
     ]
+    def _morton(x, y, bits=10):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    _Z_BASE = date(1992, 1, 1)
     sort_vals = {
         "bydate": lambda r: int(r["d"].replace("-", "")),
         "byprice": lambda r: r["cents"],
         "bycust": lambda r: r["ck"],
         "arrival": lambda r: int(
             hashlib.md5(f"adv:{r['okey']}".encode()).hexdigest()[:8], 16
+        ),
+        # r09 candidates: composite (date << 30 | ck low 30 bits) + Morton
+        "datecust": lambda r: (int(r["d"].replace("-", "")) << 30)
+        + (r["ck"] & 1073741823),
+        "zorder": lambda r: _morton(
+            r["ck"] & 1023, (date.fromisoformat(r["d"]) - _Z_BASE).days & 1023
         ),
     }
     expected = {}

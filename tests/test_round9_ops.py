@@ -93,3 +93,226 @@ def test_incremental_winnow_dedup_against_store(spark):
     store2 = store.union(survivor_fps)
     survivors2, _ = incremental_dedup_winnow(batch, store2)
     assert survivors2.count() == 0
+
+
+def test_layout_advisor_zorder_wins_mixed_2d_workload(spark, tmp_path):
+    """The known result the r09 advisor extension exists for: on a workload
+    mixing a selective DATE range with a selective CUSTOMER range over data
+    where the two dimensions are independent, Z-order beats every
+    single-key sort (a date sort wins date scans but reads everything for
+    the customer predicate, and vice versa; Morton bounds BOTH axes per
+    file). 1024 rows on a 256-day x 1024-customer grid (no day-mask wrap),
+    price/priority predicates matching nothing; the full Python replica is
+    the ground truth and zorder must rank 1 STRICTLY."""
+    import hashlib
+    from datetime import date, timedelta
+
+    rows = []
+    for i in range(1024):
+        d = date(1994, 1, 1) + timedelta(days=(i * 997) % 256)
+        rows.append((i, (i * 331) % 1024, d.strftime("%Y-%m-%d"), 1.0 + i / 100.0, "5-LOW"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderdate string, "
+        "o_totalprice double, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "cast(o_orderdate as timestamp) as o_orderdate",
+        "o_totalprice",
+        "o_orderpriority",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    from arc_maskdata_pipeline_plugin_spark.plans.lakeops2 import (
+        _ADV_FILES,
+        _ADV_PREDICATES,
+        q_layout_advisor,
+    )
+
+    def morton(x, y, bits=10):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    base = date(1992, 1, 1)
+    recs = [
+        {
+            "okey": i,
+            "d": (date(1994, 1, 1) + timedelta(days=(i * 997) % 256)).strftime(
+                "%Y-%m-%d"
+            ),
+            "cents": round((1.0 + i / 100.0) * 100),
+            "prio": "5-LOW",
+            "ck": (i * 331) % 1024,
+        }
+        for i in range(1024)
+    ]
+    sort_vals = {
+        "bydate": lambda r: int(r["d"].replace("-", "")),
+        "byprice": lambda r: r["cents"],
+        "bycust": lambda r: r["ck"],
+        "arrival": lambda r: int(
+            hashlib.md5(f"adv:{r['okey']}".encode()).hexdigest()[:8], 16
+        ),
+        "datecust": lambda r: (int(r["d"].replace("-", "")) << 30)
+        + (r["ck"] & 1073741823),
+        "zorder": lambda r: morton(
+            r["ck"] & 1023, (date.fromisoformat(r["d"]) - base).days & 1023
+        ),
+    }
+    per = 1024 // _ADV_FILES
+    expected = {}
+    for lay, sv in sort_vals.items():
+        ordered = sorted(recs, key=lambda r: (sv(r), r["okey"]))
+        files = [ordered[k * per : (k + 1) * per] for k in range(_ADV_FILES)]
+        scanned = files_read = 0
+        for _, col, lo, hi in _ADV_PREDICATES:
+            lo, hi = lo.strip("'"), hi.strip("'")
+            lo_c = int(lo) if col in ("cents", "ck") else lo
+            hi_c = int(hi) if col in ("cents", "ck") else hi
+            for f in files:
+                vals = [r[col] for r in f]
+                if not (max(vals) < lo_c or min(vals) > hi_c):
+                    scanned += len(f)
+                    files_read += 1
+        expected[lay] = (scanned, files_read)
+
+    out = {r.layout: r for r in q_layout_advisor(spark, str(tmp_path)).collect()}
+    assert set(out) == set(expected)
+    for lay, (scanned, files_read) in expected.items():
+        assert out[lay].workload_rows_scanned == scanned, lay
+        assert out[lay].workload_files_read == files_read, lay
+    # zorder wins STRICTLY on the mixed 2-D workload
+    assert out["zorder"].advisor_rank == 1
+    others = min(
+        v.workload_rows_scanned for k, v in out.items() if k != "zorder"
+    )
+    assert out["zorder"].workload_rows_scanned < others
+
+
+def test_layout_advisor_prediction_matches_written_files(spark, tmp_path):
+    """Advisor-vs-REALITY closure (r09, VERDICT r08 next-round #7): the
+    advisor predicts scan work from SIMULATED zone maps — here the
+    top-ranked layout is physically WRITTEN (one parquet file per NTILE
+    file), the REAL footer statistics are read back from the files on
+    disk, and the workload is evaluated against those real min/max stats.
+    Files-read and rows-scanned must equal the advisor's prediction
+    exactly, and Spark must push the workload predicates into the scan —
+    turning the advisor from a simulation into a validated cost model."""
+    from datetime import date, timedelta
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(1024):
+        d = date(1994, 1, 1) + timedelta(days=(i * 997) % 256)
+        rows.append((i, (i * 331) % 1024, d.strftime("%Y-%m-%d"), 1.0 + i / 100.0, "5-LOW"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderdate string, "
+        "o_totalprice double, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "cast(o_orderdate as timestamp) as o_orderdate",
+        "o_totalprice",
+        "o_orderpriority",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    from arc_maskdata_pipeline_plugin_spark.operators.layout import zorder_sql
+    from arc_maskdata_pipeline_plugin_spark.plans.lakeops2 import (
+        _ADV_FILES,
+        _ADV_PREDICATES,
+        _ADV_Z_BITS,
+        q_layout_advisor,
+    )
+    from arc_maskdata_pipeline_plugin_spark.plans.registry import dec
+
+    adv = {r.layout: r for r in q_layout_advisor(spark, str(tmp_path)).collect()}
+    top = min(adv.values(), key=lambda r: r.advisor_rank)
+    assert top.layout == "zorder"  # the mixed 2-D construction
+
+    # physically write the winning layout: ntile file assignment -> one
+    # parquet file per simulated file
+    o = spark.read.parquet(str(tmp_path / "orders.parquet")).select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("cents"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_custkey").alias("ck"),
+        F.expr(
+            zorder_sql(
+                "(o_custkey & 1023)",
+                "(datediff(cast(o_orderdate as date), date'1992-01-01') & 1023)",
+                _ADV_Z_BITS,
+                "spark",
+            )
+        )
+        .cast("bigint")
+        .alias("sv"),
+    )
+    w = Window.orderBy("sv", "o_orderkey")
+    filed = o.withColumn("file_id", F.ntile(_ADV_FILES).over(w))
+    out_dir = str(tmp_path / "layout_out")
+    filed.repartition(_ADV_FILES, "file_id").write.partitionBy("file_id").mode(
+        "overwrite"
+    ).parquet(out_dir)
+
+    # read the REAL footer stats of every written file
+    import glob as _glob
+
+    zones = []
+    for fdir in _glob.glob(f"{out_dir}/file_id=*"):
+        parts = _glob.glob(f"{fdir}/*.parquet")
+        assert len(parts) == 1, fdir  # one physical file per simulated file
+        md = pq.ParquetFile(parts[0]).metadata
+        stats = {}
+        n_rows = 0
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            n_rows += g.num_rows
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                s = col.statistics
+                assert s is not None and s.has_min_max, (name, parts[0])
+                mn, mx = s.min, s.max
+                if isinstance(mn, bytes):
+                    mn, mx = mn.decode(), mx.decode()
+                if name in stats:
+                    stats[name] = (min(stats[name][0], mn), max(stats[name][1], mx))
+                else:
+                    stats[name] = (mn, mx)
+        zones.append((stats, n_rows))
+    assert len(zones) == _ADV_FILES
+    assert sum(n for _, n in zones) == 1024
+
+    real_scanned = real_files = 0
+    for _, col, lo, hi in _ADV_PREDICATES:
+        lo, hi = lo.strip("'"), hi.strip("'")
+        lo_c = int(lo) if col in ("cents", "ck") else lo
+        hi_c = int(hi) if col in ("cents", "ck") else hi
+        for stats, n_rows in zones:
+            zmin, zmax = stats[col]
+            if not (zmax < lo_c or zmin > hi_c):
+                real_scanned += n_rows
+                real_files += 1
+    assert real_scanned == top.workload_rows_scanned
+    assert real_files == top.workload_files_read
+
+    # and the engine actually pushes the workload predicates to this scan
+    back = spark.read.parquet(out_dir)
+    plan = (
+        back.filter("d >= '1994-01-01' AND d <= '1994-03-31'")
+        .filter("ck >= 100 AND ck <= 500")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # (Spark truncates long plan fields, so check the untruncated prefix)
+    assert "PushedFilters" in plan, plan
+    assert "GreaterThanOrEqual(d,1994-01-01)" in plan, plan
