@@ -331,6 +331,9 @@ HEADLINE = [
     # round 9 (cont.): winnowing-backed incremental dedup — batch-local
     # fingerprinting probing a persisted (h) store
     "dedup_incremental_winnow",
+    # round 9 (cont.): tokenizer artifact export/import parity — train ->
+    # vocab.json/merges.txt -> re-import -> replay equals trained encoding
+    "q_bpe_artifact_roundtrip",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

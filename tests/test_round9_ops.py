@@ -316,3 +316,44 @@ def test_layout_advisor_prediction_matches_written_files(spark, tmp_path):
     # (Spark truncates long plan fields, so check the untruncated prefix)
     assert "PushedFilters" in plan, plan
     assert "GreaterThanOrEqual(d,1994-01-01)" in plan, plan
+
+
+def test_bpe_artifact_tamper_flips_witnesses(spark, tmp_path):
+    """Negative control for the artifact round-trip witnesses: exporting a
+    trained artifact round-trips losslessly, but a TAMPERED artifact (last
+    merge line dropped) must produce a differing re-encoding for at least
+    one vocabulary word — proving import_replay_lossy is a real check, not
+    vacuous. And a vocab missing a merged symbol must surface as OOV."""
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog " * 3, "en", "A")
+        for i in range(8)
+    ] + [(100 + i, f"unique filler text number {i} here", "en", "B") for i in range(8)]
+    _write_docs(spark, tmp_path, rows)
+    from arc_maskdata_pipeline_plugin_spark.plans.bpe2 import (
+        _W0_SPARK_BYTE,
+        _train_byte_bpe,
+        apply_merge_list,
+        export_bpe_artifact,
+        import_bpe_artifact,
+        q_bpe_artifact_roundtrip,
+    )
+    from pyspark.sql import functions as F
+
+    # the registered query on constructed input: lossless round-trip
+    r = q_bpe_artifact_roundtrip(spark, str(tmp_path)).collect()[0]
+    assert r.import_replay_lossy == 0
+    assert r.oov_after_import == 0
+    assert r.ids_contiguous_ok == 1
+    assert r.n_merges_exported == 8
+
+    # tamper: drop the LAST merge line -> some word's re-encoding differs
+    merges, final = _train_byte_bpe(spark, str(tmp_path))
+    art = str(tmp_path / "artifact")
+    export_bpe_artifact(merges, art)
+    imported, _vocab = import_bpe_artifact(art)
+    tampered = imported[:-1]
+    replayed = final.withColumn("seq_i", F.expr(_W0_SPARK_BYTE))
+    replayed = apply_merge_list(replayed, tampered, "seq_i")
+    n_bad = replayed.filter(F.col("seq_i") != F.col("seq")).count()
+    final.unpersist()
+    assert n_bad >= 1, "dropping a merge must change at least one encoding"
