@@ -1187,3 +1187,124 @@ def q_watermark_lateness_audit(spark, sf_dir):
         "event_type", "n_events", "n_late", "p50_late_s", "p95_late_s",
         "max_late_s",
     )
+
+
+@register(
+    "q_stream_session_window",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) >= 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS seq
+  FROM flagged
+), sessions AS (
+  SELECT user_id,
+         strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+         strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f')
+           AS session_end,
+         MAX(ts) + INTERVAL 30 MINUTE AS end_ts,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+  FROM numbered
+  GROUP BY user_id, seq
+),
+wm AS (SELECT MAX(ts) - INTERVAL 1 MINUTE AS w FROM events),
+res AS (
+  SELECT user_id, session_start, session_end, n_events, total_value
+  FROM sessions CROSS JOIN wm
+  WHERE end_ts <= wm.w
+)
+SELECT res.*, a.* FROM res CROSS JOIN (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_events_exact,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM sessions) AS n_sessions_exact,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM sessions)
+           - (SELECT CAST(COUNT(*) AS BIGINT) FROM res) AS n_withheld_exact,
+         CAST(1 AS BIGINT) AS input_complete_ok,
+         CAST(1 AS BIGINT) AS state_rows_eq_withheld_ok,
+         CAST(1 AS BIGINT) AS evicted_eq_emitted_ok
+) a
+""",
+)
+def q_stream_session_window(spark, sf_dir):
+    """STREAMING gap-session aggregation — ``session_window`` on a
+    watermarked stream in append mode, the canonical streaming
+    sessionization (the batch expression is ``q_session_window_native``;
+    the cross-micro-batch MERGE of a straddling session is pinned on
+    constructed input in tests/test_stream_audits.py). Append mode emits a
+    session only once the watermark passes its end (measured r09: the
+    predicate is ``session_end <= W``, tie → emitted; W = max event time −
+    1 minute under this drain), so the youngest sessions are WITHHELD in
+    state at query end — the oracle replays exactly that emission rule on
+    the batch sessionizer.
+
+    Streaming-run witnesses (r09): final state rows == the batch session
+    count minus the emitted count (each withheld session is one state
+    row); Σ numRowsRemoved == the emitted count (sessions leave state
+    exactly when they emit); numInputRows == batch COUNT(*). All three
+    exact integers are re-derived by the oracle, verdicts pinned to 1."""
+    stream = read_events_stream(spark, sf_dir)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(10,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", fmt).alias("session_start"),
+            F.date_format("sw.end", fmt).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    result, m = drain_with_metrics(
+        agg, f"stream_sess_{uuid.uuid4().hex[:8]}", "append"
+    )
+    ev = T(spark, sf_dir, "events")
+    batch_sessions = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        result.agg(F.count(F.lit(1)).cast("bigint").alias("n_emitted"))
+        .crossJoin(
+            F.broadcast(
+                batch_sessions.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_sessions_exact")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                ev.agg(F.count(F.lit(1)).cast("bigint").alias("n_events_exact"))
+            )
+        )
+        .select(
+            "n_events_exact",
+            "n_sessions_exact",
+            (F.col("n_sessions_exact") - F.col("n_emitted"))
+            .cast("bigint")
+            .alias("n_withheld_exact"),
+            F.col("n_emitted"),
+        )
+    )
+    return witness(
+        result,
+        exact,
+        {
+            "input_complete_ok": F.lit(m.n_input) == F.col("n_events_exact"),
+            "state_rows_eq_withheld_ok": F.lit(m.op().rows_total)
+            == F.col("n_withheld_exact"),
+            "evicted_eq_emitted_ok": F.lit(m.op().removed_sum)
+            == F.col("n_emitted"),
+        },
+    ).drop("n_emitted")

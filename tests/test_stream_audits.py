@@ -234,6 +234,7 @@ def test_registry_witnesses_all_pinned_at_sf0001(spark):
         "q_stream_dedup_user_types",
         "q_stream_stream_join",
         "q_stream_threshold_alert",
+        "q_stream_session_window",
     ):
         df = qs[name](spark, SF)
         ok_cols = [c for c in df.columns if c.endswith("_ok")]
