@@ -484,3 +484,232 @@ def q_layout_advisor(spark, sf_dir):
         "workload_files_read",
         F.rank().over(rank_w).cast("bigint").alias("advisor_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file skipping: point lookups on an UNSORTED column.
+# ---------------------------------------------------------------------------
+
+_BLOOM_FILES = 64
+_BLOOM_M = 1024  # bits per file
+_BLOOM_H = 3  # hash functions
+_BLOOM_KEYS = [3, 37, 74, 111, 148]  # inside [0, 150) at every SF
+
+
+def _bloom_pos_spark(j: int, col: str) -> str:
+    return (
+        f"cast(conv(substring(md5(concat('bl:', '{j}', ':', "
+        f"cast({col} as string))), 1, 8), 16, 10) as bigint) % {_BLOOM_M}"
+    )
+
+
+def _bloom_pos_duck(j: int, col: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('bl:' || '{j}' || ':' || "
+        f"CAST({col} AS VARCHAR)), 1, 8)) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+def _bloom_oracle() -> str:
+    pos_rows = " UNION ALL ".join(
+        f"SELECT file_id, {_bloom_pos_duck(j, 'ck')} AS pos FROM filed"
+        for j in range(_BLOOM_H)
+    )
+    key_rows = " UNION ALL ".join(
+        " UNION ALL ".join(
+            f"SELECT {k} AS k, {_bloom_pos_duck(j, str(k))} AS pos"
+            for j in range(_BLOOM_H)
+        )
+        for k in _BLOOM_KEYS
+    )
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey AS ck,
+         CAST(('0x' || substr(md5('bl-arr:' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+              AS BIGINT) AS arr
+  FROM orders
+),
+filed AS (
+  SELECT ck, NTILE({_BLOOM_FILES}) OVER (ORDER BY arr, o_orderkey) AS file_id
+  FROM o
+),
+bloom AS (SELECT DISTINCT file_id, pos FROM ({pos_rows})),
+zones AS (
+  SELECT file_id, MIN(ck) AS zmin, MAX(ck) AS zmax FROM filed GROUP BY file_id
+),
+kp AS ({key_rows}),
+kpd AS (SELECT DISTINCT k, pos FROM kp),
+kcnt AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM kpd GROUP BY k),
+bloom_pass AS (
+  -- pass iff every DISTINCT position of the key is set (two of a key's
+  -- hash positions may collide — requiring {_BLOOM_H} distinct matches
+  -- would manufacture false negatives)
+  SELECT kpd.k, bloom.file_id
+  FROM kpd JOIN bloom ON kpd.pos = bloom.pos
+  JOIN kcnt ON kcnt.k = kpd.k
+  GROUP BY kpd.k, bloom.file_id
+  HAVING COUNT(*) = MIN(kcnt.c)
+),
+truth AS (
+  SELECT DISTINCT ck AS k, file_id FROM filed
+  WHERE ck IN ({", ".join(str(k) for k in _BLOOM_KEYS)})
+)
+SELECT k.k AS lookup_key,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM zones z
+        WHERE z.zmin <= k.k AND z.zmax >= k.k) AS n_files_zone_pass,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bloom_pass b WHERE b.k = k.k)
+         AS n_files_bloom_pass,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t WHERE t.k = k.k)
+         AS n_files_true,
+       CAST(1 AS BIGINT) AS bloom_no_false_negative_ok,
+       CAST(1 AS BIGINT) AS zone_no_false_negative_ok
+FROM (SELECT DISTINCT k FROM kp) k
+"""
+
+
+@register("q_bloom_skip_audit", oracle=_bloom_oracle())
+def q_bloom_skip_audit(spark, sf_dir):
+    """Bloom-filter FILE SKIPPING audit (r09) — the pruning structure zone
+    maps can't provide: on an arrival-ordered (unsorted) layout every
+    file's [min, max] customer extent spans nearly the whole key domain,
+    so a point lookup zone-passes almost every file; a per-file Bloom
+    filter ({m} bits, {h} md5-derived positions — exactly the parquet
+    column bloom / Delta bloom index shape, engine-portable) passes only
+    files whose bit set covers all {h} positions of the key. Per lookup
+    key the audit emits files-passed under zones, under blooms, and the
+    ground truth, plus two NO-FALSE-NEGATIVE verdicts — every file truly
+    containing the key must bloom-pass (the theorem that makes bloom
+    skipping safe: all positions of an inserted value are set) and must
+    zone-pass (min/max brackets every contained value); both Spark-side
+    comparisons the oracle pins. Bloom-pass is deliberately NOT pinned
+    against zone-pass: a false positive can land in a file whose zone
+    excludes the key (other values covering its bits), so real engines
+    intersect the two prunes — the emitted counts quantify each side's
+    contribution.
+
+    Scale shape: the bloom build is one fan-out ({h}× row explode) +
+    DISTINCT on (file, position) — a metadata-sized frame (≤ files × {m}
+    rows) like every file-index structure; key probes are a {nk}×{h}-row
+    broadcast joined against it; truth and zones are file-grain
+    aggregates. The fact table is scanned once.""".format(
+        m=_BLOOM_M, h=_BLOOM_H, nk=len(_BLOOM_KEYS)
+    )
+    from pyspark.sql import Window
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bl-arr:"), F.col("o_orderkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("arr"),
+    )
+    w = Window.orderBy("arr", "o_orderkey")
+    filed = o.select("ck", F.ntile(_BLOOM_FILES).over(w).alias("file_id"))
+    pos_structs = F.array(
+        *(F.expr(_bloom_pos_spark(j, "ck")) for j in range(_BLOOM_H))
+    )
+    from ..cache import persisted
+
+    filed = filed.transform(persisted)  # file-grain consumers: bloom/zones/truth
+    bloom = filed.select(
+        "file_id", F.explode(pos_structs).alias("pos")
+    ).distinct()
+    zones = filed.groupBy("file_id").agg(
+        F.min("ck").alias("zmin"), F.max("ck").alias("zmax")
+    )
+    # the key probe set: positions computed by the SAME formula, on literals
+    kpd = (
+        spark.createDataFrame(
+            [(k, j) for k in _BLOOM_KEYS for j in range(_BLOOM_H)],
+            "k long, j int",
+        )
+        .select(
+            "k",
+            F.expr(
+                "cast(conv(substring(md5(concat('bl:', cast(j as string), ':', "
+                f"cast(k as string))), 1, 8), 16, 10) as bigint) % {_BLOOM_M}"
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kcnt = kpd.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    bloom_pass = (
+        kpd.join(F.broadcast(kcnt), "k")
+        .join(bloom, "pos")
+        .groupBy("k", "file_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"), F.min("c").alias("c"))
+        .filter(F.col("n_hit") == F.col("c"))
+        .select("k", "file_id")
+    )
+    keys = kpd.select("k").distinct()
+    truth = (
+        filed.join(F.broadcast(keys.withColumnRenamed("k", "ck")), "ck", "semi")
+        .select(F.col("ck").alias("k"), "file_id")
+        .distinct()
+    )
+    zone_pass = keys.join(
+        F.broadcast(zones),
+        (F.col("zmin") <= F.col("k")) & (F.col("zmax") >= F.col("k")),
+    ).select("k", "file_id")
+    n_zone = zone_pass.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files_zone_pass")
+    )
+    n_bloom = bloom_pass.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files_bloom_pass")
+    )
+    n_true = truth.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files_true")
+    )
+    # no-false-negative witnesses: truth ⊆ bloom_pass and truth ⊆ zone_pass
+    n_true_in_bloom = (
+        truth.join(bloom_pass, ["k", "file_id"], "semi")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tb"))
+    )
+    n_true_in_zone = (
+        truth.join(zone_pass, ["k", "file_id"], "semi")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tz"))
+    )
+    out = (
+        keys.join(n_zone, "k", "left")
+        .join(n_bloom, "k", "left")
+        .join(n_true, "k", "left")
+        .join(n_true_in_bloom, "k", "left")
+        .join(n_true_in_zone, "k", "left")
+        .select(
+            F.col("k").alias("lookup_key"),
+            F.coalesce("n_files_zone_pass", F.lit(0))
+            .cast("bigint")
+            .alias("n_files_zone_pass"),
+            F.coalesce("n_files_bloom_pass", F.lit(0))
+            .cast("bigint")
+            .alias("n_files_bloom_pass"),
+            F.coalesce("n_files_true", F.lit(0))
+            .cast("bigint")
+            .alias("n_files_true"),
+            F.when(
+                F.coalesce("n_tb", F.lit(0)) == F.coalesce("n_files_true", F.lit(0)),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("bloom_no_false_negative_ok"),
+            F.when(
+                F.coalesce("n_tz", F.lit(0)) == F.coalesce("n_files_true", F.lit(0)),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("zone_no_false_negative_ok"),
+        )
+    )
+    return out

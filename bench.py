@@ -334,6 +334,9 @@ HEADLINE = [
     # round 9 (cont.): tokenizer artifact export/import parity — train ->
     # vocab.json/merges.txt -> re-import -> replay equals trained encoding
     "q_bpe_artifact_roundtrip",
+    # round 9 (cont.): bloom-filter file skipping for point lookups on an
+    # unsorted column — metadata-sized (file, bit) index + broadcast probes
+    "q_bloom_skip_audit",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -29,6 +29,15 @@ def test_copy_direction_agg_shaped_no_doc_pairs(spark):
     assert a["pushed_filters"] >= 1  # n_chars/text scan pruned + filtered
 
 
+def test_bloom_audit_metadata_sized_probe(spark):
+    """The bloom index build is one fact scan + a (file, position) DISTINCT;
+    key probes and file-grain counts ride broadcasts; all JVM-side (the key
+    literal frame is a local scan, not a Python op)."""
+    a = props("q_bloom_skip_audit", spark)
+    assert a["python_ops"] == 0
+    assert a["broadcasts"] >= 2
+
+
 def test_incremental_winnow_batch_local_probe(spark):
     """The winnowing store probe keeps the incremental shape: the
     corpus/batch doc_id bounds are PUSHED to the parquet scans (the store

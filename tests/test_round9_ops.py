@@ -357,3 +357,40 @@ def test_bpe_artifact_tamper_flips_witnesses(spark, tmp_path):
     n_bad = replayed.filter(F.col("seq_i") != F.col("seq")).count()
     final.unpersist()
     assert n_bad >= 1, "dropping a merge must change at least one encoding"
+
+
+def test_bloom_skip_audit_semantics(spark, tmp_path):
+    """Constructed orders: custkeys are only EVEN values 0..198, so lookup
+    keys 74 and 148 exist (in several files) while 3, 37, 111 do not. The
+    no-false-negative verdicts must hold for every key; absent keys have
+    zero true files; and on this arrival-scrambled layout the bloom prunes
+    strictly harder than the zone maps for every key (each file's [min,max]
+    spans nearly the whole domain while its bloom holds only ~48 of 1024
+    bits)."""
+    rows = [(i, (i * 2) % 200, "1995-06-%02d" % (1 + i % 28), 10.0, "5-LOW")
+            for i in range(1024)]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderdate string, "
+        "o_totalprice double, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey",
+        "cast(o_orderdate as timestamp) as o_orderdate",
+        "o_totalprice", "o_orderpriority",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    from arc_maskdata_pipeline_plugin_spark.plans.lakeops2 import (
+        q_bloom_skip_audit,
+    )
+
+    out = {r.lookup_key: r for r in q_bloom_skip_audit(spark, str(tmp_path)).collect()}
+    assert set(out) == {3, 37, 74, 111, 148}
+    for k, r in out.items():
+        assert r.bloom_no_false_negative_ok == 1, k
+        assert r.zone_no_false_negative_ok == 1, k
+        assert r.n_files_bloom_pass >= r.n_files_true, k
+        assert r.n_files_bloom_pass < r.n_files_zone_pass, k
+    for k in (3, 37, 111):  # odd keys absent from the even-only domain
+        assert out[k].n_files_true == 0, k
+    for k in (74, 148):
+        assert out[k].n_files_true >= 1, k
