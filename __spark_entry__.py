@@ -83,42 +83,45 @@ GATE_WINDOW = [
     # (b) benched and/or pytest-pinned, and (c) witnessed by a prior
     # round's CORRECTNESS_r{N}.json.
     #
-    # ROUND-8 WINDOW (VERDICT r07 next-round #1): the 18 queries BUILT
-    # during r07 lead (the only never-witnessed backlog after the r07
-    # gate), followed by the 12 queries BUILT during r08, the 12 queries
-    # whose output schema changed in r08 (rows-only → hash-oracled audit
-    # conversions + the IVF probe-broadcast plan change), and 8 green
-    # representatives. Every slot is hash-oracled — the registry has ZERO
-    # rows-only queries as of r08, so the ROWS_ONLY_IN_WINDOW allowlist in
-    # tests/test_oracle_parity.py is deleted (VERDICT r07 #2).
+    # ROUND-9 WINDOW (VERDICT r08 next-round #1): witness debt was 0 after
+    # the r08 gate (union r01..r08 = the whole 327-query registry), so the
+    # window leads with everything BUILT or CHANGED in r09 — the 5 new
+    # queries, the 12 streaming drains that gained in-plan
+    # StreamingQueryProgress witnesses (new schemas), the 2 dedup queries
+    # whose broadcast hints were dropped per ADVICE r08, and the advisor
+    # that grew from 4 to 6 candidate layouts — then 30 green
+    # representatives spanning every family. Every slot is hash-oracled.
     #
-    # --- r07-built, never driver-witnessed (verdict r07 #1) ---
-    "q_maxsim_late_interaction", "q_embedding_binarize_hamming",
-    "q_bpe_byte_train", "q_bpe_byte_encode", "q_dedup_evidence_clusters",
-    "q_corpus_refresh_incremental", "q_sprt_ab", "q_tost_equivalence",
-    "q_permutation_test_ab", "q_batch_leakage_audit",
-    "q_token_budget_waterfill", "q_zonemap_skip_audit",
-    "q_multimodal_pixel_stats", "q_minhash_estimate_error",
-    "q_personalized_pagerank", "q_seasonal_strength",
-    "q_partition_fingerprint_diff", "q_negative_sampling_table",
+    # --- r09-built (new queries, never witnessed) ---
+    "q_source_copy_direction", "dedup_incremental_winnow",
+    "q_bpe_artifact_roundtrip", "q_stream_session_window",
+    "q_bloom_skip_audit", "q_margin_mining_pairs",
     #
-    # --- r08-built (new queries, never witnessed) ---
-    "q_decontaminate_spans", "q_bpe_vocab_sweep", "q_winnowing_fingerprints",
-    "q_hubness_audit", "q_packing_efficiency_sweep", "q_repetition_period",
-    "q_dedup_soft_weights", "q_doc_stitch_pairs", "q_corpus_release_report",
-    "q_layout_advisor", "q_winnowing_dup_pairs", "q_dedup_recall_comparison",
+    # --- r09-changed: streaming drains now emit witness columns (new
+    #     schemas), ADVICE r08 broadcast fixes, 6-layout advisor ---
+    "q_stream_event_counts", "q_stream_dedup_user_types",
+    "q_stream_static_enrich", "q_stream_stream_join",
+    "q_stream_dedup_within_watermark", "q_stream_cms_cells",
+    "q_stream_stream_left_join", "q_stream_threshold_alert",
+    "q_stream_fingerprint", "q_python_datasource_stream",
+    "q_stream_funnel_tracker", "q_stream_hysteresis_alert",
+    "dedup_minhash_pairs_fast", "q_dedup_recall_comparison",
+    "q_layout_advisor",
     #
-    # --- r08-changed (rows-only → hash-oracled audit conversions, plus the
-    #     IVF probe-broadcast plan change) — re-witness under new schemas ---
-    "q_winsorize_prices_approx", "sim_ann_ivf_trained", "sim_ann_pq_trained",
-    "sim_ann_ivf", "q_approx_distinct_users", "q_hll_merge_daily",
-    "q_hll_audience_overlap", "q_approx_quantiles", "dedup_minhash_pairs_fast",
-    "q_mask_customers", "q_mask_order_dates", "q_compression_quality",
-    #
-    # --- green displaced representatives (all witnessed r01..r07) ---
-    "q1_pricing_summary", "q_mask_customers_pbkdf2", "q_mask_credit_cards",
-    "q_userdata_lifecycle", "q_auto_join_revenue", "q_grouping_sets",
-    "q_window_frames", "dedup_exact",
+    # --- green representatives (all witnessed r01..r08), one+ per family:
+    #     relational/TPC-H, lifecycle, masking/KDF, dedup, winnowing,
+    #     similarity, sketches, contamination, BPE, capstone, multimodal,
+    #     SQL surface, sessionization, lakeops/layout, graph, stats ---
+    "q1_pricing_summary", "q_userdata_lifecycle", "q_mask_customers_pbkdf2",
+    "q_mask_credit_cards", "q_mask_customers", "q_mask_order_dates",
+    "dedup_exact", "dedup_minhash_pairs", "q_winnowing_dup_pairs",
+    "q_dedup_soft_weights", "sim_knn_bruteforce", "sim_ann_ivf",
+    "q_approx_distinct_users", "q_hll_audience_overlap",
+    "q_decontaminate_spans", "q_bpe_vocab_sweep", "q_corpus_release_report",
+    "q_multimodal_pixel_stats", "q_grouping_sets", "q_window_frames",
+    "q_auto_join_revenue", "q_sessionize_events", "q_session_window_native",
+    "q_watermark_lateness_audit", "q_zonemap_skip_audit", "q_zorder_layout",
+    "q_compaction_plan", "q_personalized_pagerank", "q_permutation_test_ab",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 

@@ -415,3 +415,126 @@ def q_hubness_audit(spark, sf_dir):
     return nk.groupBy("k_occurrences").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_points")
     )
+
+
+# ---------------------------------------------------------------------------
+# Margin-based pair mining (Artetxe & Schwenk, ACL 2019 — ratio margin).
+# ---------------------------------------------------------------------------
+
+_MARGIN_K = 4  # neighborhood size for the margin denominator
+_MARGIN_T = 1.05  # accept threshold on the ratio margin
+_MARGIN_NQ = 40  # query ids bounded below this (even ids only -> 20 queries)
+
+_MARGIN_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id % 2 = 0 AND vec_id < {_MARGIN_NQ}),
+c AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS matched_id,
+         {_DOT.format(a='q.embedding', b='c.embedding')} / (q.nrm * c.nrm)
+           AS cosine
+  FROM q JOIN c ON TRUE
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, matched_id) AS INTEGER) AS rnk
+  FROM scored
+),
+top AS (SELECT * FROM ranked WHERE rnk <= {_MARGIN_K}),
+denom AS (
+  SELECT query_id,
+         list_reduce(list(cosine ORDER BY rnk), (a, b) -> a + b)
+           / {_MARGIN_K} AS d
+  FROM top GROUP BY query_id
+)
+SELECT b.query_id, b.matched_id, b.cosine,
+       b.cosine / d.d AS margin,
+       CAST(CASE WHEN b.cosine / d.d > {_MARGIN_T} THEN 1 ELSE 0 END AS BIGINT)
+         AS accepted
+FROM top b JOIN denom d ON b.query_id = d.query_id
+WHERE b.rnk = 1
+"""
+
+
+@register("q_margin_mining_pairs", oracle=_MARGIN_ORACLE)
+def q_margin_mining_pairs(spark, sf_dir):
+    """Margin-based pair mining (Artetxe & Schwenk 2019, the bitext-mining
+    criterion — r09): split the embedding table into two collections (even
+    vs odd vec_id, standing in for two languages/sources) and, for each
+    bounded-set query on side A, take its best cosine match on side B and
+    score it by the RATIO MARGIN — best cosine divided by the mean of its
+    top-{k} neighborhood. A raw-cosine threshold fires in dense hubs and
+    misses in sparse regions; the margin normalizes by the local
+    neighborhood density, which is why mining pipelines use it. Pairs with
+    margin > {t} are accepted.
+
+    Engine-exactness: cosines are ordered-fold dot products (bit-identical
+    across engines, the sim_knn_bruteforce seam) and the denominator sums
+    the top-{k} cosines IN RANK ORDER via an ordered fold — never a
+    distributed AVG whose summation order could differ.
+
+    Scale shape: identical to knn_bruteforce — the bounded query set
+    broadcasts against the corpus side (production swaps the cross join
+    for the IVF/LSH candidate join, same downstream margin machinery);
+    ranking and the {k}-row-per-query denominator run on the query-grain
+    frame.""".format(k=_MARGIN_K, t=_MARGIN_T)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import _dot, with_norm
+
+    e = T(spark, sf_dir, "embeddings")
+    q = with_norm(
+        e.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < _MARGIN_NQ))
+        .select("vec_id", "embedding")
+    ).alias("q")
+    c = with_norm(
+        e.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    ).alias("c")
+    cos = _dot(F.col("q.embedding"), F.col("c.embedding")) / (
+        F.col("q._norm") * F.col("c._norm")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("matched_id"),
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("matched_id")
+    )
+    top = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _MARGIN_K
+    )
+    denom = top.groupBy("query_id").agg(
+        (
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("rnk", "cosine"))
+                    ),
+                    lambda s: s.cosine,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / _MARGIN_K
+        ).alias("d")
+    )
+    return (
+        top.filter(F.col("rnk") == 1)
+        .join(F.broadcast(denom), "query_id")
+        .select(
+            "query_id",
+            "matched_id",
+            "cosine",
+            (F.col("cosine") / F.col("d")).alias("margin"),
+            F.when(F.col("cosine") / F.col("d") > _MARGIN_T, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("accepted"),
+        )
+    )

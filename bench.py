@@ -337,6 +337,9 @@ HEADLINE = [
     # round 9 (cont.): bloom-filter file skipping for point lookups on an
     # unsorted column — metadata-sized (file, bit) index + broadcast probes
     "q_bloom_skip_audit",
+    # round 9 (cont.): margin-based pair mining — ratio margin over
+    # broadcast query set, rank-ordered fold denominator
+    "q_margin_mining_pairs",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -38,6 +38,16 @@ def test_bloom_audit_metadata_sized_probe(spark):
     assert a["broadcasts"] >= 2
 
 
+def test_margin_mining_broadcast_query_set(spark):
+    """Margin mining keeps the knn_bruteforce shape: the bounded query set
+    broadcasts against the corpus side, ranking + denominator run on the
+    query-grain frame, no sort-merge join, all JVM-side."""
+    a = props("q_margin_mining_pairs", spark)
+    assert a["python_ops"] == 0
+    assert a["broadcasts"] >= 2
+    assert a["sort_merge_joins"] == 0
+
+
 def test_incremental_winnow_batch_local_probe(spark):
     """The winnowing store probe keeps the incremental shape: the
     corpus/batch doc_id bounds are PUSHED to the parquet scans (the store

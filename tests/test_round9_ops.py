@@ -394,3 +394,38 @@ def test_bloom_skip_audit_semantics(spark, tmp_path):
         assert out[k].n_files_true == 0, k
     for k in (74, 148):
         assert out[k].n_files_true >= 1, k
+
+
+def test_margin_mining_hub_rejected_isolated_accepted(spark, tmp_path):
+    """The reason mining uses the ratio margin instead of a raw cosine cut:
+    query 0 sits in a dense HUB (four side-B vectors at cosine .93-.995),
+    so its best match carries no information — margin ~1.03, rejected;
+    query 2 has one isolated exact match among near-orthogonal vectors —
+    margin ~2.16, accepted, even though both queries' best raw cosines are
+    high."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),   # query in the hub
+        (2, [0.0, 1.0, 0.0, 0.0], 0),   # query with the isolated match
+        (1, [1.0, 0.1, 0.0, 0.0], 1),   # hub members (odd ids = side B)
+        (3, [1.0, 0.2, 0.0, 0.0], 1),
+        (5, [1.0, 0.3, 0.0, 0.0], 1),
+        (7, [1.0, 0.4, 0.0, 0.0], 1),
+        (9, [0.0, 1.0, 0.0, 0.0], 1),   # isolated exact match for query 2
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.similarity import (
+        q_margin_mining_pairs,
+    )
+
+    out = {r.query_id: r for r in q_margin_mining_pairs(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 2}
+    hub = out[0]
+    assert hub.matched_id == 1  # the closest hub member
+    assert hub.cosine > 0.99
+    assert hub.accepted == 0 and hub.margin < 1.05  # dense hub -> no signal
+    iso = out[2]
+    assert iso.matched_id == 9
+    assert abs(iso.margin - 2.156) < 0.01
+    assert iso.accepted == 1
