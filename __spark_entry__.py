@@ -96,6 +96,7 @@ GATE_WINDOW = [
     "q_source_copy_direction", "dedup_incremental_winnow",
     "q_bpe_artifact_roundtrip", "q_stream_session_window",
     "q_bloom_skip_audit", "q_margin_mining_pairs",
+    "q_generalization_advisor",
     #
     # --- r09-changed: streaming drains now emit witness columns (new
     #     schemas), ADVICE r08 broadcast fixes, 6-layout advisor ---
@@ -121,7 +122,7 @@ GATE_WINDOW = [
     "q_multimodal_pixel_stats", "q_grouping_sets", "q_window_frames",
     "q_auto_join_revenue", "q_sessionize_events", "q_session_window_native",
     "q_watermark_lateness_audit", "q_zonemap_skip_audit", "q_zorder_layout",
-    "q_compaction_plan", "q_personalized_pagerank", "q_permutation_test_ab",
+    "q_compaction_plan", "q_personalized_pagerank",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 

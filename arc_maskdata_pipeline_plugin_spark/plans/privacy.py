@@ -650,3 +650,153 @@ def q_ldp_frequency(spark, sf_dir):
             .alias("true_share_fp6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Generalization-lattice advisor: minimal generalization meeting k (r09).
+# ---------------------------------------------------------------------------
+
+_GEN_K = 5
+_GEN_SUPP_PCT = 1  # residual suppression budget: <= 1% of rows
+
+# (geo_level, geo expression) and (bal_level, bal expression) ladders; the
+# lattice is their cross product. Region comes from the broadcast nation dim.
+_GEO_DUCK = {
+    0: "CAST(c_nationkey AS VARCHAR)",
+    1: "CAST(n_regionkey AS VARCHAR)",
+    2: "'*'",
+}
+_BAL_DUCK = {
+    0: "CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR)",
+    1: "CAST(CAST(floor(c_acctbal / 5000) AS BIGINT) AS VARCHAR)",
+    2: "'*'",
+}
+
+
+def _gen_advisor_oracle() -> str:
+    nodes = " UNION ALL ".join(
+        f"SELECT {g} AS geo_level, {b} AS bal_level, "
+        f"{_GEO_DUCK[g]} AS geo, c_mktsegment AS seg, {_BAL_DUCK[b]} AS bal "
+        f"FROM j"
+        for g in _GEO_DUCK
+        for b in _BAL_DUCK
+    )
+    return f"""
+WITH j AS (
+  SELECT c.c_nationkey, c.c_mktsegment, c.c_acctbal, n.n_regionkey
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+nodes AS ({nodes}),
+classes AS (
+  SELECT geo_level, bal_level, geo, seg, bal,
+         CAST(COUNT(*) AS BIGINT) AS cls_n
+  FROM nodes GROUP BY geo_level, bal_level, geo, seg, bal
+),
+per_node AS (
+  SELECT geo_level, bal_level,
+         CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(SUM(CASE WHEN cls_n < {_GEN_K} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating_classes,
+         CAST(SUM(CASE WHEN cls_n < {_GEN_K} THEN cls_n ELSE 0 END) AS BIGINT)
+           AS n_suppressed_rows,
+         CAST(SUM(cls_n) AS BIGINT) AS n_rows
+  FROM classes GROUP BY geo_level, bal_level
+),
+ranked AS (
+  SELECT *,
+         CASE WHEN n_suppressed_rows * 100 <= n_rows * {_GEN_SUPP_PCT}
+              THEN 0 ELSE 1 END AS over_budget,
+         geo_level + bal_level AS height
+  FROM per_node
+)
+SELECT CAST(geo_level AS BIGINT) AS geo_level,
+       CAST(bal_level AS BIGINT) AS bal_level,
+       n_classes, n_violating_classes, n_suppressed_rows,
+       CAST(CASE WHEN over_budget = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS within_suppression_budget,
+       CAST(RANK() OVER (ORDER BY over_budget, height, n_suppressed_rows,
+                                  geo_level, bal_level) AS BIGINT)
+         AS advisor_rank
+FROM ranked
+"""
+
+
+@register("q_generalization_advisor", oracle=_gen_advisor_oracle())
+def q_generalization_advisor(spark, sf_dir):
+    """Generalization-LATTICE advisor (r09): which generalization of the QI
+    tuple (geography, segment, balance) is the MINIMAL one releasable at
+    k = {k} with residual suppression ≤ {s}% — the planning step before
+    ``q_k_anonymity_suppress`` enforces anything. The lattice crosses a
+    geography ladder (nation → region → '*') with a balance ladder ($1 000
+    bands → $5 000 bands → '*'); each of the 9 nodes reports its class
+    count, violating classes, and rows a suppression pass would redact;
+    ``advisor_rank`` orders nodes by (within-budget, generalization height,
+    suppressed rows), so rank 1 is the release policy to adopt — the same
+    measure-then-recommend shape as ``q_layout_advisor``.
+
+    Scale shape: one customer scan (broadcast nation dim) stacked 9×, one
+    hash aggregate to class grain, one 9-row rollup and rank — the full
+    lattice evaluation costs one shuffle more than a single k-anonymity
+    audit, not 9 table scans.""".format(k=_GEN_K, s=_GEN_SUPP_PCT)
+    from pyspark.sql import Window
+
+    cust = T(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    nat = T(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    j = cust.join(
+        F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+    ).select("c_nationkey", "c_mktsegment", "c_acctbal", "n_regionkey")
+    geo_spark = {
+        0: "cast(c_nationkey as string)",
+        1: "cast(n_regionkey as string)",
+        2: "'*'",
+    }
+    bal_spark = {
+        0: "cast(cast(floor(c_acctbal / 1000) as bigint) as string)",
+        1: "cast(cast(floor(c_acctbal / 5000) as bigint) as string)",
+        2: "'*'",
+    }
+    stack_args = ", ".join(
+        f"{g}, {b}, {geo_spark[g]}, {bal_spark[b]}"
+        for g in geo_spark
+        for b in bal_spark
+    )
+    nodes = j.selectExpr(
+        f"stack(9, {stack_args}) AS (geo_level, bal_level, geo, bal)",
+        "c_mktsegment AS seg",
+    )
+    classes = nodes.groupBy("geo_level", "bal_level", "geo", "seg", "bal").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cls_n")
+    )
+    per_node = classes.groupBy("geo_level", "bal_level").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum(F.when(F.col("cls_n") < _GEN_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_classes"),
+        F.sum(F.when(F.col("cls_n") < _GEN_K, F.col("cls_n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_suppressed_rows"),
+        F.sum("cls_n").cast("bigint").alias("n_rows"),
+    )
+    ranked = per_node.withColumn(
+        "over_budget",
+        F.when(
+            F.col("n_suppressed_rows") * 100 <= F.col("n_rows") * _GEN_SUPP_PCT, 0
+        ).otherwise(1),
+    ).withColumn("height", F.col("geo_level") + F.col("bal_level"))
+    w = Window.orderBy(
+        "over_budget", "height", "n_suppressed_rows", "geo_level", "bal_level"
+    )
+    return ranked.select(
+        F.col("geo_level").cast("bigint").alias("geo_level"),
+        F.col("bal_level").cast("bigint").alias("bal_level"),
+        "n_classes",
+        "n_violating_classes",
+        "n_suppressed_rows",
+        F.when(F.col("over_budget") == 0, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("within_suppression_budget"),
+        F.rank().over(w).cast("bigint").alias("advisor_rank"),
+    )

@@ -340,6 +340,9 @@ HEADLINE = [
     # round 9 (cont.): margin-based pair mining — ratio margin over
     # broadcast query set, rank-ordered fold denominator
     "q_margin_mining_pairs",
+    # round 9 (cont.): generalization-lattice advisor — 9 QI lattice nodes
+    # from one stacked scan, ranked by budgeted suppression then height
+    "q_generalization_advisor",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

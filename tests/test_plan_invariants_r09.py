@@ -48,6 +48,17 @@ def test_margin_mining_broadcast_query_set(spark):
     assert a["sort_merge_joins"] == 0
 
 
+def test_generalization_advisor_one_stacked_scan(spark):
+    """The 9-node lattice is evaluated from ONE stacked customer scan with
+    a broadcast nation dim — never 9 table scans; class/rollup/rank stages
+    are all JVM-side aggregates."""
+    a = props("q_generalization_advisor", spark)
+    assert a["python_ops"] == 0
+    assert a["broadcasts"] >= 1
+    assert a["scans"] == 2  # customer + nation, each exactly once
+    assert a["sort_merge_joins"] == 0
+
+
 def test_incremental_winnow_batch_local_probe(spark):
     """The winnowing store probe keeps the incremental shape: the
     corpus/batch doc_id bounds are PUSHED to the parquet scans (the store

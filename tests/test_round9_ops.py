@@ -429,3 +429,77 @@ def test_margin_mining_hub_rejected_isolated_accepted(spark, tmp_path):
     assert iso.matched_id == 9
     assert abs(iso.margin - 2.156) < 0.01
     assert iso.accepted == 1
+
+
+def test_generalization_advisor_matches_python_replica(spark, tmp_path):
+    """Full pure-Python replica of the 9-node generalization lattice on a
+    constructed customer/nation table: per-node class stats, suppression
+    counts, budget flags, and ranks must match row-for-row, and the rank-1
+    node must be a minimal-height node within the suppression budget."""
+    import math
+
+    nat = [(0, 0), (1, 0), (2, 1), (3, 1)]
+    cust = [
+        (i, i % 4, "S", float((i % 8) * 1000 + 500 + (i % 3)))
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        nat, "n_nationkey bigint, n_regionkey bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        cust, "c_custkey bigint, c_nationkey bigint, c_mktsegment string, "
+        "c_acctbal double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+
+    from arc_maskdata_pipeline_plugin_spark.plans.privacy import (
+        _GEN_K,
+        _GEN_SUPP_PCT,
+        q_generalization_advisor,
+    )
+
+    region = dict(nat)
+    geo_fns = {0: lambda n: str(n), 1: lambda n: str(region[n]), 2: lambda n: "*"}
+    bal_fns = {
+        0: lambda b: str(math.floor(b / 1000)),
+        1: lambda b: str(math.floor(b / 5000)),
+        2: lambda b: "*",
+    }
+    stats = {}
+    for g, gf in geo_fns.items():
+        for b, bf in bal_fns.items():
+            cls = {}
+            for _, nk, seg, bal in cust:
+                key = (gf(nk), seg, bf(bal))
+                cls[key] = cls.get(key, 0) + 1
+            n_viol = sum(1 for v in cls.values() if v < _GEN_K)
+            n_supp = sum(v for v in cls.values() if v < _GEN_K)
+            over = 0 if n_supp * 100 <= len(cust) * _GEN_SUPP_PCT else 1
+            stats[(g, b)] = (len(cls), n_viol, n_supp, over)
+    order = sorted(
+        stats,
+        key=lambda gb: (stats[gb][3], gb[0] + gb[1], stats[gb][2], gb[0], gb[1]),
+    )
+    ranks = {}
+    for i, gb in enumerate(order):
+        key = (stats[gb][3], gb[0] + gb[1], stats[gb][2], gb[0], gb[1])
+        prev = (stats[order[i - 1]][3], order[i - 1][0] + order[i - 1][1],
+                stats[order[i - 1]][2], order[i - 1][0], order[i - 1][1]) if i else None
+        ranks[gb] = ranks[order[i - 1]] if key == prev else i + 1
+
+    out = {
+        (r.geo_level, r.bal_level): r
+        for r in q_generalization_advisor(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == set(stats)
+    for gb, (n_cls, n_viol, n_supp, over) in stats.items():
+        r = out[gb]
+        assert r.n_classes == n_cls, gb
+        assert r.n_violating_classes == n_viol, gb
+        assert r.n_suppressed_rows == n_supp, gb
+        assert r.within_suppression_budget == (1 - over), gb
+        assert r.advisor_rank == ranks[gb], gb
+    winner = min(out.values(), key=lambda r: r.advisor_rank)
+    if any(v[3] == 0 for v in stats.values()):
+        assert winner.within_suppression_budget == 1
+        min_height = min(g + b for (g, b), v in stats.items() if v[3] == 0)
+        assert winner.geo_level + winner.bal_level == min_height
