@@ -832,12 +832,15 @@ def q_source_copy_direction(spark, sf_dir):
     integer cross-multiplication — the r08 judge's div-discipline nit,
     applied here from the start).
 
-    Scale shape: one corpus explode → per-span ``min(struct(doc_id,
-    source))`` is a hash AGGREGATION (viral boilerplate spans cost one
-    combiner each, never a pair join); the distinct (source, h) frame joins
-    the 1-row-per-span origin frame on the span hash — both sides are
-    span-grain, co-partitioned by the groupBy/distinct shuffles; the
-    |sources|-row totals broadcast. Nothing is ever all-pairs on docs.
+    Scale shape: ONE corpus shuffle — per span hash, a single hash
+    aggregation computes both ``min(struct(doc_id, source))`` (the origin)
+    and ``collect_set(source)`` (bounded by |sources|, so a viral
+    boilerplate span costs one combiner, never a pair join or a second
+    shuffle); exploding the set yields the distinct (span, source) frame
+    with its origin already attached — no distinct pass, no span-keyed
+    join. The |sources|-row totals broadcast. Nothing is all-pairs on
+    docs. (r09: an earlier two-shuffle origin⋈distinct formulation OOMed
+    the 1M-doc stress case; this fused plan replaced it.)
 
     Reference capability analog: the provenance screen SURVEY §0 implies
     for substitution lists — the same evidence-attribution shape."""
@@ -862,24 +865,33 @@ def q_source_copy_direction(spark, sf_dir):
             ).alias("h"),
         )
     )
-    origins = span_docs.groupBy("h").agg(
-        F.min(F.struct("doc_id", "source")).alias("o")
-    ).select("h", F.col("o.source").alias("origin_source"))
-    su = span_docs.select("source", "h").distinct()
-    tot = su.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_spans")
+    per_h = span_docs.groupBy("h").agg(
+        F.min(F.struct("doc_id", "source")).alias("o"),
+        F.collect_set("source").alias("srcs"),
     )
-    directed = (
-        su.join(origins, "h")
-        .filter(F.col("source") != F.col("origin_source"))
-        .groupBy("origin_source", F.col("source").alias("copier_source"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_copied_spans"))
+    # collapse straight to the |sources|²-bounded (origin, copier) grid so
+    # the corpus lineage is evaluated ONCE; the grid is tiny and persisted
+    # (self rows kept: per-copier totals are its row sums — Σ over origins
+    # of grid.n == distinct spans carried by that copier)
+    grid = (
+        per_h.select(
+            F.col("o.source").alias("origin_source"),
+            F.explode("srcs").alias("copier_source"),
+        )
+        .groupBy("origin_source", "copier_source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .transform(persisted)
+    )
+    tot = grid.groupBy("copier_source").agg(
+        F.sum("n").cast("bigint").alias("n_spans")
+    )
+    directed = grid.filter(
+        F.col("copier_source") != F.col("origin_source")
+    ).select(
+        "origin_source", "copier_source", F.col("n").alias("n_copied_spans")
     )
     return (
-        directed.join(
-            F.broadcast(tot.withColumnRenamed("source", "copier_source")),
-            "copier_source",
-        )
+        directed.join(F.broadcast(tot), "copier_source")
         .select(
             "origin_source",
             "copier_source",

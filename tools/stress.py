@@ -1922,6 +1922,246 @@ def main():
         "shuffle bytes are O(docs x 32B hash rows), never the text; match rate controlled by the planted 1% boundary overlap",
     )
 
+    # ---- round 9 cases ----------------------------------------------------
+
+    # winnowing incremental store probe: the store is PREBUILT and persisted
+    # (that's the design — per-increment cost ∝ batch); the timed section is
+    # one increment: batch fingerprints -> semi probe -> >=2-hit drop.
+    _winnow_label = (
+        "winnowing incremental probe "
+        "(100k-doc batch x 15 fps vs 30M-fp persisted store)"
+    )
+    _only = os.environ.get("STRESS_ONLY", "")
+    _winnow_on = not _only or _only.lower() in _winnow_label.lower()
+    winnow_store = None
+    if _winnow_on:  # don't leave a stray 30M-row cache in filtered runs
+        winnow_store = (
+            spark.range(0, 30_000_000, 1, sc.defaultParallelism * 4)
+            .select(((F.col("id") * 2654435761) % 4_294_967_296).alias("h"))
+            .distinct()
+            .persist()
+        )
+        winnow_store.count()
+
+    def winnow_probe_stress():
+        batch_fps = spark.range(
+            0, 1_500_000, 1, sc.defaultParallelism * 2
+        ).select(
+            (F.col("id") % 100_000).alias("doc_id"),
+            # every 5th fingerprint collides with the store's hash space;
+            # the rest land in a disjoint range (fresh content)
+            F.when(
+                F.col("id") % 5 == 0,
+                (F.col("id") * 2654435761) % 4_294_967_296,
+            )
+            .otherwise(F.lit(2**33) + F.col("id"))
+            .alias("h"),
+        )
+        dup_ids = (
+            batch_fps.join(winnow_store, "h", "semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .filter(F.col("n_hits") >= 2)
+            .select("doc_id")
+        )
+        batch_fps.join(dup_ids, "doc_id", "left_anti").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    timed(
+        _winnow_label,
+        1_500_000,
+        winnow_probe_stress,
+        "per-increment cost ∝ batch: batch-only fingerprinting, hash-keyed semi probe of the store, anti join back",
+    )
+    if winnow_store is not None:
+        winnow_store.unpersist()
+
+    def bloom_index_stress():
+        # mirrors q_bloom_skip_audit: 20M rows -> 64 files -> 3-position
+        # bloom fan-out (60M rows) -> DISTINCT to the <=64x1024 bit frame;
+        # 8 point-lookup keys probe it
+        filed = spark.range(0, 20_000_000, 1, sc.defaultParallelism * 4).select(
+            (F.col("id") % 5_000_000).alias("ck"),
+            F.expr("id div 312500").alias("file_id"),  # 64 equal files
+        )
+        fan = filed.select(
+            "file_id",
+            F.explode(
+                F.array(
+                    *(
+                        ((F.xxhash64(F.lit(j), F.col("ck")) % 1024 + 1024) % 1024)
+                        for j in range(3)
+                    )
+                )
+            ).alias("pos"),
+        )
+        bloom = fan.distinct()
+        keys = spark.range(0, 8).select(
+            (F.col("id") * 991).alias("k")
+        )
+        kp = keys.select(
+            "k",
+            F.explode(
+                F.array(
+                    *(
+                        ((F.xxhash64(F.lit(j), F.col("k")) % 1024 + 1024) % 1024)
+                        for j in range(3)
+                    )
+                )
+            ).alias("pos"),
+        ).distinct()
+        kcnt = kp.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+        (
+            kp.join(F.broadcast(kcnt), "k")
+            .join(bloom, "pos")
+            .groupBy("k", "file_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"), F.min("c").alias("c"))
+            .filter(F.col("n_hit") == F.col("c"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n_files_pass"))
+        ).write.format("noop").mode("overwrite").save()
+
+    timed(
+        "bloom file-skip index build + 8-key probe (20M rows, 64 files x 1024 bits)",
+        20_000_000,
+        bloom_index_stress,
+        "one fact scan; the index collapses to a <=65k-row (file, bit) frame; probes broadcast",
+    )
+
+    def copy_direction_stress():
+        # mirrors q_source_copy_direction on docs2: per-span min(doc, source)
+        # origin is a hash AGG on the shingle bucket (viral spans cost one
+        # combiner, never a pair join), then a source-grain directed rollup
+        sh = docs2.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, 53), "
+                    "i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i, 8))))"
+                )
+            ).alias("h"),
+        )
+        per_h = sh.groupBy("h").agg(
+            F.min(F.struct("doc_id", "source")).alias("o"),
+            F.collect_set("source").alias("srcs"),
+        )
+        (
+            per_h.select(
+                F.col("o.source").alias("origin"),
+                F.explode("srcs").alias("source"),
+            )
+            .filter(F.col("source") != F.col("origin"))
+            .groupBy("origin", "source")
+            .agg(F.count(F.lit(1)).alias("n_copied"))
+        ).write.format("noop").mode("overwrite").save()
+
+    timed(
+        "directed copy attribution (1M docs, 20 sources, 8-gram spans)",
+        n_docs2,
+        copy_direction_stress,
+        "ONE shingle shuffle: fused per-span (origin, source-set) aggregate; directed rollup on the sources²-bounded grid",
+    )
+
+    def margin_mining_stress():
+        # mirrors q_margin_mining_pairs: 32 queries x 1M corpus vectors x
+        # 32 dims, ordered-fold cosines, rank-ordered margin denominator
+        from pyspark.sql import Window
+
+        dim = 32
+        vec = F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (F.xxhash64(F.col("id"), i) % 1000).cast("double") / 1000.0,
+        )
+        corpus = spark.range(0, 1_000_000, 1, sc.defaultParallelism * 4).select(
+            F.col("id").alias("vec_id"), vec.alias("v")
+        )
+        queries = spark.range(0, 32).select(
+            (F.col("id") + 5_000_000).alias("qid"), vec.alias("qv")
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), F.col("qv"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = corpus.crossJoin(F.broadcast(queries)).select(
+            "qid", "vec_id", dot.alias("cos")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+        top = scored.withColumn("rnk", F.row_number().over(w)).filter(
+            F.col("rnk") <= 4
+        )
+        denom = top.groupBy("qid").agg(
+            (
+                F.aggregate(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("rnk", "cos"))),
+                        lambda s: s.cos,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / 4
+            ).alias("d")
+        )
+        (
+            top.filter("rnk = 1")
+            .join(F.broadcast(denom), "qid")
+            .select("qid", "vec_id", (F.col("cos") / F.col("d")).alias("margin"))
+        ).write.format("noop").mode("overwrite").save()
+
+    timed(
+        "margin-based mining (32 queries x 1M vectors x 32 dims)",
+        32_000_000,
+        margin_mining_stress,
+        "broadcast query set; corpus never shuffles before the per-query top-k; denominator folds in rank order",
+    )
+
+    def gen_lattice_stress():
+        # mirrors q_generalization_advisor: 20M rows stacked across the
+        # 9-node lattice (180M agg inputs) in ONE scan
+        cust = spark.range(0, 20_000_000, 1, sc.defaultParallelism * 4).select(
+            (F.col("id") % 25).alias("nat"),
+            (F.col("id") % 5).alias("reg"),
+            (F.col("id") % 7).alias("seg"),
+            ((F.col("id") * 7919) % 20000).cast("double").alias("bal"),
+        )
+        stack_args = ", ".join(
+            f"{g}, {b}, {ge}, {be}"
+            for g, ge in enumerate(
+                ["cast(nat as string)", "cast(reg as string)", "'*'"]
+            )
+            for b, be in enumerate(
+                [
+                    "cast(cast(floor(bal / 1000) as bigint) as string)",
+                    "cast(cast(floor(bal / 5000) as bigint) as string)",
+                    "'*'",
+                ]
+            )
+        )
+        nodes = cust.selectExpr(
+            f"stack(9, {stack_args}) AS (g, b, geo, bal_s)", "seg"
+        )
+        classes = nodes.groupBy("g", "b", "geo", "seg", "bal_s").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        (
+            classes.groupBy("g", "b").agg(
+                F.count(F.lit(1)).alias("n_classes"),
+                F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0)).alias(
+                    "suppressed"
+                ),
+            )
+        ).write.format("noop").mode("overwrite").save()
+
+    timed(
+        "generalization lattice, 9 nodes (20M rows -> 180M stacked agg inputs)",
+        20_000_000,
+        gen_lattice_stress,
+        "one scan, one class-grain map-side-combined aggregate for the WHOLE lattice — not 9 table scans",
+    )
+
     # ---- report ----------------------------------------------------------
     lines = [
         "# STRESS — synthetic ~100× scale-up measurements (local[32])",
