@@ -66,6 +66,11 @@ from arc_maskdata_pipeline_plugin_spark.plans import refresh  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import stats5  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import training2  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import lakeops2  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import mleval  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import vocab  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import lakeops3  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import heavyhitters  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import lm  # noqa: F401
 
 from arc_maskdata_pipeline_plugin_spark.plans.registry import REGISTRY
 
@@ -85,18 +90,30 @@ GATE_WINDOW = [
     #
     # ROUND-9 WINDOW (VERDICT r08 next-round #1): witness debt was 0 after
     # the r08 gate (union r01..r08 = the whole 327-query registry), so the
-    # window leads with everything BUILT or CHANGED in r09 — the 5 new
-    # queries, the 12 streaming drains that gained in-plan
-    # StreamingQueryProgress witnesses (new schemas), the 2 dedup queries
-    # whose broadcast hints were dropped per ADVICE r08, and the advisor
-    # that grew from 4 to 6 candidate layouts — then 30 green
-    # representatives spanning every family. Every slot is hash-oracled.
+    # window leads with everything BUILT or CHANGED in r09 — the 15 new
+    # queries (7 first-batch + 8 second-batch), the 12 streaming drains
+    # that gained in-plan StreamingQueryProgress witnesses (new schemas),
+    # the 2 dedup queries whose broadcast hints were dropped per ADVICE
+    # r08, and the advisor that grew from 4 to 6 candidate layouts — then
+    # green representatives spanning every family. Every slot is
+    # hash-oracled.
     #
     # --- r09-built (new queries, never witnessed) ---
     "q_source_copy_direction", "dedup_incremental_winnow",
     "q_bpe_artifact_roundtrip", "q_stream_session_window",
     "q_bloom_skip_audit", "q_margin_mining_pairs",
     "q_generalization_advisor",
+    # r09 second batch: classifier-eval metrics, vocabulary-coverage
+    # estimators, lakehouse txn-log replay, optimizer-stats validation,
+    # Misra-Gries mergeable heavy hitters, padding-waste batching
+    "q_roc_auc", "q_pr_auc_best_f1", "q_chao_coverage",
+    "q_heaps_law_curve", "q_txn_log_replay",
+    "q_join_cardinality_estimate", "q_misra_gries_topk",
+    "q_padding_waste",
+    # r09 third batch: lift/gain table, trained Naive Bayes lang-ID,
+    # bigram LM perplexity, term burstiness, JL projection audit
+    "q_lift_gain_deciles", "q_naive_bayes_langid", "q_bigram_perplexity",
+    "q_term_burstiness", "q_jl_projection_audit",
     #
     # --- r09-changed: streaming drains now emit witness columns (new
     #     schemas), ADVICE r08 broadcast fixes, 6-layout advisor ---
@@ -114,15 +131,14 @@ GATE_WINDOW = [
     #     similarity, sketches, contamination, BPE, capstone, multimodal,
     #     SQL surface, sessionization, lakeops/layout, graph, stats ---
     "q1_pricing_summary", "q_userdata_lifecycle", "q_mask_customers_pbkdf2",
-    "q_mask_credit_cards", "q_mask_customers", "q_mask_order_dates",
-    "dedup_exact", "dedup_minhash_pairs", "q_winnowing_dup_pairs",
-    "q_dedup_soft_weights", "sim_knn_bruteforce", "sim_ann_ivf",
-    "q_approx_distinct_users", "q_hll_audience_overlap",
-    "q_decontaminate_spans", "q_bpe_vocab_sweep", "q_corpus_release_report",
+    "q_mask_customers",
+    "dedup_exact",
+    "sim_ann_ivf",
+    "q_hll_audience_overlap",
+    "q_decontaminate_spans", "q_corpus_release_report",
     "q_multimodal_pixel_stats", "q_grouping_sets", "q_window_frames",
-    "q_auto_join_revenue", "q_sessionize_events", "q_session_window_native",
-    "q_watermark_lateness_audit", "q_zonemap_skip_audit", "q_zorder_layout",
-    "q_compaction_plan", "q_personalized_pagerank",
+    "q_auto_join_revenue", "q_session_window_native",
+    "q_personalized_pagerank",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 

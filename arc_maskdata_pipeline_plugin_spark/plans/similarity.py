@@ -538,3 +538,143 @@ def q_margin_mining_pairs(spark, sf_dir):
             .alias("accepted"),
         )
     )
+
+
+# --- Johnson-Lindenstrauss projection audit --------------------------------
+
+_JL_M = 16  # target dimensionality
+_JL_MOD = 25  # deterministic pair sample: vec_id % 25 == 0
+
+
+def _jl_signs() -> list[list[int]]:
+    """±1 sign matrix s[j][i], deterministic from md5 — computed ONCE in
+    Python and inlined as identical literal expressions into both engines
+    (the EWMA weight-table discipline)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"jl-{j}-{i}".encode()).hexdigest()[:8], 16) % 2
+            == 0
+            else -1
+            for i in range(DIM)
+        ]
+        for j in range(_JL_M)
+    ]
+
+
+def _jl_proj_terms(signs, idx):
+    """Signed-sum expression strings for Y_j; `idx` maps dim i to the
+    engine's array subscript (Spark 0-based, DuckDB 1-based)."""
+    exprs = []
+    for j in range(_JL_M):
+        terms = "".join(
+            ("+" if s > 0 else "-") + f"x6[{idx(i)}]"
+            for i, s in enumerate(signs[j])
+        )
+        exprs.append("(" + terms.lstrip("+") + ")")
+    return exprs
+
+
+_JL_SIGNS = _jl_signs()
+_JL_Y_SPARK = _jl_proj_terms(_JL_SIGNS, lambda i: i)
+_JL_Y_SQL = _jl_proj_terms(_JL_SIGNS, lambda i: i + 1)
+
+_JL_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        e -> CAST(floor(CAST(e AS DOUBLE) * 1000000)
+                                  AS BIGINT)) AS x6
+  FROM embeddings WHERE vec_id % {_JL_MOD} = 0
+),
+proj AS (
+  SELECT vec_id, x6,
+         [{", ".join(_JL_Y_SQL)}] AS y
+  FROM base
+),
+pairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         CAST(list_reduce(list_transform(list_zip(a.x6, b.x6),
+              p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, v) -> acc + v)
+              AS BIGINT) AS d2x,
+         CAST(list_reduce(list_transform(list_zip(a.y, b.y),
+              p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, v) -> acc + v)
+              AS BIGINT) AS d2y
+  FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT v1, v2, d2x, d2y,
+         CAST(CAST(d2y AS HUGEINT) * 1000000 // ({_JL_M} * CAST(d2x AS HUGEINT))
+              AS BIGINT) AS ratio_fp6
+  FROM pairs WHERE d2x > 0
+)
+SELECT v1, v2, d2x, d2y, ratio_fp6,
+       CAST(SUM(ratio_fp6) OVER () // COUNT(*) OVER () AS BIGINT)
+         AS mean_ratio_fp6
+FROM scored
+"""
+
+
+@register("q_jl_projection_audit", oracle=_JL_ORACLE)
+def q_jl_projection_audit(spark, sf_dir):
+    """Johnson-Lindenstrauss distance preservation measured, not assumed:
+    project the fp6 fixed-point embeddings 64 → 16 dims with a
+    deterministic ±1 sign matrix (Achlioptas 2003 — database-friendly JL;
+    E[‖Sx‖²] = m·‖x‖²) and emit, for every sampled pair, the squared-
+    distance ratio ‖Sy−Sx‖²/(m·‖y−x‖²) plus the sample mean. The audit a
+    team runs before swapping full-precision vectors for a cheap projected
+    prefilter (the coarse stage next to q_embedding_truncate_mrl's MRL
+    truncation and sim_ann_pq's product quantization). No envelope is
+    pinned — at m = 16 the per-pair deviation is large by design
+    (σ ≈ √(2/m) ≈ 0.35); the VALUES are the audit, hash-checked
+    cross-engine since everything is exact integer arithmetic.
+
+    Scale shape: the projection is a pure per-row expression (16 signed
+    sums — codegen); the pair join runs on the DETERMINISTIC modulus
+    sample (vec_id % {_JL_MOD} = 0), the q_hubness_audit bounding pattern —
+    production would JL-project the full corpus (linear) and audit on the
+    sample (quadratic only there)."""
+    from pyspark.sql import functions as F
+
+    e = T(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % _JL_MOD == 0
+    )
+    base = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " e -> CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("x6"),
+    )
+    proj = base.select(
+        "vec_id", "x6", F.expr(f"array({', '.join(_JL_Y_SPARK)})").alias("y")
+    )
+    a, b = proj.alias("a"), proj.alias("b")
+    d2 = (
+        "CAST(aggregate(zip_with({l}, {r}, (p, q) -> (p - q) * (p - q)),"
+        " 0L, (acc, v) -> acc + v) AS BIGINT)"
+    )
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("v1"),
+        F.col("b.vec_id").alias("v2"),
+        F.expr(d2.format(l="a.x6", r="b.x6")).alias("d2x"),
+        F.expr(d2.format(l="a.y", r="b.y")).alias("d2y"),
+    )
+    scored = pairs.filter(F.col("d2x") > 0).select(
+        "v1",
+        "v2",
+        "d2x",
+        "d2y",
+        F.expr(
+            f"CAST(CAST(d2y AS DECIMAL(38,0)) * 1000000"
+            f" div ({_JL_M} * CAST(d2x AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("ratio_fp6"),
+    )
+    return scored.select(
+        "*",
+        F.expr(
+            "CAST(SUM(ratio_fp6) OVER () div COUNT(*) OVER () AS BIGINT)"
+        ).alias("mean_ratio_fp6"),
+    )

@@ -1,5 +1,6 @@
-"""Training-set assembly round 2: contrastive-batch leakage and
-token-budget water-filling (oracle-checked).
+"""Training-set assembly round 2: contrastive-batch leakage, token-budget
+water-filling, negative-sampling tables, and padding-waste batching
+economics (oracle-checked).
 
 * **Batch leakage** — contrastive/in-batch-negative training assumes the
   other items in a batch are true negatives; a near-duplicate pair landing
@@ -374,4 +375,121 @@ def q_negative_sampling_table(spark, sf_dir):
             .cast("bigint")
             .alias("expected_draws"),
         )
+    )
+
+
+_PAD_B = 16  # examples per training batch
+
+_PAD_POLICY_SQL = """
+  SELECT source, policy,
+         CAST(COUNT(*) AS BIGINT) AS n_batches,
+         CAST(SUM(nb * mx - sm) AS BIGINT) AS padding_tokens,
+         CAST(SUM(nb * mx) AS BIGINT) AS padded_tokens,
+         CAST(SUM(sm) AS BIGINT) AS real_tokens
+  FROM (
+    SELECT source, policy, batch,
+           CAST(COUNT(*) AS BIGINT) AS nb,
+           CAST(MAX(tok) AS BIGINT) AS mx,
+           CAST(SUM(tok) AS BIGINT) AS sm
+    FROM b GROUP BY 1, 2, 3
+  ) g
+  GROUP BY 1, 2
+"""
+
+
+@register(
+    "q_padding_waste",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS tok
+  FROM documents
+),
+b AS (
+  SELECT source, tok, 'arrival' AS policy,
+         (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+           // {_PAD_B} AS batch
+  FROM d
+  UNION ALL
+  SELECT source, tok, 'length_sorted' AS policy,
+         (ROW_NUMBER() OVER (PARTITION BY source ORDER BY tok, doc_id) - 1)
+           // {_PAD_B} AS batch
+  FROM d
+),
+agg AS ({_PAD_POLICY_SQL})
+SELECT source, policy, n_batches, real_tokens, padded_tokens, padding_tokens,
+       CAST(CAST(padding_tokens AS HUGEINT) * 1000000 // padded_tokens
+            AS BIGINT) AS waste_share_fp6
+FROM agg
+""",
+)
+def q_padding_waste(spark, sf_dir):
+    """Padding-waste economics of batch assembly: every example in a batch
+    of B pads to the batch max length, so waste = Σ_batches (n·max − Σlen).
+    Compares ARRIVAL-ORDER batching (doc_id order — what a naive loader
+    does) against LENGTH-SORTED batching (the standard bucketing trick)
+    per source; the delta is the compute a sorted loader saves. Exact
+    integers end-to-end; waste share via integer cross-multiplication.
+
+    Scale shape: the doc frame (doc_id, source, token count) is ONE corpus
+    scan; each policy is a per-source window rank over that doc-sized frame
+    (co-partitioned — both windows and the batch aggregate share the source
+    key), then a |sources·batches| aggregate. At 100 TB the length-sorted
+    rank is the same per-source sort any sorted-bucketing loader performs;
+    nothing global, nothing quadratic."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(
+            F.expr(
+                "filter(split(trim(text), '\\\\s+'), t -> t != '')"
+            )
+        )
+        .cast("bigint")
+        .alias("tok"),
+    )
+    wa = Window.partitionBy("source").orderBy("doc_id")
+    wl = Window.partitionBy("source").orderBy("tok", "doc_id")
+    b = (
+        d.withColumn("rn", F.row_number().over(wa))
+        .select(
+            "source",
+            "tok",
+            F.lit("arrival").alias("policy"),
+            F.expr(f"CAST(rn - 1 AS BIGINT) div {_PAD_B}").alias("batch"),
+        )
+        .unionByName(
+            d.withColumn("rn", F.row_number().over(wl)).select(
+                "source",
+                "tok",
+                F.lit("length_sorted").alias("policy"),
+                F.expr(f"CAST(rn - 1 AS BIGINT) div {_PAD_B}").alias("batch"),
+            )
+        )
+    )
+    g = b.groupBy("source", "policy", "batch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.max("tok").cast("bigint").alias("mx"),
+        F.sum("tok").cast("bigint").alias("sm"),
+    )
+    agg = g.groupBy("source", "policy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+        F.sum(F.col("nb") * F.col("mx") - F.col("sm"))
+        .cast("bigint")
+        .alias("padding_tokens"),
+        F.sum(F.col("nb") * F.col("mx")).cast("bigint").alias("padded_tokens"),
+        F.sum("sm").cast("bigint").alias("real_tokens"),
+    )
+    return agg.select(
+        "source",
+        "policy",
+        "n_batches",
+        "real_tokens",
+        "padded_tokens",
+        "padding_tokens",
+        F.expr(
+            "CAST(CAST(padding_tokens AS DECIMAL(38,0)) * 1000000"
+            " div padded_tokens AS BIGINT)"
+        ).alias("waste_share_fp6"),
     )

@@ -343,6 +343,33 @@ HEADLINE = [
     # round 9 (cont.): generalization-lattice advisor — 9 QI lattice nodes
     # from one stacked scan, ranked by budgeted suppression then height
     "q_generalization_advisor",
+    # round 9 (second batch): classifier-eval metrics — exact rank
+    # statistics over the (group, distinct score) frame
+    "q_roc_auc",
+    "q_pr_auc_best_f1",
+    # round 9 (second batch): vocabulary-coverage estimators — Chao1 /
+    # Good-Turing from frequency-of-frequencies; Heaps growth via the
+    # doc-offset first-seen decomposition (no token-level global sort)
+    "q_chao_coverage",
+    "q_heaps_law_curve",
+    # round 9 (second batch): lakehouse txn-log replay (file-grain windows)
+    # and the System-R join-cardinality estimator audited vs ground truth
+    "q_txn_log_replay",
+    "q_join_cardinality_estimate",
+    # round 9 (second batch): Misra-Gries mergeable heavy hitters with the
+    # N/(k+1) deficit theorem pinned in-plan
+    "q_misra_gries_topk",
+    # round 9 (second batch): padding-waste economics of arrival-order vs
+    # length-sorted batch assembly
+    "q_padding_waste",
+    # round 9 (third batch): lift/gain deciles, trained NB lang-ID
+    # (|langs|·vocab likelihood table scoring), bigram LM perplexity
+    # (co-partitioned LM join), term burstiness, JL projection audit
+    "q_lift_gain_deciles",
+    "q_naive_bayes_langid",
+    "q_bigram_perplexity",
+    "q_term_burstiness",
+    "q_jl_projection_audit",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
