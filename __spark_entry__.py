@@ -71,6 +71,7 @@ from arc_maskdata_pipeline_plugin_spark.plans import vocab  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import lakeops3  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import heavyhitters  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import lm  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import card  # noqa: F401
 
 from arc_maskdata_pipeline_plugin_spark.plans.registry import REGISTRY
 
@@ -114,6 +115,10 @@ GATE_WINDOW = [
     # bigram LM perplexity, term burstiness, JL projection audit
     "q_lift_gain_deciles", "q_naive_bayes_langid", "q_bigram_perplexity",
     "q_term_burstiness", "q_jl_projection_audit",
+    # r09 fourth batch: mutual-NN pair mining, degree power-law MLE,
+    # DP exponential-mechanism top-k, dataset-card capstone
+    "q_reciprocal_best_match", "q_degree_powerlaw_alpha",
+    "q_dp_topk_exponential", "q_dataset_card_report",
     #
     # --- r09-changed: streaming drains now emit witness columns (new
     #     schemas), ADVICE r08 broadcast fixes, 6-layout advisor ---
@@ -133,12 +138,9 @@ GATE_WINDOW = [
     "q1_pricing_summary", "q_userdata_lifecycle", "q_mask_customers_pbkdf2",
     "q_mask_customers",
     "dedup_exact",
-    "sim_ann_ivf",
-    "q_hll_audience_overlap",
-    "q_decontaminate_spans", "q_corpus_release_report",
+    "q_decontaminate_spans",
     "q_multimodal_pixel_stats", "q_grouping_sets", "q_window_frames",
     "q_auto_join_revenue", "q_session_window_native",
-    "q_personalized_pagerank",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 

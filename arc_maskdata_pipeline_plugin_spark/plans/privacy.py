@@ -800,3 +800,93 @@ def q_generalization_advisor(spark, sf_dir):
         .alias("within_suppression_budget"),
         F.rank().over(w).cast("bigint").alias("advisor_rank"),
     )
+
+
+_DP_TOPK = 3
+_DP_EPS = 1.0  # epsilon per selection; sensitivity of a count utility = 1
+
+
+@register(
+    "q_dp_topk_exponential",
+    oracle=f"""
+WITH g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM events GROUP BY event_type
+),
+noisy AS (
+  SELECT event_type, true_n,
+         -- md5-seeded uniform in (0,1), then Gumbel g = -ln(-ln(u));
+         -- noisy score = eps*u/2 + Gumbel (the Gumbel-max trick makes one
+         -- ranking equal iterated exponential-mechanism peeling)
+         CAST(floor((
+           {_DP_EPS} * true_n / 2.0
+           - ln(-ln((CAST(('0x' || substr(md5('dptopk:' || event_type), 1, 8))
+                     AS BIGINT) + 0.5) / 4294967296.0))
+         ) * 1000000) AS BIGINT) AS noisy_score_fp6
+  FROM g
+)
+SELECT event_type, true_n, noisy_score_fp6,
+       CAST(rnk AS BIGINT) AS rank,
+       CAST(CASE WHEN rnk <= {_DP_TOPK} THEN 1 ELSE 0 END AS BIGINT)
+         AS selected
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY noisy_score_fp6 DESC, event_type)
+            AS rnk
+  FROM noisy
+) z
+""",
+)
+def q_dp_topk_exponential(spark, sf_dir):
+    """Differentially-private top-k selection via the exponential
+    mechanism (McSherry-Talwar 2007), implemented with the Gumbel-max
+    trick: ranking every candidate once by ε·u/2 + Gumbel noise is
+    distributionally IDENTICAL to iteratively applying the exponential
+    mechanism without replacement (Durfee-Rogers, NeurIPS 2019) — so the
+    k-fold peel collapses to ONE window over the |event types| frame. As
+    in q_dp_noisy_counts, the Gumbel draw uses a DETERMINISTIC md5-seeded
+    uniform in test mode (the whole mechanism hash-matches cross-engine);
+    production swaps SecureRandom into the same expression seam. Ranking
+    compares the fp6-FLOORED noisy scores (+ type tie-break) so the order
+    is engine-stable. One map-side-combined count, then type-frame-only
+    work."""
+    from pyspark.sql import Window
+
+    g = (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+    )
+    uni = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dptopk:"), F.col("event_type"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    noisy = g.select(
+        "event_type",
+        "true_n",
+        F.floor(
+            (
+                F.lit(_DP_EPS) * F.col("true_n") / F.lit(2.0)
+                - F.log(-F.log(uni))
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("noisy_score_fp6"),
+    )
+    w = Window.orderBy(F.desc("noisy_score_fp6"), F.asc("event_type"))
+    return noisy.withColumn("rnk", F.row_number().over(w)).select(
+        "event_type",
+        "true_n",
+        "noisy_score_fp6",
+        F.col("rnk").cast("bigint").alias("rank"),
+        F.when(F.col("rnk") <= _DP_TOPK, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("selected"),
+    )

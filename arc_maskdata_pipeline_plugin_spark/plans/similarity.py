@@ -678,3 +678,101 @@ def q_jl_projection_audit(spark, sf_dir):
             "CAST(SUM(ratio_fp6) OVER () div COUNT(*) OVER () AS BIGINT)"
         ).alias("mean_ratio_fp6"),
     )
+
+
+# --- reciprocal best match (mutual nearest neighbors) -----------------------
+
+_RBM_NA = 100  # collection A = even vec_ids below this bound
+
+
+_RBM_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+ca AS (SELECT * FROM e WHERE vec_id % 2 = 0 AND vec_id < {_RBM_NA}),
+cb AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+scored AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)
+           AS cosine
+  FROM ca a JOIN cb b ON TRUE
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY a_id
+                            ORDER BY cosine DESC, b_id) AS rka,
+         ROW_NUMBER() OVER (PARTITION BY b_id
+                            ORDER BY cosine DESC, a_id) AS rkb
+  FROM scored
+),
+mut AS (
+  SELECT a_id, b_id, cosine FROM r WHERE rka = 1 AND rkb = 1
+),
+na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a FROM ca)
+SELECT m.a_id, m.b_id, m.cosine,
+       CAST(COUNT(*) OVER () AS BIGINT) AS n_mutual,
+       CAST(COUNT(*) OVER () * 1000000 // MAX(na.n_a) OVER () AS BIGINT)
+         AS mutual_share_fp6
+FROM mut m, na
+"""
+
+
+@register("q_reciprocal_best_match", oracle=_RBM_ORACLE)
+def q_reciprocal_best_match(spark, sf_dir):
+    """Mutual-nearest-neighbor pair mining: split the embeddings into two
+    collections (even ids < bound vs odd — standing in for two languages /
+    two snapshots) and keep pairs where each side is the OTHER's cosine
+    top-1. The classic high-precision bitext/alignment criterion (the
+    conservative sibling of q_margin_mining_pairs' ratio margin — RBM
+    rejects hubs structurally because a hub can be best-for-many but has
+    only ONE best itself). Emits each mutual pair plus the mutual share of
+    collection A — the alignment-quality one-number readout.
+
+    Exactness: ordered-fold cosines (the sim_knn_bruteforce seam), both
+    argmaxes deterministically tie-broken; the share is an integer
+    division. Scale shape: ONE bounded cross join scores A × B; both
+    directions' argmaxes are two windows over that same scored frame —
+    nothing is computed twice; at scale the cross join swaps for the
+    IVF/LSH candidate join (the q_margin_mining_pairs seam) and the
+    windows are unchanged."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import _dot, with_norm
+
+    e = T(spark, sf_dir, "embeddings")
+    a = with_norm(
+        e.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < _RBM_NA))
+        .select("vec_id", "embedding")
+    ).alias("a")
+    b = with_norm(
+        e.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    ).alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a._norm") * F.col("b._norm")
+    )
+    scored = b.crossJoin(F.broadcast(a)).select(
+        F.col("a.vec_id").alias("a_id"),
+        F.col("b.vec_id").alias("b_id"),
+        cos.alias("cosine"),
+    )
+    wa = Window.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.desc("cosine"), F.asc("a_id"))
+    mut = (
+        scored.withColumn("rka", F.row_number().over(wa))
+        .withColumn("rkb", F.row_number().over(wb))
+        .filter((F.col("rka") == 1) & (F.col("rkb") == 1))
+        .select("a_id", "b_id", "cosine")
+    )
+    na = a.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+    return mut.crossJoin(F.broadcast(na)).select(
+        "a_id",
+        "b_id",
+        "cosine",
+        F.expr("CAST(COUNT(*) OVER () AS BIGINT)").alias("n_mutual"),
+        F.expr(
+            "CAST(COUNT(*) OVER () * 1000000 div MAX(n_a) OVER () AS BIGINT)"
+        ).alias("mutual_share_fp6"),
+    )

@@ -370,6 +370,13 @@ HEADLINE = [
     "q_bigram_perplexity",
     "q_term_burstiness",
     "q_jl_projection_audit",
+    # round 9 (fourth batch): mutual-NN mining (one scored cross join, two
+    # windows), degree power-law MLE, DP exponential top-k (Gumbel-max),
+    # dataset-card capstone (components joined at source grain)
+    "q_reciprocal_best_match",
+    "q_degree_powerlaw_alpha",
+    "q_dp_topk_exponential",
+    "q_dataset_card_report",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
