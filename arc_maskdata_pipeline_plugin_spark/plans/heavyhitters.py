@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .registry import T, register
+from .registry import T, persisted, register
 
 _K = 16  # counters kept per summary
 _P = 8  # arrival shards
@@ -126,8 +126,13 @@ def q_misra_gries_topk(spark, sf_dir):
         (F.col("doc_id") % _P).alias("shard"),
         F.explode(F.expr(_TOKENS)).alias("term"),
     )
-    l1 = occ.groupBy("shard", "term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    l1 = (
+        occ.groupBy("shard", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # counter frame (≤ vocab·P rows): consumers = per-shard ranking,
+        # truth re-aggregate, N total — persist so the corpus token
+        # shuffle runs ONCE, not per consumer
+        .transform(persisted)
     )
     wsh = Window.partitionBy("shard").orderBy(F.desc("c"), F.asc("term"))
     ranked = l1.withColumn("rn", F.row_number().over(wsh))

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .registry import T, register
+from .registry import T, persisted, register
 
 _NBUCKETS = 4  # customer-hash buckets (files per month)
 _GROUP = 3  # compaction group size in versions
@@ -133,7 +133,7 @@ def q_txn_log_replay(spark, sf_dir):
         (F.dense_rank().over(Window.orderBy("mk")) - 1)
         .cast("bigint")
         .alias("v"),
-    )
+    ).transform(persisted)  # file-grain; consumers: vmax probe + actions
     mx = vm.agg(F.max("v").alias("vmax"))
     acts = vm.crossJoin(F.broadcast(mx)).select(
         "b",
@@ -269,11 +269,17 @@ def q_join_cardinality_estimate(spark, sf_dir):
     runs at key grain (150/1500 keys here), never row×row."""
     ev = T(spark, sf_dir, "events")
     o = T(spark, sf_dir, "orders")
-    ek = ev.groupBy(F.col("user_id").alias("k")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    # per-key count frames: consumers = key-max probe, bucket statistics,
+    # and the ground-truth join — persist so each side aggregates once
+    ek = (
+        ev.groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .transform(persisted)
     )
-    ok = o.groupBy(F.col("o_custkey").alias("k")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ok = (
+        o.groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .transform(persisted)
     )
     km = (
         ek.select(F.max("k").alias("m1"))

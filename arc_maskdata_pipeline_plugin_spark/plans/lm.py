@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .registry import T, register
+from .registry import T, persisted, register
 
 _TOKENS = (
     "filter(transform(split(lower(trim(text)), '\\\\s+'), "
@@ -109,7 +109,15 @@ def q_bigram_perplexity(spark, sf_dir):
         "doc_id", "source", F.expr(_TOKENS).alias("toks")
     )
     uni = tk.select("doc_id", F.explode("toks").alias("w"))
-    uc = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cw"))
+    # per-(doc, word) counts: the postings-shaped frame both the unigram LM
+    # (re-aggregate) and the per-doc unigram scoring derive from — persist
+    # so the corpus tokenizes once for the whole unigram side
+    dwc = (
+        uni.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .transform(persisted)
+    )
+    uc = dwc.groupBy("w").agg(F.sum("n").cast("bigint").alias("cw"))
     vv = uc.agg(
         F.count(F.lit(1)).cast("bigint").alias("v"),
         F.sum("cw").cast("bigint").alias("n_tok"),
@@ -128,8 +136,12 @@ def q_bigram_perplexity(spark, sf_dir):
         )
         .select("doc_id", "source", F.col("z.w1"), F.col("z.w2"))
     )
-    dbg = bg.groupBy("doc_id", "source", "w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    # per-(doc, bigram) counts: consumers = the bigram LM re-aggregate and
+    # the per-doc scoring join — persist so the bigram explode runs once
+    dbg = (
+        bg.groupBy("doc_id", "source", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .transform(persisted)
     )
     bc = dbg.groupBy("w1", "w2").agg(F.sum("c").cast("bigint").alias("cb"))
     blm = (
@@ -166,11 +178,11 @@ def q_bigram_perplexity(spark, sf_dir):
         )
     )
     dsu = (
-        uni.join(ulm, "w")
+        dwc.join(ulm, "w")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_u"),
-            F.sum(F.col("nll9").cast("decimal(38,0)"))
+            F.sum("n").cast("bigint").alias("n_u"),
+            F.sum(F.col("n").cast("decimal(38,0)") * F.col("nll9"))
             .cast("decimal(38,0)")
             .alias("s_u"),
         )

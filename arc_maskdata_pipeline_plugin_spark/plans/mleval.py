@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .registry import T, register
+from .registry import T, persisted, register
 
 # Shared distinct-score frame: per (priority group, exact 2-decimal score):
 # positives p, totals t, and the doubled-midrank prefix c (count of pooled
@@ -445,18 +445,23 @@ def q_naive_bayes_langid(spark, sf_dir):
     tr = docs.filter(F.col("split") == "train").select(
         "lang", F.explode("toks").alias("w")
     )
-    cls = tr.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    # likelihood table (|langs|·vocab rows): the one frame everything else
+    # derives from — persist so training tokenizes/shuffles ONCE; class
+    # token totals and the train vocabulary are re-aggregates of it
+    wc = (
+        tr.groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .transform(persisted)
     )
+    cls = wc.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n_tok"))
     pri = (
         docs.filter(F.col("split") == "train")
         .groupBy("lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
     ptot = pri.agg(F.sum("n_docs").cast("bigint").alias("n"))
-    vocab = tr.agg(F.countDistinct("w").cast("bigint").alias("v"))
-    wc = tr.groupBy("lang", "w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    vocab = wc.select("w").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
     )
     tec = (
         docs.filter(F.col("split") == "test")

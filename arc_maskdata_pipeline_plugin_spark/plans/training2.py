@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from .dedup2 import _detector_sql
 from .dedup import dedup_minhash_pairs
-from .registry import T, register
+from .registry import T, persisted, register
 
 _BATCH_SIZES = (8, 32, 128)
 
@@ -438,16 +438,22 @@ def q_padding_waste(spark, sf_dir):
     key), then a |sources·batches| aggregate. At 100 TB the length-sorted
     rank is the same per-source sort any sorted-bucketing loader performs;
     nothing global, nothing quadratic."""
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.size(
-            F.expr(
-                "filter(split(trim(text), '\\\\s+'), t -> t != '')"
+    d = (
+        T(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.size(
+                F.expr(
+                    "filter(split(trim(text), '\\\\s+'), t -> t != '')"
+                )
             )
+            .cast("bigint")
+            .alias("tok"),
         )
-        .cast("bigint")
-        .alias("tok"),
+        # doc-sized (id, source, token count); consumers: both policy
+        # rankings — persist so the corpus tokenizes once
+        .transform(persisted)
     )
     wa = Window.partitionBy("source").orderBy("doc_id")
     wl = Window.partitionBy("source").orderBy("tok", "doc_id")

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .registry import T, register
+from .registry import T, persisted, register
 
 # Normalized token list — identical to operators/search.py::_TOKENS and its
 # DuckDB mirror (plans/search.py::_TOKS_SQL).
@@ -198,9 +198,11 @@ def q_heaps_law_curve(spark, sf_dir):
     tk = docs.select(
         "doc_id", "source", F.expr(_TOKENS).alias("toks")
     )
-    dl = tk.select(
-        "doc_id", "source", F.size("toks").alias("dl")
-    ).filter(F.col("dl") > 0)
+    dl = (
+        tk.select("doc_id", "source", F.size("toks").alias("dl"))
+        .filter(F.col("dl") > 0)
+        .transform(persisted)  # doc-sized; consumers: offsets + totals
+    )
     woff = (
         Window.partitionBy("source")
         .orderBy("doc_id")
