@@ -25,6 +25,7 @@ CUST_SCHEMA = (
     "c_custkey long, c_mktsegment string, c_nationkey long, c_acctbal double"
 )
 LI_SCHEMA = "l_orderkey long, l_partkey long, l_suppkey long"
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
 
 
 def _run_empty(spark, module_name, fn_name, tables):
@@ -89,6 +90,31 @@ def _run_empty(spark, module_name, fn_name, tables):
             "q_pareto_orders",
             {"orders": ORD_SCHEMA, "customer": CUST_SCHEMA},
         ),
+        # round-9 second wave
+        ("mleval", "q_roc_auc", {"orders": ORD_SCHEMA}),
+        ("mleval", "q_pr_auc_best_f1", {"orders": ORD_SCHEMA}),
+        ("mleval", "q_lift_gain_deciles", {"orders": ORD_SCHEMA}),
+        ("mleval", "q_naive_bayes_langid", {"documents": DOC_SCHEMA}),
+        ("vocab", "q_chao_coverage", {"documents": DOC_SCHEMA}),
+        ("vocab", "q_heaps_law_curve", {"documents": DOC_SCHEMA}),
+        ("vocab", "q_term_burstiness", {"documents": DOC_SCHEMA}),
+        ("lm", "q_bigram_perplexity", {"documents": DOC_SCHEMA}),
+        ("training2", "q_padding_waste", {"documents": DOC_SCHEMA}),
+        ("heavyhitters", "q_misra_gries_topk", {"documents": DOC_SCHEMA}),
+        ("lakeops3", "q_txn_log_replay", {"orders": ORD_SCHEMA}),
+        (
+            "lakeops3",
+            "q_join_cardinality_estimate",
+            {"orders": ORD_SCHEMA, "events": EVT_SCHEMA},
+        ),
+        (
+            "graph2",
+            "q_degree_powerlaw_alpha",
+            {"orders": ORD_SCHEMA, "lineitem": LI_SCHEMA},
+        ),
+        ("privacy", "q_dp_topk_exponential", {"events": EVT_SCHEMA}),
+        ("similarity", "q_reciprocal_best_match", {"embeddings": EMB_SCHEMA}),
+        ("similarity", "q_jl_projection_audit", {"embeddings": EMB_SCHEMA}),
     ],
 )
 def test_operator_handles_empty_input(spark, module_name, fn_name, tables):

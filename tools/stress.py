@@ -2162,6 +2162,124 @@ def main():
         "one scan, one class-grain map-side-combined aggregate for the WHOLE lattice — not 9 table scans",
     )
 
+    # ---- Misra-Gries on a Zipf-ish 60M-token stream ----------------------
+    # keys = floor(2^(id mod 26)) buckets give a heavy-tailed frequency
+    # profile; two-level MG (8 arrival shards, k=16) vs exact truth.
+    def mg_stress():
+        from pyspark.sql import Window as W
+
+        n = 60_000_000
+        occ = spark.range(0, n, 1, sc.defaultParallelism * 4).select(
+            (F.col("id") % 8).alias("shard"),
+            # Zipf-ish: term t appears ~n/2^t times
+            F.floor(F.log2(F.col("id") % 33_554_432 + 1)).alias("term"),
+        )
+        l1 = occ.groupBy("shard", "term").agg(
+            F.count(F.lit(1)).alias("c")
+        ).persist()
+        wsh = W.partitionBy("shard").orderBy(F.desc("c"), F.asc("term"))
+        ranked = l1.withColumn("rn", F.row_number().over(wsh))
+        dp = ranked.groupBy("shard").agg(
+            F.coalesce(F.max(F.when(F.col("rn") == 17, F.col("c"))), F.lit(0)).alias("d_p")
+        )
+        merged = (
+            ranked.join(F.broadcast(dp), "shard")
+            .select("term", (F.col("c") - F.col("d_p")).alias("e"))
+            .filter(F.col("e") > 0)
+            .groupBy("term")
+            .agg(F.sum("e").alias("m"))
+        )
+        merged.write.format("noop").mode("overwrite").save()
+        l1.unpersist()
+
+    timed(
+        "Misra-Gries heavy hitters (60M tokens, Zipf keys, 8 shards, k=16)",
+        60_000_000,
+        mg_stress,
+        "one token shuffle to constant per-shard counters; truncation + merge on the counter frame",
+    )
+
+    # ---- Heaps first-seen decomposition at 1M docs -----------------------
+    # the claim under stress: vocabulary-growth checkpoints WITHOUT a
+    # token-level global sort — doc-offset cumsum (doc frame) + min-pos
+    # aggregate (token shuffle) only.
+    def heaps_stress():
+        from pyspark.sql import Window as W
+
+        n_docs = 1_000_000
+        docs = spark.range(0, n_docs, 1, sc.defaultParallelism * 4).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 20).alias("src"),
+            F.lit(60).alias("dl"),
+        )
+        pos = docs.select(
+            "doc_id",
+            "src",
+            F.explode(F.sequence(F.lit(1), F.lit(60))).alias("p"),
+        ).select(
+            "doc_id",
+            "src",
+            "p",
+            # word id: power-law-ish first occurrences spread over docs
+            ((F.col("doc_id") * 60 + F.col("p")) % 500_000).alias("w"),
+        )
+        dmin = pos.groupBy("src", "doc_id", "w").agg(F.min("p").alias("mp"))
+        woff = (
+            W.partitionBy("src")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        off = docs.select(
+            "doc_id", F.coalesce(F.sum("dl").over(woff), F.lit(0)).alias("o")
+        )
+        # windowed frames have no size estimate → Spark would try to
+        # broadcast the 1M-row offset frame and OOM the driver build;
+        # at this scale the co-partitioned shuffle join IS the right plan
+        fs = (
+            dmin.join(off.hint("shuffle_hash"), "doc_id")
+            .groupBy("src", "w")
+            .agg(F.min(F.col("o") + F.col("mp")).alias("first_seen"))
+        )
+        fs.groupBy("src").agg(
+            F.count(F.lit(1)), F.min("first_seen"), F.max("first_seen")
+        ).write.format("noop").mode("overwrite").save()
+
+    timed(
+        "Heaps first-seen decomposition (1M docs x 60 tokens, 500k vocab)",
+        60_000_000,
+        heaps_stress,
+        "doc-offset cumsum on the DOC frame + one (src, word) min aggregate — no token-level global sort",
+    )
+
+    # ---- padding-waste batch windows at 20M docs -------------------------
+    def padding_stress():
+        from pyspark.sql import Window as W
+
+        n = 20_000_000
+        d = spark.range(0, n, 1, sc.defaultParallelism * 4).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 64).alias("src"),
+            (F.col("id") * 2654435761 % 2048 + 1).alias("tok"),
+        )
+        wl = W.partitionBy("src").orderBy("tok", "doc_id")
+        b = d.withColumn("rn", F.row_number().over(wl)).select(
+            "src", "tok", F.expr("CAST(rn - 1 AS BIGINT) div 16").alias("batch")
+        )
+        b.groupBy("src", "batch").agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.max("tok").alias("mx"),
+            F.sum("tok").alias("sm"),
+        ).groupBy("src").agg(
+            F.sum(F.col("nb") * F.col("mx") - F.col("sm")).alias("waste")
+        ).write.format("noop").mode("overwrite").save()
+
+    timed(
+        "padding-waste audit, length-sorted policy (20M docs, 64 sources)",
+        20_000_000,
+        padding_stress,
+        "per-source length sort (the same sort a bucketing loader performs) + two keyed aggregates",
+    )
+
     # ---- report ----------------------------------------------------------
     lines = [
         "# STRESS — synthetic ~100× scale-up measurements (local[32])",
