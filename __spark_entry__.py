@@ -119,6 +119,8 @@ GATE_WINDOW = [
     # DP exponential-mechanism top-k, dataset-card capstone
     "q_reciprocal_best_match", "q_degree_powerlaw_alpha",
     "q_dp_topk_exponential", "q_dataset_card_report",
+    # r09 fifth batch: columnar-encoding advisor, partition-balance planner
+    "q_encoding_advisor", "q_partition_balance_planner",
     #
     # --- r09-changed: streaming drains now emit witness columns (new
     #     schemas), ADVICE r08 broadcast fixes, 6-layout advisor ---
@@ -139,7 +141,7 @@ GATE_WINDOW = [
     "q_mask_customers",
     "dedup_exact",
     "q_decontaminate_spans",
-    "q_multimodal_pixel_stats", "q_grouping_sets", "q_window_frames",
+    "q_multimodal_pixel_stats",
     "q_auto_join_revenue", "q_session_window_native",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)

@@ -355,3 +355,249 @@ def q_join_cardinality_estimate(spark, sf_dir):
             ),
         ),
     )
+
+
+_ENC_FILE_W = 512  # orders per simulated file (runs are per-file, parallel)
+
+
+@register(
+    "q_encoding_advisor",
+    oracle=f"""
+WITH src AS (
+  SELECT l_orderkey, l_linenumber,
+         l_returnflag AS v_flag,
+         CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS v_qty,
+         CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS VARCHAR) AS v_price,
+         CAST(l_linenumber AS VARCHAR) AS v_line
+  FROM lineitem
+),
+stacked AS (
+  SELECT col, val, width, l_orderkey, l_linenumber FROM (
+    SELECT 'l_returnflag' AS col, v_flag AS val,
+           CAST(strlen(v_flag) AS BIGINT) AS width,
+           l_orderkey, l_linenumber FROM src
+    UNION ALL
+    SELECT 'l_quantity', v_qty, 8, l_orderkey, l_linenumber FROM src
+    UNION ALL
+    SELECT 'l_extendedprice', v_price, 8, l_orderkey, l_linenumber FROM src
+    UNION ALL
+    SELECT 'l_linenumber', v_line, 4, l_orderkey, l_linenumber FROM src
+  ) u
+),
+runs AS (
+  SELECT col, val, width,
+         -- (l_orderkey, l_linenumber) is not unique in the synthetic
+         -- lineitem; appending val makes run counting order-deterministic
+         -- (remaining ties have EQUAL values, so run starts are invariant)
+         CASE WHEN val IS DISTINCT FROM
+                   LAG(val) OVER (PARTITION BY col, l_orderkey // {_ENC_FILE_W}
+                                  ORDER BY l_orderkey, l_linenumber, val)
+              THEN 1 ELSE 0 END AS is_run_start
+  FROM stacked
+),
+stats AS (
+  SELECT col,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT val) AS BIGINT) AS d,
+         CAST(SUM(width) AS BIGINT) AS plain_bytes,
+         CAST(SUM(is_run_start) AS BIGINT) AS rle_runs,
+         CAST(MAX(width) AS BIGINT) AS w_fixed
+  FROM runs GROUP BY col
+),
+model AS (
+  SELECT col, n, d, plain_bytes, rle_runs,
+         -- dictionary: d values at fixed width + n indexes of
+         -- ceil(ceil(log2(d))/8) bytes (1 byte minimum)
+         d * w_fixed + n * GREATEST(1, (CAST(ceil(ln(d + 1) / ln(2)) AS BIGINT) + 7) // 8)
+           AS dict_bytes,
+         rle_runs * (w_fixed + 2) AS rle_bytes
+  FROM stats
+)
+SELECT col, n, d, plain_bytes, dict_bytes, rle_bytes, rle_runs,
+       CASE WHEN rle_bytes <= dict_bytes AND rle_bytes <= plain_bytes
+            THEN 'rle'
+            WHEN dict_bytes <= plain_bytes THEN 'dictionary'
+            ELSE 'plain' END AS best_encoding
+FROM model
+""",
+)
+def q_encoding_advisor(spark, sf_dir):
+    """Columnar-encoding advisor: for four lineitem columns, estimate the
+    at-rest bytes under PLAIN (Σ widths), DICTIONARY (d·width + n
+    bit-packed indexes, byte-rounded), and RLE (runs·(width+2)) from ONE
+    stacked scan, and pick the cheapest — the decision a parquet writer
+    makes per column chunk, exposed as a query so a layout job can see WHY
+    (`l_returnflag` dictionary/RLE-encodes at ~1/8th plain; near-unique
+    `l_extendedprice` doesn't). Run counting is PER SIMULATED FILE
+    (orderkey div {w}) in writer order, so the window parallelizes per
+    (column, file) exactly like the zone-map simulations; the cost model
+    is first-order by design (no page headers/hybrid encoding), identical
+    in both engines, all integer arithmetic.""".format(w=_ENC_FILE_W)
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_returnflag").alias("v_flag"),
+        F.col("l_quantity").cast("bigint").cast("string").alias("v_qty"),
+        F.floor(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .cast("string")
+        .alias("v_price"),
+        F.col("l_linenumber").cast("string").alias("v_line"),
+    )
+    stacked = li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(4,"
+        " 'l_returnflag', v_flag, CAST(octet_length(v_flag) AS BIGINT),"
+        " 'l_quantity', v_qty, CAST(8 AS BIGINT),"
+        " 'l_extendedprice', v_price, CAST(8 AS BIGINT),"
+        " 'l_linenumber', v_line, CAST(4 AS BIGINT)"
+        ") AS (col, val, width)",
+    )
+    w = Window.partitionBy(
+        "col", F.expr(f"l_orderkey div {_ENC_FILE_W}")
+    ).orderBy("l_orderkey", "l_linenumber", "val")
+    runs = stacked.select(
+        "col",
+        "val",
+        "width",
+        F.when(
+            ~F.col("val").eqNullSafe(F.lag("val").over(w)), 1
+        )
+        .otherwise(0)
+        .alias("is_run_start"),
+    )
+    stats = runs.groupBy("col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("val").cast("bigint").alias("d"),
+        F.sum("width").cast("bigint").alias("plain_bytes"),
+        F.sum("is_run_start").cast("bigint").alias("rle_runs"),
+        F.max("width").cast("bigint").alias("w_fixed"),
+    )
+    model = stats.select(
+        "col",
+        "n",
+        "d",
+        "plain_bytes",
+        "rle_runs",
+        F.expr(
+            "d * w_fixed + n * GREATEST(1,"
+            " (CAST(ceil(ln(d + 1) / ln(2)) AS BIGINT) + 7) div 8)"
+        ).alias("dict_bytes"),
+        (F.col("rle_runs") * (F.col("w_fixed") + 2)).alias("rle_bytes"),
+    )
+    return model.select(
+        "col",
+        "n",
+        "d",
+        "plain_bytes",
+        "dict_bytes",
+        "rle_bytes",
+        "rle_runs",
+        F.when(
+            (F.col("rle_bytes") <= F.col("dict_bytes"))
+            & (F.col("rle_bytes") <= F.col("plain_bytes")),
+            "rle",
+        )
+        .when(F.col("dict_bytes") <= F.col("plain_bytes"), "dictionary")
+        .otherwise("plain")
+        .alias("best_encoding"),
+    )
+
+
+_BAL_TASKS = 8
+
+
+@register(
+    "q_partition_balance_planner",
+    oracle=f"""
+WITH kw AS (
+  SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS w
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS total FROM kw),
+planned AS (
+  SELECT k, w,
+         -- range plan: task of a key = its cumulative-weight PREFIX
+         -- bucket (contiguous keys, weight-balanced boundaries)
+         CAST(LEAST({_BAL_TASKS} - 1,
+              (SUM(w) OVER (ORDER BY k) - w) * {_BAL_TASKS} // tot.total)
+              AS BIGINT) AS range_task,
+         -- hash plan: weight-blind Knuth multiplicative hash
+         CAST((k * 2654435761 % 4294967296) % {_BAL_TASKS} AS BIGINT)
+           AS hash_task
+  FROM kw, tot
+),
+loads AS (
+  SELECT 'range' AS strategy, range_task AS task,
+         CAST(SUM(w) AS BIGINT) AS load, CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM planned GROUP BY 2
+  UNION ALL
+  SELECT 'hash', hash_task, CAST(SUM(w) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+  FROM planned GROUP BY 2
+)
+SELECT l.strategy, l.task, l.load, l.n_keys,
+       CAST(MAX(l.load) OVER (PARTITION BY l.strategy) * {_BAL_TASKS}
+            * 1000000 // tot.total AS BIGINT) AS imbalance_fp6
+FROM loads l, tot
+""",
+)
+def q_partition_balance_planner(spark, sf_dir):
+    """Weight-aware range-partition planning vs weight-blind hashing: from
+    the per-key weight histogram, assign contiguous key ranges at
+    cumulative-weight boundaries (what repartitionByRange's sampler
+    approximates — here exact) and compare per-task loads against a
+    multiplicative-hash assignment. `imbalance_fp6` = max task load over
+    the perfect share — the number that predicts straggler tasks before a
+    shuffle runs, feeding the plain/salted/broadcast decision the same way
+    q_key_skew_profile feeds joins. One key-histogram aggregate; planning
+    runs on the key frame (windows over |keys|)."""
+    kw = (
+        T(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    tot = kw.agg(F.sum("w").cast("bigint").alias("total"))
+    wcum = Window.orderBy("k")
+    planned = kw.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "w",
+        F.least(
+            F.lit(_BAL_TASKS - 1).cast("bigint"),
+            F.expr(
+                f"(SUM(w) OVER (ORDER BY k) - w) * {_BAL_TASKS} div total"
+            ).cast("bigint"),
+        )
+        .cast("bigint")
+        .alias("range_task"),
+        F.expr(
+            f"CAST((k * 2654435761 % 4294967296) % {_BAL_TASKS} AS BIGINT)"
+        ).alias("hash_task"),
+    )
+    loads = (
+        planned.groupBy(F.col("range_task").alias("task"))
+        .agg(
+            F.sum("w").cast("bigint").alias("load"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        )
+        .select(F.lit("range").alias("strategy"), "task", "load", "n_keys")
+        .unionByName(
+            planned.groupBy(F.col("hash_task").alias("task"))
+            .agg(
+                F.sum("w").cast("bigint").alias("load"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            )
+            .select(F.lit("hash").alias("strategy"), "task", "load", "n_keys")
+        )
+    )
+    ws = Window.partitionBy("strategy")
+    return loads.crossJoin(F.broadcast(tot)).select(
+        "strategy",
+        "task",
+        "load",
+        "n_keys",
+        F.expr(
+            f"CAST(MAX(load) OVER (PARTITION BY strategy) * {_BAL_TASKS}"
+            " * 1000000 div total AS BIGINT)"
+        ).alias("imbalance_fp6"),
+    )

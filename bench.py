@@ -377,6 +377,10 @@ HEADLINE = [
     "q_degree_powerlaw_alpha",
     "q_dp_topk_exponential",
     "q_dataset_card_report",
+    # round 9 (fifth batch): columnar-encoding advisor (stacked scan +
+    # per-(column, file) run windows), partition-balance planner
+    "q_encoding_advisor",
+    "q_partition_balance_planner",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

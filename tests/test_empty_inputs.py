@@ -113,6 +113,16 @@ def _run_empty(spark, module_name, fn_name, tables):
             {"orders": ORD_SCHEMA, "lineitem": LI_SCHEMA},
         ),
         ("privacy", "q_dp_topk_exponential", {"events": EVT_SCHEMA}),
+        ("lakeops3", "q_partition_balance_planner", {"events": EVT_SCHEMA}),
+        (
+            "lakeops3",
+            "q_encoding_advisor",
+            {
+                "lineitem": "l_orderkey long, l_linenumber int,"
+                " l_quantity double, l_extendedprice double,"
+                " l_returnflag string"
+            },
+        ),
         ("similarity", "q_reciprocal_best_match", {"embeddings": EMB_SCHEMA}),
         ("similarity", "q_jl_projection_audit", {"embeddings": EMB_SCHEMA}),
     ],

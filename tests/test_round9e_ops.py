@@ -1,0 +1,110 @@
+"""Round-9 fifth-batch operator semantics: columnar-encoding advisor and
+partition-balance planner on constructed inputs."""
+
+from __future__ import annotations
+
+import datetime
+
+
+def _ts():
+    return datetime.datetime(1995, 1, 1)
+
+
+def test_encoding_advisor_picks_per_column(spark, tmp_path):
+    """64 rows in one simulated file: constant-block flag → RLE; cycling
+    linenumber → dictionary; unique price → plain. Hand-computed byte
+    models for all three encodings."""
+    rows = []
+    for i in range(64):
+        rows.append(
+            (
+                i + 1,  # orderkey (all < 512 → one file)
+                1,
+                1,
+                (i % 8) + 1,  # linenumber cycles 1..8
+                5.0,  # quantity constant
+                float(100 + i),  # price unique
+                0.0,
+                0.0,
+                "A" if i < 32 else "B",  # flag: two runs
+                "O",
+                _ts(),
+            )
+        )
+    spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.lakeops3 import (
+        q_encoding_advisor,
+    )
+
+    got = {r["col"]: r for r in q_encoding_advisor(spark, str(tmp_path)).collect()}
+    # flag: w=1, d=2; ordering within (orderkey, linenumber) → 2 runs
+    f = got["l_returnflag"]
+    assert (f["n"], f["d"], f["plain_bytes"]) == (64, 2, 64)
+    assert f["rle_runs"] == 2 and f["rle_bytes"] == 2 * 3
+    assert f["dict_bytes"] == 2 * 1 + 64 * 1
+    assert f["best_encoding"] == "rle"
+    # quantity: constant → 1 run
+    q = got["l_quantity"]
+    assert q["d"] == 1 and q["rle_runs"] == 1
+    assert q["rle_bytes"] == 10 and q["best_encoding"] == "rle"
+    # price: unique → plain (dict = 64*8 + 64*1 = 576 > 512)
+    p = got["l_extendedprice"]
+    assert p["d"] == 64 and p["plain_bytes"] == 512
+    assert p["dict_bytes"] == 576 and p["best_encoding"] == "plain"
+    # linenumber: d=8, runs=64 (cycles) → dictionary (8*4 + 64 = 96 < 256)
+    ln = got["l_linenumber"]
+    assert ln["d"] == 8 and ln["plain_bytes"] == 256
+    assert ln["dict_bytes"] == 96 and ln["best_encoding"] == "dictionary"
+
+
+def test_partition_balance_range_beats_hash_on_skewed_weights(spark, tmp_path):
+    """Keys 1..4 with weights 7/1/1/1 and T=8: the weight-aware range plan
+    puts the hot key alone (imbalance 5.6) while hash may co-locate keys.
+    Full python replica of both assignments."""
+    rows = []
+    eid = 0
+    for k, w in [(1, 7), (2, 1), (3, 1), (4, 1)]:
+        for _ in range(w):
+            eid += 1
+            rows.append((eid, _ts(), k, "view", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.lakeops3 import (
+        _BAL_TASKS,
+        q_partition_balance_planner,
+    )
+
+    weights = {1: 7, 2: 1, 3: 1, 4: 1}
+    total = sum(weights.values())
+    # python replica
+    cum = 0
+    range_loads: dict[int, int] = {}
+    for k in sorted(weights):
+        task = min(_BAL_TASKS - 1, cum * _BAL_TASKS // total)
+        range_loads[task] = range_loads.get(task, 0) + weights[k]
+        cum += weights[k]
+    hash_loads: dict[int, int] = {}
+    for k, w in weights.items():
+        task = (k * 2654435761 % 4294967296) % _BAL_TASKS
+        hash_loads[task] = hash_loads.get(task, 0) + w
+
+    out = q_partition_balance_planner(spark, str(tmp_path)).collect()
+    got = {
+        (r["strategy"], r["task"]): r["load"] for r in out
+    }
+    for t, load in range_loads.items():
+        assert got[("range", t)] == load, (t, got)
+    for t, load in hash_loads.items():
+        assert got[("hash", t)] == load, (t, got)
+    imb = {r["strategy"]: r["imbalance_fp6"] for r in out}
+    assert imb["range"] == max(range_loads.values()) * _BAL_TASKS * 1_000_000 // total
+    assert imb["hash"] == max(hash_loads.values()) * _BAL_TASKS * 1_000_000 // total
