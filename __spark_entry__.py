@@ -121,6 +121,8 @@ GATE_WINDOW = [
     "q_dp_topk_exponential", "q_dataset_card_report",
     # r09 fifth batch: columnar-encoding advisor, partition-balance planner
     "q_encoding_advisor", "q_partition_balance_planner",
+    # r09 sixth batch: invertible FPE masking, LOO data valuation
+    "q_mask_fpe_referential", "q_loo_source_influence",
     #
     # --- r09-changed: streaming drains now emit witness columns (new
     #     schemas), ADVICE r08 broadcast fixes, 6-layout advisor ---
@@ -138,11 +140,10 @@ GATE_WINDOW = [
     #     similarity, sketches, contamination, BPE, capstone, multimodal,
     #     SQL surface, sessionization, lakeops/layout, graph, stats ---
     "q1_pricing_summary", "q_userdata_lifecycle", "q_mask_customers_pbkdf2",
-    "q_mask_customers",
     "dedup_exact",
     "q_decontaminate_spans",
     "q_multimodal_pixel_stats",
-    "q_auto_join_revenue", "q_session_window_native",
+    "q_session_window_native",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 

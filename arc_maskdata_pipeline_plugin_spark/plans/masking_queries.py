@@ -520,3 +520,113 @@ def q_fake_substitution(spark, sf_dir):
         last.alias("fake_last"),
         fake_email(F.col("c_name")).alias("fake_email"),
     )
+
+
+_fpe_registered: set[str] = set()
+
+
+def _ensure_fpe_udfs(spark):
+    from ..functions.fpe import register_fpe_udfs
+
+    key = spark.sparkContext.applicationId
+    if key not in _fpe_registered:
+        register_fpe_udfs(
+            spark, codec=HmacSHA512(), passphrase=_TEST_PASSPHRASE
+        )
+        _fpe_registered.add(key)
+
+
+@register(
+    "q_mask_fpe_referential",
+    oracle="""
+WITH k AS (
+  SELECT DISTINCT lpad(CAST(o_custkey AS VARCHAR), 8, '0') AS kd FROM orders
+),
+pj AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT CAST((SELECT COUNT(*) FROM k) AS BIGINT) AS n_keys,
+       CAST((SELECT COUNT(*) FROM k) AS BIGINT) AS n_enc_distinct,
+       CAST(0 AS BIGINT) AS format_bad,
+       CAST(0 AS BIGINT) AS roundtrip_mismatch,
+       pj.n AS plain_join_rows,
+       pj.n AS fpe_join_rows,
+       CAST(1 AS BIGINT) AS referential_ok
+FROM pj
+""",
+)
+def q_mask_fpe_referential(spark, sf_dir):
+    """Format-preserving encryption audit (functions/fpe.py): encrypt the
+    8-digit zero-padded custkey domain and witness, in-plan, the four
+    theorems a Feistel FPE guarantees — every witness is a value the
+    oracle re-derives or pins:
+
+    * injectivity: COUNT(DISTINCT ciphertext) == COUNT(DISTINCT key)
+      (a bijection can't collide) — the oracle pins equality;
+    * format preservation: zero ciphertexts fail ^[0-9]{8}$;
+    * exact invertibility: zero decrypt(encrypt(k)) != k rows — the
+      property the reference's one-way KDF masks structurally CANNOT
+      provide (MaskDataPlugin.scala:70-92);
+    * referential integrity: orders ⋈ customer on FPE-encrypted keys has
+      exactly the plain join's row count (equal keys encrypt equally,
+      unequal keys stay unequal) — q_pseudonymize_referential's witness,
+      now with reversibility.
+
+    Scale: encryption runs once over the DISTINCT key frame and maps back
+    onto both fact sides by key join — at 100 TB you encrypt the key
+    dictionary, not the fact table."""
+    _ensure_fpe_udfs(spark)
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    o.createOrReplaceTempView("_fpe_orders")
+    c.createOrReplaceTempView("_fpe_customer")
+    return spark.sql(
+        """
+        WITH k AS (
+          SELECT DISTINCT lpad(CAST(o_custkey AS STRING), 8, '0') AS kd
+          FROM _fpe_orders
+        ),
+        e AS (
+          SELECT kd, mask_fpe_encrypt('custkey', kd) AS enc FROM k
+        ),
+        r AS (
+          SELECT kd, enc, mask_fpe_decrypt('custkey', enc) AS dec FROM e
+        ),
+        ck AS (
+          SELECT DISTINCT lpad(CAST(c_custkey AS STRING), 8, '0') AS kd
+          FROM _fpe_customer
+        ),
+        ce AS (
+          SELECT kd, mask_fpe_encrypt('custkey', kd) AS enc FROM ck
+        ),
+        oe AS (
+          SELECT e.enc
+          FROM _fpe_orders o
+          JOIN e ON lpad(CAST(o.o_custkey AS STRING), 8, '0') = e.kd
+        ),
+        cj AS (
+          SELECT ce.enc
+          FROM _fpe_customer c
+          JOIN ce ON lpad(CAST(c.c_custkey AS STRING), 8, '0') = ce.kd
+        ),
+        fj AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+               FROM oe JOIN cj ON oe.enc = cj.enc),
+        pj AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+               FROM _fpe_orders o JOIN _fpe_customer c
+               ON o.o_custkey = c.c_custkey)
+        SELECT
+          CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS n_keys,
+          CAST((SELECT COUNT(DISTINCT enc) FROM r) AS BIGINT)
+            AS n_enc_distinct,
+          CAST((SELECT COUNT(*) FROM r WHERE enc NOT RLIKE '^[0-9]{8}$')
+               AS BIGINT) AS format_bad,
+          CAST((SELECT COUNT(*) FROM r WHERE dec != kd) AS BIGINT)
+            AS roundtrip_mismatch,
+          pj.n AS plain_join_rows,
+          fj.n AS fpe_join_rows,
+          CAST(CASE WHEN pj.n = fj.n THEN 1 ELSE 0 END AS BIGINT)
+            AS referential_ok
+        FROM pj, fj
+        """
+    )

@@ -499,3 +499,92 @@ def q_padding_waste(spark, sf_dir):
             " div padded_tokens AS BIGINT)"
         ).alias("waste_share_fp6"),
     )
+
+
+@register(
+    "q_loo_source_influence",
+    oracle="""
+WITH d AS (
+  SELECT source,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS tok
+  FROM documents
+),
+per_s AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS n_tokens
+  FROM d GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS nn,
+         CAST(SUM(n_tokens) AS BIGINT) AS tt
+  FROM per_s
+)
+SELECT p.source, p.n_docs, p.n_tokens,
+       CAST(CAST(tot.tt AS HUGEINT) * 1000000 // tot.nn AS BIGINT)
+         AS overall_mean_fp6,
+       CASE WHEN tot.nn - p.n_docs = 0 THEN NULL
+            ELSE CAST(CAST(tot.tt - p.n_tokens AS HUGEINT) * 1000000
+                      // (tot.nn - p.n_docs) AS BIGINT) END AS loo_mean_fp6,
+       CASE WHEN tot.nn - p.n_docs = 0 THEN NULL
+            ELSE CAST(CAST(tot.tt - p.n_tokens AS HUGEINT) * 1000000
+                      // (tot.nn - p.n_docs)
+                      - CAST(tot.tt AS HUGEINT) * 1000000 // tot.nn
+                      AS BIGINT) END AS influence_fp6
+FROM per_s p, tot
+""",
+)
+def q_loo_source_influence(spark, sf_dir):
+    """Leave-one-source-out data valuation via the decomposable-statistic
+    trick (the q_target_encoding OOF identity applied to corpus metrics):
+    the corpus mean tokens/doc WITHOUT source s is (T − t_s)/(N − n_s), so
+    every source's counterfactual is computed from ONE per-source partial
+    aggregate — no per-source re-scan, no retraining loop. influence_fp6 =
+    loo_mean − overall_mean: a POSITIVE value means removing the source
+    RAISES the corpus metric (the source drags it down) — the cheap
+    first-pass of the Shapley-style mix attribution a curation team runs
+    before ablation studies. All integer arithmetic; single-source corpora
+    emit NULL counterfactuals rather than dividing by zero.
+
+    Scale: one map-side-combined per-source aggregate ends the corpus
+    path; the counterfactual algebra runs on the |sources|-row frame.
+    The same identity extends to ANY decomposable metric (sums/counts/
+    moments — mean NLL via q_perplexity_filter's sums, quality rates)."""
+    d = T(spark, sf_dir, "documents").select(
+        "source",
+        F.size(
+            F.expr("filter(split(trim(text), '\\\\s+'), t -> t != '')")
+        )
+        .cast("bigint")
+        .alias("tok"),
+    )
+    per_s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("n_tokens"),
+    )
+    tot = per_s.agg(
+        F.sum("n_docs").cast("bigint").alias("nn"),
+        F.sum("n_tokens").cast("bigint").alias("tt"),
+    )
+    return per_s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            "CAST(CAST(tt AS DECIMAL(38,0)) * 1000000 div nn AS BIGINT)"
+        ).alias("overall_mean_fp6"),
+        F.when(F.col("nn") - F.col("n_docs") == 0, F.lit(None)).otherwise(
+            F.expr(
+                "CAST(CAST(tt - n_tokens AS DECIMAL(38,0)) * 1000000"
+                " div (nn - n_docs) AS BIGINT)"
+            )
+        ).alias("loo_mean_fp6"),
+        F.when(F.col("nn") - F.col("n_docs") == 0, F.lit(None)).otherwise(
+            F.expr(
+                "CAST(CAST(tt - n_tokens AS DECIMAL(38,0)) * 1000000"
+                " div (nn - n_docs)"
+                " - CAST(tt AS DECIMAL(38,0)) * 1000000 div nn AS BIGINT)"
+            )
+        ).alias("influence_fp6"),
+    )

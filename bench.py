@@ -381,6 +381,10 @@ HEADLINE = [
     # per-(column, file) run windows), partition-balance planner
     "q_encoding_advisor",
     "q_partition_balance_planner",
+    # round 9 (sixth batch): invertible FPE over the key dictionary;
+    # leave-one-source-out influence (decomposable counterfactual)
+    "q_mask_fpe_referential",
+    "q_loo_source_influence",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
