@@ -4,8 +4,9 @@
 one-page "dataset card" a curation team publishes per source: size,
 vocabulary coverage (observed / Chao1-estimated true vocabulary /
 Good-Turing unseen mass), the fitted Heaps growth exponent, language-model
-predictability (bigram vs unigram NLL), and batching economics (padding
-waste under length-sorted loading). The capstone proves COMPOSITION the
+predictability (bigram vs unigram NLL), batching economics (padding
+waste under length-sorted loading), and the leave-one-source-out influence
+on the corpus mean. The capstone proves COMPOSITION the
 same way q_corpus_release_report does: the Spark side reuses each
 component query's own plan verbatim and joins at source grain; the oracle
 nests each component's registered SQL as a subquery — so a hash match here
@@ -22,7 +23,7 @@ from pyspark.sql import functions as F
 
 from .registry import REGISTRY, register
 from .lm import q_bigram_perplexity
-from .training2 import q_padding_waste
+from .training2 import q_loo_source_influence, q_padding_waste
 from .vocab import q_chao_coverage, q_heaps_law_curve
 
 
@@ -31,6 +32,7 @@ def _card_oracle() -> str:
     heaps = REGISTRY["q_heaps_law_curve"].oracle
     lm = REGISTRY["q_bigram_perplexity"].oracle
     pad = REGISTRY["q_padding_waste"].oracle
+    loo = REGISTRY["q_loo_source_influence"].oracle
     return f"""
 SELECT c.source,
        l.n_docs,
@@ -42,11 +44,13 @@ SELECT c.source,
        l.bigram_nll_fp6,
        l.unigram_nll_fp6,
        p.n_batches,
-       p.waste_share_fp6 AS sorted_padding_waste_fp6
+       p.waste_share_fp6 AS sorted_padding_waste_fp6,
+       v.influence_fp6
 FROM ({chao}) c
 JOIN ({heaps}) h ON h.source = c.source AND h.quarter = 4
 JOIN ({lm}) l ON l.source = c.source
 JOIN ({pad}) p ON p.source = c.source AND p.policy = 'length_sorted'
+JOIN ({loo}) v ON v.source = c.source
 """
 
 
@@ -74,10 +78,14 @@ def q_dataset_card_report(spark, sf_dir):
             F.col("waste_share_fp6").alias("sorted_padding_waste_fp6"),
         )
     )
+    loo = q_loo_source_influence(spark, sf_dir).select(
+        "source", "influence_fp6"
+    )
     return (
         cov.join(beta, "source")
         .join(lm, "source")
         .join(pad, "source")
+        .join(loo, "source")
         .select(
             "source",
             "n_docs",
@@ -90,5 +98,6 @@ def q_dataset_card_report(spark, sf_dir):
             "unigram_nll_fp6",
             "n_batches",
             "sorted_padding_waste_fp6",
+            "influence_fp6",
         )
     )

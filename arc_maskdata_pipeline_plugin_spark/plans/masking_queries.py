@@ -581,34 +581,46 @@ def q_mask_fpe_referential(spark, sf_dir):
     c = T(spark, sf_dir, "customer")
     o.createOrReplaceTempView("_fpe_orders")
     c.createOrReplaceTempView("_fpe_customer")
+    # Encrypt the UNION key dictionary exactly ONCE: CTEs inline in Spark,
+    # so without a persisted frame the UDF would re-encrypt per consumer
+    # (witness frame + both join sides = 3×). persisted() keeps the
+    # dictionary (key-cardinality-sized) hot for all three.
+    from .registry import persisted as _persisted
+
+    dict_df = _persisted(
+        spark.sql(
+            """
+            SELECT kd, mask_fpe_encrypt('custkey', kd) AS enc FROM (
+              SELECT DISTINCT lpad(CAST(o_custkey AS STRING), 8, '0') AS kd
+              FROM _fpe_orders
+              UNION
+              SELECT DISTINCT lpad(CAST(c_custkey AS STRING), 8, '0') AS kd
+              FROM _fpe_customer
+            ) u
+            """
+        )
+    )
+    dict_df.createOrReplaceTempView("_fpe_dict")
     return spark.sql(
         """
         WITH k AS (
           SELECT DISTINCT lpad(CAST(o_custkey AS STRING), 8, '0') AS kd
           FROM _fpe_orders
         ),
-        e AS (
-          SELECT kd, mask_fpe_encrypt('custkey', kd) AS enc FROM k
-        ),
+        dict AS (SELECT kd, enc FROM _fpe_dict),
+        e AS (SELECT d.kd, d.enc FROM dict d JOIN k ON d.kd = k.kd),
         r AS (
           SELECT kd, enc, mask_fpe_decrypt('custkey', enc) AS dec FROM e
         ),
-        ck AS (
-          SELECT DISTINCT lpad(CAST(c_custkey AS STRING), 8, '0') AS kd
-          FROM _fpe_customer
-        ),
-        ce AS (
-          SELECT kd, mask_fpe_encrypt('custkey', kd) AS enc FROM ck
-        ),
         oe AS (
-          SELECT e.enc
+          SELECT d.enc
           FROM _fpe_orders o
-          JOIN e ON lpad(CAST(o.o_custkey AS STRING), 8, '0') = e.kd
+          JOIN dict d ON lpad(CAST(o.o_custkey AS STRING), 8, '0') = d.kd
         ),
         cj AS (
-          SELECT ce.enc
+          SELECT d.enc
           FROM _fpe_customer c
-          JOIN ce ON lpad(CAST(c.c_custkey AS STRING), 8, '0') = ce.kd
+          JOIN dict d ON lpad(CAST(c.c_custkey AS STRING), 8, '0') = d.kd
         ),
         fj AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
                FROM oe JOIN cj ON oe.enc = cj.enc),
