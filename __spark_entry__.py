@@ -121,8 +121,10 @@ GATE_WINDOW = [
     "q_dp_topk_exponential", "q_dataset_card_report",
     # r09 fifth batch: columnar-encoding advisor, partition-balance planner
     "q_encoding_advisor", "q_partition_balance_planner",
-    # r09 sixth batch: invertible FPE masking, LOO data valuation
+    # r09 sixth batch: invertible FPE masking, LOO data valuation,
+    # range-selectivity estimation audit
     "q_mask_fpe_referential", "q_loo_source_influence",
+    "q_selectivity_estimate",
     #
     # --- r09-changed: streaming drains now emit witness columns (new
     #     schemas), ADVICE r08 broadcast fixes, 6-layout advisor ---
@@ -143,7 +145,6 @@ GATE_WINDOW = [
     "dedup_exact",
     "q_decontaminate_spans",
     "q_multimodal_pixel_stats",
-    "q_session_window_native",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 

@@ -601,3 +601,176 @@ def q_partition_balance_planner(spark, sf_dir):
             " * 1000000 div total AS BIGINT)"
         ).alias("imbalance_fp6"),
     )
+
+
+_SEL_B = 16  # equi-depth histogram buckets
+_SEL_QS = (1, 2, 3, 4, 5, 6, 7)  # predicate literals at q/8 of the range
+
+
+@register(
+    "q_selectivity_estimate",
+    oracle=f"""
+WITH vals AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS c
+  FROM vals
+),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(MIN(v) AS BIGINT) AS vmin,
+         CAST(MAX(v) AS BIGINT) AS vmax
+  FROM vals
+),
+-- equi-depth boundary of bucket k = smallest value whose cumulative count
+-- reaches (k+1)·n/16 (exact rank cut on the distinct-value frame)
+bounds AS (
+  SELECT k,
+         (SELECT MIN(v) FROM cum, tot WHERE c * {_SEL_B} >= (k + 1) * tot.n)
+           AS hi
+  FROM (SELECT unnest(range(0, {_SEL_B})) AS k)
+),
+buckets AS (
+  SELECT k, hi,
+         COALESCE(LAG(hi) OVER (ORDER BY k), (SELECT vmin - 1 FROM tot))
+           AS lo,
+         (SELECT MAX(c) FROM cum WHERE v <= hi) AS cum_hi
+  FROM bounds
+),
+b2 AS (
+  SELECT k, lo, hi, cum_hi,
+         cum_hi - COALESCE(LAG(cum_hi) OVER (ORDER BY k), 0) AS n_b
+  FROM buckets
+),
+preds AS (
+  SELECT q, CAST(tot.vmin + (tot.vmax - tot.vmin) * q // 8 AS BIGINT) AS lit
+  FROM (SELECT unnest(range(1, 8)) AS q), tot
+),
+est AS (
+  SELECT p.q, p.lit,
+         CAST(b.cum_hi - b.n_b
+              + CAST(b.n_b AS HUGEINT) * (p.lit - b.lo) // (b.hi - b.lo)
+              AS BIGINT) AS est_rows
+  FROM preds p JOIN b2 b ON p.lit > b.lo AND p.lit <= b.hi
+),
+act AS (
+  SELECT p.q, CAST(COALESCE(MAX(c.c), 0) AS BIGINT) AS actual_rows
+  FROM preds p LEFT JOIN cum c ON c.v <= p.lit
+  GROUP BY p.q
+)
+SELECT e.q AS pred_idx, e.lit AS lit_cents, e.est_rows, a.actual_rows,
+       CASE WHEN e.est_rows > 0 AND a.actual_rows > 0
+            THEN CAST(CAST(GREATEST(e.est_rows, a.actual_rows) AS HUGEINT)
+                 * 1000 // LEAST(e.est_rows, a.actual_rows) AS BIGINT)
+            ELSE NULL END AS qerr_fp3
+FROM est e JOIN act a ON e.q = a.q
+""",
+)
+def q_selectivity_estimate(spark, sf_dir):
+    """Range-selectivity estimation audit — the scan-side companion of
+    q_join_cardinality_estimate: build a {b}-bucket EQUI-DEPTH histogram
+    on order price cents (exact rank cuts over the distinct-value frame,
+    the q_equidepth_histogram seam), estimate sel(price ≤ c) for seven
+    range literals by full-buckets + uniform interpolation inside the
+    straddling bucket (the System-R assumption a CBO makes), and compare
+    against the TRUE cumulative count from the same distinct-value frame
+    — one corpus scan total serves histogram AND ground truth. q-error
+    per predicate is the optimizer-quality readout; equi-depth bounds it
+    by construction (each bucket holds ≤ n/{b} rows, so interpolation
+    can't be off by more than a bucket).
+
+    Exactness: boundaries, bucket counts, and actuals are integers from
+    cumulative sums; interpolation is one HUGEINT/DECIMAL(38,0) integer
+    cross-multiplication.""".format(b=_SEL_B)
+    o = T(spark, sf_dir, "orders")
+    vals = o.groupBy(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("v")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    vals = vals.transform(persisted)  # distinct-value frame; consumers:
+    # cumulative frame, totals, boundary probes, ground truth
+    wcum = Window.orderBy("v")
+    cum = vals.select(
+        "v", "cnt", F.sum("cnt").over(wcum).alias("c")
+    ).transform(persisted)
+    tot = vals.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.min("v").cast("bigint").alias("vmin"),
+        F.max("v").cast("bigint").alias("vmax"),
+    )
+    ks = spark.range(_SEL_B).select(F.col("id").cast("bigint").alias("k"))
+    bounds = (
+        ks.crossJoin(F.broadcast(tot))
+        .join(
+            cum.select(F.col("v").alias("hv"), F.col("c").alias("hc")),
+            F.expr(f"hc * {_SEL_B} >= (k + 1) * n"),
+        )
+        .groupBy("k")
+        .agg(F.min("hv").cast("bigint").alias("hi"))
+    )
+    wk = Window.orderBy("k")
+    vmin_m1 = tot.select((F.col("vmin") - 1).alias("vm1"))
+    buckets = (
+        bounds.crossJoin(F.broadcast(vmin_m1))
+        .select(
+            "k",
+            "hi",
+            F.coalesce(F.lag("hi").over(wk), F.col("vm1")).alias("lo"),
+        )
+        .join(
+            cum.select(F.col("v").alias("cv"), F.col("c").alias("cc")),
+            F.col("cv") <= F.col("hi"),
+        )
+        .groupBy("k", "hi", "lo")
+        .agg(F.max("cc").cast("bigint").alias("cum_hi"))
+    )
+    b2 = buckets.select(
+        "k",
+        "lo",
+        "hi",
+        "cum_hi",
+        (
+            F.col("cum_hi")
+            - F.coalesce(F.lag("cum_hi").over(wk), F.lit(0))
+        ).alias("n_b"),
+    )
+    qs = spark.range(1, 8).select(F.col("id").cast("bigint").alias("q"))
+    preds = qs.crossJoin(F.broadcast(tot)).select(
+        "q",
+        F.expr("CAST(vmin + (vmax - vmin) * q div 8 AS BIGINT)").alias("lit"),
+    )
+    est = preds.join(
+        F.broadcast(b2),
+        (F.col("lit") > F.col("lo")) & (F.col("lit") <= F.col("hi")),
+    ).select(
+        "q",
+        "lit",
+        F.expr(
+            "CAST(cum_hi - n_b + CAST(n_b AS DECIMAL(38,0)) * (lit - lo)"
+            " div (hi - lo) AS BIGINT)"
+        ).alias("est_rows"),
+    )
+    act = (
+        preds.join(
+            cum.select(F.col("v").alias("av"), F.col("c").alias("ac")),
+            F.col("av") <= F.col("lit"),
+            "left",
+        )
+        .groupBy("q")
+        .agg(F.coalesce(F.max("ac"), F.lit(0)).cast("bigint").alias("actual_rows"))
+    )
+    return est.join(act, "q").select(
+        F.col("q").alias("pred_idx"),
+        F.col("lit").alias("lit_cents"),
+        "est_rows",
+        "actual_rows",
+        F.when(
+            (F.col("est_rows") > 0) & (F.col("actual_rows") > 0),
+            F.expr(
+                "CAST(CAST(GREATEST(est_rows, actual_rows) AS DECIMAL(38,0))"
+                " * 1000 div LEAST(est_rows, actual_rows) AS BIGINT)"
+            ),
+        ).alias("qerr_fp3"),
+    )

@@ -385,6 +385,9 @@ HEADLINE = [
     # leave-one-source-out influence (decomposable counterfactual)
     "q_mask_fpe_referential",
     "q_loo_source_influence",
+    # round 9 (sixth batch, cont.): equi-depth selectivity estimator vs
+    # ground truth from one distinct-value frame
+    "q_selectivity_estimate",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

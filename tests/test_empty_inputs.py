@@ -115,6 +115,7 @@ def _run_empty(spark, module_name, fn_name, tables):
         ("privacy", "q_dp_topk_exponential", {"events": EVT_SCHEMA}),
         ("lakeops3", "q_partition_balance_planner", {"events": EVT_SCHEMA}),
         ("training2", "q_loo_source_influence", {"documents": DOC_SCHEMA}),
+        ("lakeops3", "q_selectivity_estimate", {"orders": ORD_SCHEMA}),
         (
             "lakeops3",
             "q_encoding_advisor",

@@ -108,3 +108,59 @@ def test_partition_balance_range_beats_hash_on_skewed_weights(spark, tmp_path):
     imb = {r["strategy"]: r["imbalance_fp6"] for r in out}
     assert imb["range"] == max(range_loads.values()) * _BAL_TASKS * 1_000_000 // total
     assert imb["hash"] == max(hash_loads.values()) * _BAL_TASKS * 1_000_000 // total
+
+
+def test_selectivity_estimate_python_replica(spark, tmp_path):
+    """Uniform 64-order price grid vs a full python replica of the
+    equi-depth histogram + interpolation estimator: on uniform data the
+    uniformity assumption is exact, so every q-error must be ~1.000 and
+    the replica must match value-for-value."""
+    rows = [
+        (i + 1, 1, "F", float(i + 1), _ts(), "1-URGENT") for i in range(64)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.lakeops3 import (
+        _SEL_B,
+        q_selectivity_estimate,
+    )
+
+    import math
+
+    cents = sorted(math.floor((i + 1) * 100) for i in range(64))
+    n = len(cents)
+    # replica: equi-depth bounds + interpolation
+    cumv = []
+    c = 0
+    for v in cents:
+        c += 1
+        cumv.append((v, c))
+    his = []
+    for k in range(_SEL_B):
+        hi = min(v for v, cc in cumv if cc * _SEL_B >= (k + 1) * n)
+        his.append(hi)
+    vmin, vmax = cents[0], cents[-1]
+    expect = {}
+    for q in range(1, 8):
+        lit = vmin + (vmax - vmin) * q // 8
+        actual = max((cc for v, cc in cumv if v <= lit), default=0)
+        for k in range(_SEL_B):
+            lo = his[k - 1] if k > 0 else vmin - 1
+            hi = his[k]
+            if lo < lit <= hi:
+                cum_hi = max(cc for v, cc in cumv if v <= hi)
+                n_b = cum_hi - (
+                    max(cc for v, cc in cumv if v <= lo) if k > 0 else 0
+                )
+                est = cum_hi - n_b + n_b * (lit - lo) // (hi - lo)
+                expect[q] = (lit, est, actual)
+                break
+    got = {
+        r["pred_idx"]: (r["lit_cents"], r["est_rows"], r["actual_rows"])
+        for r in q_selectivity_estimate(spark, str(tmp_path)).collect()
+    }
+    assert got == expect, (got, expect)
