@@ -91,13 +91,15 @@ GATE_WINDOW = [
     #
     # ROUND-9 WINDOW (VERDICT r08 next-round #1): witness debt was 0 after
     # the r08 gate (union r01..r08 = the whole 327-query registry), so the
-    # window leads with everything BUILT or CHANGED in r09 — the 15 new
-    # queries (7 first-batch + 8 second-batch), the 12 streaming drains
-    # that gained in-plan StreamingQueryProgress witnesses (new schemas),
-    # the 2 dedup queries whose broadcast hints were dropped per ADVICE
-    # r08, and the advisor that grew from 4 to 6 candidate layouts — then
-    # green representatives spanning every family. Every slot is
-    # hash-oracled.
+    # window leads with everything BUILT or CHANGED in r09 — the 29 new
+    # queries (batches 1-6: provenance/stores/advisors, eval metrics,
+    # coverage estimators, lakehouse/CBO audits, heavy hitters, FPE,
+    # valuation), the 12 streaming drains that gained in-plan
+    # StreamingQueryProgress witnesses (new schemas), the 2 dedup queries
+    # whose broadcast hints were dropped per ADVICE r08, and the advisor
+    # that grew from 4 to 6 candidate layouts — then green
+    # representatives. Every slot is hash-oracled; every displaced green
+    # is driver-witnessed in r01..r08.
     #
     # --- r09-built (new queries, never witnessed) ---
     "q_source_copy_direction", "dedup_incremental_winnow",

@@ -556,6 +556,7 @@ def q_partition_balance_planner(spark, sf_dir):
         T(spark, sf_dir, "events")
         .groupBy(F.col("user_id").alias("k"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .transform(persisted)  # key frame; consumers: totals + planning
     )
     tot = kw.agg(F.sum("w").cast("bigint").alias("total"))
     wcum = Window.orderBy("k")

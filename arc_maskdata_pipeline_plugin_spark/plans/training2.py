@@ -559,9 +559,13 @@ def q_loo_source_influence(spark, sf_dir):
         .cast("bigint")
         .alias("tok"),
     )
-    per_s = d.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("tok").cast("bigint").alias("n_tokens"),
+    per_s = (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("n_tokens"),
+        )
+        .transform(persisted)  # |sources| rows; consumers: totals + output
     )
     tot = per_s.agg(
         F.sum("n_docs").cast("bigint").alias("nn"),
