@@ -126,7 +126,7 @@ GATE_WINDOW = [
     # r09 sixth batch: invertible FPE masking, LOO data valuation,
     # range-selectivity estimation audit
     "q_mask_fpe_referential", "q_loo_source_influence",
-    "q_selectivity_estimate",
+    "q_selectivity_estimate", "q_lsh_band_sweep",
     #
     # --- r09-changed: streaming drains now emit witness columns (new
     #     schemas), ADVICE r08 broadcast fixes, 6-layout advisor ---
@@ -144,7 +144,6 @@ GATE_WINDOW = [
     #     similarity, sketches, contamination, BPE, capstone, multimodal,
     #     SQL surface, sessionization, lakeops/layout, graph, stats ---
     "q1_pricing_summary", "q_userdata_lifecycle", "q_mask_customers_pbkdf2",
-    "dedup_exact",
     "q_decontaminate_spans",
     "q_multimodal_pixel_stats",
 ]

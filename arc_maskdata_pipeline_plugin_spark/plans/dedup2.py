@@ -343,3 +343,159 @@ def q_minhash_estimate_error(spark, sf_dir):
         .alias("mean_abs_err_fp6"),
     )
     return out
+
+
+# --- LSH banding-parameter sweep -------------------------------------------
+
+_SWEEP_CONFIGS = (1, 2, 4, 8)  # band sizes r; bands b = 8 // r
+
+
+def _band_sweep_oracle() -> str:
+    from .dedup import _SHINGLES_CTE, NUM_HASHES
+
+    mins = ", ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(NUM_HASHES)
+    )
+    blocks = []
+    rows = []
+    for r in _SWEEP_CONFIGS:
+        n_bands = NUM_HASHES // r
+        band_rows = " UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+                b=b,
+                key=" || ".join(f"h{b * r + j}" for j in range(r)),
+            )
+            for b in range(n_bands)
+        )
+        blocks.append(
+            f"""cand{r} AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM ({band_rows}) a JOIN ({band_rows}) b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)"""
+        )
+        rows.append(
+            f"""SELECT CAST({r} AS BIGINT) AS band_size,
+       CAST({n_bands} AS BIGINT) AS n_bands,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{r}) AS n_candidates,
+       tt.n_truth,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+        JOIN cand{r} c ON t.d1 = c.d1 AND t.d2 = c.d2) AS n_found,
+       CASE WHEN tt.n_truth > 0 THEN
+         CAST((SELECT COUNT(*) FROM truth t
+               JOIN cand{r} c ON t.d1 = c.d1 AND t.d2 = c.d2)
+              * 1000000 // tt.n_truth AS BIGINT) END AS recall_fp6,
+       CASE WHEN (SELECT COUNT(*) FROM cand{r}) > 0 THEN
+         CAST((SELECT COUNT(*) FROM truth t
+               JOIN cand{r} c ON t.d1 = c.d1 AND t.d2 = c.d2)
+              * 1000000 // (SELECT COUNT(*) FROM cand{r}) AS BIGINT)
+       END AS precision_fp6
+FROM tt"""
+        )
+    blocks_sql = ",\n".join(blocks)
+    rows_sql = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.d1, i.d2
+  FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id
+  JOIN sizes s2 ON i.d2 = s2.doc_id
+  WHERE 3 * i.c >= s1.n + s2.n
+),
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+{blocks_sql}
+{rows_sql}
+"""
+
+
+@register("q_lsh_band_sweep", oracle=_band_sweep_oracle())
+def q_lsh_band_sweep(spark, sf_dir):
+    """LSH banding-parameter sweep MEASURED on the corpus — the calibration
+    a pipeline owner runs before fixing (bands, rows) for a 100 TB dedup:
+    for every (b, r) with b·r = 8 — (8,1), (4,2), (2,4), (1,8) — the
+    candidate-pair budget, recall, and precision against the EXACT
+    J ≥ 1/2 truth set (the q_dedup_recall_comparison ground-truth
+    machinery). The s-curve theory says small r catches low-similarity
+    pairs (high recall, huge candidate budget) and large r the opposite;
+    this query turns that theory into the measured frontier on the actual
+    data, so the choice is a read-off, not a guess.
+
+    Scale shape: ONE signature pipeline (persisted — the sweep re-bands
+    the 8-hash signature, never re-hashes the corpus), one shared-shingle
+    truth join (bounded by co-occurrence), and per-config banded
+    group-then-enumerate candidate generation; all counts exact integers,
+    ratios by integer division."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures, word_shingles
+    from .dedup import NUM_HASHES
+    from .registry import T, persisted, spread
+
+    sh = word_shingles(spread(T(spark, sf_dir, "documents")), distinct=True)
+    sh = persisted(sh)  # consumers: signature agg + sizes + truth self-join
+    sig = persisted(minhash_signatures(sh, num_hashes=NUM_HASHES))
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a, b = sh.alias("ta"), sh.alias("tb")
+    inter = (
+        a.join(
+            b,
+            (F.col("ta.shingle") == F.col("tb.shingle"))
+            & (F.col("ta.doc_id") < F.col("tb.doc_id")),
+        )
+        .groupBy(F.col("ta.doc_id").alias("d1"), F.col("tb.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    truth = persisted(
+        inter.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .filter(3 * F.col("c") >= F.col("n1") + F.col("n2"))
+        .select("d1", "d2")
+    )
+    n_truth = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    )
+    out = None
+    for r in _SWEEP_CONFIGS:
+        cand = persisted(
+            lsh_candidate_pairs(sig, num_hashes=NUM_HASHES, band_size=r)
+        )
+        n_cand = cand.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+        )
+        n_found = truth.join(cand, ["d1", "d2"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_found")
+        )
+        row = (
+            n_cand.crossJoin(F.broadcast(n_truth))
+            .crossJoin(F.broadcast(n_found))
+            .select(
+                F.lit(r).cast("bigint").alias("band_size"),
+                F.lit(NUM_HASHES // r).cast("bigint").alias("n_bands"),
+                "n_candidates",
+                "n_truth",
+                "n_found",
+                F.when(
+                    F.col("n_truth") > 0,
+                    F.expr("CAST(n_found * 1000000 div n_truth AS BIGINT)"),
+                ).alias("recall_fp6"),
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.expr(
+                        "CAST(n_found * 1000000 div n_candidates AS BIGINT)"
+                    ),
+                ).alias("precision_fp6"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -386,8 +386,10 @@ HEADLINE = [
     "q_mask_fpe_referential",
     "q_loo_source_influence",
     # round 9 (sixth batch, cont.): equi-depth selectivity estimator vs
-    # ground truth from one distinct-value frame
+    # ground truth from one distinct-value frame; LSH banding sweep off
+    # one persisted signature pipeline
     "q_selectivity_estimate",
+    "q_lsh_band_sweep",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

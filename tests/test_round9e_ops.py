@@ -164,3 +164,40 @@ def test_selectivity_estimate_python_replica(spark, tmp_path):
         for r in q_selectivity_estimate(spark, str(tmp_path)).collect()
     }
     assert got == expect, (got, expect)
+
+
+def test_lsh_band_sweep_monotone_and_identical_caught(spark, tmp_path):
+    """Nested-band theorem on planted data: a size-r' band match implies a
+    size-r match for every r dividing r' (band boundaries align), so
+    candidate counts and recall are NON-INCREASING in band_size; identical
+    documents (J = 1) are caught at EVERY configuration."""
+    import pyspark.sql.functions  # noqa: F401
+
+    base = " ".join(f"w{i}" for i in range(30))
+    near = " ".join(f"w{i}" for i in range(28)) + " x1 x2"  # high overlap
+    docs = [
+        (1, base, "en", "S"),
+        (2, base, "en", "S"),  # identical pair (1,2)
+        (3, near, "en", "S"),
+        (4, "completely different tokens here now", "en", "S"),
+        (5, "another unrelated document text body", "en", "S"),
+    ]
+    spark.createDataFrame(docs, ["doc_id", "text", "lang", "source"]).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    from arc_maskdata_pipeline_plugin_spark.plans.dedup2 import (
+        q_lsh_band_sweep,
+    )
+
+    rows = sorted(
+        q_lsh_band_sweep(spark, str(tmp_path)).collect(),
+        key=lambda r: r["band_size"],
+    )
+    assert [r["band_size"] for r in rows] == [1, 2, 4, 8]
+    cands = [r["n_candidates"] for r in rows]
+    recalls = [r["recall_fp6"] for r in rows]
+    assert cands == sorted(cands, reverse=True), cands
+    assert recalls == sorted(recalls, reverse=True), recalls
+    # identical docs share every minhash → found at every band size
+    assert all(r["n_found"] >= 1 for r in rows), rows
+    assert all(r["n_truth"] == rows[0]["n_truth"] for r in rows)
