@@ -58,8 +58,28 @@ def _prf(key: bytes, tweak: str, rnd: int, data: str) -> int:
 
 
 def _check(value: str) -> None:
-    if not value.isdigit():
-        raise ValueError(f"FPE domain is digit strings, got {value!r}")
+    # ASCII digits ONLY: str.isdigit() accepts Unicode digits ('٣٤', '²'),
+    # which int() either silently normalizes (breaking exact invertibility:
+    # decrypt(encrypt('٣٤')) would return '34') or rejects mid-UDF.
+    if not (value.isascii() and value.isdigit()):
+        raise ValueError(f"FPE domain is ASCII digit strings, got {value!r}")
+
+
+def _digit_perm(key: bytes, tweak: str) -> list[int]:
+    """PRF-keyed permutation of the 10-digit domain for the n==1 case.
+
+    A Fisher-Yates shuffle driven by ``_prf`` — unlike an additive
+    rotation (enc(v) = (v+c) mod 10), ciphertext differences carry no
+    information about plaintext differences across the column.
+    NIST SP 800-38G requires radix**len >= 10**6; strings shorter than
+    6 digits are structurally weak permutations regardless — callers
+    handling security-sensitive data should enforce a minimum length.
+    """
+    perm = list(range(10))
+    for i in range(9, 0, -1):
+        j = _prf(key, tweak, 100 + i, "perm") % (i + 1)
+        perm[i], perm[j] = perm[j], perm[i]
+    return perm
 
 
 def fpe_encrypt_digits(key: bytes, tweak: str, value: str | None) -> str | None:
@@ -68,8 +88,8 @@ def fpe_encrypt_digits(key: bytes, tweak: str, value: str | None) -> str | None:
         return None
     _check(value)
     n = len(value)
-    if n == 1:  # degenerate half: single-round additive shift
-        return str((int(value) + _prf(key, tweak, 0, "")) % 10)
+    if n == 1:  # degenerate half: PRF-keyed permutation of the digit domain
+        return str(_digit_perm(key, tweak)[int(value)])
     u = n // 2
     v = n - u
     a, b = int(value[:u]), int(value[u:])
@@ -88,7 +108,7 @@ def fpe_decrypt_digits(key: bytes, tweak: str, value: str | None) -> str | None:
     _check(value)
     n = len(value)
     if n == 1:
-        return str((int(value) - _prf(key, tweak, 0, "")) % 10)
+        return str(_digit_perm(key, tweak).index(int(value)))
     u = n // 2
     v = n - u
     a, b = int(value[:u]), int(value[u:])

@@ -407,8 +407,11 @@ stats AS (
 model AS (
   SELECT col, n, d, plain_bytes, rle_runs,
          -- dictionary: d values at fixed width + n indexes of
-         -- ceil(ceil(log2(d))/8) bytes (1 byte minimum)
-         d * w_fixed + n * GREATEST(1, (CAST(ceil(ln(d + 1) / ln(2)) AS BIGINT) + 7) // 8)
+         -- ceil(bits/8) bytes (1 byte minimum). Index bits =
+         -- ceil(log2(d+1)) = bit_length(d) = length(bin(d)) — EXACT
+         -- integer in both engines (a double-precision ceil(ln/ln) can
+         -- flip by 1 ulp at powers of two and change best_encoding).
+         d * w_fixed + n * GREATEST(1, (CAST(length(bin(d)) AS BIGINT) + 7) // 8)
            AS dict_bytes,
          rle_runs * (w_fixed + 2) AS rle_bytes
   FROM stats
@@ -482,7 +485,7 @@ def q_encoding_advisor(spark, sf_dir):
         "rle_runs",
         F.expr(
             "d * w_fixed + n * GREATEST(1,"
-            " (CAST(ceil(ln(d + 1) / ln(2)) AS BIGINT) + 7) div 8)"
+            " (CAST(length(bin(d)) AS BIGINT) + 7) div 8)"
         ).alias("dict_bytes"),
         (F.col("rle_runs") * (F.col("w_fixed") + 2)).alias("rle_bytes"),
     )

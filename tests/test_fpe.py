@@ -67,6 +67,30 @@ def test_none_passthrough_and_domain_check():
         fpe_encrypt_digits(_KEY, "a", "12a4")
 
 
+def test_non_ascii_digits_rejected():
+    # str.isdigit() alone would accept these; int() would silently
+    # normalize '٣٤'→34 (breaking decrypt(encrypt(x)) == x) and crash on
+    # '²' — so the domain check must reject BEFORE any arithmetic.
+    for bad in ["٣٤", "²", "１２", "4٤"]:
+        with pytest.raises(ValueError):
+            fpe_encrypt_digits(_KEY, "a", bad)
+        with pytest.raises(ValueError):
+            fpe_decrypt_digits(_KEY, "a", bad)
+
+
+def test_single_digit_is_keyed_permutation_not_rotation():
+    outs = [fpe_encrypt_digits(_KEY, "t", str(i)) for i in range(10)]
+    assert sorted(outs) == [str(i) for i in range(10)]  # bijective
+    for i in range(10):
+        assert fpe_decrypt_digits(_KEY, "t", outs[i]) == str(i)
+    # NOT an additive rotation: enc(v) - v mod 10 must not be constant
+    shifts = {(int(outs[i]) - i) % 10 for i in range(10)}
+    assert len(shifts) > 1
+    # tweak separation holds on the degenerate path too
+    outs_b = [fpe_encrypt_digits(_KEY, "u", str(i)) for i in range(10)]
+    assert outs != outs_b
+
+
 def test_referential_audit_on_constructed_star(spark, tmp_path):
     """3 customers, orders referencing them (and one dangling custkey):
     plain join = fpe join = 4 rows; all witnesses green."""
