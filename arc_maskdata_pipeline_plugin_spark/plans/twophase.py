@@ -1,0 +1,231 @@
+"""Two-phase global ordering primitives — the scale-safe replacement for
+``Window.orderBy`` with no partition spec.
+
+An unpartitioned window forces ``Exchange SinglePartition``: every row of
+the frame flows through ONE reducer, which is the defining anti-pattern at
+100 TB — it caps the operator at single-machine sort throughput no matter
+how many executors exist. These helpers compute the same global
+``row_number`` / running-sum results with only PARALLEL exchanges:
+
+* :func:`global_rank` — range-partition on the order key (parallel range
+  exchange), sort within partitions (narrow), read the partition index and
+  the intra-partition offset out of ``monotonically_increasing_id`` (its
+  documented layout is ``partition_id << 33 | row_in_partition``), then add
+  per-partition base offsets computed from a partition-count frame that is
+  bounded by ``spark.sql.shuffle.partitions`` — NOT by data size. One
+  corpus-frame shuffle, zero window functions over the big frame.
+
+* :func:`global_cumsums` — bucket rows by sketch-derived quantile
+  boundaries of the leading order column (``percentile_approx``: one
+  aggregate pass, mergeable partial state), run the running sums inside a
+  ``Window.partitionBy(bucket)`` (ONE parallel hash exchange + local sort),
+  and add per-bucket prefix totals via a broadcast join. Boundary placement
+  affects only load balance — never results — because the bucket id is a
+  pure function of the leading key, so ties colocate and bucket order
+  agrees with key order; the final sums are exact integers either way.
+
+Both keep every derived "offset" frame bounded by the session's partition
+count (≤ ``spark.sql.shuffle.partitions`` rows), so the one remaining
+unpartitioned window runs over a config-bounded — not data-bounded — frame.
+
+Determinism contract (same as the windows these replace): ``order_cols``
+must be a TOTAL order for rank ties to be stable; the cumsum sites all run
+over distinct-key frames where the leading key is unique, so rows/range
+framing coincide.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _parts(df: DataFrame, parts: int | None) -> int:
+    if parts is not None:
+        return parts
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    out: str = "rank",
+    parts: int | None = None,
+) -> DataFrame:
+    """Add a global 1-based ``row_number`` over ``order_cols`` without an
+    ``Exchange SinglePartition``.
+
+    Plan shape: ``repartitionByRange`` (parallel shuffle) → narrow
+    ``sortWithinPartitions`` → ``monotonically_increasing_id`` decode →
+    broadcast join with a ≤ *parts*-row offsets frame.
+    """
+    n = _parts(df, parts)
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    base = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_tp_mid", F.monotonically_increasing_id())
+    )
+    # monotonically_increasing_id layout: partition_id << 33 | row_offset.
+    base = base.withColumn(
+        "_tp_pid", F.shiftright(F.col("_tp_mid"), 33)
+    ).withColumn(
+        "_tp_loc",
+        F.col("_tp_mid") - F.shiftleft(F.col("_tp_pid"), 33),
+    )
+    # Per-partition row counts: ≤ `n` rows (session shuffle-partition count,
+    # a config bound, not a data bound) — the only unpartitioned window in
+    # the plan runs over THIS frame.
+    sizes = base.groupBy("_tp_pid").agg(F.count(F.lit(1)).alias("_tp_cnt"))
+    woff = Window.orderBy("_tp_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = sizes.select(
+        "_tp_pid",
+        F.coalesce(F.sum("_tp_cnt").over(woff), F.lit(0)).alias("_tp_off"),
+    )
+    return (
+        base.join(F.broadcast(offs), "_tp_pid")
+        .withColumn(out, (F.col("_tp_loc") + F.col("_tp_off") + 1))
+        .drop("_tp_mid", "_tp_pid", "_tp_loc", "_tp_off")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    buckets: int,
+    out: str = "tile",
+    parts: int | None = None,
+) -> DataFrame:
+    """``ntile(buckets)`` over a global order, via :func:`global_rank` plus
+    the exact NTILE bucket arithmetic (SQL spec: the first ``count %
+    buckets`` tiles get ``count/buckets + 1`` rows, the rest get
+    ``count/buckets``) — identical values to ``F.ntile`` over an
+    unpartitioned window, without the single-partition exchange."""
+    ranked = global_rank(df, order_cols, out="_tp_rank", parts=parts)
+    tot = df.agg(F.count(F.lit(1)).cast("bigint").alias("_tp_n"))
+    # all-integer arithmetic (`div`): exact at any count, unlike a double
+    # floor(n/buckets) which rounds once n exceeds 2^53
+    tile = F.expr(
+        f"CASE WHEN _tp_rank <= ((_tp_n div {buckets}) + 1)"
+        f"                     * (_tp_n % {buckets})"
+        f"     THEN (_tp_rank - 1) div ((_tp_n div {buckets}) + 1)"
+        f"     ELSE (_tp_n % {buckets})"
+        f"          + (_tp_rank - 1 - ((_tp_n div {buckets}) + 1)"
+        f"                            * (_tp_n % {buckets}))"
+        f"            div (_tp_n div {buckets})"
+        f" END"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(out, (tile + 1).cast("int"))
+        .drop("_tp_rank", "_tp_n")
+    )
+
+
+def global_cumsums(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    sums: dict[str, tuple[str, str]],
+    lead_numeric: Column | None = None,
+    parts: int | None = None,
+    rank_out: str | None = None,
+) -> DataFrame:
+    """Add global running sums over ``order_cols`` without an
+    ``Exchange SinglePartition``.
+
+    ``sums`` maps output column name → ``(source_col, mode)`` where mode is
+    ``"incl"`` (UNBOUNDED PRECEDING..CURRENT ROW) or ``"excl"``
+    (UNBOUNDED PRECEDING..-1). ``lead_numeric`` supplies an order-preserving
+    numeric surrogate of ``order_cols[0]`` for quantile bucketing when the
+    leading key is not numeric (e.g. a 7-byte big-endian UTF-8 prefix for
+    strings — monotone, so bucket order agrees with key order).
+    ``rank_out`` optionally adds the global ``row_number`` from the same
+    window pass.
+    """
+    n = _parts(df, parts)
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    lead = lead_numeric if lead_numeric is not None else cols[0]
+    if n >= 2:
+        # ONE sketch aggregate (mergeable partials, no frame shuffle) for
+        # the bucket boundaries; placement shifts load balance only.
+        qs = [i / n for i in range(1, n)]
+        row = df.select(lead.alias("_tp_lead")).agg(
+            F.percentile_approx("_tp_lead", qs, 1000).alias("_tp_bs")
+        ).first()
+        bounds = sorted({b for b in (row["_tp_bs"] or []) if b is not None})
+    else:
+        bounds = []
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: b <= lead))
+    else:
+        bucket = F.lit(0)
+    b = df.withColumn("_tp_b", bucket)
+    w = Window.partitionBy("_tp_b").orderBy(*cols)
+    frames = {
+        "incl": w.rowsBetween(Window.unboundedPreceding, 0),
+        "excl": w.rowsBetween(Window.unboundedPreceding, -1),
+    }
+    loc = b.select(
+        "*",
+        *[
+            F.coalesce(F.sum(src).over(frames[mode]), F.lit(0)).alias(
+                f"_tp_l_{name}"
+            )
+            for name, (src, mode) in sums.items()
+        ],
+        *([F.row_number().over(w).alias("_tp_lr")] if rank_out else []),
+    )
+    # Per-bucket totals: ≤ `n`+1 rows (config-bounded); the only
+    # unpartitioned window below runs over this tiny frame.
+    srcs = {src for src, _ in sums.values()}
+    tots = b.groupBy("_tp_b").agg(
+        *[F.sum(src).alias(f"_tp_t_{src}") for src in srcs],
+        F.count(F.lit(1)).alias("_tp_t_cnt"),
+    )
+    woff = Window.orderBy("_tp_b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = tots.select(
+        "_tp_b",
+        *[
+            F.coalesce(F.sum(f"_tp_t_{src}").over(woff), F.lit(0)).alias(
+                f"_tp_o_{src}"
+            )
+            for src in srcs
+        ],
+        F.coalesce(F.sum("_tp_t_cnt").over(woff), F.lit(0)).alias(
+            "_tp_o_cnt"
+        ),
+    )
+    res = loc.join(F.broadcast(offs), "_tp_b")
+    for name, (src, _mode) in sums.items():
+        res = res.withColumn(
+            name, F.col(f"_tp_l_{name}") + F.col(f"_tp_o_{src}")
+        )
+    if rank_out:
+        res = res.withColumn(
+            rank_out, F.col("_tp_lr") + F.col("_tp_o_cnt")
+        )
+    drop = (
+        ["_tp_b", "_tp_o_cnt"]
+        + [f"_tp_l_{name}" for name in sums]
+        + [f"_tp_o_{src}" for src in srcs]
+        + (["_tp_lr"] if rank_out else [])
+    )
+    return res.drop(*drop)
+
+
+def utf8_prefix_key(col: Column | str) -> Column:
+    """Order-preserving 56-bit numeric surrogate for a string column: the
+    first 7 UTF-8 bytes, big-endian, zero-padded. Spark compares strings by
+    UTF-8 bytes, so ``s1 <= s2 ⇒ prefix(s1) <= prefix(s2)`` — exactly what
+    quantile bucketing needs (monotone, never order-reversing)."""
+    c = F.col(col) if isinstance(col, str) else col
+    # hex() of the UTF-8 bytes preserves byte order lexicographically
+    # ('0'-'9' < 'A'-'F' in char code), so prefix-truncate + right-pad with
+    # zero nibbles keeps the monotone guarantee for short strings.
+    hx = F.rpad(F.substring(F.hex(c.cast("binary")), 1, 14), 14, "0")
+    return F.conv(hx, 16, 10).cast("bigint")
