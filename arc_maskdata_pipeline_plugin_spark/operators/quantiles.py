@@ -155,16 +155,28 @@ def quantile_thresholds(
             .orderBy(value_col)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        joined = cnt.join(F.broadcast(totals), gc)
+        cum = (
+            cnt.join(F.broadcast(totals), gc).select(
+                *gc,
+                value_col,
+                F.sum("_n").over(wc).alias("_r"),
+                F.col("_total"),
+            )
+        )
     else:
-        wc = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
-        joined = cnt.crossJoin(F.broadcast(totals))
-    cum = joined.select(
-        *gc,
-        value_col,
-        F.sum("_n").over(wc).alias("_r"),
-        F.col("_total"),
-    )
+        # ungrouped: the distinct-value frame grows with the data, so the
+        # cumulative counts run as two-phase bucketed windows instead of an
+        # Exchange SinglePartition over the whole value frame; persisted —
+        # consumers: boundary sketch, bucketed windows, per-bucket totals
+        from ..cache import persisted
+        from ..plans.twophase import global_cumsums
+
+        cnt = cnt.transform(persisted)
+        cum = (
+            global_cumsums(cnt, [value_col], {"_r": ("_n", "incl")})
+            .crossJoin(F.broadcast(totals))
+            .select(value_col, "_r", "_total")
+        )
     return cum.groupBy(*gc).agg(
         *[
             F.min(

@@ -152,6 +152,7 @@ def q_misra_gries_topk(spark, sf_dir):
         F.sum("est1").cast("bigint").alias("m")
     )
     mr = merged.withColumn(
+        # bounded cardinality: merged counter frame ≤ k·shards rows
         "rn", F.row_number().over(Window.orderBy(F.desc("m"), F.asc("term")))
     )
     dfin = mr.agg(

@@ -475,6 +475,7 @@ def q_layout_advisor(spark, sf_dir):
         scanned.cast("bigint").alias("workload_rows_scanned"),
         files_read.cast("bigint").alias("workload_files_read"),
     )
+    # bounded cardinality: one row per candidate LAYOUT (a constant few)
     rank_w = Window.orderBy("workload_rows_scanned", "layout")
     return per_layout.select(
         "layout",
@@ -611,8 +612,14 @@ def q_bloom_skip_audit(spark, sf_dir):
         .cast("bigint")
         .alias("arr"),
     )
-    w = Window.orderBy("arr", "o_orderkey")
-    filed = o.select("ck", F.ntile(_BLOOM_FILES).over(w).alias("file_id"))
+    # two-phase NTILE: the simulated-file assignment orders the whole
+    # orders frame, so it runs as a parallel range shuffle + exact NTILE
+    # arithmetic (plans/twophase.py), never one reducer
+    from .twophase import global_ntile
+
+    filed = global_ntile(
+        o, ["arr", "o_orderkey"], _BLOOM_FILES, out="file_id"
+    ).select("ck", "file_id")
     pos_structs = F.array(
         *(F.expr(_bloom_pos_spark(j, "ck")) for j in range(_BLOOM_H))
     )

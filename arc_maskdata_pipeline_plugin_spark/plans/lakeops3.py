@@ -130,6 +130,7 @@ def q_txn_log_replay(spark, sf_dir):
     vm = base.select(
         "b",
         "n_rows",
+        # bounded cardinality: mk is the MONTH index (calendar span ≤ ~84)
         (F.dense_rank().over(Window.orderBy("mk")) - 1)
         .cast("bigint")
         .alias("v"),
@@ -171,6 +172,7 @@ def q_txn_log_replay(spark, sf_dir):
             - F.coalesce(F.col("removed_rows"), F.lit(0))
         ).alias("rows_delta"),
     )
+    # bounded cardinality: v is the VERSION (month grain, ≤ ~84 rows)
     wv = Window.orderBy("v")
     wvac = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, -_RETENTION
@@ -562,15 +564,18 @@ def q_partition_balance_planner(spark, sf_dir):
         .transform(persisted)  # key frame; consumers: totals + planning
     )
     tot = kw.agg(F.sum("w").cast("bigint").alias("total"))
-    wcum = Window.orderBy("k")
-    planned = kw.crossJoin(F.broadcast(tot)).select(
+    # two-phase prefix weights: the key frame grows with distinct users, so
+    # the cumulative-weight boundary assignment runs as bucketed windows,
+    # never an Exchange SinglePartition over the key frame
+    from .twophase import global_cumsums
+
+    cumw = global_cumsums(kw, ["k"], {"cw": ("w", "excl")})
+    planned = cumw.crossJoin(F.broadcast(tot)).select(
         "k",
         "w",
         F.least(
             F.lit(_BAL_TASKS - 1).cast("bigint"),
-            F.expr(
-                f"(SUM(w) OVER (ORDER BY k) - w) * {_BAL_TASKS} div total"
-            ).cast("bigint"),
+            F.expr(f"cw * {_BAL_TASKS} div total").cast("bigint"),
         )
         .cast("bigint")
         .alias("range_task"),
@@ -695,10 +700,16 @@ def q_selectivity_estimate(spark, sf_dir):
     ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     vals = vals.transform(persisted)  # distinct-value frame; consumers:
     # cumulative frame, totals, boundary probes, ground truth
-    wcum = Window.orderBy("v")
-    cum = vals.select(
-        "v", "cnt", F.sum("cnt").over(wcum).alias("c")
-    ).transform(persisted)
+    # two-phase cumulative histogram: the distinct-value frame grows with
+    # the order count, so the CDF runs as bucketed windows (one parallel
+    # shuffle), never an Exchange SinglePartition over the value frame
+    from .twophase import global_cumsums
+
+    cum = (
+        global_cumsums(vals, ["v"], {"c": ("cnt", "incl")})
+        .select("v", "cnt", "c")
+        .transform(persisted)
+    )
     tot = vals.agg(
         F.sum("cnt").cast("bigint").alias("n"),
         F.min("v").cast("bigint").alias("vmin"),
@@ -714,6 +725,8 @@ def q_selectivity_estimate(spark, sf_dir):
         .groupBy("k")
         .agg(F.min("hv").cast("bigint").alias("hi"))
     )
+    # bounded cardinality: `k` indexes the equi-depth buckets — exactly
+    # _SEL_B rows (a module constant), never data-sized
     wk = Window.orderBy("k")
     vmin_m1 = tot.select((F.col("vmin") - 1).alias("vm1"))
     buckets = (

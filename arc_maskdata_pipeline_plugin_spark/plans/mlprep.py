@@ -138,6 +138,7 @@ def q_woe_iv(spark, sf_dir):
         F.sum(1 - bad).cast("bigint").alias("g"),
         F.sum(bad).cast("bigint").alias("b"),
     )
+    # bounded cardinality: one row per supplier NATION (25)
     wall = Window.partitionBy()
     m = cat.select(
         "supplier_nation",
@@ -245,6 +246,7 @@ def q_calibration_ece(spark, sf_dir):
         .alias("sdp"),
         F.min("rng").alias("rng"),
     )
+    # bounded cardinality: fixed histogram-bin frame (constant bins)
     wall = Window.partitionBy()
     fp = bins.select(
         "bin",

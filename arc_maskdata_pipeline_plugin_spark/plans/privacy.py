@@ -785,6 +785,7 @@ def q_generalization_advisor(spark, sf_dir):
             F.col("n_suppressed_rows") * 100 <= F.col("n_rows") * _GEN_SUPP_PCT, 0
         ).otherwise(1),
     ).withColumn("height", F.col("geo_level") + F.col("bal_level"))
+    # bounded cardinality: the 9-node generalization lattice, a constant
     w = Window.orderBy(
         "over_budget", "height", "n_suppressed_rows", "geo_level", "bal_level"
     )
@@ -879,6 +880,7 @@ def q_dp_topk_exponential(spark, sf_dir):
         .cast("bigint")
         .alias("noisy_score_fp6"),
     )
+    # bounded cardinality: one row per event TYPE (small domain)
     w = Window.orderBy(F.desc("noisy_score_fp6"), F.asc("event_type"))
     return noisy.withColumn("rnk", F.row_number().over(w)).select(
         "event_type",

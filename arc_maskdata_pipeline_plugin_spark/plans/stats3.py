@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .registry import T, register
+from .registry import T, persisted, register
+from .twophase import global_cumsums
 
 _KS_A, _KS_B = "purchase", "view"
 
@@ -70,8 +71,10 @@ def q_ks_test(spark, sf_dir):
     (identical expression in the oracle → bit-identical).
 
     Scale shape: one shuffle collapses the corpus to the distinct-value
-    count frame; the cumulative window and max run there (the documented
-    distinct-value-frame seam)."""
+    count frame (persisted — consumers: boundary sketch, bucketed windows,
+    totals); the cumulative sums run as two-phase bucketed windows, so the
+    distinct-value frame — which grows with the data — never passes
+    through an Exchange SinglePartition."""
     e = (
         T(spark, sf_dir, "events")
         .filter(F.col("event_type").isin(_KS_A, _KS_B))
@@ -87,16 +90,12 @@ def q_ks_test(spark, sf_dir):
         F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0))
         .cast("bigint")
         .alias("b"),
-    )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()  # totals over the same distinct-value frame:
-    # the corpus is scanned ONCE (a totals sub-aggregate would duplicate the
-    # whole scan subtree in the plan)
-    cum = vc.select(
-        F.sum("a").over(w).alias("ca"),
-        F.sum("b").over(w).alias("cb"),
-        F.sum("a").over(wall).alias("n"),
-        F.sum("b").over(wall).alias("m"),
+    ).transform(persisted)
+    tots = vc.agg(F.sum("a").alias("n"), F.sum("b").alias("m"))
+    cum = (
+        global_cumsums(vc, ["v"], {"ca": ("a", "incl"), "cb": ("b", "incl")})
+        .crossJoin(F.broadcast(tots))
+        .select("ca", "cb", "n", "m")
     )
     return cum.groupBy("n", "m").agg(
         F.floor(
@@ -185,14 +184,12 @@ def q_mann_whitney(spark, sf_dir):
         .cast("bigint")
         .alias("b"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    rk = vc.select(
-        "a",
-        "b",
-        (F.col("a") + F.col("b")).alias("t"),
-        F.coalesce(F.sum(F.col("a") + F.col("b")).over(w), F.lit(0)).alias(
-            "c"
-        ),
+    # two-phase exclusive cumsum: the distinct-value frame grows with the
+    # data, so the pooled-rank prefix runs as bucketed windows (persisted —
+    # consumers: boundary sketch, windows, totals), not one reducer
+    vc = vc.withColumn("t", F.col("a") + F.col("b")).transform(persisted)
+    rk = global_cumsums(vc, ["v"], {"c": ("t", "excl")}).select(
+        "a", "b", "t", "c"
     )
     agg = rk.agg(
         F.sum("a").cast("bigint").alias("n"),
@@ -298,6 +295,8 @@ def q_chi_square_cramers_v(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
     )
+    # bounded cardinality: the contingency frame has |x-categories| ×
+    # |y-categories| rows (categorical domains), never data-sized
     wx = Window.partitionBy("x")
     wy = Window.partitionBy("y")
     wall = Window.partitionBy()
@@ -381,6 +380,7 @@ def q_mutual_information(spark, sf_dir):
     ).agg(F.count(F.lit(1)).cast("bigint").alias("k"))
     m = obs.select(
         "k",
+        # bounded cardinality: contingency frame (|x|·|y| category cells)
         F.sum("k").over(Window.partitionBy("x")).alias("rx"),
         F.sum("k").over(Window.partitionBy("y")).alias("cy"),
         F.sum("k").over(Window.partitionBy()).alias("nn"),
@@ -648,6 +648,7 @@ def q_bonferroni_ab_screen(spark, sf_dir):
         "n0",
         "n1",
         zv.alias("zv"),
+        # bounded cardinality: one row per event TYPE (small domain)
         F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
     )
     thr_arr = F.array(*[F.lit(t) for t in _BONF_Z])

@@ -118,14 +118,24 @@ def q_kruskal_wallis(spark, sf_dir):
         .groupBy("v", "event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    wv = Window.partitionBy("v")
-    wcum = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
+    # the distinct-value frame grows with the data, so the pooled
+    # cumulative counts run as a two-phase cumsum over the per-value
+    # totals frame (v unique there, so ROWS == the original RANGE
+    # semantics), joined back on v — never an Exchange SinglePartition;
+    # the per-value frame also supplies `t`, replacing the wv window
+    from .twophase import global_cumsums
+
+    vc = vc.transform(persisted)  # consumers: per-value frame + rank join
+    pv = vc.groupBy("v").agg(
+        F.sum("cnt").cast("bigint").alias("t")
+    ).transform(persisted)  # consumers: boundary sketch, windows, totals
+    cumv = global_cumsums(pv, ["v"], {"cum_incl": ("t", "incl")})
     wrn = Window.partitionBy("v").orderBy("event_type")
-    base = vc.select(
+    base = vc.join(cumv, "v").select(
         "event_type",
         "cnt",
-        F.sum("cnt").over(wv).alias("t"),
-        F.sum("cnt").over(wcum).alias("cum_incl"),
+        "t",
+        "cum_incl",
         F.row_number().over(wrn).alias("rn"),
     )
     grp = base.groupBy("event_type").agg(
@@ -585,6 +595,7 @@ def q_bh_fdr_screen(spark, sf_dir):
         .cast("bigint")
         .alias("p_fp9"),
     )
+    # bounded cardinality: one row per event TYPE (small domain)
     wrank = Window.orderBy("p_fp9", "event_type")
     wall = Window.partitionBy()
     rk = p.select(
@@ -854,6 +865,8 @@ def q_nelson_aalen(spark, sf_dir):
         F.sum("event").cast("bigint").alias("d"),
         F.count(F.lit(1)).cast("bigint").alias("leaving"),
     )
+    # bounded cardinality: duration-grain frame — t is DAYS between two
+    # dates inside the calendar span (~2.5k distinct values), not data-sized
     wrev = Window.orderBy(F.col("t").desc()).rowsBetween(
         Window.unboundedPreceding, 0
     )

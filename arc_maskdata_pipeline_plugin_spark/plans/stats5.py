@@ -93,6 +93,7 @@ def q_sprt_ab(spark, sf_dir):
         .cast("bigint")
         .alias("k_day"),
     )
+    # bounded cardinality: day-grid frame (calendar span, ~2.5k rows)
     w = Window.orderBy("d")
     cum = daily.select(
         F.date_format("d", "yyyy-MM-dd").alias("day"),

@@ -97,6 +97,7 @@ def q_rolling_revenue_7d(spark, sf_dir):
             "day_num", F.datediff(F.col("day"), F.lit("1995-01-01").cast("date"))
         )
     )
+    # bounded cardinality: day-grid frame (calendar span, ~2.5k rows)
     w = Window.orderBy("day_num").rangeBetween(-6, 0)
     return daily.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),

@@ -851,8 +851,13 @@ def q_quantile_normalize(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     ).transform(persisted)  # value-frame: feeds both the CDF and the global total
     n_g = dv.agg(F.sum("cnt").cast("bigint").alias("n_g"))
-    wc = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
-    cum = dv.select("val", "cnt", F.sum("cnt").over(wc).alias("c"))
+    # two-phase CDF: the distinct-value frame grows with the corpus, so the
+    # cumulative counts run as bucketed windows, never one reducer
+    from .twophase import global_cumsums
+
+    cum = global_cumsums(dv, ["val"], {"c": ("cnt", "incl")}).select(
+        "val", "cnt", "c"
+    )
     pos = ranked.crossJoin(F.broadcast(n_g)).select(
         "doc_id",
         "source",

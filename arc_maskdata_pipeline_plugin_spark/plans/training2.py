@@ -76,10 +76,15 @@ def q_batch_leakage_audit(spark, sf_dir):
     {sizes} (module docstring). Batches = consecutive runs of the
     md5-shuffled document order (an epoch shuffle), so batch membership is
     ``shuffle_rank div B`` — three scenario columns from ONE pair join.
-    The global rank window runs on the doc-id frame (ids + hash keys
-    only), not the corpus rows — the same seam as q_epoch_shuffle.""".format(
+    The global rank runs on the doc-id frame (ids + hash keys only) via
+    two-phase ``global_rank`` — the doc frame GROWS with the corpus, so an
+    unpartitioned window here would funnel every doc id through one
+    reducer; the two-phase form keeps the rank shuffle parallel and its
+    single-partition seam bounded by the shuffle-partition count.""".format(
         sizes=list(_BATCH_SIZES)
     )
+    from .twophase import global_rank
+
     pairs = dedup_minhash_pairs(spark, sf_dir).select("d1", "d2")
     docs = T(spark, sf_dir, "documents").select("doc_id")
     hk = F.conv(
@@ -89,12 +94,9 @@ def q_batch_leakage_audit(spark, sf_dir):
         16,
         10,
     ).cast("bigint")
-    ranked = docs.select(
-        "doc_id",
-        (F.row_number().over(Window.orderBy(hk.asc(), F.col("doc_id"))) - 1).alias(
-            "pos"
-        ),
-    )
+    ranked = global_rank(
+        docs.withColumn("_hk", hk), ["_hk", "doc_id"], out="_rk"
+    ).select("doc_id", (F.col("_rk") - 1).alias("pos"))
     r1 = ranked.select(F.col("doc_id").alias("d1"), F.col("pos").alias("b1"))
     r2 = ranked.select(F.col("doc_id").alias("d2"), F.col("pos").alias("b2"))
     j = pairs.join(r1, "d1").join(r2, "d2")
@@ -198,6 +200,8 @@ def q_token_budget_waterfill(spark, sf_dir):
         .alias("budget"),
         F.count(F.lit(1)).cast("bigint").alias("n_src"),
     )
+    # bounded cardinality: one row per SOURCE (|sources|, ~dozens) —
+    # never data-sized, so the global window seam is safe here
     w = Window.orderBy("cap_tokens", "source")
     ordered = (
         tok.crossJoin(F.broadcast(tot))
@@ -242,6 +246,7 @@ def q_token_budget_waterfill(spark, sf_dir):
         "cap_tokens",
         F.col("alloc_tokens").cast("bigint").alias("alloc_tokens"),
         F.col("saturated").cast("bigint").alias("capped"),
+        # bounded cardinality: per-source frame (|sources| rows)
         F.sum("alloc_tokens")
         .over(Window.partitionBy())
         .cast("bigint")
@@ -326,17 +331,19 @@ def q_negative_sampling_table(spark, sf_dir):
         ).cast("bigint"),
     )
     tot = w.agg(F.sum("w6").cast("bigint").alias("tw"))
-    wcum = Window.orderBy("word")
-    cum = w.select(
-        "word",
-        "n",
-        "w6",
-        F.coalesce(
-            F.sum("w6").over(wcum.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ).alias("lo"),
-        F.sum("w6").over(wcum.rowsBetween(Window.unboundedPreceding, 0)).alias("hi"),
-    )
+    # two-phase cumulative weights: the vocabulary frame grows with the
+    # corpus, so the interval table is built with bucketed windows (one
+    # parallel shuffle) instead of an Exchange SinglePartition; the string
+    # key buckets on an order-preserving 56-bit UTF-8 prefix
+    from .twophase import global_cumsums, utf8_prefix_key
+
+    w = w.transform(persisted)  # consumers: boundary sketch + windows + totals
+    cum = global_cumsums(
+        w,
+        ["word"],
+        {"lo": ("w6", "excl"), "hi": ("w6", "incl")},
+        lead_numeric=utf8_prefix_key("word"),
+    ).select("word", "n", "w6", "lo", "hi")
     draws = (
         spark.range(_NEG_DRAWS)
         .crossJoin(F.broadcast(tot))

@@ -185,7 +185,7 @@ def global_cumsums(
     srcs = {src for src, _ in sums.values()}
     tots = b.groupBy("_tp_b").agg(
         *[F.sum(src).alias(f"_tp_t_{src}") for src in srcs],
-        F.count(F.lit(1)).alias("_tp_t_cnt"),
+        F.count(F.lit(1)).alias("_tp_nrows_t"),
     )
     woff = Window.orderBy("_tp_b").rowsBetween(Window.unboundedPreceding, -1)
     offs = tots.select(
@@ -196,8 +196,8 @@ def global_cumsums(
             )
             for src in srcs
         ],
-        F.coalesce(F.sum("_tp_t_cnt").over(woff), F.lit(0)).alias(
-            "_tp_o_cnt"
+        F.coalesce(F.sum("_tp_nrows_t").over(woff), F.lit(0)).alias(
+            "_tp_nrows_o"
         ),
     )
     res = loc.join(F.broadcast(offs), "_tp_b")
@@ -207,10 +207,10 @@ def global_cumsums(
         )
     if rank_out:
         res = res.withColumn(
-            rank_out, F.col("_tp_lr") + F.col("_tp_o_cnt")
+            rank_out, F.col("_tp_lr") + F.col("_tp_nrows_o")
         )
     drop = (
-        ["_tp_b", "_tp_o_cnt"]
+        ["_tp_b", "_tp_nrows_o"]
         + [f"_tp_l_{name}" for name in sums]
         + [f"_tp_o_{src}" for src in srcs]
         + (["_tp_lr"] if rank_out else [])
