@@ -43,14 +43,24 @@ _DIGITS = "0123456789abcdefghijklmnopqrstuvwxyz"
 _REV = {c: i for i, c in enumerate(_DIGITS)}
 
 
-def _aes_ecb(key: bytes):
-    from cryptography.hazmat.primitives.ciphers import (
-        Cipher,
-        algorithms,
-        modes,
-    )
+_CIPHER_CACHE: dict[bytes, object] = {}
 
-    return Cipher(algorithms.AES(key), modes.ECB())
+
+def _aes_ecb(key: bytes):
+    # Cipher construction dominates short-input FF1 cost (10 MACs/value);
+    # ECB keeps no state across encryptors, so one Cipher per key is safe
+    # to reuse for every PRF/CIPH call in the executor process.
+    c = _CIPHER_CACHE.get(key)
+    if c is None:
+        from cryptography.hazmat.primitives.ciphers import (
+            Cipher,
+            algorithms,
+            modes,
+        )
+
+        c = Cipher(algorithms.AES(key), modes.ECB())
+        _CIPHER_CACHE[key] = c
+    return c
 
 
 def _ciph(key: bytes, block: bytes) -> bytes:

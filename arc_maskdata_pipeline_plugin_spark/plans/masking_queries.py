@@ -642,3 +642,158 @@ def q_mask_fpe_referential(spark, sf_dir):
         FROM pj, fj
         """
     )
+
+
+_ff1_registered: set[str] = set()
+
+
+def _ensure_ff1_udfs(spark):
+    from ..functions.ff1 import register_ff1_udfs
+
+    key = spark.sparkContext.applicationId
+    if key not in _ff1_registered:
+        register_ff1_udfs(
+            spark, codec=HmacSHA512(), passphrase=_TEST_PASSPHRASE, radix=10
+        )
+        register_ff1_udfs(
+            spark,
+            codec=HmacSHA512(),
+            passphrase=_TEST_PASSPHRASE,
+            radix=36,
+            prefix="r36_",
+        )
+        _ff1_registered.add(key)
+
+
+@register(
+    "q_mask_ff1_referential",
+    oracle="""
+WITH k AS (
+  SELECT DISTINCT lpad(CAST(o_custkey AS VARCHAR), 8, '0') AS kd FROM orders
+),
+pj AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT CAST((SELECT COUNT(*) FROM k) AS BIGINT) AS n_keys,
+       CAST((SELECT COUNT(*) FROM k) AS BIGINT) AS n_enc_distinct,
+       CAST(0 AS BIGINT) AS format_bad,
+       CAST(0 AS BIGINT) AS roundtrip_mismatch,
+       CAST((SELECT COUNT(*) FROM k) AS BIGINT) AS n36_distinct,
+       CAST(0 AS BIGINT) AS format_bad36,
+       CAST(0 AS BIGINT) AS roundtrip_mismatch36,
+       pj.n AS plain_join_rows,
+       pj.n AS ff1_join_rows,
+       CAST(1 AS BIGINT) AS referential_ok
+FROM pj
+""",
+)
+def q_mask_ff1_referential(spark, sf_dir):
+    """NIST SP 800-38G FF1 audit (functions/ff1.py) — the standards-exact
+    sibling of ``q_mask_fpe_referential``: encrypt the 8-digit zero-padded
+    custkey dictionary under FF1/AES (radix 10) AND a base-36 rendering
+    (radix 36, exercising the NUM_radix packing beyond digits), and
+    witness in-plan the theorems a keyed permutation guarantees — each
+    pinned by the oracle:
+
+    * injectivity per radix: COUNT(DISTINCT ct) == COUNT(DISTINCT key);
+    * format preservation: zero radix-10 ciphertexts fail ^[0-9]{8}$ and
+      zero radix-36 ciphertexts fail ^[0-9a-z]{6}$;
+    * exact invertibility: zero decrypt(encrypt(k)) != k rows, both radixes;
+    * referential integrity: orders ⋈ customer on FF1-encrypted keys
+      reproduces the plain join's row count exactly.
+
+    The cipher itself is pinned bit-for-bit against the published NIST
+    sample vectors (AES-128/192/256, radix 10 and 36) in
+    ``tests/test_ff1.py``; this query witnesses the Spark-side plumbing.
+    Both domains satisfy the SP 800-38G minimum (10^8 and 36^6 ≥ 10^6),
+    which ``functions/ff1.py`` ENFORCES.
+
+    Scale: encryption runs ONCE over the persisted DISTINCT key
+    dictionary and maps onto both fact sides by key join — at 100 TB you
+    encrypt the key dictionary, never the fact table (the
+    q_mask_fpe_referential discipline)."""
+    _ensure_ff1_udfs(spark)
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    o.createOrReplaceTempView("_ff1_orders")
+    c.createOrReplaceTempView("_ff1_customer")
+    from .registry import persisted as _persisted
+
+    # encrypt the UNION key dictionary exactly once (persisted: witness
+    # frame + both join sides would otherwise re-run the UDF 3x)
+    dict_df = _persisted(
+        spark.sql(
+            """
+            SELECT kd,
+                   mask_ff1_encrypt('custkey', kd) AS enc,
+                   r36_mask_ff1_encrypt(
+                     'custkey',
+                     lower(lpad(conv(CAST(k36 AS STRING), 10, 36), 6, '0'))
+                   ) AS enc36,
+                   lower(lpad(conv(CAST(k36 AS STRING), 10, 36), 6, '0'))
+                     AS kd36
+            FROM (
+              SELECT kd, CAST(kd AS BIGINT) AS k36 FROM (
+                SELECT DISTINCT lpad(CAST(o_custkey AS STRING), 8, '0') AS kd
+                FROM _ff1_orders
+                UNION
+                SELECT DISTINCT lpad(CAST(c_custkey AS STRING), 8, '0') AS kd
+                FROM _ff1_customer
+              ) u0
+            ) u
+            """
+        )
+    )
+    dict_df.createOrReplaceTempView("_ff1_dict")
+    return spark.sql(
+        """
+        WITH k AS (
+          SELECT DISTINCT lpad(CAST(o_custkey AS STRING), 8, '0') AS kd
+          FROM _ff1_orders
+        ),
+        dict AS (SELECT kd, kd36, enc, enc36 FROM _ff1_dict),
+        e AS (SELECT d.kd, d.kd36, d.enc, d.enc36
+              FROM dict d JOIN k ON d.kd = k.kd),
+        r AS (
+          SELECT kd, kd36, enc, enc36,
+                 mask_ff1_decrypt('custkey', enc) AS dec,
+                 r36_mask_ff1_decrypt('custkey', enc36) AS dec36
+          FROM e
+        ),
+        oe AS (
+          SELECT d.enc
+          FROM _ff1_orders o
+          JOIN dict d ON lpad(CAST(o.o_custkey AS STRING), 8, '0') = d.kd
+        ),
+        cj AS (
+          SELECT d.enc
+          FROM _ff1_customer c
+          JOIN dict d ON lpad(CAST(c.c_custkey AS STRING), 8, '0') = d.kd
+        ),
+        fj AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+               FROM oe JOIN cj ON oe.enc = cj.enc),
+        pj AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+               FROM _ff1_orders o JOIN _ff1_customer c
+               ON o.o_custkey = c.c_custkey)
+        SELECT
+          CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS n_keys,
+          CAST((SELECT COUNT(DISTINCT enc) FROM r) AS BIGINT)
+            AS n_enc_distinct,
+          CAST((SELECT COUNT(*) FROM r WHERE enc NOT RLIKE '^[0-9]{8}$')
+               AS BIGINT) AS format_bad,
+          CAST((SELECT COUNT(*) FROM r WHERE dec != kd) AS BIGINT)
+            AS roundtrip_mismatch,
+          CAST((SELECT COUNT(DISTINCT enc36) FROM r) AS BIGINT)
+            AS n36_distinct,
+          CAST((SELECT COUNT(*) FROM r WHERE enc36 NOT RLIKE '^[0-9a-z]{6}$')
+               AS BIGINT) AS format_bad36,
+          CAST((SELECT COUNT(*) FROM r WHERE dec36 != kd36)
+               AS BIGINT) AS roundtrip_mismatch36,
+          pj.n AS plain_join_rows,
+          fj.n AS ff1_join_rows,
+          CAST(CASE WHEN pj.n = fj.n THEN 1 ELSE 0 END AS BIGINT)
+            AS referential_ok
+        FROM pj, fj
+        """
+    )

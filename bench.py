@@ -390,6 +390,9 @@ HEADLINE = [
     # one persisted signature pipeline
     "q_selectivity_estimate",
     "q_lsh_band_sweep",
+    # round 10: NIST SP 800-38G FF1 (bit-exact, radix 10 + 36) over the
+    # key dictionary — the standards-exact sibling of the Feistel FPE
+    "q_mask_ff1_referential",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
