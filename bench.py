@@ -393,6 +393,9 @@ HEADLINE = [
     # round 10: NIST SP 800-38G FF1 (bit-exact, radix 10 + 36) over the
     # key dictionary — the standards-exact sibling of the Feistel FPE
     "q_mask_ff1_referential",
+    # round 10: interpolated Kneser-Ney bigram perplexity (exact-integer
+    # rational discount; continuation counts off the persisted bigram frame)
+    "q_kneser_ney_perplexity",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
