@@ -1308,3 +1308,147 @@ def q_stream_session_window(spark, sf_dir):
             == F.col("n_emitted"),
         },
     ).drop("n_emitted")
+
+
+from .dedup import (  # noqa: E402  (winnow selection chain + params)
+    _WIN_K as _SDW_K,
+    _WIN_W as _SDW_W,
+    _WINNOW_MIN_SHARED as _SDW_MIN,
+    _WINNOW_SEL_CTES as _SDW_SEL,
+)
+
+
+@register(
+    "q_stream_dedup_winnow",
+    oracle="""
+WITH {sel_ctes},
+store AS (SELECT DISTINCT h FROM sel WHERE doc_id < 400),
+hits AS (
+  SELECT s.doc_id
+  FROM sel s JOIN store st ON s.h = st.h
+  WHERE s.doc_id >= 400
+  GROUP BY s.doc_id
+  HAVING COUNT(*) >= {min_shared}
+),
+surv AS (
+  SELECT doc_id, n_chars FROM documents
+  WHERE doc_id >= 400 AND doc_id NOT IN (SELECT doc_id FROM hits)
+),
+ex AS (
+  SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id >= 400)
+              AS BIGINT) AS n_batch_docs,
+         CAST((SELECT COUNT(DISTINCT doc_id % {nfiles})
+               FROM documents WHERE doc_id >= 400) AS BIGINT)
+           AS n_mod_classes,
+         CAST((SELECT COUNT(*) FROM store) AS BIGINT) AS n_store_fps,
+         CAST(1 AS BIGINT) AS input_accounting_ok,
+         CAST(1 AS BIGINT) AS multi_batch_ok,
+         CAST(1 AS BIGINT) AS no_engine_state_ok
+)
+SELECT surv.doc_id, surv.n_chars, ex.* FROM surv CROSS JOIN ex
+""".format(sel_ctes=_SDW_SEL, min_shared=_SDW_MIN, nfiles=3),
+)
+def q_stream_dedup_winnow(spark, sf_dir):
+    """STREAMING near-dup dedup against the persisted winnowing fingerprint
+    store (VERDICT r09 #6 — the first streaming QUALITY operator, not just
+    streaming relational ops): the corpus (doc_id < 400) builds the frozen
+    (h) store once; the ingest batch (doc_id >= 400) is staged as THREE
+    parquet files (doc_id mod 3) and streamed with maxFilesPerTrigger=1, so
+    the drain genuinely exercises multiple micro-batches at the SF gate.
+    Each micro-batch runs inside ``foreachBatch``: winnowing-fingerprint
+    the batch ALONE (doc-local — per-batch cost ∝ batch, the corpus is
+    never re-read), semi-probe the store on h, drop docs sharing ≥ 2
+    selected fingerprints, append survivors to the sink.
+
+    Every batch probes the FROZEN corpus store, so the result is
+    micro-batch-decomposition INVARIANT (== the batch twin
+    ``dedup_incremental_winnow``) — which is exactly what makes it
+    hash-oracleable. HONESTY: intra-stream dedup (growing the store with
+    each batch's survivors, `incremental_dedup_winnow`'s survivor_fps
+    return) is the production extension, but its result depends on where
+    micro-batch boundaries fall, so the oracled query deliberately ships
+    the decomposition-invariant bootstrap mode; the growing-store semantics
+    are pinned on constructed multi-batch input in
+    tests/test_stream_winnow.py instead.
+
+    Streaming-run witnesses (the r09 audit discipline — theorem-backed
+    integers only): Σ numInputRows == staged batch-doc count (the file
+    source serves each staged row exactly once); micro-batches with data ==
+    COUNT(DISTINCT doc_id mod 3) (one file per non-empty residue class,
+    maxFilesPerTrigger=1); the ENGINE holds zero streaming state
+    (foreachBatch — the state IS the store, whose size n_store_fps both
+    engines derive exactly)."""
+    import tempfile as _tempfile
+
+    from ..operators.dedup import (
+        incremental_dedup_winnow,
+        winnow_fingerprints,
+    )
+    from ..streaming.audit import drain_foreach_with_metrics
+    from .dedup import _WIN_K, _WIN_W, _WINNOW_MIN_SHARED
+    from .registry import persisted as _persisted
+    from .registry import spread as _spread
+
+    nfiles = 3
+    docs = _spread(T(spark, sf_dir, "documents"))
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch_docs = docs.filter(F.col("doc_id") >= 400)
+    # frozen store, persisted: consumers = every micro-batch probe + the
+    # exact witness count
+    store = winnow_fingerprints(corpus, k=_WIN_K, w=_WIN_W).transform(
+        _persisted
+    )
+
+    src = _tempfile.mkdtemp(prefix="winnow_stream_src_")
+    for i in range(nfiles):
+        batch_docs.filter((F.col("doc_id") % nfiles) == i).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    out = _tempfile.mkdtemp(prefix="winnow_stream_out_")
+    # pre-seed the sink schema so a zero-survivor run still reads cleanly
+    batch_docs.select("doc_id", "n_chars").limit(0).write.mode(
+        "overwrite"
+    ).parquet(out)
+
+    def _probe(bdf, _bid):
+        # persist the micro-batch: the probe plan consumes it twice
+        # (fingerprint branch + the survivors anti-join) — without the
+        # cache the file source re-serves every row and numInputRows
+        # double-counts (and at scale the batch is re-scanned)
+        bdf = bdf.persist()
+        try:
+            surv, _fps = incremental_dedup_winnow(
+                bdf, store, k=_WIN_K, w=_WIN_W, min_shared=_WINNOW_MIN_SHARED
+            )
+            surv.select("doc_id", "n_chars").write.mode("append").parquet(
+                out
+            )
+        finally:
+            bdf.unpersist()
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    m = drain_foreach_with_metrics(stream, _probe)
+    result = spark.read.parquet(out)
+    exact = batch_docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batch_docs"),
+        F.countDistinct(F.col("doc_id") % nfiles)
+        .cast("bigint")
+        .alias("n_mod_classes"),
+    ).crossJoin(
+        store.agg(F.countDistinct("h").cast("bigint").alias("n_store_fps"))
+    )
+    return witness(
+        result,
+        exact,
+        {
+            "input_accounting_ok": F.lit(m.n_input) == F.col("n_batch_docs"),
+            "multi_batch_ok": F.lit(m.n_data_batches)
+            == F.col("n_mod_classes"),
+            "no_engine_state_ok": F.lit(len(m.state_ops)) == F.lit(0),
+        },
+    )

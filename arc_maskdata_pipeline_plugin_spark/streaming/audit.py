@@ -163,3 +163,58 @@ def witness(
         ),
     )
     return result.crossJoin(F.broadcast(audit))
+
+
+def drain_foreach_with_metrics(df: DataFrame, fn) -> StreamRunMetrics:
+    """Drain a streaming frame through ``foreachBatch`` (availableNow) and
+    return the progress-metric summary.
+
+    ``foreachBatch`` is the sanctioned Structured Streaming escape hatch
+    for per-batch logic the engine can't express as stateful operators
+    (here: windowed winnowing + a store probe). The ENGINE holds no
+    streaming state for it — any cross-batch state lives in the caller's
+    own store — so ``state_ops`` records whatever (usually nothing) the
+    progress reports, and call sites pin that emptiness as a witness."""
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            df.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progs = [json.loads(p.json) for p in q.recentProgress]
+    m = StreamRunMetrics(
+        n_input=sum(p.get("numInputRows", 0) for p in progs),
+        n_data_batches=sum(1 for p in progs if p.get("numInputRows", 0) > 0),
+        sink_rows=0,  # foreachBatch: the caller's sink, not the engine's
+        watermark_final=(
+            progs[-1].get("eventTime", {}).get("watermark") if progs else None
+        ),
+    )
+    last_ops = progs[-1].get("stateOperators", []) if progs else []
+    for i, s in enumerate(last_ops):
+        m.state_ops.append(
+            StateOpMetrics(
+                op=s.get("operatorName", ""),
+                rows_total=s.get("numRowsTotal", 0),
+                removed_sum=sum(
+                    p["stateOperators"][i].get("numRowsRemoved", 0)
+                    for p in progs
+                    if len(p.get("stateOperators", [])) > i
+                ),
+                dropped_wm_sum=sum(
+                    p["stateOperators"][i].get("numRowsDroppedByWatermark", 0)
+                    for p in progs
+                    if len(p.get("stateOperators", [])) > i
+                ),
+                dropped_dup_sum=sum(
+                    p["stateOperators"][i]
+                    .get("customMetrics", {})
+                    .get("numDroppedDuplicateRows", 0)
+                    for p in progs
+                    if len(p.get("stateOperators", [])) > i
+                ),
+            )
+        )
+    return m

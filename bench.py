@@ -396,6 +396,9 @@ HEADLINE = [
     # round 10: interpolated Kneser-Ney bigram perplexity (exact-integer
     # rational discount; continuation counts off the persisted bigram frame)
     "q_kneser_ney_perplexity",
+    # round 10: streaming winnowing dedup — foreachBatch probe of the
+    # frozen fingerprint store, multi-file drain, per-batch cost ∝ batch
+    "q_stream_dedup_winnow",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
