@@ -72,6 +72,7 @@ from arc_maskdata_pipeline_plugin_spark.plans import lakeops3  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import heavyhitters  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import lm  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import card  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import unigram  # noqa: F401
 
 from arc_maskdata_pipeline_plugin_spark.plans.registry import REGISTRY
 

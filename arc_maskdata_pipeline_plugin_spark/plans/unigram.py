@@ -1,0 +1,517 @@
+"""Unigram-LM (SentencePiece-style) tokenizer: seed → EM prune rounds →
+Viterbi encode, fully oracle-checked (VERDICT r09 #3 — the other tokenizer
+real pipelines ship, next to BPE).
+
+Algorithm (Kudo 2018, hard-EM variant):
+
+* **Seed**: every substring of length 1..{M} of every corpus word, counted
+  by word frequency; the vocabulary starts as ALL single characters plus
+  the top {KSEED} multi-char pieces (count DESC, piece ASC — exact integer
+  tiebreak).
+* **EM round**: piece scores are fp6-floored log-probabilities kept as
+  exact integers — w6(x) = floor(10⁶·ln cnt(x)) − floor(10⁶·ln Σcnt) — so
+  a segmentation's value Σ w6 is an exact integer and the Viterbi argmax
+  is engine-deterministic (ties broken by SMALLEST piece start = longest
+  last piece). The E-step Viterbi-segments every DISTINCT WORD by dynamic
+  programming over prefix length j = 1..{L} (a FIXED unroll — words longer
+  than {L} chars are excluded from training and encoding by rule; the
+  synthetic corpus max is 8); the M-step recounts pieces over the argmax
+  segmentations weighted by word frequency.
+* **Prune**: keep every corpus character (count floored at 1 — the
+  SentencePiece required-character rule, so every word stays segmentable)
+  plus the top {KPRUNE} multi-char pieces by EM count. {R} EM rounds.
+* **Encode**: one more Viterbi pass with the final vocabulary gives each
+  word's piece count; applying the artifact corpus-wide is a word-keyed
+  join — the merge loop / DP never re-runs per document (the
+  q_bpe_encode discipline).
+
+Cross-engine exactness: counts are BIGINTs; scores are fp6-floored logs of
+exact integers (each term floored separately — the fp9/fp6 discipline);
+the DP compares exact integers with a total-order tiebreak; top-K cuts
+order by (count DESC, piece ASC). The DuckDB oracle replays the IDENTICAL
+chain as generated CTEs (dp/backtrack unrolled {L} steps per round).
+
+Scale shape: the corpus is scanned ONCE (word counts); seeding, every EM
+round, and the encode DP run on the DISTINCT-WORD / piece frames. Each DP
+level and backtrack step is persisted (a tiny frame re-consumed by the
+next level), so lineage stays linear — the BPE trainer's per-round persist
+discipline applied per DP level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .lm import _TOKENS, _TOKS_SQL
+from .registry import T, persisted, register, spread
+
+_UM = 4  # max piece length
+_LMAX = 12  # DP unroll: words longer than this are excluded by rule
+_KSEED = 48  # multi-char pieces kept at seeding
+_KPRUNE = 24  # multi-char pieces kept after each EM round
+_ROUNDS = 2  # EM prune rounds
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL generation — the same chain, unrolled.
+# ---------------------------------------------------------------------------
+
+
+def _cte_words() -> str:
+    return f"""tk AS MATERIALIZED (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+words AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(toks) AS word FROM tk)
+  WHERE len(word) <= {_LMAX} AND word <> ''
+  GROUP BY word
+),
+subs AS MATERIALIZED (
+  SELECT substr(w.word, s, m) AS piece, CAST(SUM(w.n) AS BIGINT) AS cnt
+  FROM words w,
+       UNNEST(generate_series(1, len(w.word))) AS a(s),
+       UNNEST(generate_series(1, {_UM})) AS b(m)
+  WHERE s + m - 1 <= len(w.word)
+  GROUP BY 1
+),
+chars AS MATERIALIZED (SELECT piece FROM subs WHERE len(piece) = 1),
+v0 AS MATERIALIZED (
+  SELECT piece, cnt FROM subs WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM subs WHERE len(piece) >= 2
+    ORDER BY cnt DESC, piece LIMIT {_KSEED}
+  ) q
+)"""
+
+
+def _cte_round(r: str, vin: str) -> str:
+    """One Viterbi E-step over vocabulary ``vin``: emits seg{r} (word, n,
+    piece) and cnt{r} (piece, cnt)."""
+    parts = [
+        f"""tot{r} AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM {vin}),
+sc{r} AS MATERIALIZED (
+  SELECT piece,
+         CAST(floor(ln(cnt) * 1000000) AS BIGINT)
+         - (SELECT CAST(floor(ln(t) * 1000000) AS BIGINT) FROM tot{r})
+           AS w6
+  FROM {vin}
+),
+ed{r} AS MATERIALIZED (
+  SELECT w.word, s - 1 AS ps, s + m - 1 AS pe, sc.w6
+  FROM words w,
+       UNNEST(generate_series(1, len(w.word))) AS a(s),
+       UNNEST(generate_series(1, {_UM})) AS b(m),
+       sc{r} sc
+  WHERE s + m - 1 <= len(w.word) AND sc.piece = substr(w.word, s, m)
+),
+dpa{r}_0 AS MATERIALIZED (
+  SELECT word, 0 AS j, CAST(0 AS BIGINT) AS val, 0 AS bstart FROM words
+)"""
+    ]
+    for j in range(1, _LMAX + 1):
+        parts.append(f"""dp{r}_{j} AS MATERIALIZED (
+  SELECT word, j, val, bstart FROM (
+    SELECT e.word, {j} AS j, d.val + e.w6 AS val, e.ps AS bstart,
+           ROW_NUMBER() OVER (PARTITION BY e.word
+                              ORDER BY d.val + e.w6 DESC, e.ps ASC) AS rn
+    FROM ed{r} e JOIN dpa{r}_{j - 1} d ON e.word = d.word AND e.ps = d.j
+    WHERE e.pe = {j}
+  ) q WHERE rn = 1
+),
+dpa{r}_{j} AS MATERIALIZED (
+  SELECT * FROM dpa{r}_{j - 1} UNION ALL SELECT * FROM dp{r}_{j}
+)""")
+    parts.append(
+        f"bt{r}_0 AS MATERIALIZED (SELECT word, n, len(word) AS j FROM words)"
+    )
+    for t in range(1, _LMAX + 1):
+        parts.append(f"""bt{r}_{t} AS MATERIALIZED (
+  SELECT b.word, b.n, d.bstart AS j,
+         substr(b.word, d.bstart + 1, b.j - d.bstart) AS piece
+  FROM bt{r}_{t - 1} b
+  JOIN dpa{r}_{_LMAX} d ON b.word = d.word AND b.j = d.j
+  WHERE b.j > 0
+)""")
+    segs = " UNION ALL ".join(
+        f"SELECT word, n, piece FROM bt{r}_{t}" for t in range(1, _LMAX + 1)
+    )
+    parts.append(f"seg{r} AS MATERIALIZED ({segs})")
+    parts.append(
+        f"cnt{r} AS MATERIALIZED (SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt"
+        f" FROM seg{r} GROUP BY piece)"
+    )
+    return ",\n".join(parts)
+
+
+def _cte_prune(r: str, vout: str) -> str:
+    return f"""{vout} AS MATERIALIZED (
+  SELECT c.piece, GREATEST(COALESCE(k.cnt, 0), 1) AS cnt
+  FROM chars c LEFT JOIN cnt{r} k ON c.piece = k.piece
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM cnt{r} WHERE len(piece) >= 2
+    ORDER BY cnt DESC, piece LIMIT {_KPRUNE}
+  ) q
+)"""
+
+
+def _train_chain() -> str:
+    """words → seed v0 → (EM round, prune)×R → final vocabulary v{R}."""
+    parts = [_cte_words()]
+    for i in range(_ROUNDS):
+        parts.append(_cte_round(f"r{i}", f"v{i}"))
+        parts.append(_cte_prune(f"r{i}", f"v{i + 1}"))
+    return ",\n".join(parts)
+
+
+_TRAIN_ORACLE = f"""
+WITH {_train_chain()}
+SELECT piece, cnt,
+       CAST(len(piece) AS BIGINT) AS piece_len,
+       CAST(CASE WHEN len(piece) = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_char
+FROM v{_ROUNDS}
+"""
+
+_ENCODE_ORACLE = f"""
+WITH {_train_chain()},
+{_cte_round("e", f"v{_ROUNDS}")},
+wk AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS k FROM sege GROUP BY word),
+doc_tokens AS (
+  SELECT doc_id, word FROM (SELECT doc_id, unnest(toks) AS word FROM tk)
+  WHERE len(word) <= {_LMAX} AND word <> ''
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(s.k) AS BIGINT) AS n_unigram_tokens
+FROM doc_tokens d JOIN wk s USING (word)
+GROUP BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark side — the identical chain as DataFrame ops.
+# ---------------------------------------------------------------------------
+
+
+def _uni_words(spark, sf_dir):
+    docs = spread(T(spark, sf_dir, "documents"))
+    return (
+        docs.select(F.explode(F.expr(_TOKENS)).alias("word"))
+        .filter((F.length("word") <= _LMAX) & (F.length("word") > 0))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .transform(persisted)
+    )
+
+
+def _positions(words):
+    """(word, n, s, m) for every in-bounds (start, piece-length) pair."""
+    return (
+        words.select(
+            "word",
+            "n",
+            F.explode(F.expr("sequence(1, length(word))")).alias("s"),
+        )
+        .select(
+            "word",
+            "n",
+            "s",
+            F.explode(F.expr(f"sequence(1, {_UM})")).alias("m"),
+        )
+        .filter(F.expr("s + m - 1 <= length(word)"))
+    )
+
+
+def _uni_subs(words):
+    return (
+        _positions(words)
+        .groupBy(F.expr("substring(word, s, m)").alias("piece"))
+        .agg(F.sum("n").cast("bigint").alias("cnt"))
+        .transform(persisted)  # consumers: seed chars/multi + prune chars
+    )
+
+
+def _uni_seed(subs):
+    chars = subs.filter(F.length("piece") == 1)
+    multi = (
+        subs.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(_KSEED)
+    )
+    return chars.unionByName(multi)
+
+
+def _viterbi_segments(words, vocab):
+    """Hard-EM E-step: (word, n, piece) rows of every word's Viterbi
+    segmentation under fp6-log scores of ``vocab``. Each DP level and
+    backtrack step is localCheckpoint(eager=True)-ed (tiny
+    word-frame-sized frames, each consumed by the next level AND the final
+    union — the LOGICAL plan doubles per level otherwise, and plan
+    canonicalization OOMs the driver long before any data moves; the same
+    per-round discipline as the iterative PageRank/k-core queries)."""
+    tot = vocab.agg(F.sum("cnt").cast("bigint").alias("t"))
+    sc = vocab.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        (
+            F.floor(F.log("cnt") * 1_000_000).cast("bigint")
+            - F.floor(F.log("t") * 1_000_000).cast("bigint")
+        ).alias("w6"),
+    )
+    edges = (
+        _positions(words)
+        .select(
+            "word",
+            (F.col("s") - 1).alias("ps"),
+            (F.col("s") + F.col("m") - 1).alias("pe"),
+            F.expr("substring(word, s, m)").alias("piece"),
+        )
+        .join(sc, "piece")
+        .select("word", "ps", "pe", "w6")
+        .transform(persisted)  # consumed by every DP level
+    )
+    dpa = words.select(
+        "word",
+        F.lit(0).alias("j"),
+        F.lit(0).cast("bigint").alias("val"),
+        F.lit(0).alias("bstart"),
+    ).localCheckpoint(eager=True)
+    from pyspark.sql import Window
+
+    for j in range(1, _LMAX + 1):
+        w = Window.partitionBy("word").orderBy(F.desc("val"), F.asc("bstart"))
+        dp_j = (
+            edges.filter(F.col("pe") == j)
+            .join(dpa.withColumnRenamed("j", "ps").select("word", "ps", "val"), ["word", "ps"])
+            .select(
+                "word",
+                F.lit(j).alias("j"),
+                (F.col("val") + F.col("w6")).alias("val"),
+                F.col("ps").alias("bstart"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        dpa = dpa.unionByName(dp_j).localCheckpoint(eager=True)
+    bt = words.select("word", "n", F.length("word").alias("j"))
+    seg_parts = []
+    for _t in range(_LMAX):
+        bt = (
+            bt.filter(F.col("j") > 0)
+            .join(dpa, ["word", "j"])
+            .select(
+                "word",
+                "n",
+                F.col("bstart").alias("j"),
+                F.expr("substring(word, bstart + 1, j - bstart)").alias(
+                    "piece"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        seg_parts.append(bt.select("word", "n", "piece"))
+    segs = seg_parts[0]
+    for p in seg_parts[1:]:
+        segs = segs.unionByName(p)
+    return segs
+
+
+def _uni_prune(subs, counts):
+    chars = (
+        subs.filter(F.length("piece") == 1)
+        .select("piece")
+        .join(counts, "piece", "left")
+        .select(
+            "piece",
+            F.greatest(F.coalesce(F.col("cnt"), F.lit(0)), F.lit(1))
+            .cast("bigint")
+            .alias("cnt"),
+        )
+    )
+    multi = (
+        counts.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(_KPRUNE)
+    )
+    return chars.unionByName(multi)
+
+
+def _train_unigram(spark, sf_dir):
+    """Returns (words, subs, final vocabulary) — all persisted frames."""
+    words = _uni_words(spark, sf_dir)
+    subs = _uni_subs(words)
+    vocab = _uni_seed(subs).transform(persisted)
+    for _r in range(_ROUNDS):
+        segs = _viterbi_segments(words, vocab)
+        counts = segs.groupBy("piece").agg(
+            F.sum("n").cast("bigint").alias("cnt")
+        )
+        vocab = _uni_prune(subs, counts).transform(persisted)
+    return words, subs, vocab
+
+
+@register("q_unigram_train_vocab", oracle=_TRAIN_ORACLE)
+def q_unigram_train_vocab(spark, sf_dir):
+    """Train the unigram-LM tokenizer ({r} hard-EM prune rounds, module
+    docstring) and emit the final vocabulary — (piece, EM count, length,
+    is_char), the artifact a SentencePiece-style tokenizer ships.""".format(
+        r=_ROUNDS
+    )
+    _words, _subs, vocab = _train_unigram(spark, sf_dir)
+    return vocab.select(
+        "piece",
+        "cnt",
+        F.length("piece").cast("bigint").alias("piece_len"),
+        F.when(F.length("piece") == 1, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_char"),
+    )
+
+
+@register("q_unigram_encode", oracle=_ENCODE_ORACLE)
+def q_unigram_encode(spark, sf_dir):
+    """Apply the trained unigram vocabulary corpus-wide: per-document
+    Viterbi piece counts. The word→piece-count map is WORD-frame-sized, so
+    encoding is one corpus tokenize joined on the word key — the DP never
+    re-runs per document (the q_bpe_encode artifact-application shape)."""
+    words, _subs, vocab = _train_unigram(spark, sf_dir)
+    segs = _viterbi_segments(words, vocab)
+    wk = segs.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    docs = spread(T(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS)).alias("word")
+    ).filter((F.length("word") <= _LMAX) & (F.length("word") > 0))
+    return (
+        tok.join(wk, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("k").cast("bigint").alias("n_unigram_tokens"),
+        )
+    )
+
+
+def export_unigram_artifact(vocab_rows, path: str) -> None:
+    """Write the shipped artifact: ``unigram.json`` with pieces ordered by
+    (count DESC, piece ASC) — ids are the list index (the embedding-matrix
+    contract)."""
+    import json
+    import os
+
+    ordered = sorted(vocab_rows, key=lambda r: (-r["cnt"], r["piece"]))
+    payload = [[r["piece"], r["cnt"]] for r in ordered]
+    with open(os.path.join(path, "unigram.json"), "w") as f:
+        json.dump(payload, f)
+
+
+def import_unigram_artifact(path: str):
+    """Read back (pieces list in id order) -> ({piece: id}, [(piece, cnt)])."""
+    import json
+    import os
+
+    with open(os.path.join(path, "unigram.json")) as f:
+        payload = json.load(f)
+    ids = {p: i for i, (p, _c) in enumerate(payload)}
+    return ids, [(p, int(c)) for p, c in payload]
+
+
+_ROUNDTRIP_ORACLE = f"""
+WITH {_train_chain()},
+nw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_words FROM words)
+SELECT CAST((SELECT COUNT(*) FROM v{_ROUNDS}) AS BIGINT) AS n_pieces_exported,
+       nw.n_words AS n_vocab_words,
+       CAST(0 AS BIGINT) AS import_replay_lossy,
+       CAST(0 AS BIGINT) AS oov_after_import,
+       CAST(1 AS BIGINT) AS ids_contiguous_ok
+FROM nw
+"""
+
+
+@register("q_unigram_artifact_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def q_unigram_artifact_roundtrip(spark, sf_dir):
+    """Tokenizer ARTIFACT export/import parity for the unigram LM (the
+    q_bpe_artifact_roundtrip discipline): train, EXPORT ``unigram.json``
+    (pieces + EM counts, ids by (count DESC, piece ASC) order), RE-IMPORT
+    it, re-run the Viterbi segmentation from the imported table, and
+    assert IN-PLAN that the shipped artifact reproduces the trained
+    tokenizer exactly:
+
+    * ``n_pieces_exported`` — count read back from the file; the oracle
+      independently re-derives it from its own training chain, so a
+      truncated or duplicated artifact hash-mismatches;
+    * ``import_replay_lossy`` — words whose imported-vocab Viterbi
+      segmentation (piece multiset + piece count) differs from the
+      trained-vocab segmentation (must be 0: the artifact IS the
+      tokenizer);
+    * ``oov_after_import`` — segmentation pieces missing from the imported
+      id map (must be 0: every emitted token has an id);
+    * ``ids_contiguous_ok`` — ids are exactly 0..n-1.
+
+    The negative control (a tampered artifact flips the witnesses) lives
+    in tests/test_unigram.py."""
+    import tempfile
+
+    words, _subs, vocab = _train_unigram(spark, sf_dir)
+    vocab_rows = vocab.collect()  # vocabulary-sized: |chars| + K pieces
+    artifact_dir = tempfile.mkdtemp(prefix="unigram_artifact_")
+    export_unigram_artifact(vocab_rows, artifact_dir)
+    ids, imported = import_unigram_artifact(artifact_dir)
+
+    def _sig(segs):
+        return segs.groupBy("word").agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.concat_ws(" ", F.sort_array(F.collect_list("piece"))).alias(
+                "sig"
+            ),
+        )
+
+    seg_trained = _sig(_viterbi_segments(words, vocab))
+    if imported:
+        imp_df = spark.createDataFrame(imported, "piece string, cnt bigint")
+    else:  # empty corpus: no artifact rows — replay over an empty vocab
+        imp_df = spark.createDataFrame([], "piece string, cnt bigint")
+    seg_replayed = _viterbi_segments(words, imp_df)
+    oov = seg_replayed.select("piece").distinct()
+    if ids:
+        oov = oov.filter(~F.col("piece").isin(*ids.keys()))
+    lossy = (
+        seg_trained.join(
+            _sig(seg_replayed).withColumnsRenamed(
+                {"k": "k2", "sig": "sig2"}
+            ),
+            "word",
+            "full_outer",
+        )
+        .select(
+            F.when(
+                F.col("k").eqNullSafe(F.col("k2"))
+                & F.col("sig").eqNullSafe(F.col("sig2")),
+                0,
+            )
+            .otherwise(1)
+            .alias("bad")
+        )
+        .agg(F.sum("bad").cast("bigint").alias("import_replay_lossy"))
+    )
+    ids_contiguous = sorted(ids.values()) == list(range(len(ids)))
+    nw = words.agg(F.count(F.lit(1)).cast("bigint").alias("n_vocab_words"))
+    return (
+        nw.crossJoin(F.broadcast(lossy))
+        .crossJoin(
+            F.broadcast(
+                oov.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("oov_after_import")
+                )
+            )
+        )
+        .select(
+            F.lit(len(imported)).cast("bigint").alias("n_pieces_exported"),
+            "n_vocab_words",
+            "import_replay_lossy",
+            "oov_after_import",
+            F.lit(1 if ids_contiguous else 0)
+            .cast("bigint")
+            .alias("ids_contiguous_ok"),
+        )
+    )

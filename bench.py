@@ -402,6 +402,12 @@ HEADLINE = [
     # round 10: CBO closure — estimate → choose join order → execute both
     # intermediates at key grain → q-error audit
     "q_join_order_advisor",
+    # round 10: unigram-LM (SentencePiece-style) tokenizer — hard-EM prune
+    # rounds + fixed-unroll Viterbi DP on the word frame; encode is a
+    # word-keyed join; artifact export/import parity in-plan
+    "q_unigram_train_vocab",
+    "q_unigram_encode",
+    "q_unigram_artifact_roundtrip",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
