@@ -90,63 +90,52 @@ GATE_WINDOW = [
     # (b) benched and/or pytest-pinned, and (c) witnessed by a prior
     # round's CORRECTNESS_r{N}.json.
     #
-    # ROUND-9 WINDOW (VERDICT r08 next-round #1): witness debt was 0 after
-    # the r08 gate (union r01..r08 = the whole 327-query registry), so the
-    # window leads with everything BUILT or CHANGED in r09 — the 29 new
-    # queries (batches 1-6: provenance/stores/advisors, eval metrics,
-    # coverage estimators, lakehouse/CBO audits, heavy hitters, FPE,
-    # valuation), the 12 streaming drains that gained in-plan
-    # StreamingQueryProgress witnesses (new schemas), the 2 dedup queries
-    # whose broadcast hints were dropped per ADVICE r08, and the advisor
-    # that grew from 4 to 6 candidate layouts — then green
-    # representatives. Every slot is hash-oracled; every displaced green
-    # is driver-witnessed in r01..r08.
+    # ROUND-10 WINDOW: witness debt is 0 (union r01..r09 = the whole
+    # registry), so the window leads with everything BUILT or CHANGED in
+    # r10 — the 7 new queries (NIST FF1, Kneser-Ney, streaming winnow
+    # dedup, join-order advisor, unigram-LM train/encode/roundtrip), the
+    # 10 queries rewritten onto the two-phase rank/cumsum primitives
+    # (plans/twophase.py — new plans, identical hashes), the encoding
+    # advisor's exact-integer bit-width fix, and the FPE module whose
+    # domain check and single-digit path changed (ADVICE r09) — then green
+    # representatives of each family. Every slot is hash-oracled; every
+    # displaced green is driver-witnessed in r01..r09.
     #
-    # --- r09-built (new queries, never witnessed) ---
-    "q_source_copy_direction", "dedup_incremental_winnow",
-    "q_bpe_artifact_roundtrip", "q_stream_session_window",
-    "q_bloom_skip_audit", "q_margin_mining_pairs",
-    "q_generalization_advisor",
-    # r09 second batch: classifier-eval metrics, vocabulary-coverage
-    # estimators, lakehouse txn-log replay, optimizer-stats validation,
-    # Misra-Gries mergeable heavy hitters, padding-waste batching
-    "q_roc_auc", "q_pr_auc_best_f1", "q_chao_coverage",
-    "q_heaps_law_curve", "q_txn_log_replay",
-    "q_join_cardinality_estimate", "q_misra_gries_topk",
-    "q_padding_waste",
-    # r09 third batch: lift/gain table, trained Naive Bayes lang-ID,
-    # bigram LM perplexity, term burstiness, JL projection audit
-    "q_lift_gain_deciles", "q_naive_bayes_langid", "q_bigram_perplexity",
-    "q_term_burstiness", "q_jl_projection_audit",
-    # r09 fourth batch: mutual-NN pair mining, degree power-law MLE,
-    # DP exponential-mechanism top-k, dataset-card capstone
-    "q_reciprocal_best_match", "q_degree_powerlaw_alpha",
-    "q_dp_topk_exponential", "q_dataset_card_report",
-    # r09 fifth batch: columnar-encoding advisor, partition-balance planner
-    "q_encoding_advisor", "q_partition_balance_planner",
-    # r09 sixth batch: invertible FPE masking, LOO data valuation,
-    # range-selectivity estimation audit
-    "q_mask_fpe_referential", "q_loo_source_influence",
-    "q_selectivity_estimate", "q_lsh_band_sweep",
+    # --- r10-built (new queries, never witnessed) ---
+    "q_mask_ff1_referential", "q_kneser_ney_perplexity",
+    "q_stream_dedup_winnow", "q_join_order_advisor",
+    "q_unigram_train_vocab", "q_unigram_encode",
+    "q_unigram_artifact_roundtrip",
     #
-    # --- r09-changed: streaming drains now emit witness columns (new
-    #     schemas), ADVICE r08 broadcast fixes, 6-layout advisor ---
-    "q_stream_event_counts", "q_stream_dedup_user_types",
-    "q_stream_static_enrich", "q_stream_stream_join",
-    "q_stream_dedup_within_watermark", "q_stream_cms_cells",
-    "q_stream_stream_left_join", "q_stream_threshold_alert",
-    "q_stream_fingerprint", "q_python_datasource_stream",
-    "q_stream_funnel_tracker", "q_stream_hysteresis_alert",
-    "dedup_minhash_pairs_fast", "q_dedup_recall_comparison",
-    "q_layout_advisor",
+    # --- r10-changed: two-phase global rank/cumsum conversions (new
+    #     physical plans, hash-identical results) ---
+    "q_batch_leakage_audit", "q_negative_sampling_table", "q_ks_test",
+    "q_mann_whitney", "q_kruskal_wallis", "q_selectivity_estimate",
+    "q_partition_balance_planner", "q_quantile_normalize",
+    "q_winsorize_prices", "q_bloom_skip_audit",
+    # r10-changed: exact-integer dict index width (ADVICE r09 #3); FPE
+    # domain check + keyed single-digit permutation (ADVICE r09 #1/#2)
+    "q_encoding_advisor", "q_mask_fpe_referential",
     #
-    # --- green representatives (all witnessed r01..r08), one+ per family:
-    #     relational/TPC-H, lifecycle, masking/KDF, dedup, winnowing,
-    #     similarity, sketches, contamination, BPE, capstone, multimodal,
-    #     SQL surface, sessionization, lakeops/layout, graph, stats ---
+    # --- green representatives (all witnessed r01..r09), one+ per family:
+    #     relational/TPC-H, lifecycle, masking/KDF, dedup incl. winnowing
+    #     and the band sweep, similarity, sketches, contamination, BPE,
+    #     streaming, lakeops/CBO, eval metrics, vocab stats, privacy,
+    #     valuation, capstone, multimodal ---
     "q1_pricing_summary", "q_userdata_lifecycle", "q_mask_customers_pbkdf2",
-    "q_decontaminate_spans",
-    "q_multimodal_pixel_stats",
+    "q_mask_credit_cards", "q_fake_substitution",
+    "dedup_minhash_pairs_fast", "dedup_incremental_winnow",
+    "q_dedup_recall_comparison", "q_lsh_band_sweep",
+    "q_source_copy_direction", "q_decontaminate_spans",
+    "q_margin_mining_pairs", "q_reciprocal_best_match",
+    "q_bpe_artifact_roundtrip", "q_bigram_perplexity",
+    "q_naive_bayes_langid", "q_stream_session_window",
+    "q_python_datasource_stream", "q_stream_funnel_tracker",
+    "q_txn_log_replay", "q_join_cardinality_estimate",
+    "q_layout_advisor", "q_misra_gries_topk", "q_roc_auc",
+    "q_chao_coverage", "q_heaps_law_curve", "q_generalization_advisor",
+    "q_dp_topk_exponential", "q_loo_source_influence",
+    "q_dataset_card_report", "q_multimodal_pixel_stats",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 
