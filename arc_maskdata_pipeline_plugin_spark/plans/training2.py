@@ -599,3 +599,153 @@ def q_loo_source_influence(spark, sf_dir):
             )
         ).alias("influence_fp6"),
     )
+
+
+_SHAP_P = 16  # sampled permutations (md5-deterministic)
+
+
+@register(
+    "q_shapley_source_coverage",
+    oracle=f"""
+WITH tk AS (
+  SELECT source,
+         unnest(list_filter(list_transform(
+           string_split_regex(lower(trim(text)), '\\s+'),
+           t -> regexp_replace(t, '[^a-z0-9]', '', 'g')), t -> t <> ''))
+           AS word
+  FROM documents
+),
+ws AS (SELECT DISTINCT word, source FROM tk),
+held AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words_held FROM ws GROUP BY 1
+),
+holders AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_holders FROM ws GROUP BY 1),
+uniq AS (
+  SELECT w.source, CAST(COUNT(*) AS BIGINT) AS loo_unique_words
+  FROM ws w JOIN holders h ON w.word = h.word
+  WHERE h.n_holders = 1
+  GROUP BY w.source
+),
+vocab AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v FROM ws),
+ranked AS (
+  SELECT p, word, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY p, word
+           ORDER BY CAST(('0x' || substr(md5('shap:' || CAST(p AS VARCHAR)
+                          || ':' || source), 1, 12)) AS BIGINT), source
+         ) AS rn
+  FROM ws, UNNEST(generate_series(1, {_SHAP_P})) AS g(p)
+),
+wins AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS wins_total
+  FROM ranked WHERE rn = 1 GROUP BY source
+),
+tot AS (SELECT CAST(SUM(wins_total) AS BIGINT) AS all_wins FROM wins)
+SELECT h.source,
+       h.n_words_held,
+       COALESCE(u.loo_unique_words, 0) AS loo_unique_words,
+       COALESCE(w.wins_total, 0) AS wins_total,
+       CAST(COALESCE(w.wins_total, 0) * 1000000 // {_SHAP_P} AS BIGINT)
+         AS shapley_words_fp6,
+       CAST(CASE WHEN t.all_wins = {_SHAP_P} * v.v THEN 1 ELSE 0 END
+            AS BIGINT) AS efficiency_ok
+FROM held h
+LEFT JOIN uniq u ON h.source = u.source
+LEFT JOIN wins w ON h.source = w.source
+CROSS JOIN tot t CROSS JOIN vocab v
+""",
+)
+def q_shapley_source_coverage(spark, sf_dir):
+    """Sampled-permutation SHAPLEY valuation of sources under the
+    VOCABULARY-COVERAGE metric v(S) = |distinct words covered by S|
+    (Castro 2009 sampling; Ghorbani & Zou 2019 data Shapley) — the
+    submodular complement of ``q_loo_source_influence``: coverage overlaps
+    make LOO (= words held ONLY by s) under-credit redundant sources,
+    while Shapley splits shared words across their holders.
+
+    For coverage the permutation-marginal has a CLOSED FORM: source s's
+    marginal gain in permutation π is exactly the number of words whose
+    FIRST holder in π order is s — so {p} deterministic permutations
+    (per-(permutation, source) md5 ranks; winner per (π, word) = the
+    holder with the minimum rank, source-tiebroken) reduce to {p} keyed
+    argmin aggregates over the (word, source) frame. No retraining loop,
+    no power-set enumeration. Shapley EFFICIENCY (Σ_s φ_s = v(all)) holds
+    exactly per permutation — every word has exactly one winner — and is
+    derived as the efficiency_ok column in both engines.
+
+    Emitted side by side: n_words_held, loo_unique_words (the LOO
+    marginal), wins_total, shapley_words_fp6 = wins·10⁶/{p} (exact
+    integer division). Scale: ONE corpus tokenize → distinct
+    (word, source) frame (vocab×sources-bounded, persisted); the {p}
+    permutations are an explode + one windowed argmin over that frame;
+    every downstream frame is |sources|-sized.""".format(p=_SHAP_P)
+    docs = T(spark, sf_dir, "documents")
+    tk = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "filter(transform(split(lower(trim(text)), '\\\\s+'),"
+                " t -> regexp_replace(t, '[^a-z0-9]', '')), t -> t != '')"
+            )
+        ).alias("word"),
+    )
+    ws = tk.distinct().transform(persisted)  # consumers: held/holders/
+    # vocab/permutation ranks
+    held = ws.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words_held")
+    )
+    holders = ws.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_holders")
+    )
+    uniq = (
+        ws.join(holders, "word")
+        .filter(F.col("n_holders") == 1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("loo_unique_words"))
+    )
+    vocab = ws.agg(F.countDistinct("word").cast("bigint").alias("v"))
+    from pyspark.sql import Window
+
+    wperm = Window.partitionBy("p", "word").orderBy(
+        F.expr(
+            "cast(conv(substring(md5(concat('shap:', cast(p as string),"
+            " ':', source)), 1, 12), 16, 10) as bigint)"
+        ),
+        "source",
+    )
+    ranked = ws.select(
+        "word",
+        "source",
+        F.explode(F.expr(f"sequence(1, {_SHAP_P})")).alias("p"),
+    ).withColumn("rn", F.row_number().over(wperm))
+    wins = (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wins_total"))
+        .transform(persisted)  # |sources| rows; consumers: totals + output
+    )
+    tot = wins.agg(F.sum("wins_total").cast("bigint").alias("all_wins"))
+    return (
+        held.join(uniq, "source", "left")
+        .join(wins, "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "source",
+            "n_words_held",
+            F.coalesce("loo_unique_words", F.lit(0))
+            .cast("bigint")
+            .alias("loo_unique_words"),
+            F.coalesce("wins_total", F.lit(0))
+            .cast("bigint")
+            .alias("wins_total"),
+            F.expr(
+                f"CAST(COALESCE(wins_total, 0) * 1000000 div {_SHAP_P}"
+                " AS BIGINT)"
+            ).alias("shapley_words_fp6"),
+            F.expr(
+                f"CAST(CASE WHEN all_wins = {_SHAP_P} * v THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("efficiency_ok"),
+        )
+    )

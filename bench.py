@@ -408,6 +408,9 @@ HEADLINE = [
     "q_unigram_train_vocab",
     "q_unigram_encode",
     "q_unigram_artifact_roundtrip",
+    # round 10: sampled-permutation Shapley coverage valuation (closed-form
+    # marginals -> P keyed argmins over the (word, source) frame)
+    "q_shapley_source_coverage",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
