@@ -554,3 +554,206 @@ def q_naive_bayes_langid(spark, sf_dir):
             "majority_baseline_fp6"
         ),
     )
+
+
+@register(
+    "q_conformal_interval_audit",
+    oracle="""
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v6,
+         CAST(('0x' || substr(md5('cfm:' || CAST(event_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 3 AS part
+  FROM events
+),
+trainc AS (
+  SELECT event_type, v6, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM e WHERE part = 0 GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, CAST(MIN(CASE WHEN c * 2 >= n THEN v6 END) AS BIGINT)
+           AS med6,
+         CAST(MAX(n) AS BIGINT) AS n_train
+  FROM (
+    SELECT event_type, v6,
+           SUM(cnt) OVER (PARTITION BY event_type ORDER BY v6
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+           SUM(cnt) OVER (PARTITION BY event_type) AS n
+    FROM trainc
+  ) q GROUP BY event_type
+),
+cal AS (
+  SELECT e.event_type, abs(e.v6 - m.med6) AS s
+  FROM e JOIN med m USING (event_type) WHERE e.part = 1
+),
+calc AS (
+  SELECT event_type, s, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cal GROUP BY 1, 2
+),
+qh AS (
+  SELECT event_type,
+         CAST(MIN(CASE WHEN c >= (9 * (n + 1) + 9) // 10 THEN s END)
+              AS BIGINT) AS qhat6,
+         CAST(MAX(n) AS BIGINT) AS n_cal
+  FROM (
+    SELECT event_type, s,
+           SUM(cnt) OVER (PARTITION BY event_type ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+           SUM(cnt) OVER (PARTITION BY event_type) AS n
+    FROM calc
+  ) q GROUP BY event_type
+),
+tst AS (
+  SELECT e.event_type, abs(e.v6 - m.med6) AS s
+  FROM e JOIN med m USING (event_type) WHERE e.part = 2
+)
+SELECT t.event_type,
+       m.n_train, q.n_cal,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       m.med6, q.qhat6,
+       CAST(SUM(CASE WHEN q.qhat6 IS NULL OR t.s <= q.qhat6
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       CAST(SUM(CASE WHEN q.qhat6 IS NULL OR t.s <= q.qhat6
+                     THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         AS coverage_fp6,
+       CAST(900000 AS BIGINT) AS target_fp6
+FROM tst t JOIN med m USING (event_type) JOIN qh q USING (event_type)
+GROUP BY t.event_type, m.n_train, q.n_cal, m.med6, q.qhat6
+""",
+)
+def q_conformal_interval_audit(spark, sf_dir):
+    """SPLIT-CONFORMAL prediction audit (Vovk; Lei et al. 2018) at
+    α = 0.1: per event type, a deterministic md5 3-way split gives train /
+    calibration / test; the point predictor is the train split's exact
+    lower median; nonconformity s = |value − median| in exact micro-units;
+    the conformal radius q̂ is the ⌈(n_cal+1)(1−α)⌉-th smallest calibration
+    score — the FINITE-SAMPLE-exact rank, computed as an integer ceiling
+    ((9(n+1)+9) div 10), never a float quantile; test coverage is the
+    exact fraction |value − median| ≤ q̂.
+
+    HONESTY: the conformal guarantee (coverage ≥ 1−α) holds in
+    EXPECTATION over exchangeable splits — a realized split can dip below
+    it — so coverage_fp6 is a measured cross-engine value next to the
+    target, never a pinned verdict. A calibration split smaller than the
+    required rank yields q̂ = NULL = the infinite interval (covers
+    everything), the standard conformal convention.
+
+    Scale shape: one shuffle to the per-(type, distinct value) count
+    frame; medians and conformal ranks are windows PARTITIONED BY the
+    group key on that frame (never a global sort); coverage is one keyed
+    aggregate."""
+    e = T(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("bigint")
+        .alias("v6"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cfm:"), F.col("event_id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 3
+        ).alias("part"),
+    ).transform(persisted)  # consumers: train counts, cal, test
+    trainc = (
+        e.filter(F.col("part") == 0)
+        .groupBy("event_type", "v6")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wg = Window.partitionBy("event_type").orderBy("v6").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wa = Window.partitionBy("event_type")
+    med = (
+        trainc.select(
+            "event_type",
+            "v6",
+            F.sum("cnt").over(wg).alias("c"),
+            F.sum("cnt").over(wa).alias("n"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("c") * 2 >= F.col("n"), F.col("v6")))
+            .cast("bigint")
+            .alias("med6"),
+            F.max("n").cast("bigint").alias("n_train"),
+        )
+    )
+    cal = (
+        e.filter(F.col("part") == 1)
+        .join(med, "event_type")
+        .select("event_type", F.abs(F.col("v6") - F.col("med6")).alias("s"))
+    )
+    calc = cal.groupBy("event_type", "s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    ws = Window.partitionBy("event_type").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    qh = (
+        calc.select(
+            "event_type",
+            "s",
+            F.sum("cnt").over(ws).alias("c"),
+            F.sum("cnt").over(wa).alias("n"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("c") >= F.expr("(9 * (n + 1) + 9) div 10"),
+                    F.col("s"),
+                )
+            )
+            .cast("bigint")
+            .alias("qhat6"),
+            F.max("n").cast("bigint").alias("n_cal"),
+        )
+    )
+    tst = (
+        e.filter(F.col("part") == 2)
+        .join(med, "event_type")
+        .select(
+            "event_type",
+            "n_train",
+            "med6",
+            F.abs(F.col("v6") - F.col("med6")).alias("s"),
+        )
+    )
+    covered = F.when(
+        F.col("qhat6").isNull() | (F.col("s") <= F.col("qhat6")), 1
+    ).otherwise(0)
+    return (
+        tst.join(qh, "event_type")
+        .groupBy("event_type", "n_train", "n_cal", "med6", "qhat6")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(covered).cast("bigint").alias("n_covered"),
+            F.expr(
+                "CAST(SUM(CASE WHEN qhat6 IS NULL OR s <= qhat6"
+                " THEN 1 ELSE 0 END) * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("coverage_fp6"),
+        )
+        .select(
+            "event_type",
+            "n_train",
+            "n_cal",
+            "n_test",
+            "med6",
+            "qhat6",
+            "n_covered",
+            "coverage_fp6",
+            F.lit(900000).cast("bigint").alias("target_fp6"),
+        )
+    )
+

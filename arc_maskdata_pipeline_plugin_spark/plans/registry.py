@@ -48,6 +48,11 @@ def register(name: str, oracle: str | None = None):
     """Decorator: add a (spark, sf_dir) -> DataFrame callable to the registry."""
 
     def deco(fn):
+        # a silent overwrite once cost a registered query its slot (a
+        # duplicate name in a second module shadowed mlprep's ECE) —
+        # collisions are always bugs, so fail loudly at import
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query registration: {name!r}")
         REGISTRY[name] = NamedQuery(name=name, fn=fn, oracle=oracle)
         return fn
 

@@ -411,6 +411,9 @@ HEADLINE = [
     # round 10: sampled-permutation Shapley coverage valuation (closed-form
     # marginals -> P keyed argmins over the (word, source) frame)
     "q_shapley_source_coverage",
+    # round 10: split-conformal coverage audit (finite-sample-exact rank
+    # quantile; grouped windows on the distinct-value frame)
+    "q_conformal_interval_audit",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
