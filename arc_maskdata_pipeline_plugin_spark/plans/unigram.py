@@ -249,6 +249,11 @@ def _viterbi_segments(words, vocab):
     union — the LOGICAL plan doubles per level otherwise, and plan
     canonicalization OOMs the driver long before any data moves; the same
     per-round discipline as the iterative PageRank/k-core queries)."""
+    # loop only to the ACTUAL max word length (one tiny agg): DP levels
+    # beyond it are empty in both engines, so results are identical to the
+    # oracle's fixed _LMAX unroll — this just skips guaranteed-empty jobs
+    lmax_row = words.agg(F.max(F.length("word")).alias("m")).first()
+    lmax = min(_LMAX, int(lmax_row["m"] or 1))
     tot = vocab.agg(F.sum("cnt").cast("bigint").alias("t"))
     sc = vocab.crossJoin(F.broadcast(tot)).select(
         "piece",
@@ -277,7 +282,7 @@ def _viterbi_segments(words, vocab):
     ).localCheckpoint(eager=True)
     from pyspark.sql import Window
 
-    for j in range(1, _LMAX + 1):
+    for j in range(1, lmax + 1):
         w = Window.partitionBy("word").orderBy(F.desc("val"), F.asc("bstart"))
         dp_j = (
             edges.filter(F.col("pe") == j)
@@ -295,7 +300,7 @@ def _viterbi_segments(words, vocab):
         dpa = dpa.unionByName(dp_j).localCheckpoint(eager=True)
     bt = words.select("word", "n", F.length("word").alias("j"))
     seg_parts = []
-    for _t in range(_LMAX):
+    for _t in range(lmax):
         bt = (
             bt.filter(F.col("j") > 0)
             .join(dpa, ["word", "j"])

@@ -405,9 +405,10 @@ HEADLINE = [
     # round 10: unigram-LM (SentencePiece-style) tokenizer — hard-EM prune
     # rounds + fixed-unroll Viterbi DP on the word frame; encode is a
     # word-keyed join; artifact export/import parity in-plan
+    # (the artifact-roundtrip twin is a parity audit, exercised by the
+    # correctness gate rather than the timed headline set)
     "q_unigram_train_vocab",
     "q_unigram_encode",
-    "q_unigram_artifact_roundtrip",
     # round 10: sampled-permutation Shapley coverage valuation (closed-form
     # marginals -> P keyed argmins over the (word, source) frame)
     "q_shapley_source_coverage",
