@@ -757,3 +757,139 @@ def q_conformal_interval_audit(spark, sf_dir):
         )
     )
 
+
+
+@register(
+    "q_fairness_group_audit",
+    oracle="""
+WITH mm AS (
+  SELECT CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS mn,
+         CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS mx
+  FROM orders
+),
+scored AS (
+  SELECT o.o_orderpriority AS grp,
+         CASE WHEN (CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT) - m.mn) * 2 >= (m.mx - m.mn)
+              THEN 1 ELSE 0 END AS yhat,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders o CROSS JOIN mm m
+),
+g AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(yhat) AS BIGINT) AS n_pred_pos,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(y * yhat) AS BIGINT) AS n_tp,
+         CAST(SUM((1 - y) * yhat) AS BIGINT) AS n_fp
+  FROM scored GROUP BY grp
+),
+r AS (
+  SELECT grp, n, n_pred_pos, n_pos, n_tp, n_fp,
+         CAST(n_pred_pos * 1000000 // n AS BIGINT) AS selection_rate_fp6,
+         CAST(CASE WHEN n_pos > 0
+                   THEN n_tp * 1000000 // n_pos ELSE 0 END AS BIGINT)
+           AS tpr_fp6,
+         CAST(CASE WHEN n - n_pos > 0
+                   THEN n_fp * 1000000 // (n - n_pos) ELSE 0 END AS BIGINT)
+           AS fpr_fp6
+  FROM g
+),
+ref AS (
+  SELECT MAX(selection_rate_fp6) AS sr_max, MIN(selection_rate_fp6) AS sr_min,
+         MAX(tpr_fp6) AS tpr_max, MIN(tpr_fp6) AS tpr_min,
+         MAX(fpr_fp6) AS fpr_max, MIN(fpr_fp6) AS fpr_min
+  FROM r
+)
+SELECT r.grp, r.n, r.n_pred_pos, r.n_pos,
+       r.selection_rate_fp6, r.tpr_fp6, r.fpr_fp6,
+       CAST(CASE WHEN ref.sr_max > 0
+                 THEN r.selection_rate_fp6 * 1000000 // ref.sr_max
+                 ELSE 1000000 END AS BIGINT) AS disparate_impact_fp6,
+       CAST(ref.sr_max - ref.sr_min AS BIGINT) AS dp_gap_fp6,
+       CAST(GREATEST(ref.tpr_max - ref.tpr_min, ref.fpr_max - ref.fpr_min)
+            AS BIGINT) AS eq_odds_gap_fp6
+FROM r CROSS JOIN ref
+""",
+)
+def q_fairness_group_audit(spark, sf_dir):
+    """GROUP-FAIRNESS audit of a binary classifier across groups — the
+    dataset-card readout (Barocas/Hardt/Narayanan; Feldman 2015 disparate
+    impact; Hardt 2016 equalized odds) a curation pipeline publishes
+    before a filter model ships. Classifier = "price above the global
+    midpoint" (exact integer threshold via cross-multiplication, no
+    division); label = fulfilled; groups = order priority. Per group,
+    exact fp6 integer ratios:
+
+    * selection rate P(ŷ=1 | g) and the demographic-parity gap
+      (max − min across groups);
+    * disparate impact = rate / max rate (the 80%-rule numerator);
+    * TPR and FPR per group and the equalized-odds gap
+      max(ΔTPR, ΔFPR) — zero-positive/negative groups emit 0 rather than
+      dividing by zero.
+
+    Every number is a measured cross-engine value (counts and integer
+    divisions) — fairness gaps are data facts, never pinned verdicts.
+
+    Scale shape: one scan → one |groups|-row aggregate; the min/max
+    threshold is a 1-row broadcast; gaps are an aggregate over the group
+    frame re-joined by broadcast."""
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    mm = o.agg(
+        F.min("cents").cast("bigint").alias("mn"),
+        F.max("cents").cast("bigint").alias("mx"),
+    )
+    scored = o.crossJoin(F.broadcast(mm)).select(
+        "grp",
+        "y",
+        F.expr(
+            "CASE WHEN (cents - mn) * 2 >= (mx - mn) THEN 1 ELSE 0 END"
+        ).alias("yhat"),
+    )
+    r = (
+        scored.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("yhat").cast("bigint").alias("n_pred_pos"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.sum(F.col("y") * F.col("yhat")).cast("bigint").alias("n_tp"),
+            F.sum((1 - F.col("y")) * F.col("yhat"))
+            .cast("bigint")
+            .alias("n_fp"),
+        )
+        .selectExpr(
+            "grp", "n", "n_pred_pos", "n_pos", "n_tp", "n_fp",
+            "CAST(n_pred_pos * 1000000 div n AS BIGINT)"
+            " AS selection_rate_fp6",
+            "CAST(CASE WHEN n_pos > 0 THEN n_tp * 1000000 div n_pos"
+            " ELSE 0 END AS BIGINT) AS tpr_fp6",
+            "CAST(CASE WHEN n - n_pos > 0"
+            " THEN n_fp * 1000000 div (n - n_pos)"
+            " ELSE 0 END AS BIGINT) AS fpr_fp6",
+        )
+        .transform(persisted)  # |groups| rows; consumers: rows + gaps
+    )
+    ref = r.agg(
+        F.max("selection_rate_fp6").alias("sr_max"),
+        F.min("selection_rate_fp6").alias("sr_min"),
+        F.max("tpr_fp6").alias("tpr_max"),
+        F.min("tpr_fp6").alias("tpr_min"),
+        F.max("fpr_fp6").alias("fpr_max"),
+        F.min("fpr_fp6").alias("fpr_min"),
+    )
+    return r.crossJoin(F.broadcast(ref)).selectExpr(
+        "grp", "n", "n_pred_pos", "n_pos",
+        "selection_rate_fp6", "tpr_fp6", "fpr_fp6",
+        "CAST(CASE WHEN sr_max > 0"
+        " THEN selection_rate_fp6 * 1000000 div sr_max"
+        " ELSE 1000000 END AS BIGINT) AS disparate_impact_fp6",
+        "CAST(sr_max - sr_min AS BIGINT) AS dp_gap_fp6",
+        "CAST(GREATEST(tpr_max - tpr_min, fpr_max - fpr_min) AS BIGINT)"
+        " AS eq_odds_gap_fp6",
+    )

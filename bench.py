@@ -415,6 +415,8 @@ HEADLINE = [
     # round 10: split-conformal coverage audit (finite-sample-exact rank
     # quantile; grouped windows on the distinct-value frame)
     "q_conformal_interval_audit",
+    # round 10: group-fairness audit (exact fp6 rates + DP/EO gaps)
+    "q_fairness_group_audit",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
