@@ -810,11 +810,21 @@ def main():
     if prev:
         for doc in (out, detail):
             doc["vs_prev_round"] = prev_round
-            doc["regressions_gt_1_3x"] = regressions
-            if adjudication:
-                doc["regression_adjudication"] = adjudication
             if uniform_slowdown:
                 doc["uniform_slowdown_x"] = uniform_slowdown
+        detail["regressions_gt_1_3x"] = regressions
+        if adjudication:
+            detail["regression_adjudication"] = adjudication
+        # the COMPACT stdout line must stay under the driver's tail
+        # budget even when co-tenant noise flags dozens of queries:
+        # top-10 worst ratios + a count; the full map is in the detail
+        worst = dict(
+            sorted(regressions.items(), key=lambda kv: kv[1], reverse=True)[
+                :10
+            ]
+        )
+        out["n_regressions_gt_1_3x"] = len(regressions)
+        out["regressions_top10"] = worst
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
