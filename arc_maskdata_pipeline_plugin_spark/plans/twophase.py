@@ -151,30 +151,24 @@ def global_cumsums(
     lead = lead_numeric if lead_numeric is not None else cols[0]
     if n >= 2:
         # ONE sketch aggregate (mergeable partials, no frame shuffle) for
-        # the bucket boundaries; placement shifts load balance only. The
-        # boundaries stay a LAZY broadcast 1-row array — collecting them
-        # to driver literals would add an eager job per query build.
+        # the bucket boundaries; placement shifts load balance only, never
+        # results. The boundaries are collected to literals — one tiny
+        # eager job per query build. (Measured at sf0.1: keeping them as
+        # a lazy broadcast array re-evaluates the sketch subtree in every
+        # consumer branch and costs MORE than the one job.)
         qs = [i / n for i in range(1, n)]
-        bframe = df.select(lead.alias("_tp_lead")).agg(
-            F.array_sort(
-                F.percentile_approx("_tp_lead", qs, 1000)
-            ).alias("_tp_bs")
-        )
-        b = (
-            df.crossJoin(F.broadcast(bframe))
-            .withColumn(
-                "_tp_b",
-                F.coalesce(
-                    F.size(
-                        F.filter(F.col("_tp_bs"), lambda x: x <= lead)
-                    ),
-                    F.lit(0),
-                ),
-            )
-            .drop("_tp_bs")
-        )
+        row = df.select(lead.alias("_tp_lead")).agg(
+            F.percentile_approx("_tp_lead", qs, 1000).alias("_tp_bs")
+        ).first()
+        bounds = sorted({x for x in (row["_tp_bs"] or []) if x is not None})
     else:
-        b = df.withColumn("_tp_b", F.lit(0))
+        bounds = []
+    if bounds:
+        barr = F.array(*[F.lit(x) for x in bounds])
+        bucket = F.size(F.filter(barr, lambda x: x <= lead))
+    else:
+        bucket = F.lit(0)
+    b = df.withColumn("_tp_b", bucket)
     w = Window.partitionBy("_tp_b").orderBy(*cols)
     frames = {
         "incl": w.rowsBetween(Window.unboundedPreceding, 0),

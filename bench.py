@@ -764,15 +764,34 @@ def main():
     # Auto-adjudicate each flag (VERDICT r05 next-round #3): a flag whose
     # normalized physical-plan fingerprint is byte-identical to the previous
     # round's snapshot is environmental noise, not a plan regression.
+    # Plan changes SHIPPED deliberately this round, so the adjudication
+    # distinguishes an intended rewrite from an accidental regression.
+    intended = {
+        "q_ks_test": "two-phase cumsum (VERDICT r09 #1)",
+        "q_mann_whitney": "two-phase cumsum (VERDICT r09 #1)",
+        "q_kruskal_wallis": "two-phase cumsum (VERDICT r09 #1)",
+        "q_winsorize_prices": "two-phase cumsum (VERDICT r09 #1)",
+        "q_winsorize_prices_approx": "two-phase cumsum (exact ref path)",
+        "q_quantile_normalize": "two-phase cumsum (VERDICT r09 #1)",
+        "q_negative_sampling_table": "two-phase cumsum (VERDICT r09 #1)",
+        "q_partition_balance_planner": "two-phase cumsum (VERDICT r09 #1)",
+        "q_selectivity_estimate": "two-phase cumsum (VERDICT r09 #1)",
+        "q_batch_leakage_audit": "two-phase rank (VERDICT r09 #1)",
+        "q_bloom_skip_audit": "two-phase NTILE (VERDICT r09 #1)",
+        "q_encoding_advisor": "exact-integer bit width (ADVICE r09 #3)",
+        "q_mask_fpe_referential": "FPE domain/permutation fix (ADVICE r09)",
+        "q_perplexity_filter": "shared quantile_thresholds seam (two-phase)",
+    }
     adjudication = {}
     for name in regressions:
         prev_sha, cur_sha = baseline_shas.get(name), plan_shas.get(name)
         if prev_sha and cur_sha:
-            adjudication[name] = (
-                "environment (plan unchanged)"
-                if prev_sha == cur_sha
-                else "plan-changed"
-            )
+            if prev_sha == cur_sha:
+                adjudication[name] = "environment (plan unchanged)"
+            elif name in intended:
+                adjudication[name] = f"plan-changed (intended: {intended[name]})"
+            else:
+                adjudication[name] = "plan-changed"
         else:
             adjudication[name] = "unknown (no baseline plan sha)"
     for name, verdict in adjudication.items():
