@@ -90,34 +90,35 @@ GATE_WINDOW = [
     # (b) benched and/or pytest-pinned, and (c) witnessed by a prior
     # round's CORRECTNESS_r{N}.json.
     #
-    # ROUND-10 WINDOW: witness debt is 0 (union r01..r09 = the whole
-    # registry), so the window leads with everything BUILT or CHANGED in
-    # r10 — the 7 new queries (NIST FF1, Kneser-Ney, streaming winnow
-    # dedup, join-order advisor, unigram-LM train/encode/roundtrip), the
-    # 10 queries rewritten onto the two-phase rank/cumsum primitives
-    # (plans/twophase.py — new plans, identical hashes), the encoding
-    # advisor's exact-integer bit-width fix, and the FPE module whose
-    # domain check and single-digit path changed (ADVICE r09) — then green
-    # representatives of each family. Every slot is hash-oracled; every
-    # displaced green is driver-witnessed in r01..r09.
+    # ROUND-11 WINDOW: leads with (a) the r10 witness DEBT — three queries
+    # added in r10 without slots (VERDICT r10 #3) plus the FIXED
+    # q_bloom_skip_audit (the r10 driver FAIL: global_rank's unpersisted
+    # range-shuffle double-evaluation, fixed by persisting `base` in
+    # plans/twophase.py); (b) every query whose PLAN changed this round —
+    # the 11 two-phase queries (global_rank/global_cumsums now persist
+    # their fan-out frames), the 3 unigram queries (session artifact memo
+    # replaces retraining in encode), the join-order advisor
+    # (decimal(38,0) estimate, ADVICE r10 #4), FF1 (NULL-tweak propagation,
+    # ADVICE r10 #2), and the winnow stream (staging cleanup, ADVICE r10
+    # #3); then green representatives of each family. Every slot is
+    # hash-oracled; every displaced green is driver-witnessed in r01..r10.
     #
-    # --- r10-built (new queries, never witnessed) ---
-    "q_mask_ff1_referential", "q_kneser_ney_perplexity",
-    "q_stream_dedup_winnow", "q_join_order_advisor",
-    "q_unigram_train_vocab", "q_unigram_encode",
-    "q_unigram_artifact_roundtrip",
+    # --- r10 witness debt + the r10 driver FAIL, now fixed ---
+    "q_bloom_skip_audit", "q_shapley_source_coverage",
+    "q_conformal_interval_audit", "q_fairness_group_audit",
     #
-    # --- r10-changed: two-phase global rank/cumsum conversions (new
-    #     physical plans, hash-identical results) ---
+    # --- r11-changed: two-phase persist fix (new physical plans —
+    #     InMemoryTableScan over the range/bucket frames) ---
     "q_batch_leakage_audit", "q_negative_sampling_table", "q_ks_test",
     "q_mann_whitney", "q_kruskal_wallis", "q_selectivity_estimate",
     "q_partition_balance_planner", "q_quantile_normalize",
-    "q_winsorize_prices", "q_bloom_skip_audit",
-    # r10-changed: exact-integer dict index width (ADVICE r09 #3); FPE
-    # domain check + keyed single-digit permutation (ADVICE r09 #1/#2)
-    "q_encoding_advisor", "q_mask_fpe_referential",
+    "q_winsorize_prices", "q_winsorize_prices_approx",
+    # r11-changed: unigram artifact memo; ADVICE r10 fixes
+    "q_unigram_train_vocab", "q_unigram_encode",
+    "q_unigram_artifact_roundtrip", "q_join_order_advisor",
+    "q_mask_ff1_referential", "q_stream_dedup_winnow",
     #
-    # --- green representatives (all witnessed r01..r09), one+ per family:
+    # --- green representatives (all witnessed r01..r10), one+ per family:
     #     relational/TPC-H, lifecycle, masking/KDF, dedup incl. winnowing
     #     and the band sweep, similarity, sketches, contamination, BPE,
     #     streaming, lakeops/CBO, eval metrics, vocab stats, privacy,
@@ -127,7 +128,7 @@ GATE_WINDOW = [
     "dedup_minhash_pairs_fast", "dedup_incremental_winnow",
     "q_dedup_recall_comparison", "q_lsh_band_sweep",
     "q_source_copy_direction", "q_decontaminate_spans",
-    "q_margin_mining_pairs", "q_reciprocal_best_match",
+    "q_margin_mining_pairs", "q_kneser_ney_perplexity",
     "q_bpe_artifact_roundtrip", "q_bigram_perplexity",
     "q_naive_bayes_langid", "q_stream_session_window",
     "q_python_datasource_stream", "q_stream_funnel_tracker",
@@ -135,7 +136,7 @@ GATE_WINDOW = [
     "q_layout_advisor", "q_misra_gries_topk", "q_roc_auc",
     "q_chao_coverage", "q_heaps_law_curve", "q_generalization_advisor",
     "q_dp_topk_exponential", "q_loo_source_influence",
-    "q_dataset_card_report", "q_multimodal_pixel_stats",
+    "q_dataset_card_report",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 

@@ -205,8 +205,13 @@ def register_ff1_udfs(
         for t, v in zip(tweaks, values):
             k = (t, v)
             if k not in cache:
+                # NULL tweak propagates NULL exactly like a NULL value
+                # (ADVICE r10: str(None) used to silently encrypt rows
+                # under the literal tweak b"None")
                 cache[k] = (
-                    None if v is None else fn(key, str(t).encode(), v, radix)
+                    None
+                    if v is None or t is None
+                    else fn(key, str(t).encode(), v, radix)
                 )
             out.append(cache[k])
         return pd.Series(out, dtype="object")

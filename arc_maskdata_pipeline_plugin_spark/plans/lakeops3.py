@@ -834,10 +834,13 @@ fin AS (
           JOIN cf ON ov.o_custkey = cf.k
 ),
 est AS (
-  SELECT so.n_o * sc.n_c // GREATEST(GREATEST(so.d_ock, sc.d_c), 1)
-           AS est_oc,
-         so.n_o * sl.n_l // GREATEST(GREATEST(so.d_ook, sl.d_lok), 1)
-           AS est_ol,
+  -- product in HUGEINT (int128): n_o*n_l wraps int64 at ~sf1000, and
+  -- DuckDB DECIMAL `//` ROUNDS — HUGEINT `//` truncates like Spark's
+  -- decimal IntegralDivide (ADVICE r10 #4)
+  SELECT CAST(so.n_o AS HUGEINT) * sc.n_c
+           // GREATEST(GREATEST(so.d_ock, sc.d_c), 1) AS est_oc,
+         CAST(so.n_o AS HUGEINT) * sl.n_l
+           // GREATEST(GREATEST(so.d_ook, sl.d_lok), 1) AS est_ol,
          so.n_o, so.d_ock, so.d_ook, sc.n_c, sc.d_c, sl.n_l, sl.d_lok
   FROM so, sc, sl
 )
@@ -944,8 +947,14 @@ def q_join_order_advisor(spark, sf_dir):
         .crossJoin(F.broadcast(sl))
         .selectExpr(
             "n_o", "d_ock", "d_ook", "n_c", "d_c", "n_l", "d_lok",
-            "n_o * n_c div GREATEST(GREATEST(d_ock, d_c), 1) AS est_oc",
-            "n_o * n_l div GREATEST(GREATEST(d_ook, d_lok), 1) AS est_ol",
+            # product computed in DECIMAL(38,0): at ~sf1000 n_o*n_l ≈ 9e18
+            # exceeds int64, where Spark would wrap silently but DuckDB
+            # raises (ADVICE r10 #4); IntegralDivide over decimals returns
+            # BIGINT, so the quotient lands back in int64 range.
+            "CAST(n_o AS DECIMAL(38,0)) * n_c"
+            " div GREATEST(GREATEST(d_ock, d_c), 1) AS est_oc",
+            "CAST(n_o AS DECIMAL(38,0)) * n_l"
+            " div GREATEST(GREATEST(d_ook, d_lok), 1) AS est_ol",
         )
     )
     return (

@@ -1378,6 +1378,7 @@ def q_stream_dedup_winnow(spark, sf_dir):
     maxFilesPerTrigger=1); the ENGINE holds zero streaming state
     (foreachBatch — the state IS the store, whose size n_store_fps both
     engines derive exactly)."""
+    import shutil as _shutil
     import tempfile as _tempfile
 
     from ..operators.dedup import (
@@ -1433,7 +1434,14 @@ def q_stream_dedup_winnow(spark, sf_dir):
         .parquet(src)
     )
     m = drain_foreach_with_metrics(stream, _probe)
-    result = spark.read.parquet(out)
+    # staging cleanup (ADVICE r10 #3): the drain is eager, so `src` is dead
+    # now; `out` still backs the returned plan, so materialize the
+    # survivors (bounded: ≤ one stream's batch rows) into block storage
+    # with an eager localCheckpoint, then drop both dirs — repeated
+    # gate/bench runs no longer accumulate /tmp parquet.
+    result = spark.read.parquet(out).localCheckpoint(eager=True)
+    _shutil.rmtree(src, ignore_errors=True)
+    _shutil.rmtree(out, ignore_errors=True)
     exact = batch_docs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_batch_docs"),
         F.countDistinct(F.col("doc_id") % nfiles)

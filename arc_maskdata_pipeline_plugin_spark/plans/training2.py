@@ -94,9 +94,13 @@ def q_batch_leakage_audit(spark, sf_dir):
         16,
         10,
     ).cast("bigint")
-    ranked = global_rank(
-        docs.withColumn("_hk", hk), ["_hk", "doc_id"], out="_rk"
-    ).select("doc_id", (F.col("_rk") - 1).alias("pos"))
+    # persisted: >1 consumer (r1 AND r2 sides of the pair join) — the
+    # repo-wide rule; also avoids re-running the rank join per side.
+    ranked = persisted(
+        global_rank(
+            docs.withColumn("_hk", hk), ["_hk", "doc_id"], out="_rk"
+        ).select("doc_id", (F.col("_rk") - 1).alias("pos"))
+    )
     r1 = ranked.select(F.col("doc_id").alias("d1"), F.col("pos").alias("b1"))
     r2 = ranked.select(F.col("doc_id").alias("d2"), F.col("pos").alias("b2"))
     j = pairs.join(r1, "d1").join(r2, "d2")

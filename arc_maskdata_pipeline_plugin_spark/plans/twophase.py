@@ -41,6 +41,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import persisted
+
 
 def _parts(df: DataFrame, parts: int | None) -> int:
     if parts is not None:
@@ -75,6 +77,16 @@ def global_rank(
         "_tp_loc",
         F.col("_tp_mid") - F.shiftleft(F.col("_tp_pid"), 33),
     )
+    # PERSIST before fan-out (VERDICT r10 #1): the `sizes` aggregate and the
+    # join stream are two consumers of this subtree. Unpersisted, each
+    # evaluation of `repartitionByRange` samples its OWN boundary set
+    # (seeded per RDD instance) — offsets computed for boundary-set A get
+    # applied to partition ids from boundary-set B, silently corrupting
+    # ranks whenever exchange reuse doesn't kick in (e.g. cached downstream
+    # plans compile with AQE constrained). Persisting pins ONE materialized
+    # range partitioning for both consumers — and halves the corpus
+    # shuffle count as a bonus.
+    base = persisted(base)
     # Per-partition row counts: ≤ `n` rows (session shuffle-partition count,
     # a config bound, not a data bound) — the only unpartitioned window in
     # the plan runs over THIS frame.
@@ -168,7 +180,12 @@ def global_cumsums(
         bucket = F.size(F.filter(barr, lambda x: x <= lead))
     else:
         bucket = F.lit(0)
-    b = df.withColumn("_tp_b", bucket)
+    # Persisted (VERDICT r10 #4): `loc` and `tots` both consume this frame,
+    # and callers branch on the result again — unpersisted, each branch
+    # rebuilds the value frame from the source scan (PLAN_AUDIT showed 7
+    # parquet scans for q_winsorize_prices). Bucket id is a pure function
+    # of the data, so this is a perf fix only, not a correctness seam.
+    b = persisted(df.withColumn("_tp_b", bucket))
     w = Window.partitionBy("_tp_b").orderBy(*cols)
     frames = {
         "incl": w.rowsBetween(Window.unboundedPreceding, 0),

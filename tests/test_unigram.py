@@ -107,9 +107,13 @@ def _run(spark, texts, fn):
     orig = un.T
     try:
         un.T = lambda sp, sf, name: sp.createDataFrame(rows, DOC_SCHEMA)
+        # swapping the corpus under a fixed sf_dir violates the artifact
+        # memo's immutable-data contract — invalidate it per run
+        un._TRAIN_MEMO.clear()
         return fn(spark, "x").collect()
     finally:
         un.T = orig
+        un._TRAIN_MEMO.clear()
 
 
 def test_train_vocab_matches_reference(spark):

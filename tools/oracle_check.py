@@ -3,7 +3,21 @@
 For every query in ``__spark_entry__.queries()``: run the Spark DataFrame and
 the DuckDB oracle SQL side-by-side on the same parquet tables, then compare
 row count, column names, and an order-insensitive value canonicalization.
-Run as a script:  python tools/oracle_check.py [sf_dir] [query ...]
+Run as a script:  python tools/oracle_check.py [flags] [sf_dir] [query ...]
+
+Config-matrix flags (VERDICT r10 #2 — the driver's session is NOT
+``session.py``'s, and that gap shipped the r10 ``q_bloom_skip_audit``
+escape: plans that relied on AQE exchange reuse or the builder's
+64-partition layout passed locally and failed in the driver's stock
+200-partition session):
+
+* ``--stock``  — run under stock ``spark.sql.shuffle.partitions=200``
+* ``--no-aqe`` — run with ``spark.sql.adaptive.enabled=false``
+* ``--gate``   — restrict to the GATE_WINDOW (the driver's 50-query gate)
+
+Each flag combination needs its own process (one JVM = one session config);
+the round-close checklist runs ``--gate --stock`` and ``--gate --no-aqe``
+as two extra passes alongside the full default sweep.
 """
 
 from __future__ import annotations
@@ -238,10 +252,32 @@ def main():
     from arc_maskdata_pipeline_plugin_spark import get_spark
     from arc_maskdata_pipeline_plugin_spark.cache import release_persisted
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("oracle-check")
+    args = sys.argv[1:]
+    stock = "--stock" in args
+    no_aqe = "--no-aqe" in args
+    gate_only = "--gate" in args
+    args = [a for a in args if a not in ("--stock", "--no-aqe", "--gate")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    extra = {}
+    if stock:
+        extra["spark.sql.shuffle.partitions"] = "200"
+    if no_aqe:
+        extra["spark.sql.adaptive.enabled"] = "false"
+    spark = get_spark("oracle-check", extra_conf=extra)
+    for k, v in extra.items():
+        # getOrCreate reuses a live session without applying builder confs;
+        # set runtime-settable confs explicitly so the matrix flag always
+        # binds (shuffle.partitions and AQE are both runtime-settable)
+        spark.conf.set(k, v)
+    if extra:
+        print(
+            "config-matrix: "
+            + ", ".join(f"{k}={spark.conf.get(k)}" for k in extra)
+        )
     qs = entry.queries()
+    if gate_only:
+        qs = {n: qs[n] for n in entry.GATE_WINDOW}
     oracles = entry.oracle_sql()
     failed = []
     for name, fn in qs.items():
@@ -262,7 +298,8 @@ def main():
         # single-session sweep (bench.py already does this).
         spark.catalog.clearCache()
         release_persisted()  # drop the tracking list alongside the cache
-    print(f"\n{len(qs) - len(failed)}/{len(qs) if not only else len(only)} ok; failed: {failed}")
+    n_run = len(only) if only else len(qs)
+    print(f"\n{n_run - len(failed)}/{n_run} ok; failed: {failed}")
     return 1 if failed else 0
 
 

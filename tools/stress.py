@@ -2280,6 +2280,56 @@ def main():
         "per-source length sort (the same sort a bucketing loader performs) + two keyed aggregates",
     )
 
+    # ---- two-phase global rank, persisted base (VERDICT r10 #6) ---------
+    # The r10 STRESS row validated Σrank on the UNPERSISTED path — exactly
+    # the configuration that hid the q_bloom_skip_audit double-evaluation
+    # bug (offsets and stream each re-sampling range boundaries). These
+    # rows run the SHIPPED path (global_rank persists `base`) and verify
+    # the full permutation identity — Σrank = n(n+1)/2, n distinct ranks,
+    # min 1 / max n — under both the session's partition count and the
+    # stock 200-partition config the driver runs.
+    def rank_persisted_stress(n_rows=20_000_000, parts_conf=None):
+        from arc_maskdata_pipeline_plugin_spark.cache import release_persisted
+        from arc_maskdata_pipeline_plugin_spark.plans.twophase import (
+            global_rank,
+        )
+
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        if parts_conf is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts_conf))
+        try:
+            d = spark.range(0, n_rows, 1, sc.defaultParallelism * 4).select(
+                F.md5(F.col("id").cast("string")).alias("k"),
+                F.col("id").alias("tie"),
+            )
+            r = global_rank(d, ["k", "tie"], out="rank")
+            chk = r.agg(
+                F.sum("rank").alias("s"),
+                F.countDistinct("rank").alias("d"),
+                F.min("rank").alias("lo"),
+                F.max("rank").alias("hi"),
+            ).first()
+            assert chk["s"] == n_rows * (n_rows + 1) // 2, chk
+            assert chk["d"] == n_rows and chk["lo"] == 1, chk
+            assert chk["hi"] == n_rows, chk
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+            spark.catalog.clearCache()
+            release_persisted()
+
+    timed(
+        "two-phase global rank, persisted base (20M rows, md5 key + tiebreak)",
+        20_000_000,
+        rank_persisted_stress,
+        "ONE materialized range shuffle shared by offsets + stream; permutation identity (Σ, distinct, min, max) verified in-run",
+    )
+    timed(
+        "two-phase global rank, persisted base @ stock 200 shuffle partitions (20M rows)",
+        20_000_000,
+        lambda: rank_persisted_stress(parts_conf=200),
+        "the driver's stock partition count — the config that exposed the r10 unpersisted double-evaluation bug; same identity verified",
+    )
+
     # ---- report ----------------------------------------------------------
     lines = [
         "# STRESS — synthetic ~100× scale-up measurements (local[32])",
