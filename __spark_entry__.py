@@ -117,6 +117,8 @@ GATE_WINDOW = [
     "q_unigram_train_vocab", "q_unigram_encode",
     "q_unigram_artifact_roundtrip", "q_join_order_advisor",
     "q_mask_ff1_referential", "q_stream_dedup_winnow",
+    # --- r11-built ---
+    "q_mask_ff3_referential",
     #
     # --- green representatives (all witnessed r01..r10), one+ per family:
     #     relational/TPC-H, lifecycle, masking/KDF, dedup incl. winnowing
@@ -136,7 +138,6 @@ GATE_WINDOW = [
     "q_layout_advisor", "q_misra_gries_topk", "q_roc_auc",
     "q_chao_coverage", "q_heaps_law_curve", "q_generalization_advisor",
     "q_dp_topk_exponential", "q_loo_source_influence",
-    "q_dataset_card_report",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 

@@ -797,3 +797,160 @@ def q_mask_ff1_referential(spark, sf_dir):
         FROM pj, fj
         """
     )
+
+
+_ff3_registered: set[str] = set()
+
+
+def _ensure_ff3_udfs(spark):
+    from ..functions.ff3 import register_ff3_udfs
+
+    key = spark.sparkContext.applicationId
+    if key not in _ff3_registered:
+        register_ff3_udfs(
+            spark, codec=HmacSHA512(), passphrase=_TEST_PASSPHRASE, radix=10
+        )
+        register_ff3_udfs(
+            spark,
+            codec=HmacSHA512(),
+            passphrase=_TEST_PASSPHRASE,
+            radix=26,
+            prefix="r26_",
+        )
+        _ff3_registered.add(key)
+
+
+@register(
+    "q_mask_ff3_referential",
+    oracle="""
+WITH k AS (
+  SELECT DISTINCT lpad(CAST(l_partkey AS VARCHAR), 8, '0') AS kd FROM lineitem
+),
+pj AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT CAST((SELECT COUNT(*) FROM k) AS BIGINT) AS n_keys,
+       CAST((SELECT COUNT(*) FROM k) AS BIGINT) AS n_enc_distinct,
+       CAST(0 AS BIGINT) AS format_bad,
+       CAST(0 AS BIGINT) AS roundtrip_mismatch,
+       CAST((SELECT COUNT(*) FROM k) AS BIGINT) AS n26_distinct,
+       CAST(0 AS BIGINT) AS format_bad26,
+       CAST(0 AS BIGINT) AS roundtrip_mismatch26,
+       pj.n AS plain_join_rows,
+       pj.n AS ff3_join_rows,
+       CAST(1 AS BIGINT) AS referential_ok
+FROM pj
+""",
+)
+def q_mask_ff3_referential(spark, sf_dir):
+    """NIST SP 800-38G FF3-1 audit (functions/ff3.py) — completes the
+    standards pair started by ``q_mask_ff1_referential`` (FF1, r10):
+    encrypt the 8-digit zero-padded partkey dictionary under FF3-1/AES
+    (radix 10) AND a radix-26 rendering (alphabet 0-9a-p, exercising a
+    non-decimal, non-36 radix), and witness in-plan the keyed-permutation
+    theorems — each pinned by the oracle:
+
+    * injectivity per radix: COUNT(DISTINCT ct) == COUNT(DISTINCT key);
+    * format preservation: zero radix-10 ciphertexts fail ^[0-9]{8}$ and
+      zero radix-26 ciphertexts fail ^[0-9a-p]{5}$;
+    * exact invertibility: zero decrypt(encrypt(k)) != k rows, both
+      radixes;
+    * referential integrity: lineitem ⋈ part on FF3-1-encrypted keys
+      reproduces the plain join's row count exactly.
+
+    The Feistel core is pinned bit-for-bit against the fifteen published
+    NIST FF3 sample vectors (AES-128/192/256, radix 10 and 26) in
+    ``tests/test_ff3.py``; FF3-1 reuses that byte-identical round function
+    with the Rev. 1 56-bit tweak split (layout asserted in the same test
+    file). Both domains satisfy the Rev. 1 minimum (10^8 and 26^5 >=
+    10^6), which ``functions/ff3.py`` ENFORCES.
+
+    Scale: encryption runs ONCE over the persisted DISTINCT key
+    dictionary (part-key-sized, not lineitem-sized) and maps onto both
+    fact sides by key join — at 100 TB you encrypt the key dictionary,
+    never the fact table (the q_mask_fpe_referential discipline)."""
+    _ensure_ff3_udfs(spark)
+    li = T(spark, sf_dir, "lineitem")
+    pt = T(spark, sf_dir, "part")
+    li.createOrReplaceTempView("_ff3_lineitem")
+    pt.createOrReplaceTempView("_ff3_part")
+    from .registry import persisted as _persisted
+
+    # encrypt the UNION key dictionary exactly once (persisted: witness
+    # frame + both join sides would otherwise re-run the UDF 3x)
+    dict_df = _persisted(
+        spark.sql(
+            """
+            SELECT kd,
+                   mask_ff3_encrypt('partkey', kd) AS enc,
+                   r26_mask_ff3_encrypt(
+                     'partkey',
+                     lower(lpad(conv(CAST(k26 AS STRING), 10, 26), 5, '0'))
+                   ) AS enc26,
+                   lower(lpad(conv(CAST(k26 AS STRING), 10, 26), 5, '0'))
+                     AS kd26
+            FROM (
+              SELECT kd, CAST(kd AS BIGINT) AS k26 FROM (
+                SELECT DISTINCT lpad(CAST(l_partkey AS STRING), 8, '0') AS kd
+                FROM _ff3_lineitem
+                UNION
+                SELECT DISTINCT lpad(CAST(p_partkey AS STRING), 8, '0') AS kd
+                FROM _ff3_part
+              ) u0
+            ) u
+            """
+        )
+    )
+    dict_df.createOrReplaceTempView("_ff3_dict")
+    return spark.sql(
+        """
+        WITH k AS (
+          SELECT DISTINCT lpad(CAST(l_partkey AS STRING), 8, '0') AS kd
+          FROM _ff3_lineitem
+        ),
+        dict AS (SELECT kd, kd26, enc, enc26 FROM _ff3_dict),
+        e AS (SELECT d.kd, d.kd26, d.enc, d.enc26
+              FROM dict d JOIN k ON d.kd = k.kd),
+        r AS (
+          SELECT kd, kd26, enc, enc26,
+                 mask_ff3_decrypt('partkey', enc) AS dec,
+                 r26_mask_ff3_decrypt('partkey', enc26) AS dec26
+          FROM e
+        ),
+        le AS (
+          SELECT d.enc
+          FROM _ff3_lineitem l
+          JOIN dict d ON lpad(CAST(l.l_partkey AS STRING), 8, '0') = d.kd
+        ),
+        pe AS (
+          SELECT d.enc
+          FROM _ff3_part p
+          JOIN dict d ON lpad(CAST(p.p_partkey AS STRING), 8, '0') = d.kd
+        ),
+        fj AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+               FROM le JOIN pe ON le.enc = pe.enc),
+        pj AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+               FROM _ff3_lineitem l JOIN _ff3_part p
+               ON l.l_partkey = p.p_partkey)
+        SELECT
+          CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS n_keys,
+          CAST((SELECT COUNT(DISTINCT enc) FROM r) AS BIGINT)
+            AS n_enc_distinct,
+          CAST((SELECT COUNT(*) FROM r WHERE enc NOT RLIKE '^[0-9]{8}$')
+               AS BIGINT) AS format_bad,
+          CAST((SELECT COUNT(*) FROM r WHERE dec != kd) AS BIGINT)
+            AS roundtrip_mismatch,
+          CAST((SELECT COUNT(DISTINCT enc26) FROM r) AS BIGINT)
+            AS n26_distinct,
+          CAST((SELECT COUNT(*) FROM r WHERE enc26 NOT RLIKE '^[0-9a-p]{5}$')
+               AS BIGINT) AS format_bad26,
+          CAST((SELECT COUNT(*) FROM r WHERE dec26 != kd26)
+               AS BIGINT) AS roundtrip_mismatch26,
+          pj.n AS plain_join_rows,
+          fj.n AS ff3_join_rows,
+          CAST(CASE WHEN pj.n = fj.n THEN 1 ELSE 0 END AS BIGINT)
+            AS referential_ok
+        FROM pj, fj
+        """
+    )

@@ -393,6 +393,9 @@ HEADLINE = [
     # round 10: NIST SP 800-38G FF1 (bit-exact, radix 10 + 36) over the
     # key dictionary — the standards-exact sibling of the Feistel FPE
     "q_mask_ff1_referential",
+    # round 11: NIST SP 800-38G FF3-1 (Feistel core pinned to the 15
+    # published FF3 vectors; radix 10 + 26) over the partkey dictionary
+    "q_mask_ff3_referential",
     # round 10: interpolated Kneser-Ney bigram perplexity (exact-integer
     # rational discount; continuation counts off the persisted bigram frame)
     "q_kneser_ney_perplexity",

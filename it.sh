@@ -31,6 +31,20 @@ else
   fail=1; echo "ORACLE CHECK FAILED:"; grep -E "^FAIL|ok; failed" "$LOGS/oracle.log" | tail -20
 fi
 
+echo "== [2b] gate config-matrix: stock 200 partitions ($SF_DIR) =="
+if python "$HERE/tools/oracle_check.py" --gate --stock "$SF_DIR" >"$LOGS/oracle_stock.log" 2>"$LOGS/oracle_stock.err"; then
+  grep "ok; failed" "$LOGS/oracle_stock.log" | tail -1
+else
+  fail=1; echo "STOCK-CONFIG GATE FAILED:"; grep -E "^FAIL|ok; failed" "$LOGS/oracle_stock.log" | tail -20
+fi
+
+echo "== [2c] gate config-matrix: AQE off ($SF_DIR) =="
+if python "$HERE/tools/oracle_check.py" --gate --no-aqe "$SF_DIR" >"$LOGS/oracle_noaqe.log" 2>"$LOGS/oracle_noaqe.err"; then
+  grep "ok; failed" "$LOGS/oracle_noaqe.log" | tail -1
+else
+  fail=1; echo "NO-AQE GATE FAILED:"; grep -E "^FAIL|ok; failed" "$LOGS/oracle_noaqe.log" | tail -20
+fi
+
 echo "== [3/3] bench ($SF_DIR) =="
 if SPARK_GRAFT_SF_DIR="$SF_DIR" python "$HERE/bench.py" >"$LOGS/bench.log" 2>"$LOGS/bench.err"; then
   tail -1 "$LOGS/bench.log"
