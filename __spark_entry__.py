@@ -73,6 +73,7 @@ from arc_maskdata_pipeline_plugin_spark.plans import heavyhitters  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import lm  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import card  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import unigram  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import wordpiece  # noqa: F401
 
 from arc_maskdata_pipeline_plugin_spark.plans.registry import REGISTRY
 
@@ -119,6 +120,7 @@ GATE_WINDOW = [
     "q_mask_ff1_referential", "q_stream_dedup_winnow",
     # --- r11-built ---
     "q_mask_ff3_referential",
+    "q_wordpiece_train_merges", "q_wordpiece_encode",
     #
     # --- green representatives (all witnessed r01..r10), one+ per family:
     #     relational/TPC-H, lifecycle, masking/KDF, dedup incl. winnowing
@@ -137,7 +139,6 @@ GATE_WINDOW = [
     "q_txn_log_replay", "q_join_cardinality_estimate",
     "q_layout_advisor", "q_misra_gries_topk", "q_roc_auc",
     "q_chao_coverage", "q_heaps_law_curve", "q_generalization_advisor",
-    "q_dp_topk_exponential", "q_loo_source_influence",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 

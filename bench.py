@@ -412,6 +412,10 @@ HEADLINE = [
     # correctness gate rather than the timed headline set)
     "q_unigram_train_vocab",
     "q_unigram_encode",
+    # round 11: WordPiece (BERT family) — likelihood-score merges (exact
+    # integer fp18 argmax) + greedy longest-match encode on the word frame
+    "q_wordpiece_train_merges",
+    "q_wordpiece_encode",
     # round 10: sampled-permutation Shapley coverage valuation (closed-form
     # marginals -> P keyed argmins over the (word, source) frame)
     "q_shapley_source_coverage",
