@@ -1,0 +1,215 @@
+"""Nonparametric trend analytics: Mann-Kendall test + Theil-Sen slope —
+the robust drift monitor for daily pipeline metrics (document volumes,
+revenue, quality scores), exactly integer-arithmetic so both engines
+agree bit-for-bit.
+
+Mann-Kendall (Mann 1945, Kendall 1975): ``S = Σ_{i<j} sign(x_j - x_i)``
+over the day-ordered series, with the ties-corrected variance
+``Var(S) = [n(n-1)(2n+5) - Σ_t t(t-1)(2t+5)] / 18``. Everything stays in
+integers: the query emits ``s_stat`` and ``var18 = 18·Var(S)``, and the
+5%-two-sided normal-approximation verdict is decided by the exact
+integer inequality
+
+    10^4 · 18 · (|S| - 1)^2  >  38416 · var18      (38416 = 196^2, z=1.96)
+
+so no square root or float ever enters the plan (|S| must exceed 1 and
+var18 > 0 for significance; the continuity-corrected Z uses |S|-1).
+
+Theil-Sen (Theil 1950, Sen 1968): the median of all pairwise slopes
+``(x_j - x_i) / (d_j - d_i)``. Cross-engine exactness: each slope is
+discretized to ``slope_fp6 = (Δcents·10^6) div Δdays`` — truncation
+toward zero, which Spark ``div`` and DuckDB ``//`` share exactly (both
+verified dividend-sign ``%`` and truncating integral division) — and the
+reported value is the LOWER MEDIAN (rank ``(m+1) div 2`` ascending), an
+order statistic that is a pure function of the multiset, so window
+tie-order cannot affect it.
+
+Scale shape: the daily frame is (event_type × calendar-days) — bounded
+by the CALENDAR, not by event volume (one map-side-combined aggregate
+reduces the event fact to it). The pairwise self-join runs per
+event_type on that calendar-bounded frame (≤ days² pairs per type, e.g.
+365² ≈ 133k at a year — a constant-bounded frame, never corpus-sized);
+every window below partitions by event_type. One event-fact shuffle
+total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import T, register
+
+_Z2_FP4 = 38416  # 1.96^2 * 10^4 — the 5% two-sided critical value, exact
+
+
+_MK_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(10,2))) * 100 AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+n AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(CASE WHEN b.cents > a.cents THEN 1
+                   WHEN b.cents < a.cents THEN -1 ELSE 0 END AS BIGINT) AS sg,
+         (b.cents - a.cents) * 1000000 // (b.d - a.d) AS slope_fp6
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+),
+s AS (
+  SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s_stat,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY 1
+),
+ties AS (
+  SELECT event_type,
+         CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie18
+  FROM (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+    FROM daily GROUP BY event_type, cents
+  ) GROUP BY 1
+),
+med AS (
+  SELECT event_type, slope_fp6 AS slope_fp6_med
+  FROM (
+    SELECT event_type, slope_fp6,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY slope_fp6) AS r,
+           COUNT(*) OVER (PARTITION BY event_type) AS m
+    FROM pairs
+  ) WHERE r = (m + 1) // 2
+),
+v AS (
+  SELECT n.event_type, n.n_days, s.s_stat, s.n_pairs,
+         n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - t.tie18 AS var18
+  FROM n JOIN s USING (event_type) JOIN ties t USING (event_type)
+)
+SELECT v.event_type, v.n_days, v.n_pairs, v.s_stat, v.var18,
+       m.slope_fp6_med,
+       CASE WHEN v.var18 > 0 AND ABS(v.s_stat) > 1
+                 AND 180000 * (ABS(v.s_stat) - 1) * (ABS(v.s_stat) - 1)
+                     > {z2} * v.var18
+            THEN CASE WHEN v.s_stat > 0 THEN 'rising' ELSE 'falling' END
+            ELSE 'none' END AS trend
+FROM v JOIN med m USING (event_type)
+ORDER BY v.event_type
+""".format(z2=_Z2_FP4)
+
+
+@register("q_mann_kendall_trend", oracle=_MK_ORACLE)
+def q_mann_kendall_trend(spark, sf_dir):
+    """Mann-Kendall trend test + Theil-Sen slope per event_type over the
+    daily revenue series (module docstring: exact-integer S/var18/verdict,
+    fp6 truncated slopes, lower-median order statistic). The event fact is
+    reduced to the calendar-bounded daily frame in ONE aggregate; the
+    pairwise self-join and every window run per event_type on that
+    bounded frame (≤ days² pairs per type — calendar-bounded, never
+    event-volume-bounded)."""
+    ev = T(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("d"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(10,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("cents").alias("c1")
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("d2"), F.col("cents").alias("c2")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "event_type",
+            F.when(F.col("c2") > F.col("c1"), 1)
+            .when(F.col("c2") < F.col("c1"), -1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("sg"),
+            F.expr("(c2 - c1) * 1000000L div (d2 - d1)").alias("slope_fp6"),
+        )
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.sum("sg").cast("bigint").alias("s_stat"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    n = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    ties = (
+        daily.groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie18")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_fp6")
+    med = (
+        pairs.select(
+            "event_type",
+            "slope_fp6",
+            F.row_number().over(w).alias("r"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("event_type"))
+            .alias("m"),
+        )
+        .filter(F.col("r") == F.expr("(m + 1) div 2"))
+        .select("event_type", F.col("slope_fp6").alias("slope_fp6_med"))
+    )
+    v = (
+        n.join(s, "event_type")
+        .join(ties, "event_type")
+        .withColumn(
+            "var18",
+            F.col("n_days")
+            * (F.col("n_days") - 1)
+            * (2 * F.col("n_days") + 5)
+            - F.col("tie18"),
+        )
+    )
+    return (
+        v.join(med, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            "s_stat",
+            "var18",
+            "slope_fp6_med",
+            F.when(
+                (F.col("var18") > 0)
+                & (F.abs("s_stat") > 1)
+                & (
+                    180000
+                    * (F.abs("s_stat") - 1)
+                    * (F.abs("s_stat") - 1)
+                    > _Z2_FP4 * F.col("var18")
+                ),
+                F.when(F.col("s_stat") > 0, "rising").otherwise("falling"),
+            )
+            .otherwise("none")
+            .alias("trend"),
+        )
+    )

@@ -416,6 +416,10 @@ HEADLINE = [
     # integer fp18 argmax) + greedy longest-match encode on the word frame
     "q_wordpiece_train_merges",
     "q_wordpiece_encode",
+    # round 11: Mann-Kendall + Theil-Sen drift monitor — exact-integer
+    # S/var18 verdict, fp6 truncated pairwise slopes on the calendar-bounded
+    # daily frame
+    "q_mann_kendall_trend",
     # round 10: sampled-permutation Shapley coverage valuation (closed-form
     # marginals -> P keyed argmins over the (word, source) frame)
     "q_shapley_source_coverage",

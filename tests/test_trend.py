@@ -1,0 +1,108 @@
+"""Mann-Kendall + Theil-Sen (plans/trend.py) on constructed series: exact
+S / ties-corrected var18 against a pure-Python reference, verdict
+direction on monotone/constant/noisy series, lower-median slope, and
+empty input."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import arc_maskdata_pipeline_plugin_spark.plans.trend as tr
+
+EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events(series):
+    """series: {event_type: [daily_value, ...]} — one event per day."""
+    rows, eid = [], 0
+    for et, vals in series.items():
+        for i, v in enumerate(vals):
+            rows.append(
+                (eid, datetime(2024, 1, 1) + timedelta(days=i), 1, et,
+                 float(v), "{}")
+            )
+            eid += 1
+    return rows
+
+
+def _ref_mk(vals):
+    cents = [round(v * 100) for v in vals]
+    n = len(cents)
+    s = sum(
+        (cents[j] > cents[i]) - (cents[j] < cents[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(cents).values() if t > 1
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - ties
+    slopes = sorted(
+        _trunc_div((cents[j] - cents[i]) * 10**6, j - i)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    med = slopes[(len(slopes) + 1) // 2 - 1]
+    sig = var18 > 0 and abs(s) > 1 and 180000 * (abs(s) - 1) ** 2 > 38416 * var18
+    trend = ("rising" if s > 0 else "falling") if sig else "none"
+    return s, var18, med, trend
+
+
+def _trunc_div(a, b):
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _run(spark, series):
+    rows = _events(series)
+    orig = tr.T
+    try:
+        tr.T = lambda sp, sf, name: sp.createDataFrame(rows, EV_SCHEMA)
+        return {
+            r["event_type"]: r
+            for r in tr.q_mann_kendall_trend(spark, "x").collect()
+        }
+    finally:
+        tr.T = orig
+
+
+def test_matches_reference_and_verdicts(spark):
+    series = {
+        "up": [float(i) for i in range(20)],           # strictly rising
+        "down": [float(40 - 2 * i) for i in range(20)],  # strictly falling
+        "flat": [7.0] * 15,                             # all-tied: var18=0
+        "noisy": [5.0, 5.1, 4.9, 5.05, 4.95, 5.0, 5.1, 4.9],  # no trend
+    }
+    got = _run(spark, series)
+    for et, vals in series.items():
+        s, var18, med, trend = _ref_mk(vals)
+        r = got[et]
+        assert r["s_stat"] == s, et
+        assert r["var18"] == var18, et
+        assert r["slope_fp6_med"] == med, et
+        assert r["trend"] == trend, et
+        assert r["n_days"] == len(vals)
+        assert r["n_pairs"] == len(vals) * (len(vals) - 1) // 2
+    assert got["up"]["trend"] == "rising"
+    assert got["down"]["trend"] == "falling"
+    assert got["flat"]["trend"] == "none" and got["flat"]["var18"] == 0
+    assert got["noisy"]["trend"] == "none"
+    # Theil-Sen on the clean series: exact slope in fp6
+    assert got["up"]["slope_fp6_med"] == 100 * 10**6  # +1.00/day in cents
+    assert got["down"]["slope_fp6_med"] == -200 * 10**6
+
+
+def test_two_days_minimum(spark):
+    got = _run(spark, {"two": [1.0, 2.0]})
+    r = got["two"]
+    # S=1: |S| <= 1 can never be significant (continuity correction)
+    assert r["s_stat"] == 1 and r["trend"] == "none" and r["n_pairs"] == 1
+
+
+def test_empty_input(spark):
+    assert _run(spark, {}) == {}
