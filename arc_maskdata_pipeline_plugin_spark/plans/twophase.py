@@ -157,6 +157,11 @@ def global_cumsums(
     strings — monotone, so bucket order agrees with key order).
     ``rank_out`` optionally adds the global ``row_number`` from the same
     window pass.
+
+    CALLER CONTRACT: persist ``df`` before calling — the boundary sketch,
+    the bucketed windows, and the per-bucket totals are three consumers of
+    it (every current call site does; see the in-body note for why the
+    bucketed frame itself deliberately is NOT persisted here).
     """
     n = _parts(df, parts)
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
@@ -180,12 +185,18 @@ def global_cumsums(
         bucket = F.size(F.filter(barr, lambda x: x <= lead))
     else:
         bucket = F.lit(0)
-    # Persisted (VERDICT r10 #4): `loc` and `tots` both consume this frame,
-    # and callers branch on the result again — unpersisted, each branch
-    # rebuilds the value frame from the source scan (PLAN_AUDIT showed 7
-    # parquet scans for q_winsorize_prices). Bucket id is a pure function
-    # of the data, so this is a perf fix only, not a correctness seam.
-    b = persisted(df.withColumn("_tp_b", bucket))
+    # NOT persisted here — by contract every CALLER persists `df` (the
+    # repo's >1-consumer rule; all 8 call sites verified), so deriving the
+    # bucket column per consumer is a cheap projection over the caller's
+    # cache. VERDICT r10 #4 proposed persisting `b` itself; a measured A/B
+    # at sf0.1 showed that is a 30-40% REGRESSION (a second copy of the
+    # already-cached value frame + an extra materialization barrier), and
+    # the "7 parquet scans" it aimed at is the plan-STRING inflation
+    # artifact of cached build subtrees, not real runtime scans. Unlike
+    # global_rank's `_tp_pid`, the bucket id is a pure function of the
+    # DATA (collected literal boundaries), so re-derivation is also
+    # correctness-safe.
+    b = df.withColumn("_tp_b", bucket)
     w = Window.partitionBy("_tp_b").orderBy(*cols)
     frames = {
         "incl": w.rowsBetween(Window.unboundedPreceding, 0),
