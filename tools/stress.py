@@ -2330,6 +2330,94 @@ def main():
         "the driver's stock partition count — the config that exposed the r10 unpersisted double-evaluation bug; same identity verified",
     )
 
+    # ---- WordPiece greedy longest-match encode at vocab scale ------------
+    # The encode DP (plans/wordpiece.py) runs on the DISTINCT-WORD frame:
+    # per level, active words explode ≤ 12 candidate lengths and equi-join
+    # a broadcast vocabulary. This case scales the WORD frame to 500k
+    # synthetic words (md5-hex 12-char: alphabet 0-9a-f) against a
+    # realistic vocab (all 1-2-char hex pieces + ##-variants) and verifies
+    # total pieces reconstruct total chars (every piece consumes its
+    # length; no [UNK] by construction).
+    def wordpiece_encode_stress():
+        from arc_maskdata_pipeline_plugin_spark.plans.wordpiece import _LMAX
+
+        words = (
+            spark.range(0, 500_000, 1, sc.defaultParallelism * 2)
+            .select(
+                F.substring(F.md5(F.col("id").cast("string")), 1, 12).alias(
+                    "word"
+                )
+            )
+            .distinct()
+        )
+        hexd = "0123456789abcdef"
+        pieces = (
+            [c for c in hexd]
+            + ["##" + c for c in hexd]
+            + [a + b for a in hexd for b in hexd]
+            + ["##" + a + b for a in hexd for b in hexd]
+        )
+        vocab = spark.createDataFrame([(p,) for p in pieces], "piece string")
+        state = words.select(
+            "word",
+            F.lit(0).alias("pos"),
+            F.lit(0).alias("k"),
+            F.lit(False).alias("unk"),
+            (F.length("word") == 0).alias("done"),
+        ).localCheckpoint(eager=True)
+        for _ in range(_LMAX):
+            active = state.filter(~F.col("done"))
+            done = state.filter(F.col("done"))
+            cand = active.select(
+                "word",
+                "pos",
+                F.explode(
+                    F.expr(f"sequence(1, least({_LMAX}, length(word) - pos))")
+                ).alias("j"),
+            ).withColumn(
+                "cand",
+                F.when(F.col("pos") == 0, F.expr("substring(word, 1, j)"))
+                .otherwise(
+                    F.concat(
+                        F.lit("##"), F.expr("substring(word, pos + 1, j)")
+                    )
+                ),
+            )
+            m = (
+                cand.join(F.broadcast(vocab), cand["cand"] == vocab["piece"])
+                .groupBy("word")
+                .agg(F.max("j").cast("int").alias("adv"))
+            )
+            stepped = active.join(m, "word", "left").select(
+                "word",
+                (F.col("pos") + F.coalesce(F.col("adv"), F.lit(0))).alias(
+                    "pos"
+                ),
+                (F.col("k") + F.when(F.col("adv").isNull(), 0).otherwise(1))
+                .alias("k"),
+                F.col("adv").isNull().alias("unk"),
+                (
+                    F.col("adv").isNull()
+                    | (F.col("pos") + F.col("adv") >= F.length("word"))
+                ).alias("done"),
+            )
+            state = done.unionByName(stepped).localCheckpoint(eager=True)
+        chk = state.agg(
+            F.sum(F.when(F.col("unk"), 1).otherwise(0)).alias("unks"),
+            F.sum("pos").alias("chars"),
+            F.count(F.lit(1)).alias("nw"),
+        ).first()
+        total_chars = words.agg(F.sum(F.length("word"))).first()[0]
+        assert chk["unks"] == 0, chk
+        assert chk["chars"] == total_chars, (chk, total_chars)
+
+    timed(
+        "WordPiece greedy longest-match encode (500k distinct 12-char words, 545-piece vocab)",
+        500_000,
+        wordpiece_encode_stress,
+        "12 localCheckpoint levels on the word frame; broadcast vocab equi-join per level; consumed-chars identity verified in-run",
+    )
+
     # ---- report ----------------------------------------------------------
     lines = [
         "# STRESS — synthetic ~100× scale-up measurements (local[32])",
