@@ -306,15 +306,10 @@ GROUP BY d.doc_id
 """
 
 
-@register("q_wordpiece_encode", oracle=_ENCODE_ORACLE)
-def q_wordpiece_encode(spark, sf_dir):
-    """Apply the trained WordPiece vocabulary corpus-wide with REAL
-    WordPiece inference — greedy longest-match-first (not a training-
-    segmentation replay): per document, the word count, total WordPiece
-    token count, and [UNK] word count. The greedy DP runs on the
-    DISTINCT-word frame against the broadcast vocabulary and maps onto
-    the corpus by ONE word-keyed join (the q_bpe_encode /
-    q_unigram_encode artifact-application shape)."""
+def _wp_word_pieces(spark, sf_dir):
+    """Train + greedy-encode the distinct-word frame; returns the
+    persisted ``(word, n, n_pieces, is_unk)`` frame — the shared seam for
+    :func:`q_wordpiece_encode` and the tokenizer shoot-out capstone."""
     merges, final = _train_wordpiece(spark, sf_dir)
     # vocabulary: initial alphabet (symbols of w0) ∪ merged tokens —
     # alphabet is ≤ 2·|charset| rows, merges ≤ N_WP_MERGES: broadcast-sized
@@ -396,13 +391,33 @@ def q_wordpiece_encode(spark, sf_dir):
         # doubling lineage (plans/unigram.py discipline)
         state = done.unionByName(stepped).localCheckpoint(eager=True)
 
-    wp = state.select(
-        "word",
-        F.when(F.col("unk"), F.lit(1).cast("bigint"))
-        .otherwise(F.col("k").cast("bigint"))
-        .alias("n_pieces"),
-        F.when(F.col("unk"), 1).otherwise(0).cast("bigint").alias("is_unk"),
+    return (
+        state.join(words, "word")
+        .select(
+            "word",
+            "n",
+            F.when(F.col("unk"), F.lit(1).cast("bigint"))
+            .otherwise(F.col("k").cast("bigint"))
+            .alias("n_pieces"),
+            F.when(F.col("unk"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_unk"),
+        )
+        .transform(persisted)
     )
+
+
+@register("q_wordpiece_encode", oracle=_ENCODE_ORACLE)
+def q_wordpiece_encode(spark, sf_dir):
+    """Apply the trained WordPiece vocabulary corpus-wide with REAL
+    WordPiece inference — greedy longest-match-first (not a training-
+    segmentation replay): per document, the word count, total WordPiece
+    token count, and [UNK] word count. The greedy DP runs on the
+    DISTINCT-word frame against the broadcast vocabulary and maps onto
+    the corpus by ONE word-keyed join (the q_bpe_encode /
+    q_unigram_encode artifact-application shape)."""
+    wp = _wp_word_pieces(spark, sf_dir)
     docs = spread(T(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(F.expr(_TOKENS)).alias("word")

@@ -420,6 +420,9 @@ HEADLINE = [
     # S/var18 verdict, fp6 truncated pairwise slopes on the calendar-bounded
     # daily frame
     "q_mann_kendall_trend",
+    # round 11: tokenizer shoot-out capstone — all three families trained on
+    # the same corpus, shared word population, per-family fertility
+    "q_tokenizer_shootout",
     # round 10: sampled-permutation Shapley coverage valuation (closed-form
     # marginals -> P keyed argmins over the (word, source) frame)
     "q_shapley_source_coverage",
