@@ -76,6 +76,7 @@ from arc_maskdata_pipeline_plugin_spark.plans import unigram  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import wordpiece  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import trend  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import shootout  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import linkage  # noqa: F401
 
 from arc_maskdata_pipeline_plugin_spark.plans.registry import REGISTRY
 
@@ -124,6 +125,7 @@ GATE_WINDOW = [
     "q_mask_ff3_referential",
     "q_wordpiece_train_merges", "q_wordpiece_encode",
     "q_mann_kendall_trend", "q_tokenizer_shootout",
+    "q_fellegi_sunter_linkage",
     #
     # --- green representatives (all witnessed r01..r10), one+ per family:
     #     relational/TPC-H, lifecycle, masking/KDF, dedup incl. winnowing
@@ -141,7 +143,6 @@ GATE_WINDOW = [
     "q_python_datasource_stream", "q_stream_funnel_tracker",
     "q_txn_log_replay", "q_join_cardinality_estimate",
     "q_layout_advisor", "q_misra_gries_topk", "q_roc_auc",
-    "q_chao_coverage",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 

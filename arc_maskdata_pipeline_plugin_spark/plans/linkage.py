@@ -1,0 +1,287 @@
+"""Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter 1969)
+with EM-fitted match/unmatch parameters (Winkler 1988) — the canonical
+statistical model behind production entity resolution, completing the
+blocking/similarity family (q_entity_resolution, q_fuzzy_name_match,
+dedup_sorted_neighborhood) with the model that turns field agreements
+into calibrated match posteriors.
+
+Model: candidate pairs (nation-blocked customer self-pairs) are reduced
+to a binary AGREEMENT VECTOR γ over four fields — market segment, balance
+cents-last-digit, thousand-dollar balance bucket, name last char —
+giving 16
+patterns. EM fits the two-class mixture
+``P(γ) = p·Π m_k^γ_k (1-m_k)^(1-γ_k) + (1-p)·Π u_k^γ_k (1-u_k)^(1-γ_k)``
+on the 16-row pattern-count frame.
+
+Cross-engine exactness — FIXED-POINT EM: probabilities are fp9 integers
+(scale 10^9); every E/M step uses only multiply + truncating integral
+division (all operands non-negative, so Spark ``div``, DuckDB HUGEINT
+``//``, and Python ``//`` coincide), and m/u are clamped to
+[1, 10^9 - 1] to keep the mixture non-degenerate. Five EM iterations —
+a fixed unroll, identical in all three implementations, so the fitted
+parameters and per-pattern posteriors are engine-deterministic to the
+last digit.
+
+Scale shape: the distributed work is the blocked pair self-join and ONE
+16-row pattern aggregate (map-side combined). EM then runs on the
+COLLECTED 16-row pattern-count frame — an O(1) driver probe exactly like
+the BPE merge argmax (plans/bpe.py) — and returns in-plan as literals
+joined onto the pattern frame. At 100 TB the pair generation is the cost
+(bounded by blocking: Σ_b |block_b|²) and the EM is free; the pattern
+frame NEVER grows past 2^k rows regardless of data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import T, register
+
+_FP = 10**9
+_ITERS = 5
+_INIT_M = 9 * 10**8  # 0.9
+_INIT_U = 10**8      # 0.1
+_INIT_P = 10**8      # 0.1
+_K = 4
+
+
+def _em_fixed_point(counts: dict[int, int]):
+    """The fixed-point EM, pure integer — the definition both engines
+    replay. ``counts``: pattern_id (0..15, bits = [mkt, cents, bal, name]
+    MSB-first) -> pair count. Returns (p, [m1..m4], [u1..u4], {pattern:
+    posterior_fp9})."""
+    m = [_INIT_M] * _K
+    u = [_INIT_U] * _K
+    p = _INIT_P
+    bits = {g: [(g >> (3 - k)) & 1 for k in range(_K)] for g in range(16)}
+
+    def _posteriors(p, m, u):
+        w = {}
+        for g in range(16):
+            pm = pu = _FP
+            for k in range(_K):
+                pm = pm * (m[k] if bits[g][k] else _FP - m[k]) // _FP
+                pu = pu * (u[k] if bits[g][k] else _FP - u[k]) // _FP
+            num = p * pm // _FP
+            den = num + (_FP - p) * pu // _FP
+            w[g] = num * _FP // max(den, 1)
+        return w
+
+    for _ in range(_ITERS):
+        w = _posteriors(p, m, u)
+        cw = sum(counts.get(g, 0) * w[g] for g in range(16))
+        cl = sum(counts.get(g, 0) * (_FP - w[g]) for g in range(16))
+        tot = sum(counts.get(g, 0) for g in range(16))
+        for k in range(_K):
+            mk = sum(
+                counts.get(g, 0) * w[g] for g in range(16) if bits[g][k]
+            )
+            uk = sum(
+                counts.get(g, 0) * (_FP - w[g])
+                for g in range(16)
+                if bits[g][k]
+            )
+            m[k] = min(max(mk * _FP // max(cw, 1), 1), _FP - 1)
+            u[k] = min(max(uk * _FP // max(cl, 1), 1), _FP - 1)
+        p = min(max(cw // max(tot, 1), 1), _FP - 1)
+    # final posteriors come from the CONVERGED params (the oracle's `fin`
+    # CTE recomputes from par{_ITERS} the same way)
+    return p, m, u, _posteriors(p, m, u)
+
+
+def _em_cte_chain() -> str:
+    """The identical EM as unrolled DuckDB CTEs over the 16-row pattern
+    frame (HUGEINT lanes; same clamps, same truncating division)."""
+    parts = [f"""
+par0 AS (SELECT CAST({_INIT_P} AS HUGEINT) AS p,
+  CAST({_INIT_M} AS HUGEINT) AS m1, CAST({_INIT_M} AS HUGEINT) AS m2,
+  CAST({_INIT_M} AS HUGEINT) AS m3, CAST({_INIT_M} AS HUGEINT) AS m4,
+  CAST({_INIT_U} AS HUGEINT) AS u1, CAST({_INIT_U} AS HUGEINT) AS u2,
+  CAST({_INIT_U} AS HUGEINT) AS u3, CAST({_INIT_U} AS HUGEINT) AS u4)"""]
+    for i in range(1, _ITERS + 1):
+        prev = f"par{i - 1}"
+        parts.append(f"""
+e{i} AS MATERIALIZED (
+  SELECT g.gid, g.a1, g.a2, g.a3, g.a4, g.cnt,
+         (q.p * q.pm // {_FP}) * {_FP}
+           // GREATEST(q.p * q.pm // {_FP}
+                       + ({_FP} - q.p) * q.pu // {_FP}, 1) AS w
+  FROM grid g, LATERAL (
+    SELECT r.p,
+      CASE WHEN g.a1 = 1 THEN r.m1 ELSE {_FP} - r.m1 END
+        * CASE WHEN g.a2 = 1 THEN r.m2 ELSE {_FP} - r.m2 END // {_FP}
+        * CASE WHEN g.a3 = 1 THEN r.m3 ELSE {_FP} - r.m3 END // {_FP}
+        * CASE WHEN g.a4 = 1 THEN r.m4 ELSE {_FP} - r.m4 END // {_FP} AS pm,
+      CASE WHEN g.a1 = 1 THEN r.u1 ELSE {_FP} - r.u1 END
+        * CASE WHEN g.a2 = 1 THEN r.u2 ELSE {_FP} - r.u2 END // {_FP}
+        * CASE WHEN g.a3 = 1 THEN r.u3 ELSE {_FP} - r.u3 END // {_FP}
+        * CASE WHEN g.a4 = 1 THEN r.u4 ELSE {_FP} - r.u4 END // {_FP} AS pu
+    FROM {prev} r
+  ) q
+),
+par{i} AS MATERIALIZED (
+  SELECT
+    LEAST(GREATEST(SUM(cnt * w) // GREATEST(SUM(cnt), 1), 1), {_FP} - 1)
+      AS p,
+    LEAST(GREATEST(SUM(CASE WHEN a1 = 1 THEN cnt * w ELSE 0 END) * {_FP}
+      // GREATEST(SUM(cnt * w), 1), 1), {_FP} - 1) AS m1,
+    LEAST(GREATEST(SUM(CASE WHEN a2 = 1 THEN cnt * w ELSE 0 END) * {_FP}
+      // GREATEST(SUM(cnt * w), 1), 1), {_FP} - 1) AS m2,
+    LEAST(GREATEST(SUM(CASE WHEN a3 = 1 THEN cnt * w ELSE 0 END) * {_FP}
+      // GREATEST(SUM(cnt * w), 1), 1), {_FP} - 1) AS m3,
+    LEAST(GREATEST(SUM(CASE WHEN a4 = 1 THEN cnt * w ELSE 0 END) * {_FP}
+      // GREATEST(SUM(cnt * w), 1), 1), {_FP} - 1) AS m4,
+    LEAST(GREATEST(SUM(CASE WHEN a1 = 1 THEN cnt * ({_FP} - w) ELSE 0 END)
+      * {_FP} // GREATEST(SUM(cnt * ({_FP} - w)), 1), 1), {_FP} - 1) AS u1,
+    LEAST(GREATEST(SUM(CASE WHEN a2 = 1 THEN cnt * ({_FP} - w) ELSE 0 END)
+      * {_FP} // GREATEST(SUM(cnt * ({_FP} - w)), 1), 1), {_FP} - 1) AS u2,
+    LEAST(GREATEST(SUM(CASE WHEN a3 = 1 THEN cnt * ({_FP} - w) ELSE 0 END)
+      * {_FP} // GREATEST(SUM(cnt * ({_FP} - w)), 1), 1), {_FP} - 1) AS u3,
+    LEAST(GREATEST(SUM(CASE WHEN a4 = 1 THEN cnt * ({_FP} - w) ELSE 0 END)
+      * {_FP} // GREATEST(SUM(cnt * ({_FP} - w)), 1), 1), {_FP} - 1) AS u4
+  FROM e{i}
+)""")
+    return ",".join(parts)
+
+
+_LINKAGE_ORACLE = f"""
+WITH pat AS MATERIALIZED (
+  SELECT CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS a1,
+         CASE WHEN CAST(CAST(a.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                     % 10
+                   = CAST(CAST(b.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                     % 10
+              THEN 1 ELSE 0 END AS a2,
+         CASE WHEN CAST(CAST(a.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                     // 100000
+                   = CAST(CAST(b.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                     // 100000
+              THEN 1 ELSE 0 END AS a3,
+         CASE WHEN right(a.c_name, 1) = right(b.c_name, 1)
+              THEN 1 ELSE 0 END AS a4
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+),
+grid AS MATERIALIZED (
+  -- all 16 patterns, zero-filled: EM and the output are total over the grid
+  SELECT g.a1, g.a2, g.a3, g.a4,
+         CAST(8 * g.a1 + 4 * g.a2 + 2 * g.a3 + g.a4 AS BIGINT) AS gid,
+         CAST(COALESCE(c.cnt, 0) AS HUGEINT) AS cnt
+  FROM (SELECT b1 AS a1, b2 AS a2, b3 AS a3, b4 AS a4
+        FROM (VALUES (0), (1)) t1(b1), (VALUES (0), (1)) t2(b2),
+             (VALUES (0), (1)) t3(b3), (VALUES (0), (1)) t4(b4)) g
+  LEFT JOIN (SELECT a1, a2, a3, a4, COUNT(*) AS cnt
+             FROM pat GROUP BY 1, 2, 3, 4) c
+    USING (a1, a2, a3, a4)
+),
+{_em_cte_chain()},
+fin AS (
+  SELECT g.gid, g.a1, g.a2, g.a3, g.a4, g.cnt,
+         (q.p * q.pm // {_FP}) * {_FP}
+           // GREATEST(q.p * q.pm // {_FP}
+                       + ({_FP} - q.p) * q.pu // {_FP}, 1) AS w
+  FROM grid g, LATERAL (
+    SELECT r.p,
+      CASE WHEN g.a1 = 1 THEN r.m1 ELSE {_FP} - r.m1 END
+        * CASE WHEN g.a2 = 1 THEN r.m2 ELSE {_FP} - r.m2 END // {_FP}
+        * CASE WHEN g.a3 = 1 THEN r.m3 ELSE {_FP} - r.m3 END // {_FP}
+        * CASE WHEN g.a4 = 1 THEN r.m4 ELSE {_FP} - r.m4 END // {_FP} AS pm,
+      CASE WHEN g.a1 = 1 THEN r.u1 ELSE {_FP} - r.u1 END
+        * CASE WHEN g.a2 = 1 THEN r.u2 ELSE {_FP} - r.u2 END // {_FP}
+        * CASE WHEN g.a3 = 1 THEN r.u3 ELSE {_FP} - r.u3 END // {_FP}
+        * CASE WHEN g.a4 = 1 THEN r.u4 ELSE {_FP} - r.u4 END // {_FP} AS pu
+    FROM par{_ITERS} r
+  ) q
+)
+SELECT f.gid AS pattern_id,
+       CAST(f.a1 AS BIGINT) AS agree_mkt,
+       CAST(f.a2 AS BIGINT) AS agree_cents,
+       CAST(f.a3 AS BIGINT) AS agree_bal,
+       CAST(f.a4 AS BIGINT) AS agree_name,
+       CAST(f.cnt AS BIGINT) AS n_pairs,
+       CAST(f.w AS BIGINT) AS posterior_fp9,
+       CAST(CASE WHEN f.w * 2 > {_FP} THEN 1 ELSE 0 END AS BIGINT)
+         AS decide_match,
+       CAST(r.p AS BIGINT) AS p_fp9,
+       CAST(r.m1 AS BIGINT) AS m_mkt_fp9,
+       CAST(r.u1 AS BIGINT) AS u_mkt_fp9,
+       CAST(r.m4 AS BIGINT) AS m_name_fp9,
+       CAST(r.u4 AS BIGINT) AS u_name_fp9
+FROM fin f, par{_ITERS} r
+ORDER BY pattern_id
+"""
+
+
+@register("q_fellegi_sunter_linkage", oracle=_LINKAGE_ORACLE)
+def q_fellegi_sunter_linkage(spark, sf_dir):
+    """EM-fitted Fellegi-Sunter linkage over nation-blocked customer
+    pairs (module docstring: fixed-point fp9 EM, 16-pattern grid, O(1)
+    driver-side EM on the collected pattern counts). Emits the full
+    pattern grid with per-pattern posteriors, the >0.5 decision, and the
+    fitted p / representative m-u parameters."""
+    c = T(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("ka"),
+        F.col("c_mktsegment").alias("mkt_a"),
+        F.expr(
+            "CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) % 10"
+        ).alias("ph_a"),
+        F.expr(
+            "CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            " div 100000"
+        ).alias("bal_a"),
+        F.expr("right(c_name, 1)").alias("nm_a"),
+    )
+    b = a.select(
+        "nk",
+        F.col("ka").alias("kb"),
+        F.col("mkt_a").alias("mkt_b"),
+        F.col("ph_a").alias("ph_b"),
+        F.col("bal_a").alias("bal_b"),
+        F.col("nm_a").alias("nm_b"),
+    )
+    pat = (
+        a.join(b, "nk")
+        .filter(F.col("ka") < F.col("kb"))
+        .select(
+            (F.col("mkt_a") == F.col("mkt_b")).cast("int").alias("a1"),
+            (F.col("ph_a") == F.col("ph_b")).cast("int").alias("a2"),
+            (F.col("bal_a") == F.col("bal_b")).cast("int").alias("a3"),
+            (F.col("nm_a") == F.col("nm_b")).cast("int").alias("a4"),
+        )
+        .groupBy("a1", "a2", "a3", "a4")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    # 16-row bounded collect — the O(1) driver probe (plans/bpe.py argmax
+    # precedent); pattern space is 2^k regardless of data size
+    counts = {
+        8 * r["a1"] + 4 * r["a2"] + 2 * r["a3"] + r["a4"]: r["cnt"]
+        for r in pat.collect()
+    }
+    p, m, u, w = _em_fixed_point(counts)
+    rows = []
+    for g in range(16):
+        bits = [(g >> (3 - k)) & 1 for k in range(_K)]
+        rows.append(
+            (
+                g,
+                *[int(x) for x in bits],
+                int(counts.get(g, 0)),
+                int(w[g]),
+                1 if w[g] * 2 > _FP else 0,
+                int(p),
+                int(m[0]),
+                int(u[0]),
+                int(m[3]),
+                int(u[3]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "pattern_id bigint, agree_mkt bigint, agree_cents bigint, "
+        "agree_bal bigint, agree_name bigint, n_pairs bigint, "
+        "posterior_fp9 bigint, decide_match bigint, p_fp9 bigint, "
+        "m_mkt_fp9 bigint, u_mkt_fp9 bigint, m_name_fp9 bigint, "
+        "u_name_fp9 bigint",
+    )

@@ -423,6 +423,9 @@ HEADLINE = [
     # round 11: tokenizer shoot-out capstone — all three families trained on
     # the same corpus, shared word population, per-family fertility
     "q_tokenizer_shootout",
+    # round 11: Fellegi-Sunter EM linkage — blocked pair self-join + one
+    # 16-row pattern aggregate; fixed-point fp9 EM on the collected grid
+    "q_fellegi_sunter_linkage",
     # round 10: sampled-permutation Shapley coverage valuation (closed-form
     # marginals -> P keyed argmins over the (word, source) frame)
     "q_shapley_source_coverage",

@@ -6,6 +6,7 @@ the difference between reading one directory and reading all of them.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 
 @pytest.fixture(scope="module")
@@ -53,3 +54,41 @@ def test_column_pruning_in_read_schema(spark):
     assert "l_orderkey" in rs and "l_quantity" in rs
     assert "l_extendedprice" not in rs and "l_shipdate" not in rs
     assert "PushedFilters" in plan and "GreaterThan(l_quantity" in plan
+
+
+def test_dynamic_partition_pruning_from_dim_join(spark, partitioned_events):
+    """DYNAMIC partition pruning (r11): when the partition predicate is only
+    known at runtime — a join against a FILTERED dimension — Spark must
+    inject a dynamicpruning subquery into the fact scan's PartitionFilters
+    so the fact reads only the dim-selected partitions. At 100 TB this is
+    the difference between scanning the whole fact and scanning the joined
+    slice; a plan that broadcast-joins but still enumerates every
+    partition directory is wrong."""
+    uri, src = partitioned_events
+    fact = spark.read.parquet(uri)
+    dim = (
+        src.select("event_type")
+        .distinct()
+        .withColumn("keep", F.col("event_type").isin("click", "view"))
+    )
+    old = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        joined = fact.join(
+            dim.filter("keep"), "event_type"
+        ).groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        got = {r["event_type"]: r["n"] for r in joined.collect()}
+        want = {
+            r["event_type"]: r["n"]
+            for r in src.filter(F.col("event_type").isin("click", "view"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", old
+        )
