@@ -125,7 +125,7 @@ GATE_WINDOW = [
     "q_mask_ff3_referential",
     "q_wordpiece_train_merges", "q_wordpiece_encode",
     "q_mann_kendall_trend", "q_tokenizer_shootout",
-    "q_fellegi_sunter_linkage",
+    "q_fellegi_sunter_linkage", "q_seasonal_mann_kendall",
     #
     # --- green representatives (all witnessed r01..r10), one+ per family:
     #     relational/TPC-H, lifecycle, masking/KDF, dedup incl. winnowing
@@ -142,7 +142,7 @@ GATE_WINDOW = [
     "q_naive_bayes_langid", "q_stream_session_window",
     "q_python_datasource_stream", "q_stream_funnel_tracker",
     "q_txn_log_replay", "q_join_cardinality_estimate",
-    "q_layout_advisor", "q_misra_gries_topk", "q_roc_auc",
+    "q_layout_advisor", "q_misra_gries_topk",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 

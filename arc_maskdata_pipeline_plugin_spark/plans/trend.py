@@ -213,3 +213,169 @@ def q_mann_kendall_trend(spark, sf_dir):
             .alias("trend"),
         )
     )
+
+
+_SMK_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(EXTRACT(dow FROM CAST(ts AS DATE)) AS BIGINT) AS season,
+         CAST(SUM(CAST(value AS DECIMAL(10,2))) * 100 AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2, 3
+),
+pairs AS (
+  SELECT a.event_type, a.season,
+         CAST(CASE WHEN b.cents > a.cents THEN 1
+                   WHEN b.cents < a.cents THEN -1 ELSE 0 END AS BIGINT) AS sg
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.season = b.season AND a.d < b.d
+),
+per_season AS (
+  SELECT d.event_type, d.season,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         COALESCE(s.s_g, 0) AS s_g,
+         COALESCE(s.n_pairs_g, 0) AS n_pairs_g,
+         COUNT(*) * (COUNT(*) - 1) * (2 * COUNT(*) + 5) - t.tie18 AS var18_g
+  FROM daily d
+  LEFT JOIN (SELECT event_type, season, CAST(SUM(sg) AS BIGINT) AS s_g,
+                    CAST(COUNT(*) AS BIGINT) AS n_pairs_g
+             FROM pairs GROUP BY 1, 2) s
+    ON d.event_type = s.event_type AND d.season = s.season
+  JOIN (SELECT event_type, season,
+               CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                 AS tie18
+        FROM (SELECT event_type, season, CAST(COUNT(*) AS BIGINT) AS t
+              FROM daily GROUP BY event_type, season, cents)
+        GROUP BY 1, 2) t
+    ON d.event_type = t.event_type AND d.season = t.season
+  GROUP BY d.event_type, d.season, s.s_g, s.n_pairs_g, t.tie18
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_seasons,
+       CAST(SUM(n_days) AS BIGINT) AS n_days,
+       CAST(SUM(n_pairs_g) AS BIGINT) AS n_pairs,
+       CAST(SUM(s_g) AS BIGINT) AS s_stat,
+       CAST(SUM(var18_g) AS BIGINT) AS var18,
+       CASE WHEN SUM(var18_g) > 0 AND ABS(SUM(s_g)) > 1
+                 AND 180000 * (ABS(SUM(s_g)) - 1) * (ABS(SUM(s_g)) - 1)
+                     > 38416 * SUM(var18_g)
+            THEN CASE WHEN SUM(s_g) > 0 THEN 'rising' ELSE 'falling' END
+            ELSE 'none' END AS trend
+FROM per_season
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("q_seasonal_mann_kendall", oracle=_SMK_ORACLE)
+def q_seasonal_mann_kendall(spark, sf_dir):
+    """Seasonal Mann-Kendall (Hirsch & Slack 1984) per event_type with
+    day-of-week seasons: the MK statistic runs WITHIN each season
+    (Monday-to-Monday comparisons only), then S and var18 SUM across
+    seasons — the trend test that stays valid when the series has a
+    weekly cycle the plain MK would mistake for noise (or trend). Same
+    exact-integer machinery as :func:`q_mann_kendall_trend` (ties-
+    corrected var18, continuity-corrected 5% verdict, no float in-plan);
+    the pairwise join gains a season equi-key, so pairs are ≤ (days/7)²·7
+    per type — calendar-bounded and 7× fewer than the unsegmented test.
+    Day-of-week convention: Sunday=0 (DuckDB ``EXTRACT(dow)``), mirrored
+    in Spark as ``dayofweek(ts) - 1``."""
+    ev = T(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("d"),
+            (F.dayofweek(F.col("ts").cast("date")) - 1)
+            .cast("bigint")
+            .alias("season"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(10,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    a = daily.select(
+        "event_type", "season", F.col("d").alias("d1"),
+        F.col("cents").alias("c1"),
+    )
+    b = daily.select(
+        "event_type", "season", F.col("d").alias("d2"),
+        F.col("cents").alias("c2"),
+    )
+    s = (
+        a.join(b, ["event_type", "season"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("event_type", "season")
+        .agg(
+            F.sum(
+                F.when(F.col("c2") > F.col("c1"), 1)
+                .when(F.col("c2") < F.col("c1"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_g"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs_g"),
+        )
+    )
+    n = daily.groupBy("event_type", "season").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    ties = (
+        daily.groupBy("event_type", "season", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("event_type", "season")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie18")
+        )
+    )
+    per = (
+        n.join(s, ["event_type", "season"], "left")
+        .join(ties, ["event_type", "season"])
+        .select(
+            "event_type",
+            "season",
+            "n_days",
+            F.coalesce(F.col("s_g"), F.lit(0)).alias("s_g"),
+            F.coalesce(F.col("n_pairs_g"), F.lit(0)).alias("n_pairs_g"),
+            (
+                F.col("n_days")
+                * (F.col("n_days") - 1)
+                * (2 * F.col("n_days") + 5)
+                - F.col("tie18")
+            ).alias("var18_g"),
+        )
+    )
+    agg = per.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seasons"),
+        F.sum("n_days").cast("bigint").alias("n_days"),
+        F.sum("n_pairs_g").cast("bigint").alias("n_pairs"),
+        F.sum("s_g").cast("bigint").alias("s_stat"),
+        F.sum("var18_g").cast("bigint").alias("var18"),
+    )
+    return agg.select(
+        "event_type",
+        "n_seasons",
+        "n_days",
+        "n_pairs",
+        "s_stat",
+        "var18",
+        F.when(
+            (F.col("var18") > 0)
+            & (F.abs("s_stat") > 1)
+            & (
+                180000 * (F.abs("s_stat") - 1) * (F.abs("s_stat") - 1)
+                > _Z2_FP4 * F.col("var18")
+            ),
+            F.when(F.col("s_stat") > 0, "rising").otherwise("falling"),
+        )
+        .otherwise("none")
+        .alias("trend"),
+    )

@@ -426,6 +426,9 @@ HEADLINE = [
     # round 11: Fellegi-Sunter EM linkage — blocked pair self-join + one
     # 16-row pattern aggregate; fixed-point fp9 EM on the collected grid
     "q_fellegi_sunter_linkage",
+    # round 11: seasonal (Hirsch-Slack) Mann-Kendall — within-season pairs
+    # only, summed S/var18; 7x fewer pairs than the unsegmented test
+    "q_seasonal_mann_kendall",
     # round 10: sampled-permutation Shapley coverage valuation (closed-form
     # marginals -> P keyed argmins over the (word, source) frame)
     "q_shapley_source_coverage",

@@ -106,3 +106,71 @@ def test_two_days_minimum(spark):
 
 def test_empty_input(spark):
     assert _run(spark, {}) == {}
+
+
+def _ref_smk(vals):
+    """Seasonal MK reference: within-season (dow) comparisons, summed."""
+    from collections import Counter, defaultdict
+
+    cents = [round(v * 100) for v in vals]
+    # day i -> dow of (1970-01-01 + offset). Test events start 2024-01-01
+    # (a Monday); Python weekday(): Mon=0..Sun=6; DuckDB dow: Sun=0..Sat=6
+    from datetime import date, timedelta
+
+    by_season = defaultdict(list)
+    for i, c in enumerate(cents):
+        d = date(2024, 1, 1) + timedelta(days=i)
+        dow = (d.weekday() + 1) % 7  # DuckDB convention, Sunday=0
+        by_season[dow].append(c)
+    s = var18 = pairs = 0
+    for season_vals in by_season.values():
+        n = len(season_vals)
+        s += sum(
+            (season_vals[j] > season_vals[i]) - (season_vals[j] < season_vals[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        pairs += n * (n - 1) // 2
+        ties = sum(
+            t * (t - 1) * (2 * t + 5)
+            for t in Counter(season_vals).values()
+            if t > 1
+        )
+        var18 += n * (n - 1) * (2 * n + 5) - ties
+    sig = var18 > 0 and abs(s) > 1 and 180000 * (abs(s) - 1) ** 2 > 38416 * var18
+    return s, var18, pairs, ("rising" if s > 0 else "falling") if sig else "none"
+
+
+def _run_smk(spark, series):
+    rows = _events(series)
+    orig = tr.T
+    try:
+        tr.T = lambda sp, sf, name: sp.createDataFrame(rows, EV_SCHEMA)
+        return {
+            r["event_type"]: r
+            for r in tr.q_seasonal_mann_kendall(spark, "x").collect()
+        }
+    finally:
+        tr.T = orig
+
+
+def test_seasonal_mk_matches_reference_and_deseasonalizes(spark):
+    # strong weekly cycle + genuine upward drift: plain-MK pairs across
+    # weekdays are dominated by the cycle; the seasonal test compares
+    # Mondays to Mondays and must find the drift
+    cyc = [100.0, 10.0, 12.0, 11.0, 13.0, 10.5, 50.0]
+    rising = [cyc[i % 7] + 2.0 * (i // 7) for i in range(35)]
+    flat_cycle = [cyc[i % 7] for i in range(35)]
+    got = _run_smk(spark, {"rise": rising, "cycle_only": flat_cycle})
+    for et, vals in [("rise", rising), ("cycle_only", flat_cycle)]:
+        s, var18, pairs, trend = _ref_smk(vals)
+        r = got[et]
+        assert r["s_stat"] == s, et
+        assert r["var18"] == var18, et
+        assert r["n_pairs"] == pairs, et
+        assert r["trend"] == trend, et
+    assert got["rise"]["trend"] == "rising"
+    # pure cycle: every within-season series is constant -> S = 0
+    assert got["cycle_only"]["s_stat"] == 0
+    assert got["cycle_only"]["trend"] == "none"
+    assert got["rise"]["n_seasons"] == 7
