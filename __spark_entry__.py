@@ -98,14 +98,17 @@ GATE_WINDOW = [
     # added in r10 without slots (VERDICT r10 #3) plus the FIXED
     # q_bloom_skip_audit (the r10 driver FAIL: global_rank's unpersisted
     # range-shuffle double-evaluation, fixed by persisting `base` in
-    # plans/twophase.py); (b) every query whose PLAN changed this round —
-    # the 11 two-phase queries (global_rank/global_cumsums now persist
-    # their fan-out frames), the 3 unigram queries (session artifact memo
-    # replaces retraining in encode), the join-order advisor
+    # plans/twophase.py — global_cumsums deliberately does NOT persist
+    # internally; measured A/B adjudication in SCALE.md round-11 notes);
+    # (b) every query whose PLAN changed this round — the 11 two-phase
+    # queries (rank persist), the 3 unigram queries (session artifact
+    # memo replaces retraining in encode), the join-order advisor
     # (decimal(38,0) estimate, ADVICE r10 #4), FF1 (NULL-tweak propagation,
     # ADVICE r10 #2), and the winnow stream (staging cleanup, ADVICE r10
-    # #3); then green representatives of each family. Every slot is
-    # hash-oracled; every displaced green is driver-witnessed in r01..r10.
+    # #3); (c) the 7 r11-built queries (FF3-1, WordPiece ×2, Mann-Kendall,
+    # seasonal MK, tokenizer shoot-out, Fellegi-Sunter); then green
+    # representatives of each family. Every slot is hash-oracled; every
+    # displaced green is driver-witnessed in r01..r10.
     #
     # --- r10 witness debt + the r10 driver FAIL, now fixed ---
     "q_bloom_skip_audit", "q_shapley_source_coverage",
