@@ -787,6 +787,22 @@ def main():
     # Plan changes SHIPPED deliberately this round, so the adjudication
     # distinguishes an intended rewrite from an accidental regression.
     intended = {
+        # r11: global_rank now persists `base` — the q_bloom_skip_audit
+        # correctness fix (VERDICT r10 #1); rank consumers pick up an
+        # InMemoryRelation in place of the duplicated range shuffle
+        "q_batch_leakage_audit": "global_rank base persist (VERDICT r10 #1)",
+        "q_bloom_skip_audit": "global_rank base persist (VERDICT r10 #1)",
+        # r11: encode applies the session artifact memo instead of
+        # retraining (VERDICT r10 #5); train/roundtrip read the memo too
+        "q_unigram_train_vocab": "session artifact memo (VERDICT r10 #5)",
+        "q_unigram_encode": "applies artifact, no retrain (VERDICT r10 #5)",
+        "q_unigram_artifact_roundtrip": "session artifact memo (VERDICT r10 #5)",
+        # r11 ADVICE fixes that alter the plan/UDF body
+        "q_join_order_advisor": "decimal(38,0) estimate (ADVICE r10 #4)",
+        "q_mask_ff1_referential": "NULL-tweak propagation (ADVICE r10 #2)",
+        "q_stream_dedup_winnow": "staging cleanup + localCheckpoint (ADVICE r10 #3)",
+        # carried from r10 (VERDICT r10 #7): two-phase conversions vs any
+        # older baseline sha that predates them
         "q_ks_test": "two-phase cumsum (VERDICT r09 #1)",
         "q_mann_whitney": "two-phase cumsum (VERDICT r09 #1)",
         "q_kruskal_wallis": "two-phase cumsum (VERDICT r09 #1)",
@@ -796,10 +812,6 @@ def main():
         "q_negative_sampling_table": "two-phase cumsum (VERDICT r09 #1)",
         "q_partition_balance_planner": "two-phase cumsum (VERDICT r09 #1)",
         "q_selectivity_estimate": "two-phase cumsum (VERDICT r09 #1)",
-        "q_batch_leakage_audit": "two-phase rank (VERDICT r09 #1)",
-        "q_bloom_skip_audit": "two-phase NTILE (VERDICT r09 #1)",
-        "q_encoding_advisor": "exact-integer bit width (ADVICE r09 #3)",
-        "q_mask_fpe_referential": "FPE domain/permutation fix (ADVICE r09)",
         "q_perplexity_filter": "shared quantile_thresholds seam (two-phase)",
     }
     adjudication = {}
