@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .registry import T, register
+from .registry import T, persisted, register
 
 _Z2_FP4 = 38416  # 1.96^2 * 10^4 — the 5% two-sided critical value, exact
 
@@ -123,6 +123,8 @@ def q_mann_kendall_trend(spark, sf_dir):
             .cast("bigint")
             .alias("cents")
         )
+        # calendar-bounded; consumers: both pair sides + n + ties
+        .transform(persisted)
     )
     a = daily.select(
         "event_type", F.col("d").alias("d1"), F.col("cents").alias("c1")
@@ -142,6 +144,8 @@ def q_mann_kendall_trend(spark, sf_dir):
             .alias("sg"),
             F.expr("(c2 - c1) * 1000000L div (d2 - d1)").alias("slope_fp6"),
         )
+        # days^2-bounded; consumers: S aggregate + median window
+        .transform(persisted)
     )
     s = pairs.groupBy("event_type").agg(
         F.sum("sg").cast("bigint").alias("s_stat"),
@@ -296,6 +300,8 @@ def q_seasonal_mann_kendall(spark, sf_dir):
             .cast("bigint")
             .alias("cents")
         )
+        # calendar-bounded; consumers: both pair sides + n + ties
+        .transform(persisted)
     )
     a = daily.select(
         "event_type", "season", F.col("d").alias("d1"),

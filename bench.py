@@ -801,6 +801,11 @@ def main():
         "q_join_order_advisor": "decimal(38,0) estimate (ADVICE r10 #4)",
         "q_mask_ff1_referential": "NULL-tweak propagation (ADVICE r10 #2)",
         "q_stream_dedup_winnow": "staging cleanup + localCheckpoint (ADVICE r10 #3)",
+        # r11 close: daily/pairs persisted after the first BENCH_DETAIL
+        # snapshot of the round (>1-consumer rule) — the r11 detail carries
+        # the pre-persist shas for these two new queries
+        "q_mann_kendall_trend": "daily+pairs persist (r11 close)",
+        "q_seasonal_mann_kendall": "daily persist (r11 close)",
         # carried from r10 (VERDICT r10 #7): two-phase conversions vs any
         # older baseline sha that predates them
         "q_ks_test": "two-phase cumsum (VERDICT r09 #1)",

@@ -4,9 +4,12 @@
 # integration surface is a SparkSession in-process, so the one-shot is the
 # three driver-facing checks run back-to-back in a clean shell):
 #
-#   1. full pytest suite
-#   2. Spark-vs-DuckDB oracle parity over every registered query
-#   3. the headline bench (one JSON line)
+#   1.  full pytest suite
+#   2.  Spark-vs-DuckDB oracle parity over every registered query
+#   2b. gate config-matrix: stock 200 shuffle partitions (the driver's
+#       session — the config that exposed the r10 global_rank escape)
+#   2c. gate config-matrix: AQE off (no exchange-reuse masking)
+#   3.  the headline bench (one JSON line)
 #
 # Usage:  ./it.sh [sf_dir]       (default /root/testdata/sf0.01)
 # Exit:   nonzero if ANY stage fails; per-stage logs land in ./it-logs/.
