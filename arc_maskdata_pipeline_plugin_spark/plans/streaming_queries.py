@@ -1460,3 +1460,118 @@ def q_stream_dedup_winnow(spark, sf_dir):
             "no_engine_state_ok": F.lit(len(m.state_ops)) == F.lit(0),
         },
     )
+
+
+def _stream_trend_oracle() -> str:
+    from .trend import _MK_ORACLE
+
+    return f"""
+SELECT mk.*,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_events,
+       (SELECT CAST(COUNT(DISTINCT event_id % 3) AS BIGINT) FROM events)
+         AS n_splits,
+       CAST(0 AS BIGINT) AS n_merge_mismatch,
+       CAST(1 AS BIGINT) AS input_accounting_ok,
+       CAST(1 AS BIGINT) AS multi_batch_ok,
+       CAST(1 AS BIGINT) AS no_engine_state_ok,
+       CAST(1 AS BIGINT) AS merge_exact_ok
+FROM ({_MK_ORACLE}) mk
+"""
+
+
+@register("q_stream_trend_monitor", oracle=_stream_trend_oracle())
+def q_stream_trend_monitor(spark, sf_dir):
+    """STREAMING drift monitor over the Mann-Kendall family: micro-batches
+    maintain the CALENDAR-bounded daily store (per-batch partial cents
+    sums appended via ``foreachBatch`` — the natural 100 TB shape: the
+    event firehose reduces to (event_type, day) partials incrementally,
+    and the trend test runs on demand over the tiny store), then the
+    drained store is merged and fed through the SAME exact-integer
+    MK + Theil-Sen core as ``q_mann_kendall_trend``
+    (``plans/trend.mk_outputs``). Witnesses, each pinned by the oracle:
+
+    * ``input_accounting_ok`` — Σ numInputRows == the event count;
+    * ``multi_batch_ok`` — one data batch per staged file (3 splits);
+    * ``no_engine_state_ok`` — the store lives in parquet, not engine
+      state (zero stateOperators);
+    * ``merge_exact_ok`` — the stream-merged daily frame equals the
+      batch-derived daily frame EXACTLY (full-outer mismatch count 0):
+      per-batch partial integer sums are associative, so incremental
+      maintenance loses nothing.
+
+    Staging dirs are scope-bounded (ADVICE r10 #3): the merged daily
+    store is localCheckpoint-ed (calendar-bounded rows) before both dirs
+    are removed."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..streaming.audit import drain_foreach_with_metrics
+    from .trend import daily_cents, mk_outputs
+    from .registry import persisted as _persisted
+
+    nfiles = 3
+    ev = T(spark, sf_dir, "events")
+    src = _tempfile.mkdtemp(prefix="trend_stream_src_")
+    for i in range(nfiles):
+        ev.filter((F.col("event_id") % nfiles) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    store = _tempfile.mkdtemp(prefix="trend_stream_store_")
+    # pre-seed the store schema so a zero-batch run still reads cleanly
+    daily_cents(ev).withColumnRenamed("cents", "cents_part").limit(
+        0
+    ).write.mode("overwrite").parquet(store)
+
+    def _probe(bdf, _bid):
+        daily_cents(bdf).withColumnRenamed("cents", "cents_part").write.mode(
+            "append"
+        ).parquet(store)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    m = drain_foreach_with_metrics(stream, _probe)
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents_part").cast("bigint").alias("cents"))
+        .localCheckpoint(eager=True)  # calendar-bounded; frees the dir
+    )
+    _shutil.rmtree(src, ignore_errors=True)
+    _shutil.rmtree(store, ignore_errors=True)
+    daily = merged.transform(_persisted)  # consumers: MK core + mismatch
+    batch_daily = daily_cents(ev)
+    mismatch = (
+        daily.withColumnsRenamed({"cents": "c_s"})
+        .join(
+            batch_daily.withColumnsRenamed({"cents": "c_b"}),
+            ["event_type", "d"],
+            "full_outer",
+        )
+        .filter(
+            ~F.col("c_s").eqNullSafe(F.col("c_b"))
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_merge_mismatch"))
+    )
+    exact = (
+        ev.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct(F.col("event_id") % nfiles)
+            .cast("bigint")
+            .alias("n_splits"),
+        )
+        .crossJoin(F.broadcast(mismatch))
+    )
+    return witness(
+        mk_outputs(daily),
+        exact,
+        {
+            "input_accounting_ok": F.lit(m.n_input) == F.col("n_events"),
+            "multi_batch_ok": F.lit(m.n_data_batches) == F.col("n_splits"),
+            "no_engine_state_ok": F.lit(len(m.state_ops)) == F.lit(0),
+            "merge_exact_ok": F.col("n_merge_mismatch") == 0,
+        },
+    )

@@ -101,31 +101,11 @@ ORDER BY v.event_type
 """.format(z2=_Z2_FP4)
 
 
-@register("q_mann_kendall_trend", oracle=_MK_ORACLE)
-def q_mann_kendall_trend(spark, sf_dir):
-    """Mann-Kendall trend test + Theil-Sen slope per event_type over the
-    daily revenue series (module docstring: exact-integer S/var18/verdict,
-    fp6 truncated slopes, lower-median order statistic). The event fact is
-    reduced to the calendar-bounded daily frame in ONE aggregate; the
-    pairwise self-join and every window run per event_type on that
-    bounded frame (≤ days² pairs per type — calendar-bounded, never
-    event-volume-bounded)."""
-    ev = T(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy(
-            "event_type",
-            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
-            .cast("bigint")
-            .alias("d"),
-        )
-        .agg(
-            (F.sum(F.col("value").cast("decimal(10,2)")) * 100)
-            .cast("bigint")
-            .alias("cents")
-        )
-        # calendar-bounded; consumers: both pair sides + n + ties
-        .transform(persisted)
-    )
+def mk_outputs(daily):
+    """Mann-Kendall + Theil-Sen over a PERSISTED (event_type, d, cents)
+    daily frame — the shared core for the batch query and the streaming
+    store monitor. ``daily`` must already be persisted (consumers: both
+    pair sides + n + ties)."""
     a = daily.select(
         "event_type", F.col("d").alias("d1"), F.col("cents").alias("c1")
     )
@@ -217,6 +197,35 @@ def q_mann_kendall_trend(spark, sf_dir):
             .alias("trend"),
         )
     )
+
+
+def daily_cents(ev):
+    """Reduce the event fact to the calendar-bounded (event_type, d,
+    cents) daily frame — ONE map-side-combined aggregate."""
+    return ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("d"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(10,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+
+
+@register("q_mann_kendall_trend", oracle=_MK_ORACLE)
+def q_mann_kendall_trend(spark, sf_dir):
+    """Mann-Kendall trend test + Theil-Sen slope per event_type over the
+    daily revenue series (module docstring: exact-integer S/var18/verdict,
+    fp6 truncated slopes, lower-median order statistic). The event fact is
+    reduced to the calendar-bounded daily frame in ONE aggregate; the
+    pairwise self-join and every window run per event_type on that
+    bounded frame (≤ days² pairs per type — calendar-bounded, never
+    event-volume-bounded)."""
+    # calendar-bounded; consumers: both pair sides + n + ties
+    daily = daily_cents(T(spark, sf_dir, "events")).transform(persisted)
+    return mk_outputs(daily)
 
 
 _SMK_ORACLE = """

@@ -429,6 +429,9 @@ HEADLINE = [
     # round 11: seasonal (Hirsch-Slack) Mann-Kendall — within-season pairs
     # only, summed S/var18; 7x fewer pairs than the unsegmented test
     "q_seasonal_mann_kendall",
+    # round 11: streaming MK drift monitor — foreachBatch maintains the
+    # calendar-bounded daily store; MK core runs on the merged store
+    "q_stream_trend_monitor",
     # round 10: sampled-permutation Shapley coverage valuation (closed-form
     # marginals -> P keyed argmins over the (word, source) frame)
     "q_shapley_source_coverage",

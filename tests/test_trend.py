@@ -174,3 +174,36 @@ def test_seasonal_mk_matches_reference_and_deseasonalizes(spark):
     assert got["cycle_only"]["s_stat"] == 0
     assert got["cycle_only"]["trend"] == "none"
     assert got["rise"]["n_seasons"] == 7
+
+
+def test_stream_trend_monitor_contract(spark):
+    import arc_maskdata_pipeline_plugin_spark.plans.streaming_queries as sq
+
+    # 21 rising days x 3 events/day; event_ids interleave so every day is
+    # SPLIT ACROSS the 3 staged files -> per-batch partials for one
+    # (type, day) must merge exactly
+    rows = []
+    eid = 0
+    for day in range(21):
+        for _ in range(3):
+            rows.append(
+                (eid, datetime(2024, 1, 1) + timedelta(days=day), 1,
+                 "up", 10.0 + 2.0 * day, "{}")
+            )
+            eid += 1
+    orig = sq.T
+    try:
+        sq.T = lambda sp, sf, name: sp.createDataFrame(rows, EV_SCHEMA)
+        got = sq.q_stream_trend_monitor(spark, "x").collect()
+    finally:
+        sq.T = orig
+    assert len(got) == 1
+    r = got[0]
+    assert r["input_accounting_ok"] == 1
+    assert r["multi_batch_ok"] == 1
+    assert r["no_engine_state_ok"] == 1
+    assert r["merge_exact_ok"] == 1 and r["n_merge_mismatch"] == 0
+    # the merged store must reproduce the batch MK verdict exactly
+    s, var18, med, trend = _ref_mk([30.0 + 6.0 * d for d in range(21)])
+    assert r["s_stat"] == s and r["var18"] == var18
+    assert r["trend"] == "rising" and r["slope_fp6_med"] == med
