@@ -105,9 +105,9 @@ GATE_WINDOW = [
     # memo replaces retraining in encode), the join-order advisor
     # (decimal(38,0) estimate, ADVICE r10 #4), FF1 (NULL-tweak propagation,
     # ADVICE r10 #2), and the winnow stream (staging cleanup, ADVICE r10
-    # #3); (c) the 8 r11-built queries (FF3-1, WordPiece ×2, Mann-Kendall
+    # #3); (c) the 9 r11-built queries (FF3-1, WordPiece ×2, Mann-Kendall
     # + seasonal MK, tokenizer shoot-out, Fellegi-Sunter EM linkage, the
-    # streaming trend monitor); then green
+    # streaming trend monitor, Benford digit audit); then green
     # representatives of each family. Every slot is hash-oracled; every
     # displaced green is driver-witnessed in r01..r10.
     #
@@ -130,7 +130,7 @@ GATE_WINDOW = [
     "q_wordpiece_train_merges", "q_wordpiece_encode",
     "q_mann_kendall_trend", "q_tokenizer_shootout",
     "q_fellegi_sunter_linkage", "q_seasonal_mann_kendall",
-    "q_stream_trend_monitor",
+    "q_stream_trend_monitor", "q_benford_digit_audit",
     #
     # --- green representatives (all witnessed r01..r10), one+ per family:
     #     relational/TPC-H, lifecycle, masking/KDF, dedup incl. winnowing
@@ -141,7 +141,7 @@ GATE_WINDOW = [
     "q_mask_credit_cards", "q_fake_substitution",
     "dedup_minhash_pairs_fast",
     "q_dedup_recall_comparison", "q_lsh_band_sweep",
-    "q_source_copy_direction", "q_decontaminate_spans",
+    "q_source_copy_direction",
     "q_margin_mining_pairs", "q_kneser_ney_perplexity",
     "q_bpe_artifact_roundtrip", "q_bigram_perplexity",
     "q_naive_bayes_langid", "q_stream_session_window",

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .registry import T, dec, register
+from .registry import persisted as _persisted_quality
 
 # ---------------------------------------------------------------------------
 # Statistical outlier screen: 3-sigma z-score per market segment
@@ -705,3 +706,130 @@ def q_fd_violation_audit(spark, sf_dir):
     for f2 in frames[1:]:
         out = out.unionByName(f2)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (Newcomb 1881, Benford 1938) — the classic
+# fabricated-data / unit-mix screen for financial-style columns
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) at fp9 — shared integer literals, so both engines do pure
+# integer arithmetic from here on (no logs in-plan)
+_BENFORD_FP9 = {
+    1: 301029996, 2: 176091259, 3: 124938737, 4: 96910013, 5: 79181246,
+    6: 66946790, 7: 57991947, 8: 51152522, 9: 45757491,
+}
+# chi-square critical value at df=8, alpha=0.05 (15.50731), fp6
+_BENFORD_CRIT_FP6 = 15_507_310
+
+
+_BENFORD_ORACLE = f"""
+WITH cents AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM orders WHERE o_totalprice > 0
+),
+obs AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM cents GROUP BY 1
+),
+grid AS (
+  SELECT d.digit, d.p_fp9, CAST(COALESCE(o.n_obs, 0) AS HUGEINT) AS n_obs
+  FROM (VALUES {", ".join(f"({d}, {p})" for d, p in _BENFORD_FP9.items())})
+       d(digit, p_fp9)
+  LEFT JOIN obs o USING (digit)
+),
+tot AS (SELECT CAST(SUM(n_obs) AS HUGEINT) AS n FROM grid),
+terms AS (
+  SELECT g.digit, g.n_obs, g.p_fp9, t.n,
+         CASE WHEN t.n = 0 THEN 0
+              ELSE (g.n_obs * 1000000000 - t.n * g.p_fp9)
+                   * (g.n_obs * 1000000000 - t.n * g.p_fp9)
+                   * 1000000
+                   // (t.n * g.p_fp9 * 1000000000) END AS term_fp6
+  FROM grid g, tot t
+),
+chi AS (SELECT CAST(SUM(term_fp6) AS BIGINT) AS chi2_fp6 FROM terms)
+SELECT CAST(t.digit AS BIGINT) AS digit,
+       CAST(t.n_obs AS BIGINT) AS n_obs,
+       CAST(t.p_fp9 AS BIGINT) AS p_fp9,
+       CAST(t.term_fp6 AS BIGINT) AS chi2_term_fp6,
+       CAST(t.n AS BIGINT) AS n_total,
+       c.chi2_fp6,
+       CAST(CASE WHEN c.chi2_fp6 <= {_BENFORD_CRIT_FP6} THEN 1 ELSE 0 END
+            AS BIGINT) AS benford_ok
+FROM terms t, chi c
+ORDER BY digit
+"""
+
+
+@register("q_benford_digit_audit", oracle=_BENFORD_ORACLE)
+def q_benford_digit_audit(spark, sf_dir):
+    """Benford first-significant-digit audit over order totals: observed
+    digit counts vs the Benford expectation, a chi-square statistic, and
+    the df=8 5% verdict — the standard screen for fabricated values,
+    unit mixing, or synthetic-generator artifacts in financial-style
+    columns. Exactness: the nine log10(1+1/d) expectations are SHARED
+    fp9 integer literals, so the whole test is integer multiply +
+    truncating division in both engines (chi-square terms at fp6, no
+    logs or floats in-plan). One fact aggregate; everything downstream
+    runs on the 9-row digit grid (zero-filled, so the output schema is
+    constant). Numeric bound: the exact fp9 chi-square lane holds up to
+    N ≈ 3·10^7 rows in DECIMAL(38,0)/HUGEINT; past that, run the audit on
+    a fixed-rate sample — Benford is a DISTRIBUTION test, so a uniform
+    sample preserves the verdict while keeping the arithmetic exact."""
+    o = T(spark, sf_dir, "orders")
+    obs = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.expr(
+                "CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))"
+                " * 100 AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    grid = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_FP9.items()], "digit bigint, p_fp9 bigint"
+    )
+    g = (
+        grid.join(obs, "digit", "left")
+        .select(
+            "digit",
+            "p_fp9",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias("n_obs"),
+        )
+        # 9-row grid; consumers: total + terms
+        .transform(_persisted_quality)
+    )
+    tot = g.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        "p_fp9",
+        "n",
+        F.expr(
+            "CASE WHEN n = 0 THEN 0L ELSE "
+            "CAST((CAST(n_obs AS DECIMAL(38,0)) * 1000000000 - CAST(n AS"
+            " DECIMAL(38,0)) * p_fp9)"
+            " * (CAST(n_obs AS DECIMAL(38,0)) * 1000000000 - CAST(n AS"
+            " DECIMAL(38,0)) * p_fp9)"
+            " * 1000000"
+            " div (CAST(n AS DECIMAL(38,0)) * p_fp9 * 1000000000)"
+            " AS BIGINT) END"
+        ).alias("chi2_term_fp6"),
+    )
+    chi = terms.agg(F.sum("chi2_term_fp6").cast("bigint").alias("chi2_fp6"))
+    return terms.crossJoin(F.broadcast(chi)).select(
+        "digit",
+        "n_obs",
+        "p_fp9",
+        "chi2_term_fp6",
+        F.col("n").alias("n_total"),
+        "chi2_fp6",
+        F.when(F.col("chi2_fp6") <= _BENFORD_CRIT_FP6, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("benford_ok"),
+    )

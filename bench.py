@@ -432,6 +432,9 @@ HEADLINE = [
     # round 11: streaming MK drift monitor — foreachBatch maintains the
     # calendar-bounded daily store; MK core runs on the merged store
     "q_stream_trend_monitor",
+    # round 11: Benford first-digit audit — fp9 log expectations as shared
+    # integer literals, chi-square in exact fp6, 9-row grid after one scan
+    "q_benford_digit_audit",
     # round 10: sampled-permutation Shapley coverage valuation (closed-form
     # marginals -> P keyed argmins over the (word, source) frame)
     "q_shapley_source_coverage",

@@ -188,3 +188,45 @@ def test_mk_identities(cents):
         assert var18 == n * (n - 1) * (2 * n + 5)
     if len(set(cents)) == 1:
         assert s == 0 and var18 == 0
+
+
+# ---- Benford audit on constructed distributions --------------------------
+
+
+def test_benford_constructed(spark):
+    import arc_maskdata_pipeline_plugin_spark.plans.quality as q
+
+    ORD_SCHEMA = "o_orderkey long, o_custkey long, o_totalprice double"
+
+    def run(prices):
+        rows = [(i, 1, p) for i, p in enumerate(prices)]
+        orig = q.T
+        try:
+            q.T = lambda sp, sf, name: sp.createDataFrame(rows, ORD_SCHEMA)
+            return {
+                r["digit"]: r
+                for r in q.q_benford_digit_audit(spark, "x").collect()
+            }
+        finally:
+            q.T = orig
+
+    # Benford-distributed magnitudes: p = 10^(u) for u uniform-ish grid —
+    # first digits follow Benford closely -> chi2 small, verdict ok
+    import math
+
+    benford = [10 ** (3 + (i * 997 % 1000) / 1000.0) for i in range(2000)]
+    got = run(benford)
+    assert set(got) == set(range(1, 10))
+    r = got[1]
+    assert r["benford_ok"] == 1, r["chi2_fp6"]
+    assert r["n_total"] == 2000
+    # uniform prices in [1000, 9999]: every first digit equally likely —
+    # grossly non-Benford -> verdict fails
+    uniform = [1000.0 + i * 4.4995 for i in range(2000)]
+    got_u = run(uniform)
+    assert got_u[1]["benford_ok"] == 0
+    assert got_u[1]["chi2_fp6"] > got[1]["chi2_fp6"]
+    # zero/negative rows are excluded; empty input -> zero-filled grid
+    got_e = run([-5.0, 0.0])
+    assert all(got_e[d]["n_obs"] == 0 for d in range(1, 10))
+    assert got_e[1]["n_total"] == 0 and got_e[1]["chi2_fp6"] == 0
