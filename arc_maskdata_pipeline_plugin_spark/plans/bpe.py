@@ -98,22 +98,60 @@ def _bpe_oracle(n_merges: int) -> str:
     return f"{_bpe_cte_chain(n_merges)}\n{final}\n"
 
 
-def _train_bpe(spark, sf_dir, n_merges: int, seq_builder=_char_seq):
-    """Run the trainer; returns (merge list, final persisted word frame).
+# Session-scoped trained-artifact memo (VERDICT r11 #2; the unigram
+# precedent, plans/unigram.py): a tokenizer is trained ONCE per session and
+# then applied, but q_bpe_encode / q_bpe_fertility / q_bpe_roundtrip /
+# q_tokenizer_shootout each re-ran the full N_MERGES trainer (N driver
+# argmax actions over the pair frame). The memo keys on (applicationId,
+# sf_dir, symbolization variant, n_merges) and stores the MERGE LIST —
+# ≤ n_merges rows, a module-constant bound, never corpus-sized. A memo hit
+# REPLAYS the merges as a literal chained-``replace`` projection over the
+# word frame (one corpus scan, zero per-round actions) — deterministic
+# because the merge list fully determines the replace chain (the same
+# replay the oracle's generated w{i} CTEs perform). Assumption (documented
+# artifact semantics, as for unigram): parquet under sf_dir is immutable
+# within a session. Tests that monkeypatch ``T``/the corpus under a reused
+# sf_dir must clear this.
+_TRAIN_MEMO: dict[tuple[str, str, str, int], list] = {}
+
+
+def _merge_replace_expr(lhs: str, rhs: str, merged: str) -> str:
+    # symbols are drawn from the tokenizer charsets ([a-z0-9], '</w>',
+    # 'B<dec>' byte names) — no quotes to escape
+    return (
+        f"replace(seq, ' ' || '{lhs}' || '  ' || '{rhs}' || ' ', "
+        f"' ' || '{merged}' || ' ')"
+    )
+
+
+def _train_bpe(spark, sf_dir, n_merges: int, seq_builder=_char_seq,
+               variant: str = "char"):
+    """Run the trainer (or replay the session-memoized merge list); returns
+    (merge list, final persisted word frame).
 
     ``seq_builder(word_col) -> Column`` produces the round-0 symbolization
-    (default: char-level with a ``</w>`` terminal; byte-level in bpe2.py).
+    (default: char-level with a ``</w>`` terminal; byte-level in bpe2.py);
+    ``variant`` names it in the memo key.
     Caller must ``unpersist`` the returned frame when done."""
     from ..operators.search import _TOKENS
 
     docs = spread(T(spark, sf_dir, "documents"))
-    words = (
+    base = (
         docs.select(F.explode(F.expr(_TOKENS)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .withColumn("seq", seq_builder(F.col("word")))
-        .transform(persisted)
     )
+    key = (spark.sparkContext.applicationId, sf_dir, variant, int(n_merges))
+    memo = _TRAIN_MEMO.get(key)
+    if memo is not None:
+        cur = base
+        for _step, lhs, rhs, merged, _c in memo:
+            cur = cur.withColumn(
+                "seq", F.expr(_merge_replace_expr(lhs, rhs, merged))
+            )
+        return [tuple(m) for m in memo], cur.transform(persisted)
+    words = base.transform(persisted)
     merges = []
     cur, prev = words, None
     for step in range(1, n_merges + 1):
@@ -163,6 +201,7 @@ def _train_bpe(spark, sf_dir, n_merges: int, seq_builder=_char_seq):
         cur, prev = nxt, cur
     if prev is not None:
         prev.unpersist()
+    _TRAIN_MEMO[key] = [tuple(m) for m in merges]
     return merges, cur
 
 

@@ -56,7 +56,9 @@ def _byte_seq(col):  # the trainer frame names its token column `word`
 
 
 def _train_byte_bpe(spark, sf_dir):
-    return _train_bpe(spark, sf_dir, N_BYTE_MERGES, seq_builder=_byte_seq)
+    return _train_bpe(
+        spark, sf_dir, N_BYTE_MERGES, seq_builder=_byte_seq, variant="byte"
+    )
 
 
 def _byte_train_oracle(n: int) -> str:

@@ -126,18 +126,52 @@ w0 AS MATERIALIZED (
 {", ".join(rounds)}"""
 
 
-def _train_wordpiece(spark, sf_dir, n_merges: int = N_WP_MERGES):
-    """Run the trainer; returns (merge list, final persisted word frame).
-    Caller must ``unpersist`` the returned frame when done."""
+# Session-scoped trained-artifact memo (VERDICT r11 #2; the unigram
+# precedent, plans/unigram.py): q_wordpiece_encode and the shoot-out
+# re-ran the full likelihood-score trainer (N 1-row argmax actions) before
+# applying the vocabulary. Keyed (applicationId, sf_dir, n_merges); holds
+# "merges" (≤ n_merges rows) and, once _wp_word_pieces has derived it,
+# "alpha" (the w0 symbol alphabet, ≤ 2·|charset| rows) — both
+# module-constant-bounded, never corpus-sized. A memo hit replays the
+# merges as a chained literal ``replace`` projection (one corpus scan,
+# zero actions) — deterministic because the merge list fully determines
+# the chain (exactly the oracle's generated w{i} CTE replay). Corpus
+# parquet is assumed immutable within a session (the unigram artifact
+# semantics); tests monkeypatching ``T`` under a reused sf_dir must clear
+# this.
+_TRAIN_MEMO: dict[tuple[str, str, int], dict] = {}
+
+
+def _memo_slot(spark, sf_dir, n_merges: int) -> dict:
+    key = (spark.sparkContext.applicationId, sf_dir, int(n_merges))
+    return _TRAIN_MEMO.setdefault(key, {})
+
+
+def _wp_words_frame(spark, sf_dir):
     docs = spread(T(spark, sf_dir, "documents"))
-    words = (
+    return (
         docs.select(F.explode(F.expr(_TOKENS)).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .withColumn("seq", _w0_col(F.col("word")))
-        .transform(persisted)
     )
+
+
+def _train_wordpiece(spark, sf_dir, n_merges: int = N_WP_MERGES):
+    """Run the trainer (or replay the session-memoized merge list);
+    returns (merge list, final persisted word frame).
+    Caller must ``unpersist`` the returned frame when done."""
+    slot = _memo_slot(spark, sf_dir, n_merges)
+    if "merges" in slot:
+        cur = _wp_words_frame(spark, sf_dir)
+        for _step, lhs, rhs, merged, _c, _s in slot["merges"]:
+            cur = cur.withColumn(
+                "seq",
+                F.expr(f"replace(seq, ' {lhs}  {rhs} ', ' {merged} ')"),
+            )
+        return list(slot["merges"]), cur.transform(persisted)
+    words = _wp_words_frame(spark, sf_dir).transform(persisted)
     merges = []
     cur, prev = words, None
     for step in range(1, n_merges + 1):
@@ -204,6 +238,7 @@ def _train_wordpiece(spark, sf_dir, n_merges: int = N_WP_MERGES):
         cur, prev = nxt, cur
     if prev is not None:
         prev.unpersist()
+    slot["merges"] = [tuple(m) for m in merges]
     return merges, cur
 
 
@@ -310,9 +345,30 @@ def _wp_word_pieces(spark, sf_dir):
     """Train + greedy-encode the distinct-word frame; returns the
     persisted ``(word, n, n_pieces, is_unk)`` frame — the shared seam for
     :func:`q_wordpiece_encode` and the tokenizer shoot-out capstone."""
-    merges, final = _train_wordpiece(spark, sf_dir)
     # vocabulary: initial alphabet (symbols of w0) ∪ merged tokens —
-    # alphabet is ≤ 2·|charset| rows, merges ≤ N_WP_MERGES: broadcast-sized
+    # alphabet is ≤ 2·|charset| rows, merges ≤ N_WP_MERGES: broadcast-sized.
+    # Both live in the session memo, so a warm call skips the trainer AND
+    # the alphabet scan entirely; on the first call the alphabet is
+    # COLLECTED from the still-persisted trained frame BEFORE
+    # final.unpersist() — unpersisting first made the first vocabulary
+    # evaluation recompute the whole training lineage (ADVICE r11 #2).
+    slot = _memo_slot(spark, sf_dir, N_WP_MERGES)
+    if "alpha" in slot and "merges" in slot:
+        merges, alpha_rows = slot["merges"], slot["alpha"]
+    else:
+        merges, final = _train_wordpiece(spark, sf_dir)
+        alpha_rows = sorted(
+            r["piece"]
+            for r in final.select(
+                F.explode(
+                    F.split(F.trim(_w0_col(F.col("word"))), " +")
+                ).alias("piece")
+            )
+            .distinct()
+            .collect()
+        )
+        final.unpersist()
+        slot["alpha"] = alpha_rows
     words = (
         spread(T(spark, sf_dir, "documents"))
         .select(F.explode(F.expr(_TOKENS)).alias("word"))
@@ -321,23 +377,12 @@ def _wp_word_pieces(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .transform(persisted)
     )
-    alpha = (
-        final.select(
-            F.explode(F.split(F.trim(_w0_col(F.col("word"))), " +")).alias(
-                "piece"
-            )
-        )
-        .distinct()
-    )
-    final.unpersist()
-    if merges:
-        mdf = spark.createDataFrame(
-            [(m[3],) for m in merges], "piece string"
-        )
-        vocab = alpha.union(mdf).distinct()
-    else:
-        vocab = alpha.distinct()
-    vocab = vocab.transform(persisted)  # consumers: every greedy level
+    pieces = sorted(set(alpha_rows) | {m[3] for m in merges})
+    vocab = (
+        spark.createDataFrame([(p,) for p in pieces], "piece string")
+        if pieces
+        else spark.createDataFrame([], "piece string")
+    )  # literal broadcast-sized frame — every greedy level broadcasts it
 
     state = words.select(
         "word",

@@ -29,7 +29,8 @@ def _run(spark, texts):
     try:
         for m in mods:
             m.T = lambda sp, sf, name: sp.createDataFrame(rows, DOC_SCHEMA)
-        un._TRAIN_MEMO.clear()
+        for m in (un, bpe, wp):
+            m._TRAIN_MEMO.clear()
         return {
             r["tokenizer"]: r
             for r in so.q_tokenizer_shootout(spark, "x").collect()
@@ -37,7 +38,8 @@ def _run(spark, texts):
     finally:
         for m, o in zip(mods, origs):
             m.T = o
-        un._TRAIN_MEMO.clear()
+        for m in (un, bpe, wp):
+            m._TRAIN_MEMO.clear()
 
 
 def test_shared_population_and_conventions(spark):

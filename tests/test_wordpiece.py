@@ -103,9 +103,13 @@ def _run(spark, texts, fn):
     orig = wp.T
     try:
         wp.T = lambda sp, sf, name: sp.createDataFrame(rows, DOC_SCHEMA)
+        # sf_dir "x" is reused across corpora — the session artifact memo
+        # must not leak between tests
+        wp._TRAIN_MEMO.clear()
         return fn(spark, "x").collect()
     finally:
         wp.T = orig
+        wp._TRAIN_MEMO.clear()
 
 
 CORPUS = [
