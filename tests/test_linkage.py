@@ -109,3 +109,83 @@ def test_empty_and_tiny_inputs(spark):
     # single customer: no pairs, still a full deterministic grid
     got1 = _run(spark, [(1, "Customer#1", 1, 5.0, "AUTOMOBILE")])
     assert all(r["n_pairs"] == 0 for r in got1.values())
+
+
+def _run_fn(spark, rows, fn):
+    orig = lk.T
+    try:
+        lk.T = lambda sp, sf, name: sp.createDataFrame(rows, CUST_SCHEMA)
+        return fn(spark, "x").collect()
+    finally:
+        lk.T = orig
+
+
+def _planted_rows():
+    rows = []
+    kid = 0
+    for i in range(30):
+        for _rep in range(2):
+            rows.append(
+                (kid, f"Customer#x{i % 7}", 1, 100.0 * i + 0.07,
+                 ["AUTOMOBILE", "BUILDING", "MACHINERY"][i % 3])
+            )
+            kid += 1
+    for i in range(600):
+        rows.append(
+            (kid, f"Customer#y{i % 10}", 2, 17.23 * i + (i % 97) * 0.01,
+             ["AUTOMOBILE", "BUILDING", "MACHINERY", "FURNITURE",
+              "HOUSEHOLD"][i % 5])
+        )
+        kid += 1
+    return rows
+
+
+def test_decisions_recover_planted_duplicates(spark):
+    # the 30 planted all-agree pairs must come out in the 'link' zone with
+    # consecutive custkeys (kid, kid+1); random singleton pairs must not
+    # all be links
+    got = _run_fn(spark, _planted_rows(), lk.q_fs_linkage_decisions)
+    links = [r for r in got if r["zone"] == "link"]
+    link_keys = {(r["custkey_a"], r["custkey_b"]) for r in links}
+    for i in range(30):
+        assert (2 * i, 2 * i + 1) in link_keys
+    assert all(
+        r["zone"] in ("link", "possible", "nonlink") for r in got
+    )
+    # posterior consistent with zone
+    for r in got:
+        if r["zone"] == "link":
+            assert r["posterior_fp9"] * 2 > lk._FP
+        elif r["zone"] == "possible":
+            assert r["posterior_fp9"] * 10 > lk._FP >= r["posterior_fp9"] * 2
+        else:
+            assert r["posterior_fp9"] * 10 <= lk._FP
+    assert len(got) < len(_planted_rows()) ** 2  # blocked, not cross-joined
+
+
+def test_decisions_empty_input(spark):
+    assert _run_fn(spark, [], lk.q_fs_linkage_decisions) == []
+
+
+def test_block_cap_drops_and_audits(spark, monkeypatch):
+    # shrink the cap so the 600-row singleton block is dropped: the audit
+    # columns must report it and its pairs must vanish from both outputs
+    monkeypatch.setattr(lk, "_MAX_BLOCK_ROWS", 100)
+    rows = _planted_rows()
+    grid = {
+        r["pattern_id"]: r
+        for r in _run_fn(spark, rows, lk.q_fellegi_sunter_linkage)
+    }
+    assert all(r["n_dropped_blocks"] == 1 for r in grid.values())
+    assert all(r["n_dropped_rows"] == 600 for r in grid.values())
+    # only the 60-row duplicate block survives: 60*59/2 pairs
+    assert sum(r["n_pairs"] for r in grid.values()) == 60 * 59 // 2
+    dec = _run_fn(spark, rows, lk.q_fs_linkage_decisions)
+    assert len(dec) == 60 * 59 // 2
+    assert all(r["custkey_a"] < 60 and r["custkey_b"] < 60 for r in dec)
+
+
+def test_no_drops_audit_is_zero(spark):
+    grid = _run_fn(spark, _planted_rows(), lk.q_fellegi_sunter_linkage)
+    assert all(r["n_dropped_blocks"] == 0 for r in grid)
+    assert all(r["n_dropped_rows"] == 0 for r in grid)
