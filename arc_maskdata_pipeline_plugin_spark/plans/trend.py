@@ -101,11 +101,12 @@ ORDER BY v.event_type
 """.format(z2=_Z2_FP4)
 
 
-def mk_outputs(daily):
-    """Mann-Kendall + Theil-Sen over a PERSISTED (event_type, d, cents)
-    daily frame — the shared core for the batch query and the streaming
-    store monitor. ``daily`` must already be persisted (consumers: both
-    pair sides + n + ties)."""
+def _mk_base(daily):
+    """The MK/Theil-Sen relational core over a PERSISTED (event_type, d,
+    cents) daily frame: (event_type, n_days, n_pairs, s_stat, var18,
+    slope_fp6_med) — shared by the batch query, the streaming store
+    monitor, and the Hamed-Rao corrected test. ``daily`` must already be
+    persisted (consumers: both pair sides + n + ties)."""
     a = daily.select(
         "event_type", F.col("d").alias("d1"), F.col("cents").alias("c1")
     )
@@ -173,29 +174,34 @@ def mk_outputs(daily):
             - F.col("tie18"),
         )
     )
-    return (
-        v.join(med, "event_type")
-        .select(
-            "event_type",
-            "n_days",
-            "n_pairs",
-            "s_stat",
-            "var18",
-            "slope_fp6_med",
-            F.when(
-                (F.col("var18") > 0)
-                & (F.abs("s_stat") > 1)
-                & (
-                    180000
-                    * (F.abs("s_stat") - 1)
-                    * (F.abs("s_stat") - 1)
-                    > _Z2_FP4 * F.col("var18")
-                ),
-                F.when(F.col("s_stat") > 0, "rising").otherwise("falling"),
-            )
-            .otherwise("none")
-            .alias("trend"),
+    return v.join(med, "event_type").select(
+        "event_type", "n_days", "n_pairs", "s_stat", "var18", "slope_fp6_med"
+    )
+
+
+def mk_outputs(daily):
+    """Mann-Kendall + Theil-Sen with the plain 5% verdict (module
+    docstring) — :func:`_mk_base` plus the exact-integer trend column."""
+    return _mk_base(daily).select(
+        "event_type",
+        "n_days",
+        "n_pairs",
+        "s_stat",
+        "var18",
+        "slope_fp6_med",
+        F.when(
+            (F.col("var18") > 0)
+            & (F.abs("s_stat") > 1)
+            & (
+                180000
+                * (F.abs("s_stat") - 1)
+                * (F.abs("s_stat") - 1)
+                > _Z2_FP4 * F.col("var18")
+            ),
+            F.when(F.col("s_stat") > 0, "rising").otherwise("falling"),
         )
+        .otherwise("none")
+        .alias("trend"),
     )
 
 
@@ -393,4 +399,273 @@ def q_seasonal_mann_kendall(spark, sf_dir):
         )
         .otherwise("none")
         .alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hamed-Rao autocorrelation-corrected Mann-Kendall (VERDICT r11 #5).
+# Daily pipeline metrics are serially correlated, and positive
+# autocorrelation shrinks the effective sample size, so the plain MK test
+# over-rejects. Hamed & Rao (1998): detrend by the Theil-Sen slope, rank
+# the detrended series, compute the lag-k rank autocorrelations ρ_k, keep
+# the ones individually significant at 5% (|ρ_k| > 1.96/√n), and scale
+# Var(S) by  n/n*_s = 1 + 2/(n(n-1)(n-2)) Σ_k (n-k)(n-k-1)(n-k-2)·ρ_k.
+#
+# Cross-engine exactness — NO division ever happens: with integer rank
+# deviations dev_i (doubled average ranks, so ties stay integral),
+# ρ_k = num_k/den is kept as the exact integer pair
+#   num_k = Σ dev_i·dev_{i+k},  den = Σ dev_i²,
+# the per-lag significance test |ρ_k| > 1.96/√n becomes
+#   num_k²·10⁴·n > 196²·den²,
+# and the correction factor becomes the exact rational nc/dc with
+#   dc = n(n-1)(n-2)·den,  nc = dc + 2·Σ_sig (n-k)(n-k-1)(n-k-2)·num_k,
+# so the corrected 5% verdict is the integer inequality
+#   180000·(|S|-1)²·dc > 196²·var18·nc        (requires nc > 0)
+# — DECIMAL(38,0) lanes in Spark, HUGEINT in DuckDB, identical
+# truncation-free semantics (lags with k > n-3 carry zero weight and are
+# excluded from both the sum and the significant-lag count; den = 0 or
+# n < 3 degrade to the uncorrected factor nc = dc = 1).
+#
+# Scale shape: everything beyond the daily aggregate runs on the
+# calendar-bounded daily frame — ranks are two windows, the ACF is the
+# same ≤ days² self-join as the MK pair frame, per event_type.
+# ---------------------------------------------------------------------------
+
+_HR_ORACLE = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(10,2))) * 100 AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+n AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1
+),
+pairs AS MATERIALIZED (
+  SELECT a.event_type,
+         CAST(CASE WHEN b.cents > a.cents THEN 1
+                   WHEN b.cents < a.cents THEN -1 ELSE 0 END AS BIGINT) AS sg,
+         (b.cents - a.cents) * 1000000 // (b.d - a.d) AS slope_fp6
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+),
+s AS (
+  SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s_stat,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY 1
+),
+ties AS (
+  SELECT event_type,
+         CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie18
+  FROM (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+    FROM daily GROUP BY event_type, cents
+  ) GROUP BY 1
+),
+med AS (
+  SELECT event_type, slope_fp6 AS slope_fp6_med
+  FROM (
+    SELECT event_type, slope_fp6,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY slope_fp6) AS r,
+           COUNT(*) OVER (PARTITION BY event_type) AS m
+    FROM pairs
+  ) WHERE r = (m + 1) // 2
+),
+base AS MATERIALIZED (
+  SELECT n.event_type, n.n_days, s.n_pairs, s.s_stat,
+         n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - t.tie18 AS var18,
+         m.slope_fp6_med
+  FROM n JOIN s USING (event_type) JOIN ties t USING (event_type)
+  JOIN med m USING (event_type)
+),
+dev AS MATERIALIZED (
+  SELECT event_type, pos, CAST(avg2 - (n_days + 1) AS BIGINT) AS dev
+  FROM (
+    SELECT d.event_type, b.n_days,
+           ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.d) AS pos,
+           2 * RANK() OVER (PARTITION BY d.event_type ORDER BY
+                            d.cents * 1000000 - b.slope_fp6_med * d.d)
+             + COUNT(*) OVER (PARTITION BY d.event_type,
+                              d.cents * 1000000 - b.slope_fp6_med * d.d) - 1
+             AS avg2
+    FROM daily d JOIN base b USING (event_type)
+  )
+),
+den AS MATERIALIZED (
+  SELECT event_type, CAST(SUM(dev * dev) AS BIGINT) AS den
+  FROM dev GROUP BY 1
+),
+acf AS MATERIALIZED (
+  SELECT a.event_type, CAST(b.pos - a.pos AS BIGINT) AS k,
+         CAST(SUM(a.dev * b.dev) AS BIGINT) AS num
+  FROM dev a JOIN dev b ON a.event_type = b.event_type AND a.pos < b.pos
+  GROUP BY 1, 2
+),
+sig AS MATERIALIZED (
+  SELECT f.event_type, CAST(COUNT(*) AS BIGINT) AS n_sig_lags,
+         CAST(SUM(CAST(b.n_days - f.k AS HUGEINT) * (b.n_days - f.k - 1)
+              * (b.n_days - f.k - 2) * f.num) AS HUGEINT) AS wsum
+  FROM acf f JOIN base b USING (event_type) JOIN den d USING (event_type)
+  WHERE f.k <= b.n_days - 3 AND d.den > 0
+    AND CAST(f.num AS HUGEINT) * f.num * 10000 * b.n_days
+        > 38416 * CAST(d.den AS HUGEINT) * d.den
+  GROUP BY 1
+),
+fac AS MATERIALIZED (
+  SELECT b.event_type, COALESCE(g.n_sig_lags, 0) AS n_sig_lags,
+         CASE WHEN b.n_days >= 3 AND d.den > 0
+              THEN CAST(b.n_days AS HUGEINT) * (b.n_days - 1)
+                   * (b.n_days - 2) * d.den + 2 * COALESCE(g.wsum, 0)
+              ELSE 1 END AS nc,
+         CASE WHEN b.n_days >= 3 AND d.den > 0
+              THEN CAST(b.n_days AS HUGEINT) * (b.n_days - 1)
+                   * (b.n_days - 2) * d.den
+              ELSE 1 END AS dc
+  FROM base b JOIN den d USING (event_type)
+  LEFT JOIN sig g USING (event_type)
+)
+SELECT b.event_type, b.n_days, b.s_stat, b.var18, b.slope_fp6_med,
+       f.n_sig_lags,
+       CAST(f.nc * 1000000 // f.dc AS BIGINT) AS corr_fp6,
+       CASE WHEN b.var18 > 0 AND ABS(b.s_stat) > 1
+                 AND 180000 * (ABS(b.s_stat) - 1) * (ABS(b.s_stat) - 1)
+                     > 38416 * b.var18
+            THEN CASE WHEN b.s_stat > 0 THEN 'rising' ELSE 'falling' END
+            ELSE 'none' END AS trend_raw,
+       CASE WHEN b.var18 > 0 AND f.nc > 0 AND ABS(b.s_stat) > 1
+                 AND CAST(180000 AS HUGEINT) * (ABS(b.s_stat) - 1)
+                     * (ABS(b.s_stat) - 1) * f.dc
+                     > CAST(38416 AS HUGEINT) * b.var18 * f.nc
+            THEN CASE WHEN b.s_stat > 0 THEN 'rising' ELSE 'falling' END
+            ELSE 'none' END AS trend_hr
+FROM base b JOIN fac f USING (event_type)
+ORDER BY b.event_type
+"""
+
+
+@register("q_hamed_rao_trend", oracle=_HR_ORACLE)
+def q_hamed_rao_trend(spark, sf_dir):
+    """Hamed-Rao autocorrelation-corrected Mann-Kendall per event_type
+    (section docstring above: rank ACF of the Theil-Sen-detrended daily
+    series, per-lag 5% significance filter, exact-rational variance
+    inflation, all integer in-plan). Emits both the plain and the
+    corrected verdict so the over-rejection is visible."""
+    daily = daily_cents(T(spark, sf_dir, "events")).transform(persisted)
+    # type-cardinality-bounded; consumers: detrend join, sig join, final
+    base = _mk_base(daily).transform(persisted)
+    bs = F.broadcast(base.select("event_type", "n_days", "slope_fp6_med"))
+    wpos = Window.partitionBy("event_type").orderBy("d")
+    wrk = Window.partitionBy("event_type").orderBy("det")
+    wtie = Window.partitionBy("event_type", "det")
+    dev = (
+        daily.join(bs, "event_type")
+        .withColumn("det", F.expr("cents * 1000000L - slope_fp6_med * d"))
+        .select(
+            "event_type",
+            "n_days",
+            F.row_number().over(wpos).alias("pos"),
+            (
+                2 * F.rank().over(wrk)
+                + F.count(F.lit(1)).over(wtie)
+                - 1
+                - (F.col("n_days") + 1)
+            )
+            .cast("bigint")
+            .alias("dev"),
+        )
+        # calendar-bounded; consumers: den aggregate + both ACF sides
+        .transform(persisted)
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.col("dev") * F.col("dev")).cast("bigint").alias("den")
+    )
+    a = dev.select("event_type", F.col("pos").alias("p1"), F.col("dev").alias("v1"))
+    b = dev.select("event_type", F.col("pos").alias("p2"), F.col("dev").alias("v2"))
+    acf = (
+        a.join(b, "event_type")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("event_type", (F.col("p2") - F.col("p1")).cast("bigint").alias("k"))
+        .agg(F.sum(F.col("v1") * F.col("v2")).cast("bigint").alias("num"))
+    )
+    sig = (
+        acf.join(F.broadcast(base.select("event_type", "n_days")), "event_type")
+        .join(F.broadcast(den), "event_type")
+        .filter(
+            (F.col("k") <= F.col("n_days") - 3)
+            & (F.col("den") > 0)
+            & F.expr(
+                "CAST(num AS DECIMAL(38,0)) * num * 10000 * n_days"
+                " > 38416 * CAST(den AS DECIMAL(38,0)) * den"
+            )
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sig_lags"),
+            F.expr(
+                "CAST(SUM(CAST(n_days - k AS DECIMAL(38,0))"
+                " * (n_days - k - 1) * (n_days - k - 2) * num)"
+                " AS DECIMAL(38,0))"
+            ).alias("wsum"),
+        )
+    )
+    fac = (
+        base.join(den, "event_type")
+        .join(sig, "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            "var18",
+            "slope_fp6_med",
+            F.coalesce(F.col("n_sig_lags"), F.lit(0))
+            .cast("bigint")
+            .alias("n_sig_lags"),
+            F.expr(
+                "CASE WHEN n_days >= 3 AND den > 0"
+                " THEN CAST(n_days AS DECIMAL(38,0)) * (n_days - 1)"
+                "      * (n_days - 2) * den"
+                "      + 2 * COALESCE(wsum, CAST(0 AS DECIMAL(38,0)))"
+                " ELSE CAST(1 AS DECIMAL(38,0)) END"
+            ).alias("nc"),
+            F.expr(
+                "CASE WHEN n_days >= 3 AND den > 0"
+                " THEN CAST(n_days AS DECIMAL(38,0)) * (n_days - 1)"
+                "      * (n_days - 2) * den"
+                " ELSE CAST(1 AS DECIMAL(38,0)) END"
+            ).alias("dc"),
+        )
+    )
+    return fac.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        "var18",
+        "slope_fp6_med",
+        "n_sig_lags",
+        F.expr("CAST(nc * 1000000 div dc AS BIGINT)").alias("corr_fp6"),
+        F.when(
+            (F.col("var18") > 0)
+            & (F.abs("s_stat") > 1)
+            & (
+                180000 * (F.abs("s_stat") - 1) * (F.abs("s_stat") - 1)
+                > _Z2_FP4 * F.col("var18")
+            ),
+            F.when(F.col("s_stat") > 0, "rising").otherwise("falling"),
+        )
+        .otherwise("none")
+        .alias("trend_raw"),
+        F.when(
+            (F.col("var18") > 0)
+            & (F.col("nc") > 0)
+            & (F.abs("s_stat") > 1)
+            & F.expr(
+                "CAST(180000 AS DECIMAL(38,0)) * (ABS(s_stat) - 1)"
+                " * (ABS(s_stat) - 1) * dc"
+                " > CAST(38416 AS DECIMAL(38,0)) * var18 * nc"
+            ),
+            F.when(F.col("s_stat") > 0, "rising").otherwise("falling"),
+        )
+        .otherwise("none")
+        .alias("trend_hr"),
     )
