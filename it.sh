@@ -9,6 +9,8 @@
 #   2b. gate config-matrix: stock 200 shuffle partitions (the driver's
 #       session — the config that exposed the r10 global_rank escape)
 #   2c. gate config-matrix: AQE off (no exchange-reuse masking)
+#   2d. FULL-registry stock-config sweep (VERDICT r11 #4: a stock-config
+#       escape outside the 50-query gate would otherwise ship)
 #   3.  the headline bench (one JSON line)
 #
 # Usage:  ./it.sh [sf_dir]       (default /root/testdata/sf0.01)
@@ -46,6 +48,13 @@ if python "$HERE/tools/oracle_check.py" --gate --no-aqe "$SF_DIR" >"$LOGS/oracle
   grep "ok; failed" "$LOGS/oracle_noaqe.log" | tail -1
 else
   fail=1; echo "NO-AQE GATE FAILED:"; grep -E "^FAIL|ok; failed" "$LOGS/oracle_noaqe.log" | tail -20
+fi
+
+echo "== [2d] FULL-registry stock config ($SF_DIR) =="
+if python "$HERE/tools/oracle_check.py" --stock "$SF_DIR" >"$LOGS/oracle_stock_full.log" 2>"$LOGS/oracle_stock_full.err"; then
+  grep "ok; failed" "$LOGS/oracle_stock_full.log" | tail -1
+else
+  fail=1; echo "FULL STOCK-CONFIG SWEEP FAILED:"; grep -E "^FAIL|ok; failed" "$LOGS/oracle_stock_full.log" | tail -20
 fi
 
 echo "== [3/3] bench ($SF_DIR) =="
