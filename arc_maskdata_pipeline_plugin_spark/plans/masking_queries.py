@@ -853,7 +853,7 @@ def q_mask_ff3_referential(spark, sf_dir):
 
     * injectivity per radix: COUNT(DISTINCT ct) == COUNT(DISTINCT key);
     * format preservation: zero radix-10 ciphertexts fail ^[0-9]{8}$ and
-      zero radix-26 ciphertexts fail ^[0-9a-p]{5}$;
+      zero radix-26 ciphertexts fail ^[0-9a-p]{6}$;
     * exact invertibility: zero decrypt(encrypt(k)) != k rows, both
       radixes;
     * referential integrity: lineitem ⋈ part on FF3-1-encrypted keys
@@ -863,8 +863,13 @@ def q_mask_ff3_referential(spark, sf_dir):
     NIST FF3 sample vectors (AES-128/192/256, radix 10 and 26) in
     ``tests/test_ff3.py``; FF3-1 reuses that byte-identical round function
     with the Rev. 1 56-bit tweak split (layout asserted in the same test
-    file). Both domains satisfy the Rev. 1 minimum (10^8 and 26^5 >=
-    10^6), which ``functions/ff3.py`` ENFORCES.
+    file). Both domains satisfy the Rev. 1 minimum (10^8 and 26^6 >=
+    10^6), which ``functions/ff3.py`` ENFORCES. Key-domain bound (ADVICE
+    r11 #4): both renderings assume partkey < min(10^8, 26^6) = 10^8
+    (TPC-H sf ~500) — past that, ``conv``/``lpad`` would silently widen
+    and break the pinned format witnesses, so widen BOTH fixed widths
+    together with the key domain (the 26-width was raised 5 -> 6 so the
+    decimal rendering, not the radix-26 one, is the binding bound).
 
     Scale: encryption runs ONCE over the persisted DISTINCT key
     dictionary (part-key-sized, not lineitem-sized) and maps onto both
@@ -886,9 +891,9 @@ def q_mask_ff3_referential(spark, sf_dir):
                    mask_ff3_encrypt('partkey', kd) AS enc,
                    r26_mask_ff3_encrypt(
                      'partkey',
-                     lower(lpad(conv(CAST(k26 AS STRING), 10, 26), 5, '0'))
+                     lower(lpad(conv(CAST(k26 AS STRING), 10, 26), 6, '0'))
                    ) AS enc26,
-                   lower(lpad(conv(CAST(k26 AS STRING), 10, 26), 5, '0'))
+                   lower(lpad(conv(CAST(k26 AS STRING), 10, 26), 6, '0'))
                      AS kd26
             FROM (
               SELECT kd, CAST(kd AS BIGINT) AS k26 FROM (
@@ -943,7 +948,7 @@ def q_mask_ff3_referential(spark, sf_dir):
             AS roundtrip_mismatch,
           CAST((SELECT COUNT(DISTINCT enc26) FROM r) AS BIGINT)
             AS n26_distinct,
-          CAST((SELECT COUNT(*) FROM r WHERE enc26 NOT RLIKE '^[0-9a-p]{5}$')
+          CAST((SELECT COUNT(*) FROM r WHERE enc26 NOT RLIKE '^[0-9a-p]{6}$')
                AS BIGINT) AS format_bad26,
           CAST((SELECT COUNT(*) FROM r WHERE dec26 != kd26)
                AS BIGINT) AS roundtrip_mismatch26,

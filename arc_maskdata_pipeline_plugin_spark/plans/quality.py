@@ -774,10 +774,16 @@ def q_benford_digit_audit(spark, sf_dir):
     truncating division in both engines (chi-square terms at fp6, no
     logs or floats in-plan). One fact aggregate; everything downstream
     runs on the 9-row digit grid (zero-filled, so the output schema is
-    constant). Numeric bound: the exact fp9 chi-square lane holds up to
-    N ≈ 3·10^7 rows in DECIMAL(38,0)/HUGEINT; past that, run the audit on
-    a fixed-rate sample — Benford is a DISTRIBUTION test, so a uniform
-    sample preserves the verdict while keeping the arithmetic exact."""
+    constant). Numeric bound (ADVICE r11 #3): the exact fp9 chi-square
+    lane is WORST-CASE safe in DECIMAL(38,0)/HUGEINT up to N ≈ 10^7 rows
+    — the binding term is all mass on one rare digit (digit 9:
+    diff ≈ 0.954·N·10^9, squared and scaled by 10^6), and overflow past
+    the bound fails DIVERGENTLY (Spark non-ANSI → NULL, DuckDB →
+    raise), so the bound is a hard precondition, not a soft one. For
+    near-Benford data the slack extends to N ≈ 3·10^7, but do not rely
+    on it: past 10^7 rows, run the audit on a fixed-rate sample —
+    Benford is a DISTRIBUTION test, so a uniform sample preserves the
+    verdict while keeping the arithmetic exact."""
     o = T(spark, sf_dir, "orders")
     obs = (
         o.filter(F.col("o_totalprice") > 0)
