@@ -94,60 +94,53 @@ GATE_WINDOW = [
     # (b) benched and/or pytest-pinned, and (c) witnessed by a prior
     # round's CORRECTNESS_r{N}.json.
     #
-    # ROUND-11 WINDOW: leads with (a) the r10 witness DEBT — three queries
-    # added in r10 without slots (VERDICT r10 #3) plus the FIXED
-    # q_bloom_skip_audit (the r10 driver FAIL: global_rank's unpersisted
-    # range-shuffle double-evaluation, fixed by persisting `base` in
-    # plans/twophase.py — global_cumsums deliberately does NOT persist
-    # internally; measured A/B adjudication in SCALE.md round-11 notes);
-    # (b) every query whose PLAN changed this round — the 11 two-phase
-    # queries (rank persist), the 3 unigram queries (session artifact
-    # memo replaces retraining in encode), the join-order advisor
-    # (decimal(38,0) estimate, ADVICE r10 #4), FF1 (NULL-tweak propagation,
-    # ADVICE r10 #2), and the winnow stream (staging cleanup, ADVICE r10
-    # #3); (c) the 9 r11-built queries (FF3-1, WordPiece ×2, Mann-Kendall
-    # + seasonal MK, tokenizer shoot-out, Fellegi-Sunter EM linkage, the
-    # streaming trend monitor, Benford digit audit); then green
-    # representatives of each family. Every slot is hash-oracled; every
-    # displaced green is driver-witnessed in r01..r10.
+    # ROUND-12 WINDOW: leads with (a) the two r12-built queries
+    # (pair-level Fellegi-Sunter three-zone decisions, Hamed-Rao
+    # autocorrelation-corrected Mann-Kendall); (b) every query whose PLAN
+    # changed this round — the Fellegi-Sunter grid query (compound
+    # (nation, name-tens-digit) blocking + per-block cap + dropped audit,
+    # VERDICT r11 #1), the FF3 referential audit (radix-26 rendering
+    # widened 5 -> 6 chars, ADVICE r11 #4), and the full BPE/WordPiece
+    # family (session train memos, VERDICT r11 #2: warm runs replay the
+    # memoized merge list as a chained-replace projection, so any query
+    # running after its family's trainer picks up the replay plan —
+    # including the shoot-out capstone); then (c) green representatives
+    # of each family, all driver-witnessed in r01..r11. Every slot is
+    # hash-oracled.
     #
-    # --- r10 witness debt + the r10 driver FAIL, now fixed ---
-    "q_bloom_skip_audit", "q_shapley_source_coverage",
-    "q_conformal_interval_audit", "q_fairness_group_audit",
-    #
-    # --- r11-changed: two-phase persist fix (new physical plans —
-    #     InMemoryTableScan over the range/bucket frames) ---
-    "q_batch_leakage_audit", "q_negative_sampling_table", "q_ks_test",
-    "q_mann_whitney", "q_kruskal_wallis", "q_selectivity_estimate",
-    "q_partition_balance_planner", "q_quantile_normalize",
-    "q_winsorize_prices", "q_winsorize_prices_approx",
-    # r11-changed: unigram artifact memo; ADVICE r10 fixes
-    "q_unigram_train_vocab", "q_unigram_encode",
-    "q_unigram_artifact_roundtrip", "q_join_order_advisor",
-    "q_mask_ff1_referential", "q_stream_dedup_winnow",
-    # --- r11-built ---
-    "q_mask_ff3_referential",
+    # --- r12-built ---
+    "q_fs_linkage_decisions", "q_hamed_rao_trend",
+    # --- r12-changed plans ---
+    "q_fellegi_sunter_linkage", "q_mask_ff3_referential",
+    "q_bpe_train_merges", "q_bpe_encode", "q_bpe_fertility",
+    "q_bpe_roundtrip", "q_bpe_byte_train", "q_bpe_byte_encode",
+    "q_bpe_vocab_sweep", "q_bpe_artifact_roundtrip",
     "q_wordpiece_train_merges", "q_wordpiece_encode",
-    "q_mann_kendall_trend", "q_tokenizer_shootout",
-    "q_fellegi_sunter_linkage", "q_seasonal_mann_kendall",
-    "q_stream_trend_monitor", "q_benford_digit_audit",
+    "q_tokenizer_shootout",
     #
-    # --- green representatives (all witnessed r01..r10), one+ per family:
-    #     relational/TPC-H, lifecycle, masking/KDF, dedup incl. winnowing
-    #     and the band sweep, similarity, sketches, contamination, BPE,
-    #     streaming, lakeops/CBO, eval metrics, vocab stats, privacy,
-    #     valuation, capstone, multimodal ---
+    # --- green representatives (witnessed r01..r11), one+ per family:
+    #     trend/drift, relational/TPC-H, lifecycle, masking/KDF, dedup,
+    #     similarity, contamination, language/LM, streaming, lakeops/CBO,
+    #     unigram artifact family, sketches, valuation, eval audits ---
+    "q_mann_kendall_trend", "q_seasonal_mann_kendall",
+    "q_stream_trend_monitor", "q_benford_digit_audit",
     "q1_pricing_summary", "q_userdata_lifecycle", "q_mask_customers_pbkdf2",
     "q_mask_credit_cards", "q_fake_substitution",
     "dedup_minhash_pairs_fast",
     "q_dedup_recall_comparison", "q_lsh_band_sweep",
     "q_source_copy_direction",
     "q_margin_mining_pairs", "q_kneser_ney_perplexity",
-    "q_bpe_artifact_roundtrip", "q_bigram_perplexity",
-    "q_naive_bayes_langid", "q_stream_session_window",
-    "q_python_datasource_stream", "q_stream_funnel_tracker",
+    "q_bigram_perplexity", "q_naive_bayes_langid",
+    "q_stream_session_window", "q_python_datasource_stream",
+    "q_stream_funnel_tracker",
     "q_txn_log_replay", "q_join_cardinality_estimate",
     "q_layout_advisor", "q_misra_gries_topk",
+    "q_unigram_train_vocab", "q_unigram_encode",
+    "q_unigram_artifact_roundtrip", "q_join_order_advisor",
+    "q_mask_ff1_referential", "q_stream_dedup_winnow",
+    "q_bloom_skip_audit", "q_shapley_source_coverage",
+    "q_conformal_interval_audit", "q_fairness_group_audit",
+    "q_batch_leakage_audit",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 

@@ -443,6 +443,12 @@ HEADLINE = [
     "q_conformal_interval_audit",
     # round 10: group-fairness audit (exact fp6 rates + DP/EO gaps)
     "q_fairness_group_audit",
+    # round 12: pair-level FS decisions — 16-row fitted grid broadcast
+    # back onto the capped-block pair frame, three-zone classification
+    "q_fs_linkage_decisions",
+    # round 12: Hamed-Rao autocorrelation-corrected MK — rank ACF of the
+    # detrended daily series, exact-rational variance inflation
+    "q_hamed_rao_trend",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
@@ -824,6 +830,26 @@ def main():
         "q_partition_balance_planner": "two-phase cumsum (VERDICT r09 #1)",
         "q_selectivity_estimate": "two-phase cumsum (VERDICT r09 #1)",
         "q_perplexity_filter": "shared quantile_thresholds seam (two-phase)",
+        # r12: Fellegi-Sunter blocking reworked — compound (nation,
+        # name-tens-digit) key + per-block cap + dropped audit
+        "q_fellegi_sunter_linkage": "compound capped blocking (VERDICT r11 #1)",
+        # r12: BPE/WordPiece session train memos — warm runs REPLAY the
+        # merge list as a chained replace projection instead of retraining
+        # (VERDICT r11 #2); every consumer of the trained frame picks up
+        # the replay plan when another tokenizer query trained first
+        "q_wordpiece_encode": "train memo replay (VERDICT r11 #2)",
+        "q_tokenizer_shootout": "train memo replay (VERDICT r11 #2)",
+        "q_wordpiece_train_merges": "train memo replay (VERDICT r11 #2)",
+        "q_bpe_train_merges": "train memo replay (VERDICT r11 #2)",
+        "q_bpe_encode": "train memo replay (VERDICT r11 #2)",
+        "q_bpe_fertility": "train memo replay (VERDICT r11 #2)",
+        "q_bpe_roundtrip": "train memo replay (VERDICT r11 #2)",
+        "q_bpe_byte_train": "train memo replay (VERDICT r11 #2)",
+        "q_bpe_byte_encode": "train memo replay (VERDICT r11 #2)",
+        "q_bpe_vocab_sweep": "train memo replay (VERDICT r11 #2)",
+        "q_bpe_artifact_roundtrip": "train memo replay (VERDICT r11 #2)",
+        # r12: radix-26 FF3 rendering widened 5 -> 6 chars (ADVICE r11 #4)
+        "q_mask_ff3_referential": "radix-26 width 5->6 (ADVICE r11 #4)",
     }
     adjudication = {}
     for name in regressions:
