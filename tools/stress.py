@@ -2418,6 +2418,71 @@ def main():
         "12 localCheckpoint levels on the word frame; broadcast vocab equi-join per level; consumed-chars identity verified in-run",
     )
 
+    def fs_blocking_stress():
+        import arc_maskdata_pipeline_plugin_spark.plans.linkage as lk
+
+        segs = ["AUTOMOBILE", "BUILDING", "MACHINERY", "FURNITURE", "HOUSEHOLD"]
+        organic = spark.range(0, 900_000, 1, sc.defaultParallelism * 2).select(
+            F.col("id").alias("c_custkey"),
+            F.format_string("Customer#%09d", F.col("id")).alias("c_name"),
+            # hash-spread nation so the (nation, name-tens-digit) compound
+            # key really factors into ~2000 blocks (id % 200 alone would
+            # determine the tens digit and collapse the key)
+            (F.col("id") * 2654435761 % 200).alias("c_nationkey"),
+            ((F.col("id") % 999_999) / 100.0).alias("c_acctbal"),
+            F.element_at(
+                F.array(*[F.lit(s) for s in segs]),
+                (F.col("id") % 5 + 1).cast("int"),
+            ).alias("c_mktsegment"),
+        )
+        # ADVERSARIAL viral block: 100k extra customers whose names all end
+        # in tens-digit 0 under nation 0 — uncapped, that single block
+        # alone is C(100k, 2) ≈ 5e9 candidate pairs
+        viral = spark.range(0, 100_000, 1, sc.defaultParallelism).select(
+            (F.col("id") + 10_000_000).alias("c_custkey"),
+            F.format_string(
+                "Customer#%09d", (F.col("id") + 10_000_000) * 100
+            ).alias("c_name"),
+            F.lit(0).cast("long").alias("c_nationkey"),
+            ((F.col("id") % 999_999) / 100.0).alias("c_acctbal"),
+            F.element_at(
+                F.array(*[F.lit(s) for s in segs]),
+                (F.col("id") % 5 + 1).cast("int"),
+            ).alias("c_mktsegment"),
+        )
+        cust = organic.unionByName(viral)
+        orig = lk.T
+        try:
+            lk.T = lambda sp, sf, name: cust
+            pairs, sizes = lk._blocked_pairs(spark, "stress")
+            nd_blocks, nd_rows = lk._dropped_audit(sizes)
+            # every block over the 10k cap is dropped AND audited; the
+            # viral block swallows the organic (0, '0') rows too
+            assert nd_blocks == 1, nd_blocks
+            assert nd_rows >= 100_000, nd_rows
+            expected_pairs = sizes.filter(
+                F.col("bsz") <= lk._MAX_BLOCK_ROWS
+            ).agg(
+                F.sum(F.col("bsz") * (F.col("bsz") - 1) / 2).cast("bigint")
+            ).first()[0]
+            counts, (p, m, u, w) = lk._fit_em(pairs)
+            sizes.unpersist()
+            # pair count == Σ C(|kept block|, 2): the cap is the bound
+            assert sum(counts.values()) == expected_pairs, (
+                sum(counts.values()),
+                expected_pairs,
+            )
+            assert len(w) == 16 and 0 < p < 10**9  # O(1) EM on the grid
+        finally:
+            lk.T = orig
+
+    timed(
+        "Fellegi-Sunter capped blocking VIRAL (1M customers + 100k-row viral block, cap=10k)",
+        1_000_000,
+        fs_blocking_stress,
+        "ADVERSARIAL: uncapped viral block = 5e9 pairs; cap drops+audits it; ~2000 compound blocks -> ~2e8 in-cap pairs through ONE 16-row map-side-combined pattern agg; EM on the collected grid is O(1)",
+    )
+
     # ---- report ----------------------------------------------------------
     lines = [
         "# STRESS — synthetic ~100× scale-up measurements (local[32])",
