@@ -449,6 +449,12 @@ HEADLINE = [
     # round 12: Hamed-Rao autocorrelation-corrected MK — rank ACF of the
     # detrended daily series, exact-rational variance inflation
     "q_hamed_rao_trend",
+    # round 12: two-sample Cramér-von Mises on the distinct-value frame
+    # (closed-form tied-group rank sums; two-phase cumulative counts)
+    "q_cramer_von_mises",
+    # round 12: delete-one-day jackknife ratio SE on the calendar-bounded
+    # daily frame (exact integer variance identity)
+    "q_jackknife_ratio_se",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
