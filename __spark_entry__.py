@@ -78,6 +78,7 @@ from arc_maskdata_pipeline_plugin_spark.plans import trend  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import shootout  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import linkage  # noqa: F401
 from arc_maskdata_pipeline_plugin_spark.plans import stats6  # noqa: F401
+from arc_maskdata_pipeline_plugin_spark.plans import curation2  # noqa: F401
 
 from arc_maskdata_pipeline_plugin_spark.plans.registry import REGISTRY
 
@@ -112,6 +113,7 @@ GATE_WINDOW = [
     # --- r12-built ---
     "q_fs_linkage_decisions", "q_hamed_rao_trend",
     "q_cramer_von_mises", "q_jackknife_ratio_se",
+    "q_gopher_quality_rules",
     # --- r12-changed plans ---
     "q_fellegi_sunter_linkage", "q_mask_ff3_referential",
     "q_bpe_train_merges", "q_bpe_encode", "q_bpe_fertility",
@@ -141,7 +143,6 @@ GATE_WINDOW = [
     "q_unigram_artifact_roundtrip", "q_join_order_advisor",
     "q_mask_ff1_referential", "q_stream_dedup_winnow",
     "q_bloom_skip_audit", "q_shapley_source_coverage",
-    "q_conformal_interval_audit",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 

@@ -455,6 +455,9 @@ HEADLINE = [
     # round 12: delete-one-day jackknife ratio SE on the calendar-bounded
     # daily frame (exact integer variance identity)
     "q_jackknife_ratio_se",
+    # round 12: Gopher quality + repetition rules (published thresholds;
+    # (doc, n, gram) shuffle + per-doc windows -> source-level report)
+    "q_gopher_quality_rules",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
