@@ -458,6 +458,9 @@ HEADLINE = [
     # round 12: Gopher quality + repetition rules (published thresholds;
     # (doc, n, gram) shuffle + per-doc windows -> source-level report)
     "q_gopher_quality_rules",
+    # round 12: greedy char-budget chunker as a real Python UDTF (lateral
+    # join, partition-local; oracle = DuckDB recursive CTE)
+    "q_greedy_chunk_udtf",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real
