@@ -391,9 +391,15 @@ def _wp_word_pieces(spark, sf_dir):
         F.lit(False).alias("unk"),
         (F.length("word") == 0).alias("done"),
     ).localCheckpoint(eager=True)
+    # finished rows leave the loop as filter branches over each level's
+    # checkpoint and union ONCE at the end — checkpointing done ∪ active
+    # every level re-materialized the full word frame 12 times (r12 perf
+    # note); each level now checkpoints only the SHRINKING active set and
+    # the loop exits as soon as it drains
+    finished = []
     for _level in range(_LMAX):
         active = state.filter(~F.col("done"))
-        done = state.filter(F.col("done"))
+        finished.append(state.filter(F.col("done")))
         cand = active.select(
             "word",
             "pos",
@@ -434,10 +440,15 @@ def _wp_word_pieces(spark, sf_dir):
         # iterative-loop rule: eager localCheckpoint per level — persist()
         # does not truncate the logical plan and canonicalization OOMs on
         # doubling lineage (plans/unigram.py discipline)
-        state = done.unionByName(stepped).localCheckpoint(eager=True)
+        state = stepped.localCheckpoint(eager=True)
+        if state.isEmpty():  # cheap on the checkpointed frame
+            break
 
+    full = state
+    for f in finished:
+        full = full.unionByName(f)
     return (
-        state.join(words, "word")
+        full.join(words, "word")
         .select(
             "word",
             "n",

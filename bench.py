@@ -849,8 +849,8 @@ def main():
         # merge list as a chained replace projection instead of retraining
         # (VERDICT r11 #2); every consumer of the trained frame picks up
         # the replay plan when another tokenizer query trained first
-        "q_wordpiece_encode": "train memo replay (VERDICT r11 #2)",
-        "q_tokenizer_shootout": "train memo replay (VERDICT r11 #2)",
+        "q_wordpiece_encode": "train memo replay + shrinking-active DP checkpoints (r12)",
+        "q_tokenizer_shootout": "train memo replay + shrinking-active DP checkpoints (r12)",
         "q_wordpiece_train_merges": "train memo replay (VERDICT r11 #2)",
         "q_bpe_train_merges": "train memo replay (VERDICT r11 #2)",
         "q_bpe_encode": "train memo replay (VERDICT r11 #2)",

@@ -2365,9 +2365,10 @@ def main():
             F.lit(False).alias("unk"),
             (F.length("word") == 0).alias("done"),
         ).localCheckpoint(eager=True)
+        finished = []  # the shipped shrinking-active shape (r12)
         for _ in range(_LMAX):
             active = state.filter(~F.col("done"))
-            done = state.filter(F.col("done"))
+            finished.append(state.filter(F.col("done")))
             cand = active.select(
                 "word",
                 "pos",
@@ -2401,7 +2402,11 @@ def main():
                     | (F.col("pos") + F.col("adv") >= F.length("word"))
                 ).alias("done"),
             )
-            state = done.unionByName(stepped).localCheckpoint(eager=True)
+            state = stepped.localCheckpoint(eager=True)
+            if state.isEmpty():
+                break
+        for f in finished:
+            state = state.unionByName(f)
         chk = state.agg(
             F.sum(F.when(F.col("unk"), 1).otherwise(0)).alias("unks"),
             F.sum("pos").alias("chars"),
