@@ -330,3 +330,156 @@ def q_jackknife_ratio_se(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 1-D Wasserstein-1 (earth-mover) drift — the magnitude-aware member of
+# the shift family: KS reacts to the worst ECDF gap, CvM to the
+# rank-integrated gap, W1 = ∫|F_A − F_B| dx to the gap WEIGHTED BY VALUE
+# DISTANCE, so a small probability mass moved a long way (the failure
+# mode that actually moves a revenue metric) registers proportionally.
+#
+# Exactness: with value micros v (fp6 integers), exclusive cumulative
+# counts ca₀/cb₀ and per-row previous distinct value pv,
+#     W1_fp6 = Σ_i |ca₀_i·m − cb₀_i·n| · (v_i − pv_i)  div  (n·m)
+# — every term is an exact integer (the i=1 term vanishes: both exclusive
+# counts are 0), summed in DECIMAL(38,0)/HUGEINT.
+#
+# Scale shape: the corpus collapses to the distinct-value frame in one
+# shuffle; cumulative counts AND the previous-value column come from ONE
+# two-phase bucketed pass (sketch boundaries → one parallel hash
+# exchange; per-bucket offset/previous-max frames are config-bounded, so
+# the only unpartitioned windows run over ≤ partitions rows — the
+# plans/twophase.py discipline, inlined here because the shared helper
+# has no cross-row lag).
+# ---------------------------------------------------------------------------
+
+_W1_ORACLE = f"""
+WITH vc AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN event_type = '{_CVM_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN event_type = '{_CVM_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS b
+  FROM events WHERE event_type IN ('{_CVM_A}', '{_CVM_B}')
+  GROUP BY 1
+),
+cum AS (
+  SELECT v, LAG(v) OVER (ORDER BY v) AS pv,
+         COALESCE(SUM(a) OVER w, 0) AS ca0,
+         COALESCE(SUM(b) OVER w, 0) AS cb0,
+         SUM(a) OVER () AS n, SUM(b) OVER () AS m
+  FROM vc WINDOW w AS (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+       CAST(COALESCE(SUM(ABS(CAST(ca0 AS HUGEINT) * m
+                             - CAST(cb0 AS HUGEINT) * n)
+                         * (v - pv)), 0)
+            // (CAST(n AS HUGEINT) * m) AS BIGINT) AS w1_fp6
+FROM cum
+WHERE n > 0 AND m > 0
+GROUP BY n, m
+"""
+
+
+@register("q_wasserstein_drift", oracle=_W1_ORACLE)
+def q_wasserstein_drift(spark, sf_dir):
+    """1-D Wasserstein-1 distance between the `value` distributions of two
+    event types (section docstring above: exact integer ∫|F_A − F_B|dx on
+    the distinct-value frame; one two-phase bucketed pass provides both
+    exclusive cumulative counts and the previous-value lag)."""
+    e = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_CVM_A, _CVM_B))
+        .select(
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+            ).alias("v"),
+            "event_type",
+        )
+    )
+    vc = (
+        e.groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("event_type") == _CVM_A, 1).otherwise(0))
+            .cast("bigint")
+            .alias("a"),
+            F.sum(F.when(F.col("event_type") == _CVM_B, 1).otherwise(0))
+            .cast("bigint")
+            .alias("b"),
+        )
+        # consumers: boundary sketch, bucketed windows, per-bucket offsets
+        .transform(persisted)
+    )
+    from pyspark.sql import Window
+
+    n_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    if n_parts >= 2:
+        qs = [i / n_parts for i in range(1, n_parts)]
+        row = vc.agg(
+            F.percentile_approx("v", qs, 1000).alias("bs")
+        ).first()
+        bounds = sorted({x for x in (row["bs"] or []) if x is not None})
+    else:
+        bounds = []
+    if bounds:
+        barr = F.array(*[F.lit(int(x)) for x in bounds])
+        bucket = F.size(F.filter(barr, lambda x: x <= F.col("v")))
+    else:
+        bucket = F.lit(0)
+    bkt = vc.withColumn("_b", bucket)
+    w = Window.partitionBy("_b").orderBy("v")
+    wx = w.rowsBetween(Window.unboundedPreceding, -1)
+    loc = bkt.select(
+        "_b",
+        "v",
+        F.lag("v").over(w).alias("_pv_loc"),
+        F.coalesce(F.sum("a").over(wx), F.lit(0)).alias("_ca_loc"),
+        F.coalesce(F.sum("b").over(wx), F.lit(0)).alias("_cb_loc"),
+    )
+    # per-bucket totals/extremes: config-bounded (≤ partitions rows) — the
+    # only unpartitioned windows below run over THIS frame
+    tots = bkt.groupBy("_b").agg(
+        F.sum("a").alias("_ta"),
+        F.sum("b").alias("_tb"),
+        F.max("v").alias("_vmax"),
+    )
+    woff = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = tots.select(
+        "_b",
+        F.coalesce(F.sum("_ta").over(woff), F.lit(0)).alias("_oa"),
+        F.coalesce(F.sum("_tb").over(woff), F.lit(0)).alias("_ob"),
+        F.max("_vmax").over(woff).alias("_pvmax"),
+    )
+    tot = vc.agg(
+        F.sum("a").cast("bigint").alias("n"),
+        F.sum("b").cast("bigint").alias("m"),
+    )
+    rows = (
+        loc.join(F.broadcast(offs), "_b")
+        .select(
+            F.coalesce(F.col("_pv_loc"), F.col("_pvmax")).alias("pv"),
+            "v",
+            (F.col("_ca_loc") + F.col("_oa")).alias("ca0"),
+            (F.col("_cb_loc") + F.col("_ob")).alias("cb0"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        rows.filter((F.col("n") > 0) & (F.col("m") > 0))
+        .groupBy("n", "m")
+        .agg(
+            F.expr(
+                "CAST(COALESCE(SUM(ABS(CAST(ca0 AS DECIMAL(38,0)) * m"
+                "                      - CAST(cb0 AS DECIMAL(38,0)) * n)"
+                "                  * (v - pv)), 0)"
+                " div (CAST(n AS DECIMAL(38,0)) * m) AS BIGINT)"
+            ).alias("w1_fp6")
+        )
+        .select(
+            F.col("n").alias("n_a"), F.col("m").alias("n_b"), "w1_fp6"
+        )
+    )

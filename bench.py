@@ -461,6 +461,9 @@ HEADLINE = [
     # round 12: greedy char-budget chunker as a real Python UDTF (lateral
     # join, partition-local; oracle = DuckDB recursive CTE)
     "q_greedy_chunk_udtf",
+    # round 12: Wasserstein-1 drift (magnitude-aware shift; one two-phase
+    # pass supplies exclusive cumsums AND the previous-value lag)
+    "q_wasserstein_drift",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -157,3 +157,49 @@ def test_jackknife_single_day_reports_sentinel(spark):
     # -> the type drops out entirely (matches the oracle's inner join)
     assert got == []
     assert _run(spark, [], s6.q_jackknife_ratio_se) == []
+
+
+def _ref_w1(xs, ys):
+    """∫|F_A − F_B|dx via the pooled distinct-value decomposition."""
+    import itertools
+
+    vs = sorted(set(xs) | set(ys))
+    n, m = len(xs), len(ys)
+    w1 = 0
+    for pv, v in itertools.pairwise(vs):
+        ca = sum(1 for x in xs if x <= pv)
+        cb = sum(1 for y in ys if y <= pv)
+        w1 += abs(ca * m - cb * n) * round((v - pv) * 10**6)
+    return w1 // (n * m)
+
+
+def test_wasserstein_matches_reference(spark):
+    xs = [float(v) for v in (1, 2, 2, 3, 5, 8, 13)]
+    ys = [float(v) for v in (2, 3, 3, 4, 6, 9, 21)]
+    row = _run(spark, _events(xs, ys), s6.q_wasserstein_drift)[0]
+    assert row["w1_fp6"] == _ref_w1(xs, ys)
+    # identical distributions -> 0
+    row0 = _run(spark, _events(xs, list(xs)), s6.q_wasserstein_drift)[0]
+    assert row0["w1_fp6"] == 0
+    # pure location shift by delta with identical shapes -> W1 == delta
+    delta = 2.5
+    ys2 = [x + delta for x in xs]
+    row2 = _run(spark, _events(xs, ys2), s6.q_wasserstein_drift)[0]
+    assert row2["w1_fp6"] == round(delta * 10**6)
+
+
+def test_wasserstein_magnitude_awareness(spark):
+    # same KS distance (one point moved), very different W1: the moved
+    # point travels 1 vs 100 units
+    xs = [0.0] * 10
+    near = [0.0] * 9 + [1.0]
+    far = [0.0] * 9 + [100.0]
+    w_near = _run(spark, _events(xs, near), s6.q_wasserstein_drift)[0]
+    w_far = _run(spark, _events(xs, far), s6.q_wasserstein_drift)[0]
+    assert w_far["w1_fp6"] == 100 * w_near["w1_fp6"]
+    assert w_near["w1_fp6"] == _ref_w1(xs, near)
+
+
+def test_wasserstein_empty(spark):
+    assert _run(spark, [], s6.q_wasserstein_drift) == []
+    assert _run(spark, _events([1.0], []), s6.q_wasserstein_drift) == []
