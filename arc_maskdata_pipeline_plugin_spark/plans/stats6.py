@@ -8,19 +8,27 @@
   drift KS under-weights. Computed EXACTLY on the distinct-value count
   frame with midranks: using DOUBLED ranks (ties stay integral, the
   plans/trend.py Hamed-Rao discipline) the rank-index deviations sum in
-  closed form per tied group —
+  closed form per tied group, carried at 6× SCALE so the whole plan is
+  DIVISION-FREE (Spark's ``div`` narrows its result to LONG, and the
+  un-scaled sum-of-squares helper t(t+1)(2t+1) div 6 overflows long past
+  t ≈ 3·10⁶ under ANSI — caught by the 20M-row stress case):
 
-      Σ_{i=lo..hi} (C − 2i)²  =  a·C² − 2·C·a·(2c₀+a+1) + 4·(H(hi) − H(c₀))
+      6·Σ_{i=lo..hi} (C − 2i)²
+        = 6·a·C² − 12·C·a·(2c₀+a+1) + 4·(G(hi) − G(c₀)),
+      G(t) = t(t+1)(2t+1)   (no division anywhere),
 
-  with H(t) = t(t+1)(2t+1) div 6 (each term exactly divisible), C the
-  doubled midrank and c₀ the group's exclusive cumulative count — so
-  U2 = 4U = n·ΣX + m·ΣY needs no per-row ranks at all. The criterion is
-  the exact rational  T = (3·U2 − 2nm(4nm−1)) / (12·n·m·N)  and the 5%
-  verdict is the integer inequality  1000·T_num > 461·T_den  (0.461 =
-  asymptotic 5% critical value of the limiting ω² distribution).
-  Numeric lane: DECIMAL(38,0)/HUGEINT; U2 ≤ 4N³·max(n,m) keeps worst-case
-  headroom to N ≈ 10⁹ pooled observations — past that, fixed-rate sample
-  (distribution test; the plans/quality.py Benford discipline).
+  with C the doubled midrank and c₀ the group's exclusive cumulative
+  count — so U2_6 = 24U = n·ΣX₆ + m·ΣY₆ needs no per-row ranks and no
+  integral division. The criterion is kept as the equal-ratio doubled
+  pair 2·T_num = U2_6 − 4nm(4nm−1), 2·T_den = 24·n·m·N (same truncating
+  quotient, same verdict as T_num/T_den); the fp6 report divides ONCE at
+  the end — the quotient is T-sized, so the long result is safe — and
+  the 5% verdict is the division-free inequality
+  1000·(2T_num) > 461·(2T_den) (0.461 = asymptotic 5% critical value of
+  the limiting ω² distribution). Numeric lane: DECIMAL(38,0)/HUGEINT;
+  worst-case U2_6 ≤ 24·N⁴, so the exact lane holds to N ≈ 5·10⁷ pooled
+  observations — past that, fixed-rate sample (distribution test; the
+  plans/quality.py Benford discipline).
 
 * **Delete-one-group jackknife** (Quenouille 1956, Tukey 1958; the
   standard error every ratio metric on correlated event data needs —
@@ -79,18 +87,18 @@ contrib AS (
 terms AS (
   SELECT a, b,
          CASE WHEN a > 0 THEN
-           CAST(a AS HUGEINT) * mr2 * mr2
-           - 2 * CAST(mr2 AS HUGEINT) * a * (2 * ca0 + a + 1)
-           + 4 * (((ca0 + a) * (ca0 + a + 1)
-                   * CAST(2 * (ca0 + a) + 1 AS HUGEINT)) // 6
-                  - (CAST(ca0 AS HUGEINT) * (ca0 + 1) * (2 * ca0 + 1)) // 6)
+           6 * CAST(a AS HUGEINT) * mr2 * mr2
+           - 12 * CAST(mr2 AS HUGEINT) * a * (2 * ca0 + a + 1)
+           + 4 * ((ca0 + a) * (ca0 + a + 1)
+                  * CAST(2 * (ca0 + a) + 1 AS HUGEINT)
+                  - CAST(ca0 AS HUGEINT) * (ca0 + 1) * (2 * ca0 + 1))
          ELSE CAST(0 AS HUGEINT) END AS tx,
          CASE WHEN b > 0 THEN
-           CAST(b AS HUGEINT) * mr2 * mr2
-           - 2 * CAST(mr2 AS HUGEINT) * b * (2 * cb0 + b + 1)
-           + 4 * (((cb0 + b) * (cb0 + b + 1)
-                   * CAST(2 * (cb0 + b) + 1 AS HUGEINT)) // 6
-                  - (CAST(cb0 AS HUGEINT) * (cb0 + 1) * (2 * cb0 + 1)) // 6)
+           6 * CAST(b AS HUGEINT) * mr2 * mr2
+           - 12 * CAST(mr2 AS HUGEINT) * b * (2 * cb0 + b + 1)
+           + 4 * ((cb0 + b) * (cb0 + b + 1)
+                  * CAST(2 * (cb0 + b) + 1 AS HUGEINT)
+                  - CAST(cb0 AS HUGEINT) * (cb0 + 1) * (2 * cb0 + 1))
          ELSE CAST(0 AS HUGEINT) END AS ty
   FROM contrib
 ),
@@ -100,11 +108,13 @@ agg AS (
   FROM terms
 ),
 crit AS (
+  -- 2*T_num / 2*T_den: the 6x term scale absorbs the /6, leaving the
+  -- equal-ratio doubled pair (same truncating quotient, same verdict)
   SELECT n, m,
-         3 * (CAST(n AS HUGEINT) * sx + CAST(m AS HUGEINT) * sy)
-           - 2 * CAST(n AS HUGEINT) * m * (4 * CAST(n AS HUGEINT) * m - 1)
+         (CAST(n AS HUGEINT) * sx + CAST(m AS HUGEINT) * sy)
+           - 4 * CAST(n AS HUGEINT) * m * (4 * CAST(n AS HUGEINT) * m - 1)
            AS t_num,
-         12 * CAST(n AS HUGEINT) * m * (n + m) AS t_den
+         24 * CAST(n AS HUGEINT) * m * (n + m) AS t_den
   FROM agg
 )
 SELECT n AS n_a, m AS n_b,
@@ -158,22 +168,22 @@ def q_cramer_von_mises(spark, sf_dir):
         "b",
         F.expr(
             "CASE WHEN a > 0 THEN"
-            " CAST(a AS DECIMAL(38,0)) * mr2 * mr2"
-            " - 2 * CAST(mr2 AS DECIMAL(38,0)) * a * (2 * ca0 + a + 1)"
-            " + 4 * ((CAST(ca0 + a AS DECIMAL(38,0)) * (ca0 + a + 1)"
-            "         * (2 * (ca0 + a) + 1)) div 6"
-            "        - (CAST(ca0 AS DECIMAL(38,0)) * (ca0 + 1)"
-            "           * (2 * ca0 + 1)) div 6)"
+            " 6 * CAST(a AS DECIMAL(38,0)) * mr2 * mr2"
+            " - 12 * CAST(mr2 AS DECIMAL(38,0)) * a * (2 * ca0 + a + 1)"
+            " + 4 * (CAST(ca0 + a AS DECIMAL(38,0)) * (ca0 + a + 1)"
+            "        * (2 * (ca0 + a) + 1)"
+            "        - CAST(ca0 AS DECIMAL(38,0)) * (ca0 + 1)"
+            "          * (2 * ca0 + 1))"
             " ELSE CAST(0 AS DECIMAL(38,0)) END"
         ).alias("tx"),
         F.expr(
             "CASE WHEN b > 0 THEN"
-            " CAST(b AS DECIMAL(38,0)) * mr2 * mr2"
-            " - 2 * CAST(mr2 AS DECIMAL(38,0)) * b * (2 * cb0 + b + 1)"
-            " + 4 * ((CAST(cb0 + b AS DECIMAL(38,0)) * (cb0 + b + 1)"
-            "         * (2 * (cb0 + b) + 1)) div 6"
-            "        - (CAST(cb0 AS DECIMAL(38,0)) * (cb0 + 1)"
-            "           * (2 * cb0 + 1)) div 6)"
+            " 6 * CAST(b AS DECIMAL(38,0)) * mr2 * mr2"
+            " - 12 * CAST(mr2 AS DECIMAL(38,0)) * b * (2 * cb0 + b + 1)"
+            " + 4 * (CAST(cb0 + b AS DECIMAL(38,0)) * (cb0 + b + 1)"
+            "        * (2 * (cb0 + b) + 1)"
+            "        - CAST(cb0 AS DECIMAL(38,0)) * (cb0 + 1)"
+            "          * (2 * cb0 + 1))"
             " ELSE CAST(0 AS DECIMAL(38,0)) END"
         ).alias("ty"),
     )
@@ -188,20 +198,20 @@ def q_cramer_von_mises(spark, sf_dir):
         F.col("n").alias("n_a"),
         F.col("m").alias("n_b"),
         F.expr(
-            "CAST((3 * (CAST(n AS DECIMAL(38,0)) * sx"
-            "           + CAST(m AS DECIMAL(38,0)) * sy)"
-            "      - 2 * CAST(n AS DECIMAL(38,0)) * m"
+            "CAST(((CAST(n AS DECIMAL(38,0)) * sx"
+            "       + CAST(m AS DECIMAL(38,0)) * sy)"
+            "      - 4 * CAST(n AS DECIMAL(38,0)) * m"
             "        * (4 * CAST(n AS DECIMAL(38,0)) * m - 1)) * 1000000"
-            " div (12 * CAST(n AS DECIMAL(38,0)) * m * (n + m)) AS BIGINT)"
+            " div (24 * CAST(n AS DECIMAL(38,0)) * m * (n + m)) AS BIGINT)"
         ).alias("cvm_t_fp6"),
         F.expr(
-            "CAST(CASE WHEN 1000 * (3 * (CAST(n AS DECIMAL(38,0)) * sx"
-            "                            + CAST(m AS DECIMAL(38,0)) * sy)"
-            "                       - 2 * CAST(n AS DECIMAL(38,0)) * m"
+            "CAST(CASE WHEN 1000 * ((CAST(n AS DECIMAL(38,0)) * sx"
+            "                        + CAST(m AS DECIMAL(38,0)) * sy)"
+            "                       - 4 * CAST(n AS DECIMAL(38,0)) * m"
             "                         * (4 * CAST(n AS DECIMAL(38,0)) * m"
             "                            - 1))"
             f"           > {_CVM_CRIT_FP3}"
-            "             * (12 * CAST(n AS DECIMAL(38,0)) * m * (n + m))"
+            "             * (24 * CAST(n AS DECIMAL(38,0)) * m * (n + m))"
             "      THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("shift_detected"),
     )

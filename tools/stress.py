@@ -2488,6 +2488,44 @@ def main():
         "ADVERSARIAL: uncapped viral block = 5e9 pairs; cap drops+audits it; ~2000 compound blocks -> ~2e8 in-cap pairs through ONE 16-row map-side-combined pattern agg; EM on the collected grid is O(1)",
     )
 
+    def drift_family_stress():
+        # the SHIPPED q_cramer_von_mises / q_wasserstein_drift paths (two-
+        # phase cumsums + the W1 inlined lag pass) on 20M rows, 100k
+        # distinct values, group B shifted by a constant
+        import arc_maskdata_pipeline_plugin_spark.plans.stats6 as s6
+
+        ev = spark.range(0, 20_000_000, 1, sc.defaultParallelism * 4).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.lit(1700000000)).alias("ts"),
+            F.lit(1).alias("user_id"),
+            F.when(F.col("id") % 2 == 0, "purchase")
+            .otherwise("view")
+            .alias("event_type"),
+            (
+                ((F.col("id") * 2654435761) % 100_000)
+                + (F.col("id") % 2) * 5_000
+            ).cast("double").alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        orig = s6.T
+        try:
+            s6.T = lambda sp, sf, name: ev
+            cvm = s6.q_cramer_von_mises(spark, "stress").first()
+            assert cvm["shift_detected"] == 1, cvm
+            w1 = s6.q_wasserstein_drift(spark, "stress").first()
+            # group B is group A location-shifted by +5000 -> W1 ~ 5000
+            assert 4_500 * 10**6 < w1["w1_fp6"] < 5_500 * 10**6, w1
+            assert w1["n_a"] == w1["n_b"] == 10_000_000
+        finally:
+            s6.T = orig
+
+    timed(
+        "CvM + Wasserstein drift, shipped two-phase paths (20M rows, ~105k distinct values)",
+        20_000_000,
+        drift_family_stress,
+        "corpus collapses to the distinct-value frame in ONE shuffle each; closed-form tied-group CvM terms; W1 lag+cumsums in one bucketed pass; shift verdict + W1~5000 location-shift identity verified in-run",
+    )
+
     # ---- report ----------------------------------------------------------
     lines = [
         "# STRESS — synthetic ~100× scale-up measurements (local[32])",
