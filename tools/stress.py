@@ -2488,6 +2488,36 @@ def main():
         "ADVERSARIAL: uncapped viral block = 5e9 pairs; cap drops+audits it; ~2000 compound blocks -> ~2e8 in-cap pairs through ONE 16-row map-side-combined pattern agg; EM on the collected grid is O(1)",
     )
 
+    def cumsum_stress():
+        # two-phase global running sum on a 5M distinct-value frame
+        # (the plans/twophase.py primitive the KS/CvM/winsorize family
+        # rides) — permutation identity max(cum) == Σw verified in-run
+        from arc_maskdata_pipeline_plugin_spark.cache import persisted as _p
+        from arc_maskdata_pipeline_plugin_spark.plans.twophase import (
+            global_cumsums,
+        )
+
+        vals = _p(
+            spark.range(0, 5_000_000, 1, sc.defaultParallelism * 4).select(
+                ((F.col("id") * 2654435761) % (1 << 40)).alias("v"),
+                (F.col("id") % 997 + 1).alias("w"),
+            )
+        )
+        cum = global_cumsums(vals, ["v"], {"cw": ("w", "incl")})
+        row = cum.agg(
+            F.max("cw").alias("mx"), F.count(F.lit(1)).alias("n")
+        ).first()
+        tot = vals.agg(F.sum("w").alias("s")).first()
+        assert row["mx"] == tot["s"], (row, tot)
+        vals.unpersist()
+
+    timed(
+        "two-phase global cumsum (5M distinct-value frame)",
+        5_000_000,
+        cumsum_stress,
+        "sketch-bucketed windows (one parallel hash shuffle); per-bucket prefix totals broadcast; max(cum) == Σw verified in-run",
+    )
+
     def drift_family_stress():
         # the SHIPPED q_cramer_von_mises / q_wasserstein_drift paths (two-
         # phase cumsums + the W1 inlined lag pass) on 20M rows, 100k
