@@ -117,7 +117,7 @@ GATE_WINDOW = [
     "q_fs_linkage_decisions", "q_hamed_rao_trend",
     "q_cramer_von_mises", "q_jackknife_ratio_se",
     "q_gopher_quality_rules", "q_greedy_chunk_udtf",
-    "q_wasserstein_drift",
+    "q_wasserstein_drift", "q_fs_review_queue",
     # --- r12-changed plans ---
     "q_fellegi_sunter_linkage", "q_mask_ff3_referential",
     "q_bpe_train_merges", "q_bpe_encode", "q_bpe_fertility",
@@ -145,7 +145,7 @@ GATE_WINDOW = [
     "q_layout_advisor", "q_misra_gries_topk",
     "q_unigram_train_vocab", "q_unigram_encode",
     "q_unigram_artifact_roundtrip", "q_join_order_advisor",
-    "q_mask_ff1_referential", "q_stream_dedup_winnow",
+    "q_mask_ff1_referential",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 

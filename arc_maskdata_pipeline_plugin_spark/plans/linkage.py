@@ -458,3 +458,104 @@ def q_fs_linkage_decisions(spark, sf_dir):
             "zone",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Clerical-review queue (the q_corpus_release_report composition pattern,
+# closing VERDICT r11 #3's pipeline): real ER teams act on CASES, not
+# pairs — candidate pairs above the lower FS threshold (link ∪ possible)
+# are clustered by transitive connectivity, and each connected component
+# is one review case. This composes the r12 pieces end-to-end: capped
+# compound blocking → fp9 EM grid → three-zone scoring → large-star/
+# small-star connected components (operators/clusters.py, the dedup
+# machinery) → the case-size histogram that sizes the review queue.
+# Scale shape: the review-pair edge list is a filtered subset of the
+# cap-bounded pair frame (orders of magnitude below the corpus); the CC
+# rounds are two grouped shuffles each over THAT edge list, O(log n)
+# rounds (Kiveris et al. SoCC'14).
+# ---------------------------------------------------------------------------
+
+_REVIEW_ORACLE = f"""
+WITH RECURSIVE {_PAIRS_CTES.lstrip()},
+pat AS MATERIALIZED (
+  SELECT a1, a2, a3, a4 FROM pairs
+),
+{_GRID_EM_FIN},
+rp AS MATERIALIZED (
+  SELECT p.ka, p.kb
+  FROM pairs p
+  JOIN fin f ON f.gid = 8 * p.a1 + 4 * p.a2 + 2 * p.a3 + p.a4
+  WHERE f.w * 10 > {_FP}
+),
+e AS (SELECT ka AS a, kb AS b FROM rp UNION SELECT kb, ka FROM rp),
+walk(node, comp) AS (
+  SELECT DISTINCT a, a FROM e
+  UNION
+  SELECT e.a, w.comp FROM e JOIN walk w ON e.b = w.node
+),
+cc AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node),
+cases AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS case_size
+  FROM cc GROUP BY component
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cases,
+         CAST(COALESCE(SUM(case_size), 0) AS BIGINT) AS n_records,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM rp) AS n_review_pairs
+  FROM cases
+)
+SELECT c.case_size,
+       CAST(COUNT(*) AS BIGINT) AS n_cases_of_size,
+       t.n_cases, t.n_records, t.n_review_pairs
+FROM cases c, tot t
+GROUP BY c.case_size, t.n_cases, t.n_records, t.n_review_pairs
+ORDER BY c.case_size
+"""
+
+
+@register("q_fs_review_queue", oracle=_REVIEW_ORACLE)
+def q_fs_review_queue(spark, sf_dir):
+    """Fellegi-Sunter clerical-review queue (section docstring above):
+    link ∪ possible pairs clustered into review CASES via large-star/
+    small-star connected components; emits the case-size histogram with
+    queue totals — the artifact that sizes a review rotation."""
+    from ..operators.clusters import connected_components
+
+    pairs, sizes = _blocked_pairs(spark, sf_dir)
+    pairs = pairs.transform(persisted)
+    counts, (p, m, u, w) = _fit_em(pairs)  # materializes `pairs`
+    sizes.unpersist()
+    review_gids = [(g,) for g in range(16) if w[g] * 10 > _FP]
+    rg = spark.createDataFrame(review_gids or [], "gid int")
+    rp = (
+        pairs.withColumn(
+            "gid",
+            (
+                8 * F.col("a1") + 4 * F.col("a2") + 2 * F.col("a3")
+                + F.col("a4")
+            ).cast("int"),
+        )
+        .join(F.broadcast(rg), "gid")
+        .select("ka", "kb")
+        # consumers: CC star rounds + the n_review_pairs total
+        .transform(persisted)
+    )
+    cc = connected_components(rp, left="ka", right="kb")
+    cases = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("case_size")
+    )
+    tot = cases.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cases"),
+        F.coalesce(F.sum("case_size"), F.lit(0))
+        .cast("bigint")
+        .alias("n_records"),
+    ).crossJoin(
+        F.broadcast(
+            rp.agg(F.count(F.lit(1)).cast("bigint").alias("n_review_pairs"))
+        )
+    )
+    return (
+        cases.groupBy("case_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cases_of_size"))
+        .crossJoin(F.broadcast(tot))
+    )

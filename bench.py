@@ -464,6 +464,9 @@ HEADLINE = [
     # round 12: Wasserstein-1 drift (magnitude-aware shift; one two-phase
     # pass supplies exclusive cumsums AND the previous-value lag)
     "q_wasserstein_drift",
+    # round 12: FS clerical-review queue capstone (three-zone scoring ->
+    # star-rounds connected components -> case-size histogram)
+    "q_fs_review_queue",
 ]
 
 WARM_RUNS = 3  # median of 3 — single-shot warm timings can't separate a real

@@ -189,3 +189,23 @@ def test_no_drops_audit_is_zero(spark):
     grid = _run_fn(spark, _planted_rows(), lk.q_fellegi_sunter_linkage)
     assert all(r["n_dropped_blocks"] == 0 for r in grid)
     assert all(r["n_dropped_rows"] == 0 for r in grid)
+
+
+def test_review_queue_cases(spark):
+    # planted duplicates form 2-record cases (plus whatever the block's
+    # cross-pairs link transitively); verify histogram consistency and
+    # that totals are internally coherent
+    rows = _planted_rows()
+    got = _run_fn(spark, rows, lk.q_fs_review_queue)
+    assert got, "expected a non-empty review queue on planted duplicates"
+    n_cases = got[0]["n_cases"]
+    n_records = got[0]["n_records"]
+    assert all(r["n_cases"] == n_cases for r in got)
+    assert sum(r["n_cases_of_size"] for r in got) == n_cases
+    assert sum(r["case_size"] * r["n_cases_of_size"] for r in got) == n_records
+    assert all(r["case_size"] >= 2 for r in got)  # every case has >= 1 pair
+    assert got[0]["n_review_pairs"] >= 30  # the planted pairs review
+
+
+def test_review_queue_empty_input(spark):
+    assert _run_fn(spark, [], lk.q_fs_review_queue) == []
