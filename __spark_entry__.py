@@ -96,12 +96,13 @@ GATE_WINDOW = [
     # (b) benched and/or pytest-pinned, and (c) witnessed by a prior
     # round's CORRECTNESS_r{N}.json.
     #
-    # ROUND-12 WINDOW: leads with (a) the seven r12-built queries
+    # ROUND-12 WINDOW: leads with (a) the eight r12-built queries
     # (pair-level Fellegi-Sunter three-zone decisions; Hamed-Rao
     # autocorrelation-corrected Mann-Kendall; two-sample Cramér-von
     # Mises; delete-one-day jackknife ratio SE; Gopher quality +
     # repetition rules; the greedy char-budget Python-UDTF chunker;
-    # 1-D Wasserstein-1 drift); (b) every query whose PLAN
+    # 1-D Wasserstein-1 drift; the FS clerical-review queue capstone);
+    # (b) every query whose PLAN
     # changed this round — the Fellegi-Sunter grid query (compound
     # (nation, name-tens-digit) blocking + per-block cap + dropped audit,
     # VERDICT r11 #1), the FF3 referential audit (radix-26 rendering
