@@ -47,11 +47,20 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, already_oriented: bool = False) -> DataFrame:
     """(u,v) edge list → orient each edge (max, min); every node links its
-    ≤-neighbours and itself to its minimum neighbour."""
+    ≤-neighbours and itself to its minimum neighbour.
+
+    ``already_oriented=True`` skips the orientation distinct — correct
+    exactly when the input is already (max, min)-oriented, self-loop-free
+    and distinct, which ``_large_star``'s output is by construction (its
+    emitted rows are (v, least(u, nbr_min)) with v > u ≥ least(...), it
+    filters u != v and ends in ``.distinct()``). Skipping removes one full
+    (u, v) shuffle per star round (r12 optimization)."""
     oriented = (
-        edges.select(
+        edges
+        if already_oriented
+        else edges.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .filter(F.col("u") != F.col("v"))
@@ -118,7 +127,16 @@ def connected_components(
     converged = False
     prev_fp = _fingerprint(edges)
     for _ in range(max_iter):
-        stars = _small_star(_large_star(edges)).localCheckpoint()
+        # already_oriented: _large_star output is (max, min)-oriented and
+        # distinct, so small-star's orientation shuffle is skipped. LAZY
+        # localCheckpoint (r12 optimization): the convergence fingerprint is
+        # an unavoidable per-round action anyway — letting ITS collect
+        # materialize the checkpoint merges the former eager-checkpoint job
+        # and the fingerprint job into one per round; the logical plan is
+        # truncated at construction time either way.
+        stars = _small_star(
+            _large_star(edges), already_oriented=True
+        ).localCheckpoint(eager=False)
         fp = _fingerprint(stars)
         edges = stars
         if fp == prev_fp:

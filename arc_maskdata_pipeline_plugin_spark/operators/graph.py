@@ -17,9 +17,18 @@ The implementation choices are driven by two constraints:
    onto the edge partitioning for the contribution join (edges themselves are
    shuffled ONCE, then persisted pre-partitioned by ``src``), and the
    contribution sum shuffles on ``dst`` with map-side combine. Ranks are a
-   node-sized frame (orders of magnitude smaller than edges); each iteration
-   persists its result and unpersists the previous one so lineage stays flat
-   — on very deep runs, checkpoint every ~10 iterations.
+   node-sized frame (orders of magnitude smaller than edges). Each rank frame
+   is consumed exactly ONCE (by the next iteration), so iterations chain
+   LAZILY — lineage depth is linear in the iteration count (one join + one
+   aggregate per level) and the whole recurrence executes as a single action,
+   letting the scheduler pipeline the per-iteration stages instead of paying
+   one serialized persist+count job per iteration (r12 optimization: 8.8s →
+   measured-after at sf0.1; at cluster scale the same change removes
+   ``iterations`` synchronization barriers). Only the genuinely multi-consumer
+   frames persist: the edge list (one scan per iteration's join) and the
+   degree frame (one scan per iteration's left join + the node-count probe).
+   On very deep runs (>~15 iterations), add a ``localCheckpoint`` every ~10
+   levels to bound planning time.
 
 Dangling nodes are avoided structurally: callers pass a symmetrized edge set
 (every node with an in-edge has an out-edge), so no mass-redistribution term
@@ -51,21 +60,20 @@ def pagerank_fixed_point(
     already be symmetric (see ``symmetrize``); every node is then its own
     out-degree witness, so no dangling-mass term exists.
     """
-    sc_edges = edges.repartition("src").persist()
-    deg = (
+    from ..cache import persisted
+
+    sc_edges = persisted(edges.repartition("src"))
+    deg = persisted(
         sc_edges.groupBy("src")
         .agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
         .withColumnRenamed("src", "node")
-        .persist()  # every iteration's left join re-reads it; one aggregate, not 5
-    )
+    )  # every iteration's left join re-reads it; one aggregate, not 5
     n = deg.count()  # one node-sized action; the standard PageRank init cost
-    # (also materializes the deg cache)
+    # (also materializes the edge + deg caches)
     base = SCALE // n
     keep_pct = 100 - damping_pct
 
     ranks = deg.select("node", "outdeg", F.lit(base).cast("bigint").alias("rank"))
-    ranks = ranks.persist()
-    ranks.count()
     for _ in range(iterations):
         contribs = (
             sc_edges.join(ranks, sc_edges.src == ranks.node)
@@ -73,23 +81,19 @@ def pagerank_fixed_point(
             .groupBy("dst")
             .agg(F.sum("contrib").alias("in_sum"))
         )
-        new_ranks = (
-            deg.join(contribs, deg.node == contribs.dst, "left")
-            .select(
-                "node",
-                "outdeg",
-                F.expr(
-                    f"({keep_pct} * {base}L + {damping_pct} * coalesce(in_sum, 0L)) div 100"
-                ).alias("rank"),
-            )
-            .persist()
+        ranks = deg.join(contribs, deg.node == contribs.dst, "left").select(
+            "node",
+            "outdeg",
+            F.expr(
+                f"({keep_pct} * {base}L + {damping_pct} * coalesce(in_sum, 0L)) div 100"
+            ).alias("rank"),
         )
-        new_ranks.count()
-        ranks.unpersist()
-        ranks = new_ranks
-    sc_edges.unpersist()
-    deg.unpersist()
-    return ranks.select("node", "rank")
+    # ONE eager materialization of the whole recurrence (node-sized): without
+    # it, a caller's `.count()` would let the optimizer ELIMINATE the
+    # rank-preserving left joins (contribs keys are unique, so row count is
+    # deg's) and "time" a query that computed nothing — the guide-§1.4
+    # count-pruning trap, observed live in r12 (8.8s → a bogus 1.2s).
+    return ranks.localCheckpoint(eager=True).select("node", "rank")
 
 
 def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
@@ -109,12 +113,17 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     Returns (node, degree) of the surviving core with degrees measured on
     the final edge set.
     """
-    # localCheckpoint (eager) per round: each peel references the previous
-    # edge set THREE times (degree + two semi-joins), so an un-truncated
-    # lineage grows ~3^rounds and OOMs the planner long before the data
-    # does — checkpointing pins the materialized partitions and resets the
-    # logical plan to a leaf (same reason iterative CC does it).
-    cur = edges.repartition("src").localCheckpoint(eager=True)
+    # localCheckpoint per round: each peel references the previous edge set
+    # THREE times (degree + two semi-joins), so an un-truncated lineage grows
+    # ~3^rounds and OOMs the planner long before the data does — checkpointing
+    # resets the logical plan to a leaf (same reason iterative CC does it).
+    # LAZY (eager=False, r12 optimization): the logical plan is truncated at
+    # plan-construction time either way, but the RDD materializes on the
+    # CALLER's one action instead of one serialized driver-blocking job per
+    # round — the peel chain executes as a single pipelined job (the
+    # checkpoint blocks still pin each round's result, so the three consumers
+    # of a round share one computation).
+    cur = edges.repartition("src").localCheckpoint(eager=False)
     for _ in range(rounds):
         alive = (
             cur.groupBy("src")
@@ -125,7 +134,7 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         cur = (
             cur.join(alive, "src", "semi")
             .join(alive.withColumnRenamed("src", "dst"), "dst", "semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return (
         cur.groupBy("src")
@@ -146,15 +155,16 @@ def personalized_pagerank(
     Same exact-integer discipline and two-shuffles-per-iteration shape as
     ``pagerank_fixed_point``; ``seeds`` is a (node) frame, broadcast into
     the degree frame once. Returns (node, rank, is_seed)."""
-    sc_edges = edges.repartition("src").persist()
+    from ..cache import persisted
+
+    sc_edges = persisted(edges.repartition("src"))
     seed_flag = seeds.select(F.col("node"), F.lit(1).alias("is_seed")).distinct()
-    deg = (
+    deg = persisted(
         sc_edges.groupBy("src")
         .agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
         .withColumnRenamed("src", "node")
         .join(F.broadcast(seed_flag), "node", "left")
         .withColumn("is_seed", F.coalesce("is_seed", F.lit(0)))
-        .persist()
     )
     n_seeds = deg.filter(F.col("is_seed") == 1).count()  # O(1)-row driver probe
     if n_seeds == 0:
@@ -166,8 +176,9 @@ def personalized_pagerank(
         "outdeg",
         "is_seed",
         (F.col("is_seed") * base).cast("bigint").alias("rank"),
-    ).persist()
-    ranks.count()
+    )
+    # same lazy-chain shape as pagerank_fixed_point (each rank frame has ONE
+    # consumer — the next iteration); only edges + deg persist
     for _ in range(iterations):
         contribs = (
             sc_edges.join(ranks, sc_edges.src == ranks.node)
@@ -175,22 +186,15 @@ def personalized_pagerank(
             .groupBy("dst")
             .agg(F.sum("contrib").alias("in_sum"))
         )
-        new_ranks = (
-            deg.join(contribs, deg.node == contribs.dst, "left")
-            .select(
-                "node",
-                "outdeg",
-                "is_seed",
-                F.expr(
-                    f"({keep_pct} * is_seed * {base}L"
-                    f" + {damping_pct} * coalesce(in_sum, 0L)) div 100"
-                ).alias("rank"),
-            )
-            .persist()
+        ranks = deg.join(contribs, deg.node == contribs.dst, "left").select(
+            "node",
+            "outdeg",
+            "is_seed",
+            F.expr(
+                f"({keep_pct} * is_seed * {base}L"
+                f" + {damping_pct} * coalesce(in_sum, 0L)) div 100"
+            ).alias("rank"),
         )
-        new_ranks.count()
-        ranks.unpersist()
-        ranks = new_ranks
-    sc_edges.unpersist()
-    deg.unpersist()
-    return ranks.select("node", "rank", "is_seed")
+    # final eager materialization: count-pruning guard + single pipelined
+    # job (see pagerank_fixed_point)
+    return ranks.localCheckpoint(eager=True).select("node", "rank", "is_seed")

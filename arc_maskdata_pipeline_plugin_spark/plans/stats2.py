@@ -1061,16 +1061,30 @@ def q_poisson_bootstrap_ci(spark, sf_dir):
             + 1
         ) / F.lit(281474976710657.0)
 
-    def w(b):
+    def w(ucol):
         expr = F.lit(6)
         for k in range(len(_POIS_CDF) - 1, -1, -1):
-            expr = F.when(u(b) < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(expr)
+            expr = F.when(ucol < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(expr)
         return expr
 
-    weighted = cents.select(
+    # Two-stage projection (r12 optimization, guide §4.2/§7.2): inlining u(b)
+    # into the 6-deep CASE chain repeated the md5 expression SIX times per
+    # replicate in the plan (192 md5 calls/row in the plan string) — codegen
+    # subexpression elimination does not collapse expressions that sit in
+    # conditionally-evaluated CASE branches, so rows actually paid multiple
+    # md5 evaluations. Staging u0..u31 in their own projection pins exactly
+    # ONE md5 per (row, replicate); CollapseProject cannot re-inline them
+    # because each u{b} is non-cheap and referenced 6 times. Same doubles,
+    # same weights, bit-identical result.
+    uniforms = cents.select(
         "event_type",
         "c",
-        *[w(b).alias(f"w{b}") for b in range(_BOOT_B)],
+        *[u(b).alias(f"u{b}") for b in range(_BOOT_B)],
+    )
+    weighted = uniforms.select(
+        "event_type",
+        "c",
+        *[w(F.col(f"u{b}")).alias(f"w{b}") for b in range(_BOOT_B)],
     )
     aggs = [
         F.count(F.lit(1)).cast("bigint").alias("n"),

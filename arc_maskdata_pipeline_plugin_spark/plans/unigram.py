@@ -40,6 +40,7 @@ discipline applied per DP level.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from .lm import _TOKENS, _TOKS_SQL
@@ -243,17 +244,28 @@ def _uni_seed(subs):
 
 def _viterbi_segments(words, vocab):
     """Hard-EM E-step: (word, n, piece) rows of every word's Viterbi
-    segmentation under fp6-log scores of ``vocab``. Each DP level and
-    backtrack step is localCheckpoint(eager=True)-ed (tiny
-    word-frame-sized frames, each consumed by the next level AND the final
-    union — the LOGICAL plan doubles per level otherwise, and plan
-    canonicalization OOMs the driver long before any data moves; the same
-    per-round discipline as the iterative PageRank/k-core queries)."""
-    # loop only to the ACTUAL max word length (one tiny agg): DP levels
-    # beyond it are empty in both engines, so results are identical to the
-    # oracle's fixed _LMAX unroll — this just skips guaranteed-empty jobs
-    lmax_row = words.agg(F.max(F.length("word")).alias("m")).first()
-    lmax = min(_LMAX, int(lmax_row["m"] or 1))
+    segmentation under fp6-log scores of ``vocab``.
+
+    r12 optimization (guide §4.2): the DP used to run as ~25 serialized
+    eager-localCheckpoint Spark jobs (_LMAX levels + _LMAX backtrack steps,
+    each a window + join over the word frame). A ≤12-position Viterbi over a
+    vocab-BOUNDED score table is per-word-independent work, so it now runs
+    as ONE Arrow-vectorized pass over the distinct-word frame:
+
+    * the fp6-log score table stays JVM-computed EXACTLY as before
+      (``floor(log(cnt)·1e6) − floor(log(t)·1e6)`` — the engine's log, not
+      Python's libm, so cross-engine bit-parity is untouched) and is
+      COLLECTED — a config-bounded driver probe: |corpus charset| + the
+      _KSEED/_KPRUNE multi-piece cap rows, never corpus-sized;
+    * the per-word DP is exact-integer Python (same values, same tie-break:
+      max val, then min bstart — ascending-ps iteration with strict ``>``),
+      backtrack emits the identical (word, n, piece) multiset; a word with
+      no path to its end emits nothing, mirroring the old inner-join drop.
+
+    Consumers (EM piece counts, per-word piece counts, artifact-roundtrip
+    sort-array signatures) are all piece-multiset functions, so row order
+    is immaterial. Measured at sf0.1: q_unigram_encode 4.3s → see
+    OPTIMIZATION_r12.md; identical oracle hashes."""
     tot = vocab.agg(F.sum("cnt").cast("bigint").alias("t"))
     sc = vocab.crossJoin(F.broadcast(tot)).select(
         "piece",
@@ -262,63 +274,42 @@ def _viterbi_segments(words, vocab):
             - F.floor(F.log("t") * 1_000_000).cast("bigint")
         ).alias("w6"),
     )
-    edges = (
-        _positions(words)
-        .select(
-            "word",
-            (F.col("s") - 1).alias("ps"),
-            (F.col("s") + F.col("m") - 1).alias("pe"),
-            F.expr("substring(word, s, m)").alias("piece"),
-        )
-        .join(sc, "piece")
-        .select("word", "ps", "pe", "w6")
-        .transform(persisted)  # consumed by every DP level
-    )
-    dpa = words.select(
-        "word",
-        F.lit(0).alias("j"),
-        F.lit(0).cast("bigint").alias("val"),
-        F.lit(0).alias("bstart"),
-    ).localCheckpoint(eager=True)
-    from pyspark.sql import Window
+    scores = {r["piece"]: int(r["w6"]) for r in sc.collect()}
 
-    for j in range(1, lmax + 1):
-        w = Window.partitionBy("word").orderBy(F.desc("val"), F.asc("bstart"))
-        dp_j = (
-            edges.filter(F.col("pe") == j)
-            .join(dpa.withColumnRenamed("j", "ps").select("word", "ps", "val"), ["word", "ps"])
-            .select(
-                "word",
-                F.lit(j).alias("j"),
-                (F.col("val") + F.col("w6")).alias("val"),
-                F.col("ps").alias("bstart"),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
-        dpa = dpa.unionByName(dp_j).localCheckpoint(eager=True)
-    bt = words.select("word", "n", F.length("word").alias("j"))
-    seg_parts = []
-    for _t in range(lmax):
-        bt = (
-            bt.filter(F.col("j") > 0)
-            .join(dpa, ["word", "j"])
-            .select(
-                "word",
-                "n",
-                F.col("bstart").alias("j"),
-                F.expr("substring(word, bstart + 1, j - bstart)").alias(
-                    "piece"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-        seg_parts.append(bt.select("word", "n", "piece"))
-    segs = seg_parts[0]
-    for p in seg_parts[1:]:
-        segs = segs.unionByName(p)
-    return segs
+    def _segment(word):
+        ln = len(word)
+        dp = [None] * (ln + 1)
+        dp[0] = (0, 0)
+        for j in range(1, ln + 1):
+            best = None
+            for ps in range(max(0, j - _UM), j):
+                prev = dp[ps]
+                if prev is None:
+                    continue
+                w6 = scores.get(word[ps:j])
+                if w6 is None:
+                    continue
+                val = prev[0] + w6
+                if best is None or val > best[0]:
+                    best = (val, ps)
+            dp[j] = best
+        if ln == 0 or dp[ln] is None:
+            return []
+        pieces = []
+        j = ln
+        while j > 0:
+            _val, bs = dp[j]
+            pieces.append(word[bs:j])
+            j = bs
+        return pieces
+
+    @F.pandas_udf("array<string>")
+    def _viterbi_pieces(batch: pd.Series) -> pd.Series:
+        return batch.map(_segment)
+
+    return words.select(
+        "word", "n", F.explode(_viterbi_pieces("word")).alias("piece")
+    )
 
 
 def _uni_prune(subs, counts):
@@ -348,9 +339,12 @@ def _train_unigram(spark, sf_dir):
     vocab = _uni_seed(subs).transform(persisted)
     for _r in range(_ROUNDS):
         segs = _viterbi_segments(words, vocab)
+        # persisted: _uni_prune consumes counts TWICE (char left-join +
+        # multi-piece top-k) — without it each EM round ran the Viterbi
+        # pass and its word-frame aggregate twice (r12)
         counts = segs.groupBy("piece").agg(
             F.sum("n").cast("bigint").alias("cnt")
-        )
+        ).transform(persisted)
         vocab = _uni_prune(subs, counts).transform(persisted)
     return words, subs, vocab
 

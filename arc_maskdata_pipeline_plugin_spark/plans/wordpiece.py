@@ -44,6 +44,7 @@ tokenize joined on the word key — the DP never touches the corpus.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from .lm import _TOKENS, _TOKS_SQL
@@ -378,88 +379,46 @@ def _wp_word_pieces(spark, sf_dir):
         .transform(persisted)
     )
     pieces = sorted(set(alpha_rows) | {m[3] for m in merges})
-    vocab = (
-        spark.createDataFrame([(p,) for p in pieces], "piece string")
-        if pieces
-        else spark.createDataFrame([], "piece string")
-    )  # literal broadcast-sized frame — every greedy level broadcasts it
 
-    state = words.select(
-        "word",
-        F.lit(0).alias("pos"),
-        F.lit(0).alias("k"),
-        F.lit(False).alias("unk"),
-        (F.length("word") == 0).alias("done"),
-    ).localCheckpoint(eager=True)
-    # finished rows leave the loop as filter branches over each level's
-    # checkpoint and union ONCE at the end — checkpointing done ∪ active
-    # every level re-materialized the full word frame 12 times (r12 perf
-    # note); each level now checkpoints only the SHRINKING active set and
-    # the loop exits as soon as it drains
-    finished = []
-    for _level in range(_LMAX):
-        active = state.filter(~F.col("done"))
-        finished.append(state.filter(F.col("done")))
-        cand = active.select(
-            "word",
-            "pos",
-            F.explode(
-                F.expr(f"sequence(1, least({_LMAX}, length(word) - pos))")
-            ).alias("j"),
-        ).withColumn(
-            "cand",
-            F.when(
-                F.col("pos") == 0, F.expr("substring(word, 1, j)")
-            ).otherwise(
-                F.concat(F.lit("##"), F.expr("substring(word, pos + 1, j)"))
-            ),
-        )
-        m = (
-            cand.join(F.broadcast(vocab), cand["cand"] == vocab["piece"])
-            .groupBy("word")
-            .agg(F.max("j").cast("int").alias("adv"))
-        )
-        stepped = (
-            active.join(m, "word", "left")
-            .select(
-                "word",
-                (F.col("pos") + F.coalesce(F.col("adv"), F.lit(0))).alias(
-                    "pos"
-                ),
-                (
-                    F.col("k")
-                    + F.when(F.col("adv").isNull(), 0).otherwise(1)
-                ).alias("k"),
-                F.col("adv").isNull().alias("unk"),
-                (
-                    F.col("adv").isNull()
-                    | (F.col("pos") + F.col("adv") >= F.length("word"))
-                ).alias("done"),
-            )
-        )
-        # iterative-loop rule: eager localCheckpoint per level — persist()
-        # does not truncate the logical plan and canonicalization OOMs on
-        # doubling lineage (plans/unigram.py discipline)
-        state = stepped.localCheckpoint(eager=True)
-        if state.isEmpty():  # cheap on the checkpointed frame
-            break
+    # r12 optimization (guide §4.2): the greedy longest-match used to run as
+    # up to _LMAX eager-localCheckpoint levels (each an explode + broadcast
+    # vocab join + argmax + isEmpty probe — ~24 serialized driver-blocking
+    # jobs on the word frame). Greedy WordPiece inference over a
+    # config-BOUNDED vocabulary (`pieces`: alphabet + N_WP_MERGES tokens,
+    # already a Python list here) is per-word-independent, so it now runs as
+    # ONE Arrow-vectorized pass over the distinct-word frame. Semantics are
+    # the level loop's, verbatim: at each position take the LONGEST j ≤
+    # min(_LMAX, remaining) whose candidate (word-initial piece at pos 0,
+    # '##'-piece after) is in the vocabulary; advance; a miss makes the
+    # whole word [UNK] (n_pieces=1, is_unk=1). Identical oracle hashes;
+    # measured at sf0.1 in OPTIMIZATION_r12.md.
+    vocab_set = frozenset(pieces)
 
-    full = state
-    for f in finished:
-        full = full.unionByName(f)
+    def _greedy(word):
+        ln = len(word)
+        pos = 0
+        k = 0
+        while pos < ln:
+            adv = 0
+            for j in range(min(_LMAX, ln - pos), 0, -1):
+                cand = word[: j] if pos == 0 else "##" + word[pos : pos + j]
+                if cand in vocab_set:
+                    adv = j
+                    break
+            if adv == 0:
+                return (1, 1)
+            k += 1
+            pos += adv
+        return (k, 0)
+
+    @F.pandas_udf("n_pieces bigint, is_unk bigint")
+    def _wp_greedy(batch: pd.Series) -> pd.DataFrame:
+        out = [_greedy(w) for w in batch]
+        return pd.DataFrame(out, columns=["n_pieces", "is_unk"])
+
     return (
-        full.join(words, "word")
-        .select(
-            "word",
-            "n",
-            F.when(F.col("unk"), F.lit(1).cast("bigint"))
-            .otherwise(F.col("k").cast("bigint"))
-            .alias("n_pieces"),
-            F.when(F.col("unk"), 1)
-            .otherwise(0)
-            .cast("bigint")
-            .alias("is_unk"),
-        )
+        words.select("word", "n", _wp_greedy("word").alias("g"))
+        .select("word", "n", F.col("g.n_pieces").alias("n_pieces"), F.col("g.is_unk").alias("is_unk"))
         .transform(persisted)
     )
 
