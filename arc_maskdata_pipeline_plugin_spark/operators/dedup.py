@@ -285,36 +285,27 @@ def winnow_fingerprints(
     sized = d.filter(F.size("tk") >= k + w - 1).select(
         id_col, "tk", (F.size("tk") - (k - 1)).alias("n_pos")
     )
-    gram = f"array_join(slice(tk, p, {k}), ' ')"
-    gpos = sized.select(
-        id_col,
-        "n_pos",
-        F.explode(F.expr("sequence(1, n_pos)")).alias("p"),
-        "tk",
-    ).select(
-        id_col,
-        "n_pos",
-        "p",
-        F.expr(f"cast(conv(substring(md5({gram}), 1, 8), 16, 10) as bigint)").alias(
-            "h"
-        ),
+    # r13 rewrite (guide §2.4/§4.1): winnowing is DOC-LOCAL, so the whole
+    # selection runs inside higher-order functions over the token array —
+    # the old shape exploded every position w ways and shuffled the blown-up
+    # frame through a (doc, window) row_number sort plus a global distinct
+    # (two full exchanges of w×|positions| rows). Only the hash VALUE is
+    # emitted here, and the rightmost-minimum of a window has the same hash
+    # value as the plain minimum (ties tie ON h), so the per-window selection
+    # is exactly ``array_min(slice(hs, j, w))``; ``array_distinct`` gives the
+    # per-document distinct the old global ``.distinct()`` provided (doc ids
+    # are the row key). md5 is still computed once per k-gram position.
+    hs = (
+        f"transform(sequence(1, n_pos), p -> "
+        f"cast(conv(substring(md5(array_join(slice(tk, p, {k}), ' ')), "
+        f"1, 8), 16, 10) as bigint))"
     )
-    win = gpos.select(
-        id_col,
-        "p",
-        "h",
-        F.explode(
-            F.expr(
-                f"sequence(greatest(1, p - {w - 1}), least(p, n_pos - {w - 1}))"
-            )
-        ).alias("j"),
+    sel = (
+        f"array_distinct(transform(sequence(1, n_pos - {w - 1}), "
+        f"j -> array_min(slice(hs, j, {w}))))"
     )
-    rm = Window.partitionBy(id_col, "j").orderBy(F.asc("h"), F.desc("p"))
-    return (
-        win.withColumn("rn", F.row_number().over(rm))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "h")
-        .distinct()
+    return sized.withColumn("hs", F.expr(hs)).select(
+        F.col(id_col), F.explode(F.expr(sel)).alias("h")
     )
 
 

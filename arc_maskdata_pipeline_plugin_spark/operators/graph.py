@@ -93,7 +93,14 @@ def pagerank_fixed_point(
     # rank-preserving left joins (contribs keys are unique, so row count is
     # deg's) and "time" a query that computed nothing — the guide-§1.4
     # count-pruning trap, observed live in r12 (8.8s → a bogus 1.2s).
-    return ranks.localCheckpoint(eager=True).select("node", "rank")
+    out = ranks.localCheckpoint(eager=True).select("node", "rank")
+    # the checkpoint is EAGER, so the returned plan is a materialized RDD
+    # scan that no longer references the caches — release them here to keep
+    # the operator cache-self-contained for library callers that never call
+    # release_persisted() (ADVICE r12 #4)
+    sc_edges.unpersist()
+    deg.unpersist()
+    return out
 
 
 def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
@@ -197,4 +204,9 @@ def personalized_pagerank(
         )
     # final eager materialization: count-pruning guard + single pipelined
     # job (see pagerank_fixed_point)
-    return ranks.localCheckpoint(eager=True).select("node", "rank", "is_seed")
+    out = ranks.localCheckpoint(eager=True).select("node", "rank", "is_seed")
+    # eager checkpoint done → caches are dead to the returned plan; release
+    # in-function (ADVICE r12 #4, cache self-containment)
+    sc_edges.unpersist()
+    deg.unpersist()
+    return out

@@ -1270,23 +1270,37 @@ def q_item_cooccurrence(spark, sf_dir):
         F.slice(F.sort_array(F.collect_set("l_partkey")), 1, _CO_CAP).alias(
             "parts"
         )
-    ).transform(persisted)  # consumers: item counts + pair enumeration
-    item = (
-        baskets.select(F.explode("parts").alias("p"))
-        .groupBy("p")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    pairs = F.flatten(
+    # r13 (guide §2.4: share one exchange): item supports and pair counts
+    # used to be TWO separate shuffles over the basket frame (plus a persist
+    # of baskets for the double scan). One explode now emits, per basket
+    # item x, a SINGLE row (x, null) alongside x's pairs (x, y>x), and ONE
+    # (p1, p2) exchange aggregates both: p2 IS NULL rows are the per-item
+    # basket supports (basket parts are distinct, so count == support),
+    # p2 IS NOT NULL rows are the pair co-occurrence counts. Same bytes
+    # moved, half the exchanges/stages — and baskets drops to a single
+    # consumer, so its persist (and cache materialization cost) goes away.
+    entries = F.flatten(
         F.expr(
-            "transform(parts, (x, i) -> "
-            "transform(slice(parts, i + 2, size(parts)), y -> struct(x as p1, y as p2)))"
+            "transform(parts, (x, i) -> concat("
+            "array(struct(x as p1, cast(null as bigint) as p2)), "
+            "transform(slice(parts, i + 2, size(parts)), "
+            "y -> struct(x as p1, y as p2))))"
         )
     )
-    prs = (
-        baskets.select(F.explode(pairs).alias("pr"))
-        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+    counts = (
+        baskets.select(F.explode(entries).alias("e"))
+        .groupBy(F.col("e.p1").alias("p1"), F.col("e.p2").alias("p2"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
-        .filter(F.col("c_xy") >= _CO_MIN_PAIR)
+    )  # 3 consumers (pair split + two item sides) share ONE exchange via
+    # ReuseExchange — verified in plans/r13/q_item_cooccurrence_after.txt;
+    # a persist here would pay a 2.3M-row cache write to save three cheap
+    # post-shuffle reductions
+    item = counts.filter(F.col("p2").isNull()).select(
+        F.col("p1").alias("p"), F.col("c_xy").alias("c")
+    )
+    prs = counts.filter(F.col("p2").isNotNull()).filter(
+        F.col("c_xy") >= _CO_MIN_PAIR
     )
     i1 = item.select(F.col("p").alias("i1p"), F.col("c").alias("c1"))
     i2 = item.select(F.col("p").alias("i2p"), F.col("c").alias("c2"))
@@ -1307,8 +1321,14 @@ def q_item_cooccurrence(spark, sf_dir):
         )
     )
     w = Window.orderBy(F.col("cosine_fp6").desc(), F.col("p1"), F.col("p2"))
+    # r13 (guide §2.4): TakeOrderedAndProject pre-reduction — the global
+    # rank window previously exchanged the WHOLE scored pair frame into a
+    # single partition; orderBy+limit computes the same top-K (total
+    # ordering: (p1, p2) tie-break) and the window then ranks K rows.
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.orderBy(F.col("cosine_fp6").desc(), F.col("p1"), F.col("p2"))
+        .limit(_CO_TOP)
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _CO_TOP)
         .select("p1", "p2", "c_xy", "cosine_fp6", F.col("rank").cast("int").alias("rank"))
     )

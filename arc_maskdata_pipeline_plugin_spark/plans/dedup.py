@@ -1256,58 +1256,52 @@ def q_winnowing_fingerprints(spark, sf_dir):
     sized = d.filter(F.size("tk") >= _WIN_K + _WIN_W - 1).select(
         "doc_id", "tk", (F.size("tk") - (_WIN_K - 1)).alias("n_pos")
     )
-    gram = "array_join(slice(tk, p, {k}), ' ')".format(k=_WIN_K)
-    gpos = sized.select(
-        "doc_id",
-        "n_pos",
-        F.explode(F.expr("sequence(1, n_pos)")).alias("p"),
-        "tk",
-    ).select(
-        "doc_id",
-        "n_pos",
-        "p",
-        F.expr(f"cast(conv(substring(md5({gram}), 1, 8), 16, 10) as bigint)").alias("h"),
+    # r13 rewrite (guide §2.4/§4.1 — the operators/dedup.py
+    # winnow_fingerprints discipline): the selection, the position gaps and
+    # the checksum are ALL doc-local, so the whole audit now runs inside
+    # higher-order functions over the per-doc hash array — the old shape
+    # exploded every position w ways, shuffled the blow-up through a
+    # (doc, window) row_number sort, a global distinct, a doc-keyed lag
+    # window AND a final groupBy (4 exchanges); this is ONE scan, zero
+    # exchanges. The rightmost-minimum tie-break survives verbatim: the
+    # struct aggregate iterates positions ascending and replaces on
+    # ``h <= acc.h``, so equal hashes keep the LATER position.
+    hs = (
+        f"transform(sequence(1, n_pos), p -> "
+        f"cast(conv(substring(md5(array_join(slice(tk, p, {_WIN_K}), ' ')), "
+        f"1, 8), 16, 10) as bigint))"
     )
-    win = gpos.select(
-        "doc_id",
-        "n_pos",
-        "p",
-        "h",
-        F.explode(
-            F.expr(
-                "sequence(greatest(1, p - {wm1}), least(p, n_pos - {wm1}))".format(
-                    wm1=_WIN_W - 1
-                )
-            )
-        ).alias("j"),
-    )
-    from pyspark.sql import Window
-
-    rightmost_min = Window.partitionBy("doc_id", "j").orderBy(
-        F.asc("h"), F.desc("p")
-    )
+    # per window j: rightmost-min (p, h); distinct; sorted by position
     sel = (
-        win.withColumn("rn", F.row_number().over(rightmost_min))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "n_pos", "p", "h")
-        .distinct()
+        f"array_sort(array_distinct(transform(sequence(1, n_pos - {_WIN_W - 1}), "
+        f"j -> aggregate(sequence(j, j + {_WIN_W - 1}), "
+        f"cast(null as struct<p:int,h:bigint>), "
+        f"(acc, p) -> if(acc is null or element_at(hs, p) <= acc.h, "
+        f"named_struct('p', p, 'h', element_at(hs, p)), acc)))))"
     )
-    by_pos = Window.partitionBy("doc_id").orderBy("p")
-    gaps = sel.withColumn("gap", F.col("p") - F.lag("p").over(by_pos))
-    return gaps.groupBy("doc_id", "n_pos").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
-        F.floor(F.count(F.lit(1)) * 1_000_000.0 / F.col("n_pos"))
-        .cast("bigint")
-        .alias("density_fp6"),
-        F.coalesce(F.max("gap"), F.lit(0)).cast("bigint").alias("max_gap"),
-        F.sum("h").cast("bigint").alias("fp_checksum"),
-    ).select(
-        "doc_id",
-        F.col("n_pos").cast("bigint").alias("n_kgrams"),
-        "n_fingerprints",
-        "density_fp6",
-        "max_gap",
-        "fp_checksum",
+    return (
+        sized.withColumn("hs", F.expr(hs))
+        .withColumn("ss", F.expr(sel))
+        .select(
+            "doc_id",
+            F.col("n_pos").cast("bigint").alias("n_kgrams"),
+            F.size("ss").cast("bigint").alias("n_fingerprints"),
+            F.floor(F.size("ss") * 1_000_000.0 / F.col("n_pos"))
+            .cast("bigint")
+            .alias("density_fp6"),
+            F.coalesce(
+                F.expr(
+                    "array_max(zip_with(slice(ss, 2, size(ss) - 1), "
+                    "slice(ss, 1, size(ss) - 1), (a, b) -> a.p - b.p))"
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("max_gap"),
+            F.expr("aggregate(ss, cast(0 as bigint), (acc, x) -> acc + x.h)")
+            .cast("bigint")
+            .alias("fp_checksum"),
+        )
     )
 
 
@@ -1506,8 +1500,6 @@ def q_winnowing_dup_pairs(spark, sf_dir):
     joins. Shared-hash hot buckets (boilerplate) are the same viral-key
     concern as MinHash bands — cap/audit via the LSH machinery when a
     bucket exceeds task size.""".format(m=_WINNOW_MIN_SHARED, kw=_WIN_K + _WIN_W - 1)
-    from pyspark.sql import Window
-
     from ..operators.search import _TOKENS
 
     d = spread(T(spark, sf_dir, "documents")).select(
@@ -1516,33 +1508,22 @@ def q_winnowing_dup_pairs(spark, sf_dir):
     sized = d.filter(F.size("tk") >= _WIN_K + _WIN_W - 1).select(
         "doc_id", "tk", (F.size("tk") - (_WIN_K - 1)).alias("n_pos")
     )
-    gram = "array_join(slice(tk, p, {k}), ' ')".format(k=_WIN_K)
-    gpos = sized.select(
-        "doc_id", "n_pos", F.explode(F.expr("sequence(1, n_pos)")).alias("p"), "tk"
-    ).select(
-        "doc_id",
-        "n_pos",
-        "p",
-        F.expr(f"cast(conv(substring(md5({gram}), 1, 8), 16, 10) as bigint)").alias("h"),
+    # r13: doc-local HOF selection (the operators/dedup.py
+    # winnow_fingerprints rewrite) — only the hash VALUE feeds the index,
+    # so per window the rightmost-min equals array_min; no position
+    # explode, no (doc, window) shuffle, no global distinct.
+    hs = (
+        f"transform(sequence(1, n_pos), p -> "
+        f"cast(conv(substring(md5(array_join(slice(tk, p, {_WIN_K}), ' ')), "
+        f"1, 8), 16, 10) as bigint))"
     )
-    win = gpos.select(
-        "doc_id",
-        "p",
-        "h",
-        F.explode(
-            F.expr(
-                "sequence(greatest(1, p - {wm1}), least(p, n_pos - {wm1}))".format(
-                    wm1=_WIN_W - 1
-                )
-            )
-        ).alias("j"),
+    sel_arr = (
+        f"array_distinct(transform(sequence(1, n_pos - {_WIN_W - 1}), "
+        f"j -> array_min(slice(hs, j, {_WIN_W}))))"
     )
-    rm = Window.partitionBy("doc_id", "j").orderBy(F.asc("h"), F.desc("p"))
     sel = (
-        win.withColumn("rn", F.row_number().over(rm))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "h")
-        .distinct()
+        sized.withColumn("hs", F.expr(hs))
+        .select("doc_id", F.explode(F.expr(sel_arr)).alias("h"))
         .transform(persisted)  # index-sized; consumers: pair join + nfp counts
     )
     a, b = sel.alias("ia"), sel.alias("ib")

@@ -274,8 +274,13 @@ def q_frequent_itemsets(spark, sf_dir):
         )
     )
     w = Window.orderBy(F.desc("lift_fp6"), "p1", "p2")
+    # r13 (guide §2.4): TakeOrderedAndProject pre-reduction — see
+    # q_word_pmi; total ordering ((p1, p2) tie-break) makes the top-K and
+    # ranks identical to the whole-frame window.
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        scored.orderBy(F.desc("lift_fp6"), "p1", "p2")
+        .limit(_FI_TOP)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _FI_TOP)
     )
 
@@ -390,8 +395,8 @@ def q_label_propagation(spark, sf_dir):
     Scale shape: edges shuffle once and persist src-partitioned; each round
     is one co-partitioned join + one (node, label) count + one map-side
     ``max_by`` argmax — 2 shuffles/round, labels never wider than a vertex
-    id. ``localCheckpoint`` per round caps the lineage the way
-    ``kcore_peel`` does."""
+    id. Rounds chain LAZILY (each label frame has one consumer — the next
+    round), so the recurrence executes as one pipelined job (r13)."""
     orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e0 = (
@@ -410,16 +415,21 @@ def q_label_propagation(spark, sf_dir):
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
+    # r13 (guide §2.4, the pagerank discipline): each round's label frame
+    # has exactly ONE consumer (the next round's join), so the 4-round
+    # recurrence chains lazily — no per-round localCheckpoint. The old
+    # per-round checkpoint serialized an RDD materialization per round for
+    # a lineage that is only 4 levels deep (kcore needs it because each
+    # peel round has THREE consumers; LPA has one). The final groupBy(lbl)
+    # aggregate needs every label, so count() cannot prune the recurrence.
     for _ in range(_LPA_ROUNDS):
         counts = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("n2"), "lbl")
             .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         )
-        labels = (
-            counts.groupBy(F.col("n2").alias("node"))
-            .agg(F.expr("max_by(lbl, struct(c, -lbl))").alias("lbl"))
-            .localCheckpoint(eager=False)
+        labels = counts.groupBy(F.col("n2").alias("node")).agg(
+            F.expr("max_by(lbl, struct(c, -lbl))").alias("lbl")
         )
     return labels.groupBy(F.col("lbl").alias("community")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),

@@ -127,8 +127,15 @@ def q_word_pmi(spark, sf_dir):
         )
     )
     w = Window.orderBy(F.desc("pmi_fp6"), "w1", "w2")
+    # r13 (guide §2.4): orderBy+limit plans as TakeOrderedAndProject
+    # (per-partition top-K + K-row merge), so the rank window runs on K
+    # rows instead of exchanging the whole scored pair frame into ONE
+    # partition; the ordering is total (tie-break to (w1, w2) uniqueness),
+    # so the selected rows and ranks are identical.
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        scored.orderBy(F.desc("pmi_fp6"), "w1", "w2")
+        .limit(_PMI_TOP)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _PMI_TOP)
     )
 

@@ -624,6 +624,13 @@ def _plan_normalized(df) -> str:
     # frame's finalized plan (q_dedup_evidence_clusters at sf0.1)
     s = re.sub(r"\b(Shuffle|Broadcast|TableCache|Result)QueryStage \d+", r"\1QueryStage n", s)
     s = re.sub(r"\*\(\d+\)", "*(n)", s)
+    # localCheckpoint leaves print as `Scan ExistingRDD MapPartitionsRDD[NNN]
+    # at <action> at <callsite>` — the RDD id (and the Python callsite line)
+    # are session-monotonic noise, so the queries whose captured plan IS the
+    # post-checkpoint scan (pagerank/PPR) were sha-unstable and their
+    # regression flags unadjudicable (ADVICE r12 #2)
+    s = re.sub(r"MapPartitionsRDD\[\d+\]", "MapPartitionsRDD[n]", s)
+    s = re.sub(r"\bat \w+ at \S+:\d+", "at action at callsite", s)
     # higher-order-function lambda variables (x_3, y_7, ...) carry
     # session-monotonic suffixes — normalize the name, keep the shape
     s = re.sub(r"\b([a-z]+)_\d+#x", r"\1_n#x", s)
@@ -672,20 +679,21 @@ def _previous_round_queries() -> tuple[str, dict]:
     if best is None:
         return "", {}
     try:
-        with open(best[1]) as f:
-            doc = json.load(f)
-        # the driver wraps our JSON line under "parsed"
-        queries = doc.get("queries") or (doc.get("parsed") or {}).get(
-            "queries", {}
-        )
+        # the full per-query map lives in the side file (BENCH_DETAIL_r{N}
+        # .json, snapshotted per round) — prefer it: the printed line's
+        # "queries" map is byte-budget-truncated to the slowest ~40 (r13)
+        queries = {}
+        detail = os.path.join(here, f"BENCH_DETAIL_r{best[0]:02d}.json")
+        if os.path.exists(detail):
+            with open(detail) as f:
+                queries = json.load(f).get("queries", {})
         if not queries:
-            # r04: the one-line JSON overflowed the driver's stdout tail
-            # (parsed: null). The per-query map now lives in a side file
-            # (BENCH_DETAIL_r{N}.json, snapshotted per round).
-            detail = os.path.join(here, f"BENCH_DETAIL_r{best[0]:02d}.json")
-            if os.path.exists(detail):
-                with open(detail) as f:
-                    queries = json.load(f).get("queries", {})
+            with open(best[1]) as f:
+                doc = json.load(f)
+            # the driver wraps our JSON line under "parsed"
+            queries = doc.get("queries") or (doc.get("parsed") or {}).get(
+                "queries", {}
+            )
         return f"r{best[0]:02d}", queries
     except (OSError, json.JSONDecodeError):
         return "", {}
@@ -713,6 +721,40 @@ def _baseline_plan_shas() -> dict:
         except (OSError, json.JSONDecodeError):
             continue
     return {}
+
+
+def _clear_train_memo(name: str) -> None:
+    """Memo-honest TRAINER timing (VERDICT r12 #3): the session train memos
+    (VERDICT r11 #2 artifact semantics) made the trainer queries' warm runs
+    time memo REPLAY instead of training. Clear the trainer's own memo before
+    every timed run so its cold AND warm numbers measure the declared
+    N-merge/EM training computation; encode/consumer queries keep the
+    sanctioned train-once-apply-many artifact semantics (their memos
+    survive, and each trainer run re-populates its memo)."""
+    if name in ("q_bpe_train_merges", "q_bpe_byte_train"):
+        from arc_maskdata_pipeline_plugin_spark.plans import bpe
+
+        variant = "char" if name == "q_bpe_train_merges" else "byte"
+        for k in [k for k in bpe._TRAIN_MEMO if k[2] == variant]:
+            del bpe._TRAIN_MEMO[k]
+    elif name == "q_wordpiece_train_merges":
+        from arc_maskdata_pipeline_plugin_spark.plans import wordpiece
+
+        wordpiece._TRAIN_MEMO.clear()
+    elif name == "q_unigram_train_vocab":
+        from arc_maskdata_pipeline_plugin_spark.plans import unigram
+
+        unigram._TRAIN_MEMO.clear()
+
+
+_TRAINER_QUERIES = frozenset(
+    {
+        "q_bpe_train_merges",
+        "q_bpe_byte_train",
+        "q_wordpiece_train_merges",
+        "q_unigram_train_vocab",
+    }
+)
 
 
 def main():
@@ -748,6 +790,12 @@ def main():
             plan_shas[name] = _plan_sha(qs[name](spark, sf_dir))
         except Exception:
             pass
+        # building a TRAINER query's plan runs the training loop (driver
+        # argmax actions happen at plan-construction time) and populates its
+        # memo — clear before EVERY timed run so trainer timings measure
+        # training, not replay (VERDICT r12 #3; see _clear_train_memo)
+        if name in _TRAINER_QUERIES:
+            _clear_train_memo(name)
         t0 = time.perf_counter()
         n = qs[name](spark, sf_dir).count()
         cold[name] = round(time.perf_counter() - t0, 3)
@@ -759,13 +807,17 @@ def main():
         runs = 1 if cold[name] < 0.5 else (2 if cold[name] >= 3 else WARM_RUNS)
         warm = []
         for _ in range(runs):
+            if name in _TRAINER_QUERIES:
+                _clear_train_memo(name)
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
             warm.append(time.perf_counter() - t0)
         timings[name] = round(_median(warm), 3)
+        memo_note = " [train-memo cleared per run]" if name in _TRAINER_QUERIES else ""
         print(
             f"# {name}: warm median {timings[name]}s of "
-            f"{[round(w, 3) for w in sorted(warm)]} / cold {cold[name]}s ({n} rows)",
+            f"{[round(w, 3) for w in sorted(warm)]} / cold {cold[name]}s ({n} rows)"
+            f"{memo_note}",
             file=sys.stderr,
         )
         # Some queries deliberately persist small frames (BPE vocab, PMI
@@ -890,9 +942,6 @@ def main():
     # COMPACT (totals + regression flags + top-10 slowest, well under 1 KB);
     # the full per-query timing map goes to BENCH_DETAIL.json, snapshotted
     # per round as BENCH_DETAIL_r{N}.json for the regression comparison.
-    top10 = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
-    )
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -910,7 +959,6 @@ def main():
         "sf": detail["sf"],
         "cold_total": detail["cold_total"],
         "n_queries": len(timings),
-        "top10_slowest": top10,
         "detail_file": "BENCH_DETAIL.json",
     }
     if prev:
@@ -931,11 +979,29 @@ def main():
         )
         out["n_regressions_gt_1_3x"] = len(regressions)
         out["regressions_top10"] = worst
+    # Per-query visibility for the driver (VERDICT r12 #4): the driver
+    # records only the LAST 2000 bytes of output, so the full per-query map
+    # (~7 KB at 235 queries) can never ride the printed line — that is
+    # exactly the r04 truncation. Pack the SLOWEST queries into the line
+    # until a 1900-byte budget is reached (the omitted tail is sub-second
+    # scheduler-noise entries the regression checker ignores anyway; the
+    # complete map is in BENCH_DETAIL.json). Slowest-first also supersedes
+    # the old top10_slowest field.
+    line_queries: dict[str, float] = {}
+    for qname, secs in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
+        entry = round(secs, 2)
+        trial = {**out, "queries": {**line_queries, qname: entry},
+                 "n_queries_in_line": len(line_queries) + 1}
+        if len(json.dumps(trial)) > 1900:
+            break
+        line_queries[qname] = entry
+    out["queries"] = line_queries
+    out["n_queries_in_line"] = len(line_queries)
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
     line = json.dumps(out)
-    assert len(line) < 2048, f"final bench line too long ({len(line)} B)"
+    assert len(line) < 2000, f"final bench line too long ({len(line)} B)"
     print(line)
 
 

@@ -1030,15 +1030,21 @@ def test_acf_calendar_join_on_daily_frame(spark):
 
 
 def test_hits_round_shape(spark):
-    """Edges shuffle once and persist; each round is two keyed aggregates
-    + broadcast 1-row totals; no Python. The final plan string is truncated
-    at the last per-round localCheckpoint (like q_pagerank_suppliers), so
-    only the top-k tail is visible — freeze what it shows: a checkpoint
-    scan, no extra parquet scans, no Python."""
+    """r13 shape: the per-half-step eager localCheckpoints and 1-row
+    broadcast totals are GONE — each half-step normalizes via a
+    single-partition window over its own node-sized aggregate, and the
+    whole 4-iteration recurrence is one lazy plan (the edge-persist
+    subtree repeats per iteration in the STATIC string, so scan counts
+    are plan-noise; at runtime the InMemoryRelation serves every join).
+    Freeze: no Python anywhere, and the 8 per-half-step normalization
+    windows are present (2 per iteration — the plan would lose them only
+    if the recurrence were truncated or rewritten)."""
     a = props("q_hits_authorities", spark)
     assert a["python_ops"] == 0
-    assert a["scans"] == 0  # everything upstream ended at the checkpoint
-    assert a["sort_merge_joins"] == 0
+    df = QUERIES["q_hits_authorities"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 8
+    assert "TakeOrderedAndProject" in plan  # top-25 is not a global sort
 
 
 def test_clustering_coefficient_oriented_wedges(spark):
