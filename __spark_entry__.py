@@ -96,57 +96,49 @@ GATE_WINDOW = [
     # (b) benched and/or pytest-pinned, and (c) witnessed by a prior
     # round's CORRECTNESS_r{N}.json.
     #
-    # ROUND-12 WINDOW: leads with (a) the eight r12-built queries
-    # (pair-level Fellegi-Sunter three-zone decisions; Hamed-Rao
-    # autocorrelation-corrected Mann-Kendall; two-sample Cramér-von
-    # Mises; delete-one-day jackknife ratio SE; Gopher quality +
-    # repetition rules; the greedy char-budget Python-UDTF chunker;
-    # 1-D Wasserstein-1 drift; the FS clerical-review queue capstone);
-    # (b) every query whose PLAN
-    # changed this round — the Fellegi-Sunter grid query (compound
-    # (nation, name-tens-digit) blocking + per-block cap + dropped audit,
-    # VERDICT r11 #1), the FF3 referential audit (radix-26 rendering
-    # widened 5 -> 6 chars, ADVICE r11 #4), and the full BPE/WordPiece
-    # family (session train memos, VERDICT r11 #2: warm runs replay the
-    # memoized merge list as a chained-replace projection, so any query
-    # running after its family's trainer picks up the replay plan —
-    # including the shoot-out capstone); then (c) green representatives
-    # of each family, all driver-witnessed in r01..r11. Every slot is
+    # ROUND-13 WINDOW (optimization round 2): leads with (a) the eight
+    # queries whose plans changed in r12's optimization commit AFTER the
+    # r12 window froze — the driver has never hash-checked them post-change
+    # (VERDICT r12 "what's wrong" #1 / next-round #1); (b) every query
+    # whose plan changed in THIS round's optimization batches (HITS
+    # window-normalized recurrence; label-propagation lazy chain;
+    # doc-local winnowing family; fused-exchange item co-occurrence;
+    # top-k pre-reduction consumers); then (c) green representatives of
+    # each family, all driver-witnessed in r01..r12. Every slot is
     # hash-oracled.
     #
-    # --- r12-built ---
-    "q_fs_linkage_decisions", "q_hamed_rao_trend",
-    "q_cramer_von_mises", "q_jackknife_ratio_se",
-    "q_gopher_quality_rules", "q_greedy_chunk_udtf",
-    "q_wasserstein_drift", "q_fs_review_queue",
-    # --- r12-changed plans ---
-    "q_fellegi_sunter_linkage", "q_mask_ff3_referential",
-    "q_bpe_train_merges", "q_bpe_encode", "q_bpe_fertility",
-    "q_bpe_roundtrip", "q_bpe_byte_train", "q_bpe_byte_encode",
-    "q_bpe_vocab_sweep", "q_bpe_artifact_roundtrip",
-    "q_wordpiece_train_merges", "q_wordpiece_encode",
-    "q_tokenizer_shootout",
+    # --- r12-changed plans, driver-unverified post-change ---
+    "q_pagerank_suppliers", "q_personalized_pagerank",
+    "q_kcore_suppliers", "q_entity_resolution",
+    "q_dedup_evidence_clusters", "q_fs_review_queue",
+    "dedup_survivors", "q_poisson_bootstrap_ci",
+    # --- r13-changed plans (optimization batches, this round) ---
+    "q_hits_authorities", "q_label_propagation",
+    "q_winnowing_fingerprints", "q_winnowing_dup_pairs",
+    "dedup_incremental_winnow", "q_stream_dedup_winnow",
+    "q_dedup_recall_comparison", "q_item_cooccurrence",
+    "q_word_pmi", "q_frequent_itemsets", "q_clustering_coefficient",
+    "q_minhash_estimate_error", "q_tfidf_top_terms",
+    "dedup_sorted_neighborhood", "q_dataset_card_report",
+    "q_bm25_search", "q_unigram_logprob",
     #
-    # --- green representatives (witnessed r01..r11), one+ per family:
-    #     trend/drift, relational/TPC-H, lifecycle, masking/KDF, dedup,
-    #     similarity, contamination, language/LM, streaming, lakeops/CBO,
-    #     unigram artifact family, sketches, valuation, eval audits ---
-    "q_mann_kendall_trend", "q_seasonal_mann_kendall",
-    "q_stream_trend_monitor", "q_benford_digit_audit",
+    # --- green representatives (witnessed r01..r12), one+ per family:
+    #     relational/TPC-H, lifecycle, masking/KDF, dedup, similarity,
+    #     language/LM, streaming, lakeops/CBO, tokenizer families,
+    #     trend/drift, linkage, sketches ---
     "q1_pricing_summary", "q_userdata_lifecycle", "q_mask_customers_pbkdf2",
     "q_mask_credit_cards", "q_fake_substitution",
-    "dedup_minhash_pairs_fast",
-    "q_dedup_recall_comparison", "q_lsh_band_sweep",
-    "q_source_copy_direction",
-    "q_margin_mining_pairs", "q_kneser_ney_perplexity",
-    "q_bigram_perplexity", "q_naive_bayes_langid",
+    "dedup_minhash_pairs_fast", "q_lsh_band_sweep",
+    "q_source_copy_direction", "q_margin_mining_pairs",
+    "q_kneser_ney_perplexity", "q_naive_bayes_langid",
     "q_stream_session_window", "q_python_datasource_stream",
-    "q_stream_funnel_tracker",
-    "q_txn_log_replay", "q_join_cardinality_estimate",
-    "q_layout_advisor", "q_misra_gries_topk",
+    "q_join_cardinality_estimate", "q_layout_advisor",
+    "q_misra_gries_topk",
     "q_unigram_train_vocab", "q_unigram_encode",
-    "q_unigram_artifact_roundtrip", "q_join_order_advisor",
-    "q_mask_ff1_referential",
+    "q_mask_ff1_referential", "q_mann_kendall_trend",
+    "q_benford_digit_audit", "q_fellegi_sunter_linkage",
+    "q_fs_linkage_decisions", "q_bpe_train_merges",
+    "q_wordpiece_encode",
 ]
 assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
 
