@@ -103,15 +103,20 @@ def connected_components(
     a silently split cluster is a correctness bug, not a degraded answer.
     O(log n) rounds suffice in theory; 20 covers any realistic graph.
     """
-    edges = (
-        pairs.select(F.col(left).alias("u"), F.col(right).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    # The input pair subtree is consumed FOUR times (initial fingerprint,
+    # round 1, and both sides of the isolated-node union) — for callers that
+    # hand over an unpersisted candidate pipeline that meant four full
+    # re-evaluations. One lazy checkpoint of the raw (u, v) projection pays
+    # the subtree once (the initial fingerprint below is its materializer,
+    # same pattern as the per-round checkpoints) (§2.4, §5).
+    raw = pairs.select(
+        F.col(left).alias("u"), F.col(right).alias("v")
+    ).localCheckpoint(eager=False)
+    edges = raw.filter(F.col("u") != F.col("v")).distinct()
     # isolated self-pairs (u == v in the input) still need a label
     all_nodes = (
-        pairs.select(F.col(left).alias("node"))
-        .union(pairs.select(F.col(right).alias("node")))
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
         .distinct()
     )
 

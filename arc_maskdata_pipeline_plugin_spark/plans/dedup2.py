@@ -26,11 +26,8 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.clusters import connected_components
-from .dedup import (
-    dedup_containment_pairs,
-    dedup_minhash_pairs,
-    dedup_ppjoin_pairs,
-)
+from . import dedup as _dedup_plans  # noqa: F401 — registers the detector
+# queries _detector_sql composes (their oracle SQL is reused verbatim below)
 from .registry import T, persisted, register
 
 
@@ -111,15 +108,69 @@ def q_dedup_evidence_clusters(spark, sf_dir):
     components of the strong-edge graph; the survivor is the longest member
     (ties → min doc_id). Per cluster: members, survivor, and how much of
     the internal edge evidence was unanimous (n_pairs_all3)."""
-    mh = dedup_minhash_pairs(spark, sf_dir).select("d1", "d2").withColumn(
-        "method", F.lit("minhash")
+    # The three detectors all shingle the same corpus the same way — calling
+    # the registered queries re-ran the scan→shingle pipeline once per
+    # detector (plus ppjoin's private persist and its stats/audit broadcast
+    # jobs the evidence merge never reads). Share ONE persisted distinct
+    # shingle frame instead (§2.4 / the module docstring's 100 TB shape) and
+    # call the operator layer directly with the registered queries' exact
+    # parameters. Set-semantics equivalence: MinHash MIN-aggregation and
+    # containment's collect_set are multiset-insensitive, and ppjoin already
+    # used distinct shingles — each detector's pair SET is unchanged (the
+    # oracle below still composes the registered queries' SQL verbatim).
+    from ..operators.dedup import (
+        _pairs_within,
+        containment_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ppjoin_prefix_buckets,
+        word_shingles,
     )
-    pp = dedup_ppjoin_pairs(spark, sf_dir).select("d1", "d2").withColumn(
-        "method", F.lit("ppjoin")
+    from .dedup import _PPJ_MAXBUCKET, BAND_SIZE, NUM_HASHES
+    from .registry import spread
+
+    sh = word_shingles(spread(T(spark, sf_dir, "documents"))).transform(
+        persisted
+    )  # consumers: signature agg, ppjoin df/rank + sets, containment
+    mh = lsh_candidate_pairs(
+        minhash_signatures(sh, num_hashes=NUM_HASHES),
+        num_hashes=NUM_HASHES,
+        band_size=BAND_SIZE,
+    ).select("d1", "d2")
+    # ppjoin pair SET (same prefix buckets, viral-token cap and integral
+    # J >= 1/2 verify as dedup_ppjoin_pairs — minus its corpus-level stats
+    # columns, which the evidence merge drops anyway)
+    buckets = ppjoin_prefix_buckets(sh)
+    cand = (
+        buckets.filter((F.size("xs") > 1) & (F.size("xs") <= _PPJ_MAXBUCKET))
+        .select(F.explode(_pairs_within(F.col("xs"))).alias("p"))
+        .select(
+            F.col("p.d1.id").alias("d1"),
+            F.col("p.d1.m").alias("m1"),
+            F.col("p.d2.id").alias("d2"),
+            F.col("p.d2.m").alias("m2"),
+        )
+        .filter(2 * F.least("m1", "m2") >= F.greatest("m1", "m2"))
+        .select("d1", "d2")
+        .distinct()
     )
-    ct = dedup_containment_pairs(spark, sf_dir).select("d1", "d2").withColumn(
-        "method", F.lit("containment")
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("toks"))
+    pp = (
+        cand.join(
+            sets.select(F.col("doc_id").alias("d1"), F.col("toks").alias("t1")),
+            "d1",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("d2"), F.col("toks").alias("t2")),
+            "d2",
+        )
+        .filter(
+            3 * F.size(F.array_intersect("t1", "t2"))
+            >= F.size("t1") + F.size("t2")
+        )
+        .select("d1", "d2")
     )
+    ct = containment_pairs(sh, threshold=0.8).select("d1", "d2")
     ev = (
         mh.unionByName(pp)
         .unionByName(ct)
@@ -255,14 +306,34 @@ def q_minhash_estimate_error(spark, sf_dir):
     from .registry import spread
 
     docs = spread(T(spark, sf_dir, "documents"))
-    sh = word_shingles(docs, distinct=True).transform(persisted)
-    # measured at sf0.1 (A/B): the fused scan→shingle→sig→bands pipeline
-    # inside dedup_minhash_pairs beats sharing one cached signature frame
-    # (7.7s vs 8.6-12.4s for the persisted/unpersisted sharing variants) —
-    # the signature aggregate re-evaluates under each agreement join side
-    # either way, and the extra cache write/read loses to codegen fusion
+    # The LSH pair frame is referenced by every downstream join side; left
+    # lazy it INLINES the whole scan→shingle→sig→bands pipeline under each
+    # broadcast (the r12 before-plan: 17 parquet scans / 66 aggregates /
+    # 86 exchanges for ONE query). One eager localCheckpoint pays the LSH
+    # pipeline exactly once — the pair list is tiny (post-LSH candidates) —
+    # and every later reference scans the materialized blocks (§2.4, §5).
+    pairs = (
+        dedup_minhash_pairs(spark, sf_dir)
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
+    # Every downstream frame (signatures, shingle counts, intersections) is
+    # only consumed for docs that appear in a candidate pair — so restrict
+    # the DOCUMENTS scan to the (tiny) pair-doc set with a broadcast
+    # semi-join BEFORE shingling. The corpus-sized distinct-shingle frame
+    # of the old shape is never materialized at all: the only full-corpus
+    # pass left is the one fused LSH pipeline above (§2.3 aggregate less /
+    # §3.2 semi-join pre-filter / §8 decide-with-small-rows).
+    pair_docs = (
+        pairs.select(F.col("d1").alias("doc_id"))
+        .union(pairs.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    sh = word_shingles(
+        docs.join(F.broadcast(pair_docs), "doc_id", "left_semi"),
+        distinct=True,
+    ).transform(persisted)
     sig = minhash_signatures(sh, num_hashes=NUM_HASHES)
-    pairs = dedup_minhash_pairs(spark, sf_dir).select("d1", "d2")
     s1 = sig.select(
         F.col("doc_id").alias("d1"),
         *[F.col(f"h{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
@@ -275,12 +346,11 @@ def q_minhash_estimate_error(spark, sf_dir):
     for i in range(NUM_HASHES):
         t = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         agree = t if agree is None else agree + t
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
     sh1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
     sh2 = sh.select(F.col("doc_id").alias("d2"), F.col("shingle"))
-    # the post-LSH pair frame is tiny — BROADCAST it into every
-    # corpus/vocab-sized frame (sig, sizes, shingles); without the hints
-    # Spark sort-merge-joins the doc-sized sides
     inter = (
         sh1.join(F.broadcast(pairs), "d1")
         .join(sh2, ["d2", "shingle"], "left_semi")
@@ -289,21 +359,21 @@ def q_minhash_estimate_error(spark, sf_dir):
     )
     scored = (
         s1.join(F.broadcast(pairs), "d1")
-        .join(F.broadcast(s2.join(F.broadcast(pairs.select("d2").distinct()), "d2")), "d2")
+        .join(F.broadcast(s2), "d2")
         .select("d1", "d2", agree.cast("bigint").alias("n_agree"))
         .join(
             F.broadcast(
-                sizes.withColumnRenamed("doc_id", "d1")
-                .withColumnRenamed("n", "n1")
-                .join(F.broadcast(pairs.select("d1").distinct()), "d1")
+                sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed(
+                    "n", "n1"
+                )
             ),
             "d1",
         )
         .join(
             F.broadcast(
-                sizes.withColumnRenamed("doc_id", "d2")
-                .withColumnRenamed("n", "n2")
-                .join(F.broadcast(pairs.select("d2").distinct()), "d2")
+                sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed(
+                    "n", "n2"
+                )
             ),
             "d2",
         )
