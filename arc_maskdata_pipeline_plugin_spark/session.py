@@ -63,7 +63,11 @@ def get_spark(
         # partitions). Scale-adaptive by construction: AQE sizes partitions
         # from actual bytes, so at 100 TB a big cached frame keeps its
         # parallelism while small broadcast-side frames stop fanning out.
-        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # (env-overridable for A/B: SPARK_GRAFT_CACHED_PLAN_AQE=false)
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            os.environ.get("SPARK_GRAFT_CACHED_PLAN_AQE", "true"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
@@ -72,6 +76,22 @@ def get_spark(
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # Long-session hygiene (guide §5 — the driver should do almost no
+        # data work, and that includes not HOARDING it): the app status
+        # store retains 1000 SQL executions / job+stage UI rows even with
+        # the UI off, and ContextCleaner only nudges a JVM GC every 30 min,
+        # so localCheckpoint RDD blocks from completed queries pile up in
+        # executor storage for the whole run. In a multi-hundred-query
+        # session both grow without bound and late queries pay the GC and
+        # eviction bill (measured: a contiguous late-bench cluster inflated
+        # 2-4x with no plan change). Bounded retention + a 2-minute
+        # periodic-GC floor keeps the session flat; both are pure
+        # metadata/cleanup knobs that change no query result.
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "2000")
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
     )
