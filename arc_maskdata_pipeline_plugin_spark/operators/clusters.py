@@ -29,13 +29,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, dedup: bool = True) -> DataFrame:
     """(u,v) undirected edge list → for each node u, link every strictly
     larger neighbour to min(closed neighbourhood). Output is again an
-    undirected edge list (larger endpoint first)."""
+    undirected edge list (larger endpoint first).
+
+    ``dedup=False`` skips the trailing ``.distinct()`` — one full (u, v)
+    shuffle per star round (r13, §2.4). Correct whenever the consumer is
+    duplicate-insensitive: ``_small_star``'s min-aggregation is multiset-
+    insensitive and its relink ends in its own ``.distinct()``, so the CC
+    loop's LS→SS composition never needs the intermediate dedup. Duplicate
+    volume is bounded by the symmetrized input (≤ 2|E| rows)."""
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     nbr_min = sym.groupBy("u").agg(F.min("v").alias("nbr_min"))
-    return (
+    out = (
         sym.join(nbr_min, "u")
         .filter(F.col("v") > F.col("u"))
         .select(
@@ -43,8 +50,8 @@ def _large_star(edges: DataFrame) -> DataFrame:
             F.least(F.col("u"), F.col("nbr_min")).alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 def _small_star(edges: DataFrame, already_oriented: bool = False) -> DataFrame:
@@ -52,11 +59,14 @@ def _small_star(edges: DataFrame, already_oriented: bool = False) -> DataFrame:
     ≤-neighbours and itself to its minimum neighbour.
 
     ``already_oriented=True`` skips the orientation distinct — correct
-    exactly when the input is already (max, min)-oriented, self-loop-free
-    and distinct, which ``_large_star``'s output is by construction (its
-    emitted rows are (v, least(u, nbr_min)) with v > u ≥ least(...), it
-    filters u != v and ends in ``.distinct()``). Skipping removes one full
-    (u, v) shuffle per star round (r12 optimization)."""
+    exactly when the input is already (max, min)-oriented and
+    self-loop-free, which ``_large_star``'s output is by construction (its
+    emitted rows are (v, least(u, nbr_min)) with v > u ≥ least(...) and it
+    filters u != v). Duplicates in the input are harmless here: ``nbr_min``
+    is a min-aggregation (multiset-insensitive) and ``relinked`` ends in
+    ``.distinct()``, so ``_large_star(dedup=False)`` composes exactly
+    (r12 optimization; dedup-free LS in r13). Skipping removes one full
+    (u, v) shuffle per star round."""
     oriented = (
         edges
         if already_oriented
@@ -140,7 +150,7 @@ def connected_components(
         # and the fingerprint job into one per round; the logical plan is
         # truncated at construction time either way.
         stars = _small_star(
-            _large_star(edges), already_oriented=True
+            _large_star(edges, dedup=False), already_oriented=True
         ).localCheckpoint(eager=False)
         fp = _fingerprint(stars)
         edges = stars

@@ -87,11 +87,15 @@ def get_spark(
         # 2-4x with no plan change). Bounded retention + a 2-minute
         # periodic-GC floor keeps the session flat; both are pure
         # metadata/cleanup knobs that change no query result.
+        # (env-overridable for A/B: SPARK_GRAFT_PERIODIC_GC=30min)
         .config("spark.sql.ui.retainedExecutions", "50")
         .config("spark.ui.retainedJobs", "100")
         .config("spark.ui.retainedStages", "100")
         .config("spark.ui.retainedTasks", "2000")
-        .config("spark.cleaner.periodicGC.interval", "2min")
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "2min"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
     )
