@@ -28,7 +28,14 @@ SF_MEDIUM = "/root/testdata/sf0.01"
 def spark():
     from arc_maskdata_pipeline_plugin_spark import get_spark
 
-    spark = get_spark("tests", master="local[4]", shuffle_partitions=8)
+    # local[8] (r13; was local[4]): the ~1330-test suite exceeded the round
+    # driver's pytest budget (VERIFY_r12 truncated at ~97%); doubling the
+    # test session's cores cuts the Spark-action-bound wall clock without
+    # touching semantics. shuffle_partitions stays 8 — the plan-invariant
+    # bounds are written against 8 post-shuffle partitions, and all
+    # plan-sensitive suites (plan_invariants*, config_matrix*,
+    # plan_sha_stability) pass unchanged under local[8].
+    spark = get_spark("tests", master="local[8]", shuffle_partitions=8)
     yield spark
 
 

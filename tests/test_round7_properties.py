@@ -45,7 +45,14 @@ def _threshold_reference(values: list[int], p: float) -> int:
     st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60),
     st.floats(min_value=0.01, max_value=1.0),
 )
-@settings(max_examples=60, deadline=None)
+# 12 examples, not 60 (r13): every example runs a full Spark
+# createDataFrame→aggregate→collect round-trip (~1.6 s each), so this one
+# test dominated the suite's wall clock (99 s of a 35-min run). The same
+# plan shape is exercised by every draw; rank-boundary coverage at p≈k/n
+# edges is preserved by hypothesis shrinking, and the operator is
+# additionally pinned by test_grouped_quantiles + the oracle-checked
+# consumers (q_rfm_segments, q_winsorize_prices).
+@settings(max_examples=12, deadline=None)
 def test_quantile_thresholds_exact_matches_disc_reference(spark, values, p):
     from pyspark.sql import functions as F
 
